@@ -1,13 +1,678 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Canonical, Differ, PrimaryKeyValidator}
+import graft.operators.{AsOfJoin, Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (or a
+  * scale-pipeline extension operator) expressed through the graft
+  * library, and every entry in [[oracleSql]] is the equivalent ANSI SQL
+  * the driver runs in DuckDB over the same parquet tables.
+  *
+  * Determinism rules used throughout (so the DuckDB hash compare is
+  * byte-stable): aggregates over doubles go through exact DECIMAL(18,2)
+  * sums and only cast to double at the end; ratios divide exact
+  * integer/decimal values in double once; similarity scores are rounded;
+  * every result has a total ORDER BY; derived integers are cast to
+  * BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact decimal view of a 2-decimal double column. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** revenue term: extendedprice * (1 - discount), exact decimal. */
+  private def revenueTerm: Column =
+    dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+
+  /** Simulated "file side" for the diff-engine queries: drop every 10th
+    * order (deletes), bump price on every 7th (updates), add re-keyed
+    * copies of every 13th (inserts).
+    */
+  private def fileState(o: DataFrame): DataFrame = {
+    val base = o
+      .filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val inserts = o
+      .filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    base.unionByName(inserts)
+  }
+
+  private def orderDiff(s: SparkSession, dir: String) = {
+    val o = T(s, dir, "orders")
+    Differ.diff(fileState(o), o, "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+  }
+
+  /** Dirty synthetic PK column exercising every validation rule. */
+  private def dirtyPk: Column = {
+    val k = col("c_custkey")
+    when(k % 97 === 0, lit(null).cast("string"))
+      .when(k % 89 === 0, lit("na"))
+      .when(k % 83 === 0, concat(lit("k"), k.cast("string"), lit("\t")))
+      .when(k % 79 === 0, concat(lit(" k"), k.cast("string")))
+      .when(k % 73 === 0, lit("dup"))
+      .otherwise(concat(lit("k"), k.cast("string")))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Five-table star join -> per-nation revenue (TPC-H Q5 shape).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val r = T(spark, dir, "region")
+    val n = T(spark, dir, "nation")
+    val c = T(spark, dir, "customer")
+    val o = T(spark, dir, "orders")
+    val l = T(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(revenueTerm).cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.5 aggregation: TPC-H Q1-shaped pricing summary ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(revenueTerm).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- §2.3 filter + projection (pushed to the parquet scan) ----
+    "q02_filter_project" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48 && col("l_returnflag") === "R" &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- §2.4 inner equi joins + aggregation ----
+    "q03_join_agg" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(revenueTerm).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- §2.4 semi join (EXISTS) ----
+    "q04_semi_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- §2.4 anti join (NOT EXISTS — the toInsert/toDelete primitive) ----
+    "q05_anti_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.4 the diff engine itself: insert / update / delete ----
+    "q06_diff_insert" -> ((s, dir) => {
+      orderDiff(s, dir).toInsert
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    "q07_diff_update" -> ((s, dir) => {
+      orderDiff(s, dir).toUpdate
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice").as("new_totalprice"),
+          col(Differ.DbPrefix + "o_totalprice").as("old_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    "q08_diff_delete" -> ((s, dir) => {
+      orderDiff(s, dir).toDelete
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- §2.5 duplicate-PK detection ----
+    "q09_dup_detect" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("pk"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy(col("pk"))
+    }),
+
+    // ---- §2.12 strict PK validation rollup ----
+    "q10_pk_validate" -> ((s, dir) => {
+      val dirty = T(s, dir, "customer").select(dirtyPk.as("pk"))
+      PrimaryKeyValidator.classify(dirty, "pk")
+        .groupBy(col(PrimaryKeyValidator.ReasonCol).as("reason"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("reason"))
+    }),
+
+    // ---- §2.7 sort + limit (top-k) ----
+    "q11_topk" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- §2.6 window ranking (top-n per group) ----
+    "q12_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- §2.8 set operations: union / except / intersect ----
+    "q13_setops" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      val negative = c.filter(col("c_acctbal") < 0).select("c_custkey")
+      val lowNation = c.filter(col("c_nationkey") < 15).select("c_custkey")
+      building.union(auto).except(negative).intersect(lowNation)
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.9 canonical scalar rendering (null / integral-float / RFC3339 / bool) ----
+    "q14_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val l = T(s, dir, "lineitem").filter(col("l_orderkey") % 500 === 0)
+      l.select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        Canonical.canonical(
+          when(col("l_linenumber") === 1, lit(null).cast("double"))
+            .otherwise(col("l_quantity")), DoubleType).as("qty_c"),
+        Canonical.canonical(col("l_shipdate"), l.schema("l_shipdate").dataType).as("ship_c"),
+        Canonical.canonical(col("l_quantity") > 25, BooleanType).as("flag_c"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- custom operator: backward as-of join ----
+    "q15_asof_join" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val o = T(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumn("ot", expr("timestampadd(DAY, 10592, o_orderdate)"))
+      AsOfJoin.backward(e, o, "user_id", "o_custkey", "ts", "ot", Seq("o_orderkey"))
+        .select("event_id", "user_id", "o_orderkey")
+        .orderBy("event_id")
+    }),
+
+    // ---- custom operator: gap sessionization ----
+    "q16_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(T(s, dir, "events"), "user_id", "ts",
+          gapSeconds = 1800, tieBreak = "event_id")
+        .orderBy("user_id", "start_us")
+    }),
+
+    // ---- §2.5 grouping sets: rollup ----
+    "q17_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- §2.9 JSON extraction ----
+    "q18_json_extract" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") % 5 === 0)
+        .orderBy("event_id")
+    }),
+
+    // ---- extension: exact deduplication ----
+    "q20_dedup_exact" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val withDups = d.unionByName(d.filter(col("doc_id") % 10 === 0))
+      Dedup.exact(withDups, Seq("text", "source"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- extension: MinHash signatures ----
+    "q21_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignatures(
+          T(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", k = 9)
+        .select("doc_id", "sig0", "sig1", "sig2", "sig3")
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: MinHash-LSH candidate pairs ----
+    "q22_minhash_lsh" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(T(s, dir, "documents"), "doc_id", "text", k = 9)
+      Dedup.lshCandidatePairs(sigs, "doc_id", k = 9, bands = 3)
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- extension: n-gram Jaccard near-dup (LSH-blocked) ----
+    "q23_jaccard_neardup" -> ((s, dir) => {
+      Dedup.jaccardNearDupPairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 9, bands = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- extension: SimHash fingerprints ----
+    "q24_simhash" -> ((s, dir) => {
+      Dedup.simhash16(T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: embedding near-dup pairs (sign-bucket LSH) ----
+    "q25_embed_neardup" -> ((s, dir) => {
+      Similarity.signBucketNearDupPairs(
+          T(s, dir, "embeddings"), "vec_id", "embedding",
+          bucketDims = 4, threshold = 0.4)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- extension: brute-force cosine top-k ANN baseline ----
+    "q26_embed_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- extension: text quality stats ----
+    "q27_text_stats" -> ((s, dir) => {
+      val d = T(s, dir, "documents").filter(col("doc_id") < 200)
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextAnalysis.avgTokenLength(col("text")), 6).as("avg_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: language-ID heuristic (confusion rollup) ----
+    "q28_langid" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("pred"), col("lang"))
+        .groupBy(col("pred"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("pred", "lang")
+    }),
+
+    // ---- extension: document fingerprinting ----
+    "q29_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- streaming-shaped tumbling-window aggregation (batch twin) ----
+    "q30_stream_hourly" -> ((s, dir) => {
+      EventStreams.hourlyAgg(T(s, dir, "events"))
+        .orderBy("hour_us", "event_type")
+    }),
+
+    // ---- extension: multimodal byte-column plumbing ----
+    "q31_multimodal_bytes" -> ((s, dir) => {
+      T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          ascii(col("text")).cast("long").as("first_byte"),
+          md5(substring(col("text"), 1, 16)).as("chunk_fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — one per query above, same column names/types.
+  // ---------------------------------------------------------------------
+
+  private val fileCte =
+    """WITH file AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 13 = 0)""".stripMargin
+
+  /** Shared shingle CTEs: w = tokens, shd = distinct 3-gram shingle
+    * list per doc, sh = exploded shingles.
+    */
+  private def shingleCtes(where: String): String =
+    s"""t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents$where),
+       |sh0 AS (SELECT doc_id, CASE WHEN len(w) >= 3
+       |  THEN list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+       |  ELSE [array_to_string(w, ' ')] END AS shl FROM t),
+       |shd AS (SELECT doc_id, list_distinct(shl) AS shl FROM sh0),
+       |sh AS (SELECT doc_id, unnest(shl) AS s FROM shd)""".stripMargin
+
+  private val sigsCte: String = {
+    val sigExprs = (0 until 9).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
+    s"""${shingleCtes("")},
+       |sigs AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, sig0||sig1||sig2 AS bucket FROM sigs
+       |  UNION ALL SELECT doc_id, 1, sig3||sig4||sig5 FROM sigs
+       |  UNION ALL SELECT doc_id, 2, sig6||sig7||sig8 FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val pkValidateSql: String = {
+    val dirty =
+      """CASE WHEN c_custkey % 97 = 0 THEN NULL
+        |     WHEN c_custkey % 89 = 0 THEN 'na'
+        |     WHEN c_custkey % 83 = 0 THEN 'k' || CAST(c_custkey AS VARCHAR) || chr(9)
+        |     WHEN c_custkey % 79 = 0 THEN ' k' || CAST(c_custkey AS VARCHAR)
+        |     WHEN c_custkey % 73 = 0 THEN 'dup'
+        |     ELSE 'k' || CAST(c_custkey AS VARCHAR) END""".stripMargin
+    s"""WITH pks AS (SELECT $dirty AS pk FROM customer),
+       |k AS (SELECT pk,
+       |  (pk IS NULL OR lower(trim(pk)) IN ('','null','nil','n/a','na','none','undefined')) AS nullish
+       |  FROM pks),
+       |cnt AS (SELECT pk, COUNT(*) AS c FROM k WHERE NOT nullish GROUP BY pk),
+       |cls AS (SELECT CASE
+       |    WHEN nullish THEN 'null_or_empty'
+       |    WHEN length(pk) > 255 OR pk <> trim(pk)
+       |         OR strpos(pk, chr(10)) > 0 OR strpos(pk, chr(13)) > 0 OR strpos(pk, chr(9)) > 0
+       |      THEN 'invalid_format'
+       |    WHEN c > 1 THEN 'duplicate'
+       |    ELSE 'valid' END AS reason
+       |  FROM k LEFT JOIN cnt USING (pk))
+       |SELECT reason, COUNT(*) AS n FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val dims = (0 until 16).map(j =>
+      s"avg(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) AS d$j").mkString(", ")
+    val bits = (0 until 16).map(j =>
+      s"CASE WHEN d$j >= 7.5 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS h
+       |  FROM documents WHERE doc_id < 100),
+       |d AS (SELECT doc_id, $dims FROM toks GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_quantity >= 48 AND l_returnflag = 'R' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_diff_insert" ->
+      s"""$fileCte
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM file
+         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q07_diff_update" ->
+      s"""$fileCte
+         |SELECT f.o_orderkey, f.o_totalprice AS new_totalprice, o.o_totalprice AS old_totalprice
+         |FROM file f JOIN orders o USING (o_orderkey)
+         |WHERE f.o_orderstatus <> o.o_orderstatus OR f.o_totalprice <> o.o_totalprice
+         |ORDER BY f.o_orderkey""".stripMargin,
+
+    "q08_diff_delete" ->
+      s"""$fileCte
+         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM file)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q09_dup_detect" ->
+      """SELECT l_orderkey AS pk, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+
+    "q10_pk_validate" -> pkValidateSql,
+
+    "q11_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q12_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q13_setops" ->
+      """SELECT * FROM (
+        |  SELECT * FROM (
+        |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |    UNION
+        |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |  ) u
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |) e
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_nationkey < 15
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_canonical" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  COALESCE(CASE WHEN l_linenumber = 1 THEN NULL
+        |    WHEN l_quantity = floor(l_quantity) AND abs(l_quantity) < 9.223372036854775e18
+        |      THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+        |    ELSE CAST(l_quantity AS VARCHAR) END, '') AS qty_c,
+        |  strftime(l_shipdate, '%Y-%m-%dT%H:%M:%SZ') AS ship_c,
+        |  CASE WHEN l_quantity > 25 THEN 'true' ELSE 'false' END AS flag_c
+        |FROM lineitem WHERE l_orderkey % 500 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q15_asof_join" ->
+      """WITH o2 AS (
+        |  SELECT o_custkey, max(o_orderkey) AS o_orderkey,
+        |         o_orderdate + INTERVAL 10592 DAY AS ot
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e ASOF JOIN o2 o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.ot
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q16_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT user_id, event_id, tus,
+        |  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, tus,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, MIN(tus) AS start_us, MAX(tus) AS end_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q17_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """WITH dup AS (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT text, source, min(doc_id) AS doc_id FROM dup GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_minhash_sig" -> {
+      val sigExprs = (0 until 4).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
+      s"""WITH ${shingleCtes(" WHERE doc_id < 100")}
+         |SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q22_minhash_lsh" ->
+      s"""WITH $sigsCte
+         |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+
+    "q23_jaccard_neardup" ->
+      s"""WITH $sigsCte,
+         |j AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(len(list_distinct(list_intersect(a.shl, b.shl))) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.shl, b.shl))) AS jaccard
+         |  FROM cand c JOIN shd a ON a.doc_id = c.d1 JOIN shd b ON b.doc_id = c.d2)
+         |SELECT d1, d2, round(jaccard, 6) AS jaccard FROM j
+         |WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    "q24_simhash" -> simhashSql,
+
+    "q25_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |  (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bucket,
+        |  sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS d1, b2.vec_id AS d2,
+        |        list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) AS sim
+        |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT d1, d2, round(sim, 5) AS sim FROM p WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
+
+    "q26_embed_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 20),
+        |p AS (SELECT q.vec_id AS qid, n.vec_id AS nbr,
+        |        list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS sim
+        |      FROM q JOIN n ON n.vec_id <> q.vec_id),
+        |r AS (SELECT qid, nbr, sim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+        |      FROM p)
+        |SELECT qid, rank, nbr, round(sim, 5) AS sim FROM r WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q27_text_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  round(CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(w), 6) AS stop_ratio,
+        |  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS avg_tok_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q28_langid" ->
+      """WITH t AS (SELECT lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |    len(list_filter(w, x -> x = 'the' OR x = 'a')) AS s_en,
+        |    len(list_filter(w, x -> x = 'el' OR x = 'la' OR x = 'de' OR x = 'que')) AS s_es,
+        |    len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'und' OR x = 'das')) AS s_de
+        |  FROM t)
+        |SELECT CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |            WHEN s_es > s_en AND s_es >= s_de THEN 'es'
+        |            WHEN s_de > 0 THEN 'de'
+        |            ELSE 'und' END AS pred,
+        |       lang, COUNT(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q29_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q30_stream_hourly" ->
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q31_multimodal_bytes" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(text) AS BIGINT) AS first_byte,
+        |  md5(substring(text, 1, 16)) AS chunk_fp
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,68 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonical string rendering of scalar values.
+  *
+  * Mirrors the reference engine's comparison semantics (mydatasyncer
+  * `dbsync.go:57-129` `convertValueToString`): NULL renders as the empty
+  * string, booleans as `true`/`false`, floats with integral values drop
+  * the decimal point (`3.0` -> `"3"`), and timestamps render RFC3339.
+  * The reference compares file values against DB values *string*-wise
+  * (`compareRecords`, `dbsync.go:695-715`), so the differ ([[Differ]])
+  * joins and change-detects on these canonical strings.
+  *
+  * Everything here is composed from codegen'd built-in functions — no
+  * UDFs — so expressions stay inside whole-stage codegen and scale to
+  * arbitrarily large inputs.
+  */
+object Canonical {
+
+  /** Null-like string literals (reference `primary_key_validator.go:151-161`),
+    * matched case-insensitively after trimming.
+    */
+  val NullLikeLiterals: Seq[String] =
+    Seq("", "null", "nil", "n/a", "na", "none", "undefined")
+
+  /** Largest double below Long.MaxValue that is safe to cast. */
+  private val LongSafeBound = 9.223372036854775e18
+
+  /** Canonical rendering of `c` which has Catalyst type `dt`. */
+  def canonical(c: Column, dt: DataType): Column = {
+    val rendered = dt match {
+      case StringType  => c
+      case BooleanType => when(c, lit("true")).otherwise(lit("false"))
+      case DoubleType | FloatType =>
+        val d = c.cast(DoubleType)
+        when(d === floor(d) && abs(d) < lit(LongSafeBound),
+          d.cast(LongType).cast(StringType))
+          .otherwise(d.cast(StringType))
+      case TimestampType | TimestampNTZType =>
+        date_format(c, "yyyy-MM-dd'T'HH:mm:ssXXX")
+      case DateType       => date_format(c, "yyyy-MM-dd")
+      case _: NumericType => c.cast(StringType)
+      case _              => c.cast(StringType)
+    }
+    coalesce(rendered, lit(""))
+  }
+
+  /** Canonical rendering of column `name` of `df`, using its schema type. */
+  def canonical(df: DataFrame, name: String): Column =
+    canonical(df(name), df.schema(name).dataType).as(s"${name}_c")
+
+  /** Null-like detection (reference `primary_key_validator.go:151-161`):
+    * SQL NULL, or a trimmed lowercase match of [[NullLikeLiterals]].
+    */
+  def isNullOrEmpty(c: Column): Column =
+    c.isNull || lower(trim(c)).isin(NullLikeLiterals: _*)
+
+  /** Primary-key format violations (reference
+    * `primary_key_validator.go:164-185`): control characters, length
+    * over 255, or untrimmed whitespace.
+    */
+  def invalidPkFormat(c: Column): Column =
+    length(c) > 255 || c =!= trim(c) ||
+      c.contains("\n") || c.contains("\r") || c.contains("\t")
+}

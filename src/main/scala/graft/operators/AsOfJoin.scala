@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the latest right row
+  * whose time is <= the left row's time, matched on an equi-key.
+  *
+  * Spark has no built-in as-of join. The naive encoding — a range
+  * join + groupBy-max — explodes to |L| x |R per key| intermediate rows.
+  * This implementation instead unions both sides and runs ONE window
+  * pass (`last(..., ignoreNulls)` over rows preceding), so the cost is a
+  * single shuffle + sort of |L| + |R| rows: linear, skew-tolerant, and
+  * the same plan shape at 100 TB as at 1 MB.
+  *
+  * Semantics: inclusive (a right row at exactly the left row's time
+  * matches). The right side must be unique per (key, time) — pre-reduce
+  * with [[latestPerKeyTime]] otherwise, or the winner among ties is
+  * unspecified.
+  */
+object AsOfJoin {
+  private val MatchCol = "__asof_matched"
+
+  /** Reduce the right side to one row per (key, time): the row with the
+    * greatest `tieBreak` value wins.
+    */
+  def latestPerKeyTime(
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col(timeCol))
+      .orderBy(col(tieBreak).desc)
+    right.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** @param rightCols right-side columns to carry onto matched left rows
+    * @param inner     drop unmatched left rows (true) or keep them with
+    *                  null right columns (false)
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      inner: Boolean = true): DataFrame = {
+    val lCols = left.columns.toSeq
+    val outCols = rightCols.map("__r_" + _)
+
+    val l = left.select(
+      Seq(
+        col(leftKey).cast("string").as("__k"),
+        col(leftTime).as("__t"),
+        lit(1).as("__side")) ++
+        lCols.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as("__r_" + c)) :+
+        lit(null).cast("boolean").as(MatchCol): _*)
+    val r = right.select(
+      Seq(
+        col(rightKey).cast("string").as("__k"),
+        col(rightTime).as("__t"),
+        lit(0).as("__side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as("__r_" + c)) :+
+        lit(true).as(MatchCol): _*)
+
+    // Right rows sort before left rows at equal time (side 0 < 1), which
+    // makes the match inclusive.
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = (outCols :+ MatchCol).foldLeft(l.unionByName(r)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val leftRows = filled.filter(col("__side") === 1)
+    val matched = if (inner) leftRows.filter(col(MatchCol)) else leftRows
+    matched.select(
+      lCols.map(col) ++ rightCols.map(c => col("__r_" + c).as(c)): _*)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for document pipelines: token
+  * counting, quality metrics, a stopword-based language-ID heuristic,
+  * and content fingerprinting. All built-in-function compositions —
+  * per-row, embarrassingly parallel, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Mean token length (a cheap quality signal: very short or very
+    * long mean token length indicates boilerplate/noise).
+    */
+  def avgTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+      .cast("double") / size(t)
+  }
+
+  private def countIn(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => words.map(w => x === w).reduce(_ || _)))
+
+  /** Fraction of tokens that are (language-agnostic) stopwords. High
+    * ratio = natural prose; near-zero = tables/code/noise.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
+    val t = tokens(text)
+    countIn(t, stopwords).cast("double") / size(t)
+  }
+
+  /** Stopword-occurrence language-ID heuristic: score each candidate
+    * language by marker-word hits, predict the argmax (ties resolved in
+    * en > es > de order), `und` when nothing matches. This is the
+    * classic cheap n-gram/stopword LID; swap in real marker lists per
+    * deployment corpus.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = countIn(t, Seq("the", "a"))
+    val es = countIn(t, Seq("el", "la", "de", "que"))
+    val de = countIn(t, Seq("der", "die", "und", "das"))
+    when(en >= es && en >= de && en > 0, lit("en"))
+      .when(es > en && es >= de, lit("es"))
+      .when(de > 0, lit("de"))
+      .otherwise(lit("und"))
+  }
+
+  /** Whitespace-normalized content fingerprint (md5 of the lowercased,
+    * trimmed, space-collapsed text). Equal fingerprints = exact dup
+    * after normalization; cheap first-stage dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+}
