@@ -33,7 +33,9 @@ object Canonical {
   def canonical(c: Column, dt: DataType): Column = {
     val rendered = dt match {
       case StringType  => c
-      case BooleanType => when(c, lit("true")).otherwise(lit("false"))
+      // two `when`s, no `otherwise`: NULL must fall through to the
+      // coalesce below, not render as "false"
+      case BooleanType => when(c, lit("true")).when(!c, lit("false"))
       case DoubleType | FloatType =>
         val d = c.cast(DoubleType)
         when(d === floor(d) && abs(d) < lit(LongSafeBound),

@@ -1,0 +1,204 @@
+package graft.core
+
+import java.sql.Connection
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.config.{DependencyGraph, SyncConfig, TableSyncConfig}
+import graft.sinks.JdbcSyncWriter
+import graft.sources.Readers
+
+/** Per-table sync outcome. */
+final case class SyncResult(
+    table: String,
+    mode: String,
+    inserts: Int,
+    updates: Int,
+    deletes: Int,
+    plan: Option[ExecutionPlan] = None)
+
+/** Materialized operations for one table, computed against the
+  * original DB state before any write starts.
+  */
+private final case class TableOps(
+    cfg: TableSyncConfig,
+    cols: Seq[String],
+    pk: String,
+    insRows: Seq[Row],
+    updRows: Seq[Row],
+    delRows: Seq[Row],
+    overwriteRows: Seq[Row],
+    dbCount: Long)
+
+/** Orchestration of file -> JDBC synchronization (reference
+  * `RunApp`/`syncData`/`syncMultipleTablesData`, `main.go:59-134`,
+  * `dbsync.go:407-491`, `dbsync.go:931-1291`).
+  *
+  * The heavy relational work (scans, schema intersection, validation,
+  * three-way diff) runs distributed through Spark; the transaction
+  * boundary stays on the driver (one JDBC connection, one commit) to
+  * preserve the reference's all-or-nothing guarantee.
+  *
+  * Read/write phasing: every table's diff is computed and MATERIALIZED
+  * against the original DB state before the first write. That is safe
+  * because the three diff sets are disjoint by construction (toInsert =
+  * file∖db, toUpdate ⊆ file∩db, toDelete = db∖file), and necessary
+  * because Spark's JDBC scans run on their own connections — a scan
+  * issued after the driver transaction started writing would deadlock
+  * on its row locks. (The reference re-reads between phases only
+  * because its reads share the single transaction's connection —
+  * `dbsync.go:1185`, `dbsync.go:1260`.)
+  *
+  * Lifecycle per table:
+  *   1. read file (CSV/JSON by extension; RFC3339 promotion)
+  *   2. read current DB table; resolve the actual sync column set as
+  *      file-columns ∩ db-columns ∩ configured columns; the PK must
+  *      survive (`determineActualSyncColumns`, `dbsync.go:321-344`)
+  *   3. diff mode: strict PK validation (aborts on violations)
+  *   4. dry-run: build the ExecutionPlan, write nothing
+  *   5. else: deletes child->parent, then inserts/updates
+  *      parent->child, one commit
+  */
+object SyncRunner {
+
+  def run(spark: SparkSession, config: SyncConfig): Seq[SyncResult] = {
+    config.validated()
+    val conn = JdbcSyncWriter.connect(config.db)
+    try {
+      val graph = new DependencyGraph(
+        config.tables.map(t => t.name -> t.dependencies).toMap)
+      val (insertOrder, deleteOrder) = graph.syncOrders
+      val byName = config.tables.map(t => t.name -> t).toMap
+
+      // Compute + materialize all ops before any write (see scaladoc).
+      // Files load before the DB work, mirroring the reference's
+      // outside-the-tx file loading (`dbsync.go:936-944`).
+      val ops = insertOrder.map(n =>
+        n -> computeOps(spark, config, conn, byName(n))).toMap
+
+      val results =
+        if (config.dryRun) {
+          insertOrder.map(n => planOnly(ops(n)))
+        } else {
+          // Phase 1: deletes, child -> parent.
+          val deleted = deleteOrder.flatMap { n =>
+            val o = ops(n)
+            if (o.cfg.mode == SyncConfig.ModeDiff && o.cfg.deleteNotInFile && o.delRows.nonEmpty) {
+              val keys = o.delRows.map(_.getAs[Any](o.pk))
+              Some(n -> JdbcSyncWriter.bulkDelete(conn, n, o.pk, keys))
+            } else None
+          }.toMap
+          // Phase 2: inserts/updates (and overwrites), parent -> child.
+          insertOrder.map { n =>
+            val o = ops(n)
+            o.cfg.mode match {
+              case SyncConfig.ModeOverwrite =>
+                val ins = JdbcSyncWriter.overwrite(
+                  conn, n, o.cols, o.overwriteRows, o.cfg.timestampColumns)
+                SyncResult(n, o.cfg.mode, ins, 0, 0)
+              case _ =>
+                val i = JdbcSyncWriter.bulkInsert(
+                  conn, n, o.cols, o.insRows, o.cfg.timestampColumns)
+                val u = JdbcSyncWriter.bulkUpdate(
+                  conn, n, o.cols, o.pk, o.updRows,
+                  o.cfg.timestampColumns, o.cfg.immutableColumns)
+                SyncResult(n, o.cfg.mode, i, u, deleted.getOrElse(n, 0))
+            }
+          }
+        }
+      if (config.dryRun) conn.rollback() else conn.commit()
+      results
+    } catch {
+      case e: Throwable =>
+        conn.rollback()
+        throw e
+    } finally conn.close()
+  }
+
+  private def computeOps(
+      spark: SparkSession,
+      config: SyncConfig,
+      conn: Connection,
+      t: TableSyncConfig): TableOps = {
+
+    val file = Readers.forPath(spark, t.filePath, t.columns)
+    val dbCols = JdbcSyncWriter.tableColumns(conn, t.name)
+    val db0 = JdbcSyncWriter.readTable(spark, config.db, t.name)
+    val db = db0.toDF(db0.columns.map(_.toLowerCase): _*)
+
+    // three-way intersection, file-header order (dbsync.go:321-344);
+    // empty file falls back to the DB column list (dbsync.go:447-459)
+    val fileCols = file.columns.map(_.toLowerCase).toSeq
+    val base = if (fileCols.isEmpty) dbCols else fileCols.filter(dbCols.contains)
+    val cols =
+      if (t.columns.nonEmpty) base.filter(c => t.columns.map(_.toLowerCase).contains(c))
+      else base
+    val pk = t.primaryKey.toLowerCase
+    if (t.mode == SyncConfig.ModeDiff && !cols.contains(pk))
+      throw new IllegalArgumentException(
+        s"table '${t.name}': primary key '${t.primaryKey}' not in sync columns ${cols.mkString(", ")}")
+
+    // Align file column types to the DB schema before diffing/writing:
+    // the reference leans on MySQL's implicit coercion at INSERT time;
+    // casting up front keeps the diff and strict JDBC drivers coherent.
+    val dbSel = db.select(cols.map(col): _*)
+    val fileSel = {
+      val lowered = file.toDF(file.columns.map(_.toLowerCase): _*)
+        .select(cols.map(col): _*)
+      cols.foldLeft(lowered) { (d, c) =>
+        val target = dbSel.schema(c).dataType
+        if (d.schema(c).dataType == target) d
+        else d.withColumn(c, col(c).cast(target))
+      }
+    }
+
+    t.mode match {
+      case SyncConfig.ModeOverwrite =>
+        TableOps(t, cols, pk, Nil, Nil, Nil,
+          fileSel.collect().toSeq, if (config.dryRun) dbSel.count() else 0L)
+      case _ =>
+        PrimaryKeyValidator.validateStrict(fileSel, pk)
+        val diff = Differ.diff(fileSel, dbSel, pk)
+        val nonPk = cols.filterNot(_ == pk)
+        val ins = diff.toInsert.select(cols.map(col): _*).collect().toSeq
+        val upd = diff.toUpdate
+          .select((cols.map(col) ++ nonPk.map(c => col(Differ.DbPrefix + c))): _*)
+          .collect().toSeq
+        val del =
+          if (t.deleteNotInFile) diff.toDelete.select(cols.map(col): _*).collect().toSeq
+          else Nil
+        TableOps(t, cols, pk, ins, upd, del, Nil, 0L)
+    }
+  }
+
+  private def planOnly(o: TableOps): SyncResult = {
+    val t = o.cfg
+    if (t.mode == SyncConfig.ModeOverwrite) {
+      val plan = ExecutionPlan(t.name, o.overwriteRows.size.toLong, 0, o.dbCount,
+        Nil, Nil, Nil, t.timestampColumns, t.immutableColumns)
+      return SyncResult(t.name, t.mode, 0, 0, 0, Some(plan))
+    }
+    val lim = ExecutionPlan.SampleLimit
+    def fmt(r: Row): String =
+      o.cols.map(c => s"$c=${Option(r.getAs[Any](c)).getOrElse("NULL")}").mkString(", ")
+    val nonPk = o.cols.filterNot(_ == o.pk)
+    val updSamples = o.updRows.take(lim).map { r =>
+      val changes = nonPk.flatMap { c =>
+        val before = Option(r.getAs[Any](Differ.DbPrefix + c)).getOrElse("NULL")
+        val after = Option(r.getAs[Any](c)).getOrElse("NULL")
+        if (before == after) None
+        else {
+          val note = if (t.immutableColumns.contains(c)) " [immutable — skipped]" else ""
+          Some(s"$c: $before -> $after$note")
+        }
+      }
+      s"${o.pk}=${r.getAs[Any](o.pk)}: ${changes.mkString("; ")}"
+    }
+    val plan = ExecutionPlan(
+      t.name, o.insRows.size.toLong, o.updRows.size.toLong, o.delRows.size.toLong,
+      o.insRows.take(lim).map(fmt), updSamples, o.delRows.take(lim).map(fmt),
+      t.timestampColumns, t.immutableColumns)
+    SyncResult(t.name, t.mode, 0, 0, 0, Some(plan))
+  }
+}

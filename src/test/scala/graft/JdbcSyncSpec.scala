@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{DbConfig, SyncConfig, TableSyncConfig}
+import graft.core.SyncRunner
+
+/** End-to-end sync against embedded Derby — the JDBC seam the reference
+  * exercises against MySQL (main_test.go E2E suite): diff
+  * insert/update/delete, overwrite, dry-run leaves the DB untouched,
+  * timestamp injection with immutable columns, transactional rollback,
+  * and two-phase FK-safe multi-table ordering.
+  */
+class JdbcSyncSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val db = DbConfig("jdbc:derby:memory:syncdb;create=true")
+
+  private def exec(sqls: String*): Unit = {
+    val c = DriverManager.getConnection(db.url)
+    try {
+      val st = c.createStatement()
+      sqls.foreach(st.executeUpdate)
+      st.close()
+    } finally c.close()
+  }
+
+  private def query(sql: String): Seq[Seq[Any]] = {
+    val c = DriverManager.getConnection(db.url)
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      while (rs.next()) buf += (1 to n).map(rs.getObject)
+      buf.toSeq
+    } finally c.close()
+  }
+
+  private def csvFile(content: String): String = {
+    val dir: Path = Files.createTempDirectory("graft-sync")
+    val f = dir.resolve("data.csv")
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  private def dropIfExists(table: String): Unit =
+    try exec(s"DROP TABLE $table") catch { case _: Exception => () }
+
+  test("diff sync: 1 insert + 1 update + 1 delete (e2e_csv_diff shape)") {
+    dropIfExists("test_table")
+    exec(
+      "CREATE TABLE test_table (id INT PRIMARY KEY, name VARCHAR(255), email VARCHAR(255))",
+      "INSERT INTO test_table VALUES (402, 'Bob', 'b@x'), (403, 'Carol', 'c@x')")
+    val f = csvFile("id,name,email\n401,Alice,a@x\n402,Bob2,b@x\n")
+    val cfg = SyncConfig(db, Seq(TableSyncConfig(
+      name = "test_table", filePath = f, mode = "diff",
+      primaryKey = "id", deleteNotInFile = true)))
+    val r = SyncRunner.run(spark, cfg).head
+    assert((r.inserts, r.updates, r.deletes) == ((1, 1, 1)))
+    val rows = query("SELECT id, name FROM test_table ORDER BY id")
+    assert(rows == Seq(Seq(401, "Alice"), Seq(402, "Bob2")))
+  }
+
+  test("dry run plans but writes nothing") {
+    dropIfExists("dry_table")
+    exec(
+      "CREATE TABLE dry_table (id INT PRIMARY KEY, name VARCHAR(255))",
+      "INSERT INTO dry_table VALUES (1, 'old'), (2, 'gone')")
+    val f = csvFile("id,name\n1,new\n3,add\n")
+    val cfg = SyncConfig(db, Seq(TableSyncConfig(
+      name = "dry_table", filePath = f, mode = "diff",
+      primaryKey = "id", deleteNotInFile = true)), dryRun = true)
+    val r = SyncRunner.run(spark, cfg).head
+    val p = r.plan.get
+    assert((p.inserts, p.updates, p.deletes) == ((1L, 1L, 1L)))
+    assert(p.render.contains("name: old -> new"))
+    // DB untouched
+    assert(query("SELECT id, name FROM dry_table ORDER BY id") ==
+      Seq(Seq(1, "old"), Seq(2, "gone")))
+  }
+
+  test("overwrite replaces the full table transactionally") {
+    dropIfExists("ow_table")
+    exec(
+      "CREATE TABLE ow_table (id INT PRIMARY KEY, name VARCHAR(255))",
+      "INSERT INTO ow_table VALUES (9, 'stale')")
+    val f = csvFile("id,name\n1,a\n2,b\n")
+    val cfg = SyncConfig(db, Seq(TableSyncConfig(
+      name = "ow_table", filePath = f, mode = "overwrite")))
+    SyncRunner.run(spark, cfg)
+    assert(query("SELECT id FROM ow_table ORDER BY id") == Seq(Seq(1), Seq(2)))
+  }
+
+  test("timestamp injection: updated_at refreshes, immutable created_at survives") {
+    dropIfExists("ts_table")
+    exec(
+      "CREATE TABLE ts_table (id INT PRIMARY KEY, name VARCHAR(255), " +
+        "created_at TIMESTAMP, updated_at TIMESTAMP)")
+    val t = TableSyncConfig(
+      name = "ts_table", filePath = csvFile("id,name\n1,v1\n"),
+      mode = "diff", primaryKey = "id",
+      timestampColumns = Seq("created_at", "updated_at"),
+      immutableColumns = Seq("created_at"))
+    SyncRunner.run(spark, SyncConfig(db, Seq(t)))
+    val first = query("SELECT created_at, updated_at FROM ts_table").head
+    assert(first(0) != null && first(1) != null)
+    Thread.sleep(50)
+    SyncRunner.run(spark, SyncConfig(db,
+      Seq(t.copy(filePath = csvFile("id,name\n1,v2\n")))))
+    val second = query("SELECT created_at, updated_at, name FROM ts_table").head
+    assert(second(2) == "v2")
+    assert(second(0) == first(0), "immutable created_at must not change")
+    assert(second(1) != first(1), "updated_at must refresh on update")
+  }
+
+  test("failed sync rolls back everything (all-or-nothing)") {
+    dropIfExists("rb_table")
+    exec(
+      "CREATE TABLE rb_table (id INT PRIMARY KEY, name VARCHAR(5))",
+      "INSERT INTO rb_table VALUES (1, 'keep')")
+    // second row's name exceeds VARCHAR(5) -> INSERT fails after the
+    // first insert succeeded -> whole tx must roll back
+    val f = csvFile("id,name\n2,ok\n3,waytoolongvalue\n")
+    val cfg = SyncConfig(db, Seq(TableSyncConfig(
+      name = "rb_table", filePath = f, mode = "diff", primaryKey = "id")))
+    intercept[Exception](SyncRunner.run(spark, cfg))
+    assert(query("SELECT id FROM rb_table") == Seq(Seq(1)))
+  }
+
+  test("multi-table: two-phase FK-safe ordering in one transaction") {
+    dropIfExists("child_t")
+    dropIfExists("parent_t")
+    exec(
+      "CREATE TABLE parent_t (id INT PRIMARY KEY, name VARCHAR(50))",
+      "CREATE TABLE child_t (id INT PRIMARY KEY, pid INT REFERENCES parent_t(id), v VARCHAR(50))",
+      "INSERT INTO parent_t VALUES (1, 'p1'), (2, 'p2')",
+      "INSERT INTO child_t VALUES (10, 1, 'c10'), (20, 2, 'c20')")
+    // new state: parent 2 and its child go away; parent 3 + child arrive.
+    // Deletes must run child->parent; inserts parent->child, or the FK
+    // constraint fires.
+    val pf = csvFile("id,name\n1,p1\n3,p3\n")
+    val cf = csvFile("id,pid,v\n10,1,c10\n30,3,c30\n")
+    val cfg = SyncConfig(db, Seq(
+      TableSyncConfig(name = "child_t", filePath = cf, mode = "diff",
+        primaryKey = "id", deleteNotInFile = true,
+        dependencies = Seq("parent_t")),
+      TableSyncConfig(name = "parent_t", filePath = pf, mode = "diff",
+        primaryKey = "id", deleteNotInFile = true)))
+    val results = SyncRunner.run(spark, cfg)
+    assert(query("SELECT id FROM parent_t ORDER BY id") == Seq(Seq(1), Seq(3)))
+    assert(query("SELECT id, pid FROM child_t ORDER BY id") ==
+      Seq(Seq(10, 1), Seq(30, 3)))
+    val byTable = results.map(r => r.table -> r).toMap
+    assert(byTable("parent_t").inserts == 1 && byTable("parent_t").deletes == 1)
+    assert(byTable("child_t").inserts == 1 && byTable("child_t").deletes == 1)
+  }
+
+  test("strict pk validation aborts the sync before any write") {
+    dropIfExists("pv_table")
+    exec(
+      "CREATE TABLE pv_table (id VARCHAR(32) PRIMARY KEY, name VARCHAR(50))",
+      "INSERT INTO pv_table VALUES ('1', 'keep')")
+    val f = csvFile("id,name\ndup,x\ndup,y\n")
+    val cfg = SyncConfig(db, Seq(TableSyncConfig(
+      name = "pv_table", filePath = f, mode = "diff", primaryKey = "id")))
+    val e = intercept[IllegalArgumentException](SyncRunner.run(spark, cfg))
+    assert(e.getMessage.contains("duplicate"))
+    assert(query("SELECT id FROM pv_table") == Seq(Seq("1")))
+  }
+}

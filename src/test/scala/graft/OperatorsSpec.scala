@@ -1,0 +1,155 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof backward: latest right row at-or-before left time, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:10"), "e1"),
+      (1L, ts("2024-01-01 00:00:05"), "e2"),
+      (1L, ts("2024-01-01 00:00:03"), "e3"),
+      (2L, ts("2024-01-01 00:00:07"), "e4"))
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:05"), "a"),
+      (1L, ts("2024-01-01 00:00:08"), "b"),
+      (2L, ts("2024-01-01 00:00:09"), "c"))
+      .toDF("rk", "rt", "v")
+    val inner = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("ev", "v").as[(String, String)].collect().toMap
+    // e1 -> b (08 <= 10); e2 -> a (inclusive at 05); e3, e4 unmatched
+    assert(inner == Map("e1" -> "b", "e2" -> "a"))
+    val outer = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"),
+      inner = false)
+    assert(outer.count() == 4)
+    assert(outer.filter(col("v").isNull).count() == 2)
+  }
+
+  test("asof latestPerKeyTime dedups right side deterministically") {
+    val r = Seq((1L, ts("2024-01-01 00:00:05"), 100L),
+      (1L, ts("2024-01-01 00:00:05"), 200L)).toDF("k", "t", "id")
+    val got = AsOfJoin.latestPerKeyTime(r, "k", "t", "id")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(200L))
+  }
+
+  test("sessionize: gap splits sessions, counts and bounds are right") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:01:40"), 2L),
+      (1L, ts("2024-01-01 00:33:20"), 3L), // 1900s gap > 1800s -> new session
+      (2L, ts("2024-01-01 00:00:00"), 4L))
+      .toDF("user_id", "t", "event_id")
+    val got = Sessionize.sessions(ev, "user_id", "t", 1800, "event_id")
+      .orderBy("user_id", "start_us")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("exact dedup keeps the smallest id per key") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "k")
+    val got = Dedup.exact(df, Seq("k"), "id").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("minhash: identical texts collide, lsh finds the pair, jaccard = 1") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words make another doc here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 9)
+    assert(sigs.count() == 3)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", k = 9, bands = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+    val jp = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(jp == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical token multisets share fingerprints") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // same multiset, different order
+      (3L, "omega psi chi phi"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash16(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L).length == 16 && fp(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("cosine: identity and orthogonality") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") === 1), df, "vec_id", "embedding", k = 2)
+      .select("rank", "nbr", "sim").as[(Long, Long, Double)].collect().toSeq
+    assert(top.head == ((1L, 3L, 1.0))) // parallel vector first
+    assert(top(1)._2 == 2L && math.abs(top(1)._3) < 1e-12)
+  }
+
+  test("sign-bucket near-dup finds same-direction vectors") {
+    val df = Seq(
+      (1L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (2L, Array(0.51f, 0.49f, 0.5f, 0.5f)),
+      (3L, Array(-0.5f, 0.5f, -0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.signBucketNearDupPairs(df, "vec_id", "embedding",
+      bucketDims = 4, threshold = 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("text analysis: tokens, stopword ratio, lang id, fingerprint") {
+    val df = Seq(
+      (1L, "the cat sat on a mat"),
+      (2L, "el gato que de la casa"),
+      (3L, "zzz yyy xxx")).toDF("id", "text")
+    val got = df.select(
+      col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(got(1L)._1 == 6 && got(1L)._2 == "en")
+    assert(got(2L)._2 == "es")
+    assert(got(3L)._2 == "und")
+    // fingerprint is whitespace/case-normalized
+    val fp2 = Seq((9L, "  THE   cat sat on a MAT "))
+      .toDF("id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[String].collect()(0)
+    assert(fp2 == got(1L)._3)
+  }
+
+  test("multimodal: stub featurize is deterministic with stable shape") {
+    val media = Multimodal.fromText(
+      Seq((1L, "hello world"), (2L, "hello world"), (3L, "other bytes"))
+        .toDF("id", "text"), "id", "text")
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    val feats = Multimodal.featurize(media, dim = 8)
+      .select("media_id", "features").as[(Long, Seq[Double])].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(feats(1L).size == 8)
+    assert(feats(1L) == feats(2L), "same bytes -> same features")
+    assert(feats(1L) != feats(3L))
+    assert(feats.values.flatten.forall(v => v >= 0.0 && v < 1.0))
+    // frame sampling plumbing: duration 11 bytes, every 5 -> offsets 0,5,10
+    val frames = Multimodal.frameSample(media.filter(col("media_id") === 1), 5)
+    assert(frames.select("frame_ms").as[Long].collect().toSeq == Seq(0L, 5L, 10L))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Readers
+
+class ReadersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir: Path = Files.createTempDirectory("graft-readers")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("csv: header, projection silently drops missing columns") {
+    val p = tmpFile("a.csv", "id,name,email\n1,alice,a@x\n2,bob,b@x\n")
+    val df = Readers.csv(spark, p, columns = Seq("id", "email", "ghost"))
+    assert(df.columns.toSeq == Seq("id", "email")) // ghost silently dropped
+    assert(df.count() == 2)
+  }
+
+  test("csv: custom delimiter") {
+    val p = tmpFile("b.csv", "id;name\n1;alice\n")
+    val df = Readers.csv(spark, p, delimiter = ";")
+    assert(df.columns.toSeq == Seq("id", "name"))
+  }
+
+  test("csv: RFC3339 columns are promoted to timestamps") {
+    val p = tmpFile("c.csv",
+      "id,at,label\n1,2023-12-25T15:30:45Z,x\n2,2023-12-25T16:30:45+09:00,y\n")
+    val df = Readers.csv(spark, p)
+    assert(df.schema("at").dataType == TimestampType)
+    assert(df.schema("label").dataType == StringType)
+  }
+
+  test("json: array of objects; missing requested key errors") {
+    val p = tmpFile("d.json",
+      """[{"id": 1, "name": "alice"}, {"id": 2, "name": "bob"}]""")
+    val df = Readers.json(spark, p, columns = Seq("id", "name"))
+    assert(df.count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      Readers.json(spark, p, columns = Seq("id", "email"))
+    }
+    assert(e.getMessage.contains("email"))
+  }
+
+  test("json: empty array loads as empty result") {
+    val p = tmpFile("e.json", "[]")
+    assert(Readers.json(spark, p).count() == 0)
+  }
+
+  test("extension dispatch rejects unknown formats") {
+    val e = intercept[IllegalArgumentException] {
+      Readers.forPath(spark, "/tmp/data.xlsx")
+    }
+    assert(e.getMessage.contains("unsupported file format"))
+  }
+}
