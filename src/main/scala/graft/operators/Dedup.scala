@@ -3,23 +3,33 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale document pipelines.
   *
-  * Four families, all pure DataFrame/built-in-function compositions (no
-  * UDFs, codegen-friendly):
+  * Four families:
   *
   *   - exact: keep one deterministic winner per key (hash shuffle on
   *     the key — one exchange, map-side partial aggregation).
   *   - MinHash + LSH: shingle -> k independent min-hashes -> band
-  *     buckets -> candidate pairs. The only shuffles are the signature
-  *     groupBy and the band-bucket self-join; no all-pairs product is
-  *     ever materialized, so this is the 100 TB-safe near-dup path.
+  *     buckets -> candidate pairs. The only shuffles are per-doc
+  *     (window + aggregate) and the band-bucket self-join; no
+  *     all-pairs product is ever materialized — the 100 TB-safe
+  *     near-dup path.
   *   - SimHash: sign-of-mean fingerprint, one groupBy.
-  *   - n-gram Jaccard: exact similarity, evaluated only on LSH
-  *     candidate pairs (blocked), never all pairs.
+  *   - n-gram Jaccard: exact similarity evaluated only on LSH
+  *     candidate pairs, computed RELATIONALLY (shared-shingle counting
+  *     join), so no per-document array ever has to fit in a row.
   *
-  * The per-token hash is md5 (hex string), and a "min-hash" is the
+  * Shingling deliberately avoids array higher-order functions in the
+  * hot path: `transform`/`element_at` over a derived array re-evaluates
+  * the token-array expression per element (higher-order functions are
+  * interpreted, with no common-subexpression elimination), which makes
+  * shingling quadratic in document length. `posexplode` + window
+  * `lead` evaluates tokenization exactly once per document and scales
+  * linearly.
+  *
+  * The per-shingle hash is md5 (hex string); a "min-hash" is the
   * lexicographic MIN of `md5(seed || ":" || shingle)` per seed. md5 is
   * a built-in in every engine, which keeps results reproducible and
   * oracle-checkable across systems.
@@ -37,39 +47,56 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Lowercased whitespace tokens, empties removed. */
+  /** Lowercased whitespace tokens, empties removed. Fine for per-row
+    * scalar work; for shingling use [[shingleRows]] (see scaladoc).
+    */
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
-  /** Distinct word n-gram shingles. Documents with fewer than `n`
-    * tokens contribute a single whole-text shingle.
+  /** Distinct word n-gram shingles, one row per (doc, shingle).
+    * Documents with fewer than `n` tokens (but at least one) contribute
+    * a single whole-text shingle; empty documents contribute none.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(w) - n), i =>
-          concat_ws(" ", (1 to n).map(j => element_at(w, i + j)): _*))))
-      .otherwise(array(concat_ws(" ", w)))
+  def shingleRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val t = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val wAll = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val parts = (0 until n).map(j =>
+      if (j == 0) col("__tok") else lead(col("__tok"), j).over(w))
+    t.withColumn("__total", count(lit(1)).over(wAll))
+      .withColumn("__sh",
+        when(col("__total") >= n, concat_ws(" ", parts: _*))
+          .otherwise(array_join(collect_list(col("__tok")).over(wAll), " ")))
+      .filter(
+        (col("__total") >= n && col("__pos") <= col("__total") - n) ||
+          (col("__total") < n && col("__pos") === 0))
+      .select(col(idCol), col("__sh"))
+      .distinct()
   }
 
-  /** MinHash signatures: one row per document with columns
-    * `sig0..sig{k-1}`, where `sigI = min(md5("I:" || shingle))`.
-    * One explode + one groupBy(doc) — shuffle size is k hashes/doc.
+  /** MinHash signatures from shingle rows: one row per document with
+    * columns `sig0..sig{k-1}`, where `sigI = min(md5("I:" || shingle))`.
+    * One groupBy(doc) — shuffle payload is k hashes per doc.
     */
+  def minhashFromShingles(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"sig$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def minhashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int,
-      shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(
-      col(idCol),
-      explode(shingles(col(textCol), shingleSize)).as("__sh"))
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"sig$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+      shingleSize: Int = 3): DataFrame =
+    minhashFromShingles(shingleRows(docs, idCol, textCol, shingleSize), idCol, k)
 
   /** Explode signatures into (id, band, bucket) rows; `bucket` is the
     * concatenation of the band's `k / bands` signature values.
@@ -89,14 +116,18 @@ object Dedup {
 
   /** Candidate near-duplicate pairs (id1 < id2) sharing at least one
     * LSH band bucket. The self-join keys on (band, bucket), so only
-    * rows in the same bucket ever meet — no quadratic blowup.
+    * rows in the same bucket ever meet — no quadratic blowup. The
+    * signature table is persisted: it is tiny (k hashes/doc) and both
+    * join sides read it, which would otherwise recompute the whole
+    * shingle+hash pipeline twice.
     */
   def lshCandidatePairs(
       sigs: DataFrame,
       idCol: String,
       k: Int,
       bands: Int): DataFrame = {
-    val b = lshBuckets(sigs, idCol, k, bands)
+    val s = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    val b = lshBuckets(s, idCol, k, bands)
     val l = b.select(col("band"), col("bucket"), col(idCol).as("d1"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("d2"))
     l.join(r, Seq("band", "bucket"))
@@ -107,6 +138,10 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity on LSH candidate pairs only.
     * Returns (d1, d2, jaccard) for pairs with similarity >= threshold.
+    *
+    * |A∩B| comes from a shared-shingle counting join and |A∪B| from
+    * |A| + |B| - |A∩B| — no arrays, so this works for arbitrarily
+    * large documents and candidate sets.
     */
   def jaccardNearDupPairs(
       docs: DataFrame,
@@ -116,17 +151,24 @@ object Dedup {
       bands: Int = 3,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleSize)
-    val cand = lshCandidatePairs(sigs, idCol, k, bands)
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
-    val a = sh.select(col(idCol).as("d1"), col("__sh").as("__sh1"))
-    val b = sh.select(col(idCol).as("d2"), col("__sh").as("__sh2"))
-    cand
+    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatePairs(minhashFromShingles(sh, idCol, k), idCol, k, bands)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col(idCol).as("d1"), col("__sh"))
+    val b = sh.select(col(idCol).as("d2"), col("__sh"))
+    val inter = cand
       .join(a, "d1")
-      .join(b, "d2")
+      .join(b, Seq("d2", "__sh"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("__inter"))
+    cand
+      .join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("__inter"))
+      .join(sizes.select(col(idCol).as("d1"), col("__n").as("__na")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("__n").as("__nb")), "d2")
       .withColumn("jaccard",
-        size(array_intersect(col("__sh1"), col("__sh2"))).cast("double") /
-          size(array_union(col("__sh1"), col("__sh2"))))
+        col("__inter") / (col("__na") + col("__nb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }

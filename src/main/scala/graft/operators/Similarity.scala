@@ -26,9 +26,12 @@ object Similarity {
   /** Cast an array<float> column to array<double>. */
   def toDoubleArray(a: Column): Column = transform(a, x => x.cast(DoubleType))
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product — a codegen'd Catalyst expression (see
+    * [[graft.functions.ArrayDotProduct]]; the `aggregate(zip_with(...))`
+    * formulation runs interpreted and dominates pairwise joins).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc perf probe: run a named query twice (cold/warm) and dump its
+  * formatted plan. Dev tool, not part of the driver contract.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.All.foreach(t => graft.Tables.load(spark, sfDir, t).count())
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "x_shingles" -> ((s, dir) => graft.operators.Dedup.shingleRows(
+        graft.Tables.load(s, dir, "documents"), "doc_id", "text", 3)),
+      "x_sigs" -> ((s, dir) =>
+        graft.operators.Dedup.minhashSignatures(
+          graft.Tables.load(s, dir, "documents"), "doc_id", "text", 9)),
+      "x_buckets" -> ((s, dir) =>
+        graft.operators.Dedup.lshBuckets(
+          graft.operators.Dedup.minhashSignatures(
+            graft.Tables.load(s, dir, "documents"), "doc_id", "text", 9),
+          "doc_id", 9, 3))
+    )
+    args.foreach { name =>
+      val fn = extra.getOrElse(name, graft.SparkEntry.queries(name))
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      if (sys.env.contains("PROBE_EXPLAIN"))
+        fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to the `private[sql]` Column <-> Expression
+  * converters, for lifting custom Catalyst expressions into the public
+  * Column API (Spark 4 wraps ColumnNode, not Expression, so the Spark 3
+  * `new Column(expr)` construction no longer exists).
+  */
+package object graftbridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
