@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Canonical, Differ, PrimaryKeyValidator}
-import graft.operators.{AsOfJoin, Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Joins, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -358,6 +358,74 @@ object SparkEntry {
         .orderBy("hour_us", "event_type")
     }),
 
+    // ---- extension: IVF-style ANN (cell-probed top-k) ----
+    "q32_ivf_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          k = 3, nCells = 16, nProbe = 2)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- §2.6 running window aggregate ----
+    "q33_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      T(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- §2.5 grouping sets: cube ----
+    "q34_cube" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- §2.5 discrete percentiles per group ----
+    "q35_quantiles" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"),
+          max(col("l_quantity")).as("p_max"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- custom operator: forward as-of join ----
+    "q36_asof_forward" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val o = T(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumn("ot", expr("timestampadd(DAY, 10592, o_orderdate)"))
+      AsOfJoin.forward(e, o, "user_id", "o_custkey", "ts", "ot", Seq("o_orderkey"))
+        .select("event_id", "user_id", "o_orderkey")
+        .orderBy("event_id")
+    }),
+
+    // ---- skew-safe salted join (result-equal to the plain join) ----
+    "q37_salted_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Joins.saltedEquiJoin(li, o, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(revenueTerm).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -673,6 +741,69 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(ascii(text) AS BIGINT) AS first_byte,
         |  md5(substring(text, 1, 16)) AS chunk_fp
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q32_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |ca AS (SELECT vec_id AS nbr, v, nrm, cid AS cell FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
+        |  FROM n CROSS JOIN c) t WHERE rn = 1),
+        |qa AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
+        |  FROM n CROSS JOIN c WHERE n.vec_id < 20) t WHERE rn <= 2),
+        |p AS (SELECT DISTINCT q.qid, ca.nbr,
+        |        list_dot_product(q.qv, ca.v) / (q.qn * ca.nrm) AS sim
+        |      FROM qa q JOIN ca ON q.cell = ca.cell AND ca.nbr <> q.qid),
+        |r AS (SELECT qid, nbr, sim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+        |      FROM p)
+        |SELECT qid, rank, nbr, round(sim, 5) AS sim FROM r WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q33_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q34_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin,
+
+    "q35_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.75) AS p75,
+        |  max(l_quantity) AS p_max
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_asof_forward" ->
+      """WITH o2 AS (
+        |  SELECT o_custkey, max(o_orderkey) AS o_orderkey,
+        |         o_orderdate + INTERVAL 10592 DAY AS ot
+        |  FROM orders GROUP BY o_custkey, o_orderdate),
+        |j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
+        |        ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.ot, o.o_orderkey) AS rn
+        |      FROM events e JOIN o2 o ON e.user_id = o.o_custkey AND o.ot >= e.ts)
+        |SELECT event_id, user_id, o_orderkey FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q37_salted_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

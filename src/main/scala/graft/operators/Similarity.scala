@@ -65,6 +65,61 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nbr"), col("sim"))
   }
 
+  /** IVF-style ANN: partition the corpus into cells around centroid
+    * vectors, then search a query only in its `nProbe` nearest cells.
+    * This is the scale path for top-k search — per query the work drops
+    * from |corpus| dots to |centroids| + |probed cells| dots, and cell
+    * assignment is one broadcast pass over the corpus.
+    *
+    * Centroids here are the `nCells` lowest-id corpus vectors —
+    * deterministic and engine-portable; production would plug in k-means
+    * centroids (the assignment/probe machinery is identical).
+    * Approximate by design: a true neighbor in an unprobed cell is
+    * missed; raise `nProbe` for recall.
+    *
+    * Output: (qid, rank 1..k, nbr, sim).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val cents = broadcast(
+      corpus.filter(col(idCol) < nCells).select(
+        col(idCol).as("__cid"),
+        toDoubleArray(col(vecCol)).as("__cv"))
+        .withColumn("__cn", l2Norm(col("__cv"))))
+
+    def assign(df: DataFrame, outId: String, vecOut: String, normOut: String,
+        probes: Int): DataFrame = {
+      val e = df.select(col(idCol).as(outId), toDoubleArray(col(vecCol)).as(vecOut))
+        .withColumn(normOut, l2Norm(col(vecOut)))
+      val w = Window.partitionBy(outId)
+        .orderBy(col("__csim").desc, col("__cid"))
+      e.join(cents)
+        .withColumn("__csim",
+          dot(col(vecOut), col("__cv")) / (col(normOut) * col("__cn")))
+        .withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= probes)
+        .select(col(outId), col(vecOut), col(normOut), col("__cid").as("__cell"))
+    }
+
+    val corpusCells = assign(corpus, "nbr", "__cv2", "__cn2", probes = 1)
+    val queryCells = assign(queries, "qid", "__qv", "__qn", probes = nProbe)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+    queryCells.join(corpusCells, Seq("__cell"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("sim", dot(col("__qv"), col("__cv2")) / (col("__qn") * col("__cn2")))
+      // a (query, neighbor) pair can meet in several probed cells
+      .select(col("qid"), col("nbr"), col("sim")).distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"))
+  }
+
   /** Bucket key: the sign pattern of the first `dims` vector elements,
     * e.g. "1010". Deterministic on raw float signs — no hashing, no
     * platform variance.

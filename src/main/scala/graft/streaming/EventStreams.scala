@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming operators over the `events` table shape
@@ -15,6 +15,10 @@ import org.apache.spark.sql.types.StructType
   * a streaming job's logical plan is identical to its batch twin, and
   * Catalyst plans the incremental execution.
   */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
+final case class OpenSession(start_us: Long, end_us: Long, n: Long)
+final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
 object EventStreams {
 
   /** Tumbling 1-hour aggregation keyed by (hour, event_type); hour is
@@ -42,6 +46,80 @@ object EventStreams {
       .select(
         unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming gap sessionization via `flatMapGroupsWithState` — the
+    * stateful twin of the batch `graft.operators.Sessionize`.
+    *
+    * Per user the state is the one open session; each micro-batch folds
+    * its (sorted) events in, emitting sessions that a gap closes. The
+    * open session is finalized when the event-time timeout fires (no
+    * events for `gapSeconds` past the watermark). At scale this is the
+    * canonical shape: state per key is O(1), the shuffle is by user,
+    * and the watermark bounds state retention.
+    *
+    * Input must carry a watermark on `ts` (see [[sessionizeStream]]).
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def fold(
+        userId: Long,
+        it: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, s.start_us, s.end_us, s.n))
+      }
+      val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var cur = state.getOption
+      it.toSeq.sortBy(_.ts_us).foreach { e =>
+        cur match {
+          case None => cur = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+          case Some(s) if e.ts_us - s.end_us > gapUs =>
+            closed += SessionOut(userId, s.start_us, s.end_us, s.n)
+            cur = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+          case Some(s) =>
+            // min() also absorbs late rows that sort before the open
+            // session's start (watermark already bounds how late)
+            cur = Some(OpenSession(math.min(s.start_us, e.ts_us),
+              math.max(s.end_us, e.ts_us), s.n + 1L))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end_us / 1000L + gapSeconds * 1000L)
+      }
+      closed.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
+  /** Wire a raw events DataFrame (event_id, ts, user_id, ...) into
+    * [[sessionize]]: watermark + typed projection.
+    */
+  def sessionizeStream(
+      events: DataFrame,
+      gapSeconds: Long,
+      watermark: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        // keep the watermark-tagged ts column — projecting it away
+        // would defeat the event-time-timeout watermark check
+        col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+    sessionize(typed, gapSeconds)
+  }
 
   /** File-source stream over an events parquet directory. */
   def readEventsStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =

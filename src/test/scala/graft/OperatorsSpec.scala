@@ -115,6 +115,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("asof forward: earliest right row at-or-after left time") {
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:10"), "e1"),
+      (1L, ts("2024-01-01 00:00:05"), "e2"),
+      (2L, ts("2024-01-01 00:00:07"), "e4"))
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:05"), "a"),
+      (1L, ts("2024-01-01 00:00:08"), "b"),
+      (2L, ts("2024-01-01 00:00:06"), "c"))
+      .toDF("rk", "rt", "v")
+    val got = AsOfJoin.forward(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("ev", "v").as[(String, String)].collect().toMap
+    // e1(10) -> none; e2(5) -> a (inclusive); e4(7) -> none (c is at 6)
+    assert(got == Map("e2" -> "a"))
+  }
+
+  test("salted join equals the plain join") {
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "lv")
+    val right = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "rv")
+    val salted = Joins.saltedEquiJoin(left, right, "k", salts = 4)
+      .select("k", "lv", "rv").as[(Long, String, Int)].collect().sorted.toSeq
+    val plain = left.join(right, "k")
+      .select("k", "lv", "rv").as[(Long, String, Int)].collect().sorted.toSeq
+    assert(salted == plain && plain.size == 4)
+  }
+
+  test("ivf top-k: probing the right cell finds the exact neighbor") {
+    // centroids are ids 0 and 1 (nCells = 2); 10/11 cluster with 0,
+    // 20/21 with 1
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.95f, 0.05f)),
+      (20L, Array(0.1f, 0.9f)), (21L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(
+      df.filter(col("vec_id") === 10), df, "vec_id", "embedding",
+      k = 1, nCells = 2, nProbe = 1)
+      .select("qid", "nbr").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 11L)))
+  }
+
   test("text analysis: tokens, stopword ratio, lang id, fingerprint") {
     val df = Seq(
       (1L, "the cat sat on a mat"),

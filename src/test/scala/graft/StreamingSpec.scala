@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
@@ -39,5 +40,51 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == batch)
     assert(batch.size == 3) // (10h click x2) (10h view) (11h view)
+  }
+
+  test("stateful streaming sessionization matches batch sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 0),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:00:10"), 1, "click", 0),
+      Ev(3, Timestamp.valueOf("2024-01-01 10:00:05"), 2, "view", 0))
+    val batch2 = Seq(
+      // 50s gap > 30s -> closes user 1's first session
+      Ev(4, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "click", 0))
+    // sentinel far in the future pushes the watermark so open sessions
+    // time out and emit
+    val sentinel = Ev(99, Timestamp.valueOf("2024-01-01 12:00:00"), 999, "x", 0)
+
+    val stream = MemoryStream[Ev]
+    val q = graft.streaming.EventStreams
+      .sessionizeStream(stream.toDF(), gapSeconds = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    stream.addData(sentinel)
+    q.processAllAvailable()
+    // one extra empty batch lets the timeout fire after the watermark
+    // moved past the sentinel
+    stream.addData(Seq.empty[Ev]: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_out")
+      .filter(col("user_id") =!= 999)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val batchDf = (batch1 ++ batch2).toDF()
+    val expected = graft.operators.Sessionize
+      .sessions(batchDf, "user_id", "ts", 30, "event_id")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(streamed == expected)
+    assert(expected.size == 3) // user1 x2 sessions, user2 x1
   }
 }
