@@ -426,6 +426,17 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- extension: BPE-ish token counting ----
+    "q38_token_bpeish" -> ((s, dir) => {
+      val d = T(s, dir, "documents").filter(col("doc_id") < 200)
+      d.select(
+        col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        size(array_distinct(TextAnalysis.bpeishTokens(col("text"))))
+          .cast("long").as("n_unique"))
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -798,6 +809,12 @@ object SparkEntry {
         |      FROM events e JOIN o2 o ON e.user_id = o.o_custkey AND o.ot >= e.ts)
         |SELECT event_id, user_id, o_orderkey FROM j WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+
+    "q38_token_bpeish" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_unique
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q37_salted_join" ->
       """SELECT o_orderstatus,

@@ -52,6 +52,22 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** GPT-2-style pre-tokenizer classes: letter runs, digit runs,
+    * single punctuation marks. RE2-compatible, so the same pattern runs
+    * in Spark (Java regex) and columnar SQL engines.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** BPE-ish tokenization via `regexp_extract_all` — the
+    * subword-friendly token stream an LLM-data pipeline counts against
+    * budgets (vs the whitespace [[tokens]]).
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column =
+    size(bpeishTokens(text)).cast("long")
+
   /** Whitespace-normalized content fingerprint (md5 of the lowercased,
     * trimmed, space-collapsed text). Equal fingerprints = exact dup
     * after normalization; cheap first-stage dedup key.

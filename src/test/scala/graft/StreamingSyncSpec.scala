@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.DriverManager
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{DbConfig, SyncConfig, TableSyncConfig}
+import graft.streaming.StreamingSync
+
+/** Incremental (streaming) sync: files dropped into a directory become
+  * micro-batch upserts; the checkpoint gives exactly-once file
+  * processing across restarts.
+  */
+class StreamingSyncSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val db = DbConfig("jdbc:derby:memory:streamsyncdb;create=true")
+
+  private def query(sql: String): Seq[Seq[Any]] = {
+    val c = DriverManager.getConnection(db.url)
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      while (rs.next()) buf += (1 to n).map(rs.getObject)
+      buf.toSeq
+    } finally c.close()
+  }
+
+  test("file-stream micro-batches upsert incrementally, exactly once") {
+    val c = DriverManager.getConnection(db.url)
+    try c.createStatement().executeUpdate(
+      "CREATE TABLE inc_table (id INT PRIMARY KEY, name VARCHAR(50))")
+    finally c.close()
+
+    val srcDir: Path = Files.createTempDirectory("graft-stream-src")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val cfg = SyncConfig(db, Seq(TableSyncConfig(
+      name = "inc_table", filePath = "", mode = "diff", primaryKey = "id")))
+
+    Files.writeString(srcDir.resolve("batch1.csv"), "id,name\n1,alice\n2,bob\n")
+    val q1 = StreamingSync.start(spark, cfg, srcDir.toString, schema, ckpt)
+    q1.awaitTermination()
+    assert(query("SELECT id, name FROM inc_table ORDER BY id") ==
+      Seq(Seq(1, "alice"), Seq(2, "bob")))
+
+    // second file: one update, one insert; batch1.csv must NOT replay
+    Files.writeString(srcDir.resolve("batch2.csv"), "id,name\n2,bob2\n3,carol\n")
+    val q2 = StreamingSync.start(spark, cfg, srcDir.toString, schema, ckpt)
+    q2.awaitTermination()
+    assert(query("SELECT id, name FROM inc_table ORDER BY id") ==
+      Seq(Seq(1, "alice"), Seq(2, "bob2"), Seq(3, "carol")))
+  }
+}
