@@ -24,8 +24,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Warm up: session machinery, codegen, parquet footer reads.
+    // Warm up: session machinery, parquet footer reads, and JIT/codegen
+    // for the operator classes the queries use (hash agg, sort-merge +
+    // broadcast join, window, explode) — measured numbers then reflect
+    // steady state rather than first-use compilation.
     Tables.All.foreach(t => Tables.load(spark, sfDir, t).count())
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = spark.range(100000).select(
+        col("id"), (col("id") % 97).as("k"), (col("id") % 7).cast("double").as("v"))
+      val w = Window.partitionBy("k").orderBy("id")
+      r.groupBy("k").agg(sum(col("v").cast("decimal(18,2)")), count(lit(1))).count()
+      r.join(r.select(col("k"), col("v").as("v2")).limit(1000), Seq("k")).count()
+      r.withColumn("rn", row_number().over(w))
+        .withColumn("run", sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("rn") <= 2).count()
+      r.select(explode(split(concat_ws(" ", col("k"), col("v"), lit("x")), " "))).count()
+      r.select(md5(concat(lit("s:"), col("id").cast("string")))).count()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's custom Catalyst expressions, so
+  * `spark.sql("... array_dot(a, b) ...")` works alongside the Column
+  * API.
+  *
+  * Two paths:
+  *   - [[register]]: imperative, for an existing session.
+  *   - [[GraftExtensions]]: `SparkSessionExtensions` injection for
+  *     `spark.sql.extensions=graft.functions.GraftExtensions` /
+  *     `SparkSession.builder().withExtensions(...)`.
+  */
+object GraftFunctions {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  private[functions] def injections
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    functions.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[ArrayDotProduct].getName, name),
+        builder)
+    }
+}
+
+/** Session-extensions entry point: injects graft functions at session
+  * build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach(ext.injectFunction)
+}

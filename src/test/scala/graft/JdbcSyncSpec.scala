@@ -158,6 +158,48 @@ class JdbcSyncSpec extends AnyFunSuite {
     assert(byTable("child_t").inserts == 1 && byTable("child_t").deletes == 1)
   }
 
+  test("empty input follows the reference's mode-dependent semantics") {
+    // overwrite + empty file -> clears the table (main_test.go:306-325)
+    dropIfExists("empty_ow")
+    exec(
+      "CREATE TABLE empty_ow (id INT PRIMARY KEY, name VARCHAR(50))",
+      "INSERT INTO empty_ow VALUES (1, 'a')")
+    val emptyCsv = csvFile("id,name\n")
+    SyncRunner.run(spark, SyncConfig(db, Seq(TableSyncConfig(
+      name = "empty_ow", filePath = emptyCsv, mode = "overwrite"))))
+    assert(query("SELECT COUNT(*) FROM empty_ow") == Seq(Seq(1)).map(_ => Seq(0)))
+
+    // diff + deleteNotInFile + empty file -> deletes everything
+    dropIfExists("empty_del")
+    exec(
+      "CREATE TABLE empty_del (id INT PRIMARY KEY, name VARCHAR(50))",
+      "INSERT INTO empty_del VALUES (1, 'a'), (2, 'b')")
+    val r = SyncRunner.run(spark, SyncConfig(db, Seq(TableSyncConfig(
+      name = "empty_del", filePath = csvFile("id,name\n"), mode = "diff",
+      primaryKey = "id", deleteNotInFile = true)))).head
+    assert(r.deletes == 2)
+    assert(query("SELECT COUNT(*) FROM empty_del").head.head == 0)
+
+    // diff without deleteNotInFile + empty file -> no-op (dbsync.go:409-412)
+    dropIfExists("empty_noop")
+    exec(
+      "CREATE TABLE empty_noop (id INT PRIMARY KEY, name VARCHAR(50))",
+      "INSERT INTO empty_noop VALUES (1, 'a')")
+    val r2 = SyncRunner.run(spark, SyncConfig(db, Seq(TableSyncConfig(
+      name = "empty_noop", filePath = csvFile("id,name\n"), mode = "diff",
+      primaryKey = "id")))).head
+    assert((r2.inserts, r2.updates, r2.deletes) == ((0, 0, 0)))
+    assert(query("SELECT COUNT(*) FROM empty_noop").head.head == 1)
+  }
+
+  test("custom sql function array_dot registers and evaluates") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("strict pk validation aborts the sync before any write") {
     dropIfExists("pv_table")
     exec(
