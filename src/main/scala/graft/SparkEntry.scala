@@ -437,6 +437,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: PII-style redaction ----
+    "q39_redact" -> ((s, dir) => {
+      val d = T(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("dirty",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 12345678"), col("doc_id")))
+      d.select(
+        col("doc_id"),
+        operators.DocPipeline.redact(col("dirty")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: corpus vocabulary stats (token frequency top-k) ----
+    "q40_vocab_topk" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20)
+    }),
+
+    // ---- extension: full corpus-cleaning composition ----
+    "q41_clean_corpus" -> ((s, dir) => {
+      operators.DocPipeline.clean(
+          T(s, dir, "documents"), "doc_id", "text",
+          operators.DocPipeline.Config(minTokens = 10, jaccardThreshold = 0.5))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -463,20 +494,22 @@ object SparkEntry {
       |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       |  FROM orders WHERE o_orderkey % 13 = 0)""".stripMargin
 
-  /** Shared shingle CTEs: w = tokens, shd = distinct 3-gram shingle
-    * list per doc, sh = exploded shingles.
+  /** Shared shingle CTEs over a doc source (table or prior CTE with
+    * doc_id + text): w = tokens, shd = distinct 3-gram shingle list per
+    * doc, sh = exploded shingles.
     */
-  private def shingleCtes(where: String): String =
-    s"""t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents$where),
+  private def shingleCtes(src: String): String =
+    s"""t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM $src),
        |sh0 AS (SELECT doc_id, CASE WHEN len(w) >= 3
        |  THEN list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
        |  ELSE [array_to_string(w, ' ')] END AS shl FROM t),
        |shd AS (SELECT doc_id, list_distinct(shl) AS shl FROM sh0),
        |sh AS (SELECT doc_id, unnest(shl) AS s FROM shd)""".stripMargin
 
-  private val sigsCte: String = {
+  /** MinHash signatures + LSH bands + candidate pairs over `src`. */
+  private def sigsCte(src: String): String = {
     val sigExprs = (0 until 9).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
-    s"""${shingleCtes("")},
+    s"""${shingleCtes(src)},
        |sigs AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, 0 AS band, sig0||sig1||sig2 AS bucket FROM sigs
@@ -665,16 +698,16 @@ object SparkEntry {
 
     "q21_minhash_sig" -> {
       val sigExprs = (0 until 4).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
-      s"""WITH ${shingleCtes(" WHERE doc_id < 100")}
+      s"""WITH ${shingleCtes("documents WHERE doc_id < 100")}
          |SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "q22_minhash_lsh" ->
-      s"""WITH $sigsCte
+      s"""WITH ${sigsCte("documents")}
          |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
 
     "q23_jaccard_neardup" ->
-      s"""WITH $sigsCte,
+      s"""WITH ${sigsCte("documents")},
          |j AS (
          |  SELECT c.d1, c.d2,
          |    CAST(len(list_distinct(list_intersect(a.shl, b.shl))) AS DOUBLE) /
@@ -815,6 +848,46 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish,
         |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_unique
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q39_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 12345678' || CAST(doc_id AS VARCHAR) AS dirty
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS clean
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q40_vocab_topk" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    "q41_clean_corpus" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, source,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |qf AS (SELECT doc_id, text, source FROM base
+         |  WHERE len(w) >= 10 AND len(w) <= 100000),
+         |fps AS (SELECT doc_id, text, source,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+         |  FROM qf),
+         |ex AS (SELECT doc_id, text, source FROM fps
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fps GROUP BY f)),
+         |${sigsCte("ex")},
+         |j AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(len(list_distinct(list_intersect(a.shl, b.shl))) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.shl, b.shl))) AS jac
+         |  FROM cand c JOIN shd a ON a.doc_id = c.d1 JOIN shd b ON b.doc_id = c.d2),
+         |losers AS (SELECT DISTINCT d2 FROM j WHERE jac >= 0.5)
+         |SELECT doc_id, source FROM ex WHERE doc_id NOT IN (SELECT d2 FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "q37_salted_join" ->
       """SELECT o_orderstatus,

@@ -178,6 +178,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp2 == got(1L)._3)
   }
 
+  test("doc pipeline: quality filter, exact dedup, near-dup removal compose") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "s1"),
+      (2L, "the quick brown fox jumps over the lazy dog today", "s1"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog yesterday", "s1"), // near dup of 1
+      (4L, "too short", "s2"), // fails minTokens
+      (5L, "a completely different document with many other novel words inside", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kept = operators.DocPipeline.clean(docs, "doc_id", "text",
+      operators.DocPipeline.Config(minTokens = 5, jaccardThreshold = 0.3))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 5L))
+    // redaction masks emails and long digit runs
+    val red = Seq((1L, "mail me at a.b@x.co or call 123456789 ok"))
+      .toDF("id", "t")
+      .select(operators.DocPipeline.redact(col("t"))).as[String].collect()(0)
+    assert(red == "mail me at <EMAIL> or call <NUM> ok")
+  }
+
   test("multimodal: stub featurize is deterministic with stable shape") {
     val media = Multimodal.fromText(
       Seq((1L, "hello world"), (2L, "hello world"), (3L, "other bytes"))
