@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   * Everything here is composed from codegen'd built-in functions — no
   * UDFs — so expressions stay inside whole-stage codegen and scale to
   * arbitrarily large inputs.
+  *
+  * Known divergence from the reference: non-integral doubles outside
+  * [1e-3, 1e7) render in Java scientific notation (`1.0E-4`) where Go's
+  * `strconv 'g'` would emit `0.0001`. Diff correctness is unaffected —
+  * both renderings are injective, so equality verdicts agree — it only
+  * matters if canonical strings are surfaced verbatim to users.
   */
 object Canonical {
 

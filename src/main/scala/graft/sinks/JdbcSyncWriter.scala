@@ -211,4 +211,61 @@ object JdbcSyncWriter {
       .mode("append")
       .option("batchsize", batchSize)
       .jdbc(db.url, table, db.properties)
+
+  /** Scale-out upsert: stage the upsert set through Spark's parallel
+    * JDBC writer, then run ONE set-based MERGE inside the database.
+    *
+    * This is the path for diffs too large to collect to the driver:
+    * executors load the staging table concurrently (per-partition
+    * commits — the staging table is scratch, so that is harmless), and
+    * the visible table changes in a single atomic MERGE statement.
+    * Works on any MERGE-capable target (Derby, MySQL 8 via its upsert
+    * dialects, Postgres 15+, ...).
+    *
+    * Returns the number of rows merged (staged row count).
+    */
+  def mergeViaStaging(
+      df: DataFrame,
+      db: DbConfig,
+      table: String,
+      pk: String,
+      cols: Seq[String],
+      batchSize: Int = BatchSize): Long = {
+    val staging = s"${table}_graft_stage"
+    val conn = connect(db)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $staging") catch { case _: Exception => () }
+      st.executeUpdate(
+        s"CREATE TABLE $staging AS SELECT ${cols.mkString(", ")} FROM $table WITH NO DATA")
+      conn.commit()
+      st.close()
+    } finally conn.close()
+
+    val staged = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    staged.write.mode("append").option("batchsize", batchSize)
+      .jdbc(db.url, staging, db.properties)
+
+    val conn2 = connect(db)
+    try {
+      val nonPk = cols.filterNot(_ == pk)
+      val setList = nonPk.map(c => s"t.$c = s.$c").mkString(", ")
+      val insertCols = cols.mkString(", ")
+      val insertVals = cols.map(c => s"s.$c").mkString(", ")
+      val st = conn2.createStatement()
+      st.executeUpdate(
+        s"""MERGE INTO $table t USING $staging s ON t.$pk = s.$pk
+           |WHEN MATCHED THEN UPDATE SET $setList
+           |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM $staging")
+      rs.next()
+      val n = rs.getLong(1)
+      st.executeUpdate(s"DROP TABLE $staging")
+      conn2.commit()
+      st.close()
+      n
+    } catch {
+      case e: Throwable => conn2.rollback(); throw e
+    } finally conn2.close()
+  }
 }

@@ -192,6 +192,22 @@ class JdbcSyncSpec extends AnyFunSuite {
     assert(query("SELECT COUNT(*) FROM empty_noop").head.head == 1)
   }
 
+  test("scale-out upsert: staged MERGE inserts and updates atomically") {
+    import spark.implicits._
+    dropIfExists("merge_t")
+    exec(
+      "CREATE TABLE merge_t (id INT PRIMARY KEY, name VARCHAR(50), score DOUBLE)",
+      "INSERT INTO merge_t VALUES (1, 'keep', 1.0), (2, 'old', 2.0)")
+    val upserts = Seq((2, "new", 2.5), (3, "add", 3.0)).toDF("id", "name", "score")
+    val n = graft.sinks.JdbcSyncWriter.mergeViaStaging(
+      upserts, db, "merge_t", "id", Seq("id", "name", "score"))
+    assert(n == 2)
+    assert(query("SELECT id, name, score FROM merge_t ORDER BY id") ==
+      Seq(Seq(1, "keep", 1.0), Seq(2, "new", 2.5), Seq(3, "add", 3.0)))
+    // staging table is cleaned up
+    intercept[Exception](query("SELECT COUNT(*) FROM merge_t_graft_stage"))
+  }
+
   test("custom sql function array_dot registers and evaluates") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
