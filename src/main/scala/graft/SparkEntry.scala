@@ -468,6 +468,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: ordered funnel analysis ----
+    "q42_funnel" -> ((s, dir) => {
+      // restrict to the first two days so every stage is populated
+      operators.EventAnalytics.funnelStages(
+          T(s, dir, "events").filter(col("ts") < lit("2024-01-03").cast("timestamp")),
+          "user_id", "event_type", "ts", "signup", "purchase")
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("stage")
+    }),
+
+    // ---- extension: cohort retention ----
+    "q43_retention" -> ((s, dir) => {
+      operators.EventAnalytics.dailyRetention(T(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_us", "offset_day")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -848,6 +865,32 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish,
         |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_unique
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q42_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+        |f AS (SELECT user_id, min(ts) AS ts1 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS ts2 FROM ev e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > f.ts1 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT CASE WHEN f.user_id IS NULL THEN 'none'
+        |            WHEN c.user_id IS NULL THEN 'signup_only'
+        |            ELSE 'converted' END AS stage,
+        |       COUNT(*) AS n
+        |FROM u LEFT JOIN f USING (user_id) LEFT JOIN c USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT f.cohort,
+        |        date_diff('day', f.cohort, date_trunc('day', e.ts)) AS offset_day,
+        |        e.user_id
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT CAST(epoch_us(cohort) AS BIGINT) AS cohort_us,
+        |       CAST(offset_day AS BIGINT) AS offset_day,
+        |       COUNT(DISTINCT user_id) AS active
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q39_redact" ->
       """WITH d AS (
