@@ -485,6 +485,17 @@ object SparkEntry {
         .orderBy("cohort_us", "offset_day")
     }),
 
+    // ---- extension: heavy-hitters sketch (exact regime vs oracle) ----
+    "q44_heavy_hitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+      toks
+        .agg(graft.functions.SpaceSavingTopK.topkFreq(col("token"), 20, 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("token"), col("e.cnt").as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -903,6 +914,12 @@ object SparkEntry {
         |    regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g') AS clean
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q44_heavy_hitters" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
 
     "q40_vocab_topk" ->
       """SELECT token, COUNT(*) AS freq FROM (

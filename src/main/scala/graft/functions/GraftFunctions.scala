@@ -16,8 +16,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))))
+    "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))),
+    // topk_freq(col, k, capacity) — SpaceSaving heavy hitters
+    "topk_freq" -> (exprs => {
+      if (exprs.size != 3)
+        throw new IllegalArgumentException(
+          s"topk_freq(col, k, capacity) takes 3 arguments, got ${exprs.size}")
+      SpaceSavingTopK(
+        exprs(0),
+        intLit(exprs(1), "topk_freq k"),
+        intLit(exprs(2), "topk_freq capacity")).toAggregateExpression()
+    }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

