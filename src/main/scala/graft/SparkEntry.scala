@@ -496,6 +496,25 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token"))
     }),
 
+    // ---- custom operator: bucketed interval (range) join ----
+    "q45_range_join" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      // synthetic promo windows inside the events month, keyed to the
+      // smallest user-id domain so every scale factor matches
+      val w = T(s, dir, "orders")
+        .filter(col("o_orderkey") % 500 === 0)
+        .select(
+          col("o_orderkey"),
+          (col("o_custkey") % 15).as("wkey"),
+          expr("timestampadd(DAY, CAST(o_orderkey % 28 AS INT), TIMESTAMP'2024-01-01 00:00:00')").as("ws"),
+          expr("timestampadd(DAY, CAST(o_orderkey % 28 AS INT) + 2, TIMESTAMP'2024-01-01 00:00:00')").as("we"))
+      operators.RangeJoin.bucketedIntervalJoin(
+          e, w, "user_id", "wkey", "ts", "ws", "we",
+          Seq("o_orderkey"), bucketSeconds = 86400)
+        .select("event_id", "user_id", "o_orderkey")
+        .orderBy("event_id", "o_orderkey")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -914,6 +933,17 @@ object SparkEntry {
         |    regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g') AS clean
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q45_range_join" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_custkey % 15 AS wkey,
+        |         TIMESTAMP '2024-01-01' + (o_orderkey % 28) * INTERVAL 1 DAY AS ws,
+        |         TIMESTAMP '2024-01-01' + (o_orderkey % 28 + 2) * INTERVAL 1 DAY AS we
+        |  FROM orders WHERE o_orderkey % 500 = 0)
+        |SELECT e.event_id, e.user_id, w.o_orderkey
+        |FROM events e JOIN w
+        |  ON e.user_id = w.wkey AND e.ts >= w.ws AND e.ts <= w.we
+        |ORDER BY e.event_id, w.o_orderkey""".stripMargin,
 
     "q44_heavy_hitters" ->
       """SELECT token, COUNT(*) AS freq FROM (

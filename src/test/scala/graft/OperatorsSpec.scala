@@ -157,6 +157,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((10L, 11L)))
   }
 
+  test("bucketed interval join equals the naive theta join") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-03 10:00:00"), "e2"),
+      (2L, ts("2024-01-01 10:00:00"), "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), "w1"),
+      (1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"), "w2"),
+      (2L, ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00"), "w3"))
+      .toDF("rk", "ws", "we", "win")
+    val got = operators.RangeJoin.bucketedIntervalJoin(
+        left, right, "k", "rk", "t", "ws", "we", Seq("win"), bucketSeconds = 3600)
+      .select("ev", "win").as[(String, String)].collect().toSet
+    // e1 in w1 and w2; e2 and e3 match nothing
+    assert(got == Set(("e1", "w1"), ("e1", "w2")))
+  }
+
   test("text analysis: tokens, stopword ratio, lang id, fingerprint") {
     val df = Seq(
       (1L, "the cat sat on a mat"),
