@@ -45,22 +45,30 @@ object Bench {
     }
 
     // Two timed runs per query, keep the min: the box is shared, and a
-    // single run can absorb multi-second external stalls.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // single run can absorb multi-second external stalls. A failing
+    // query must NOT contribute its (fast) failure time — it is
+    // reported in "failed" instead of "queries".
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (times.isEmpty) { failed += name; None }
+      else Some(name -> times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -162,6 +162,6 @@ object SyncConfig {
           tableFrom(m, "tableName")
         }
     }
-    SyncConfig(db, tables)
+    SyncConfig(db, tables, dryRun = bool(r, "dryRun"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Validation outcome summary (reference
@@ -37,19 +36,33 @@ object PrimaryKeyValidator {
   val ReasonDuplicate = "duplicate"
   val ReasonValid = "valid"
 
-  /** Adds [[ReasonCol]] classifying each row's `pk` value. */
+  /** Adds [[ReasonCol]] classifying each row's `pk` value.
+    *
+    * Duplicate detection is a groupBy + broadcast-able join back, not a
+    * window: a window would shuffle every row into key partitions, and
+    * all null-like keys would land in ONE task — the classic null-key
+    * skew. With groupBy, null-like rows never enter the aggregate, and
+    * map-side partial aggregation compacts the rest.
+    */
   def classify(df: DataFrame, pk: String): DataFrame = {
     val raw = df(pk).cast("string")
     val key = Canonical.canonical(df(pk), df.schema(pk).dataType)
     val nullish = Canonical.isNullOrEmpty(raw)
-    // Rows with null-like PKs never compete for duplicate detection.
-    val dupKey = when(nullish, lit(null)).otherwise(key)
-    val cnt = count(lit(1)).over(Window.partitionBy(dupKey))
-    df.withColumn(ReasonCol,
-      when(nullish, ReasonNullOrEmpty)
-        .when(Canonical.invalidPkFormat(raw), ReasonInvalidFormat)
-        .when(cnt > 1, ReasonDuplicate)
-        .otherwise(ReasonValid))
+    val withKey = df.withColumn("__pk_key",
+      when(nullish, lit(null)).otherwise(key))
+    val dupCounts = withKey
+      .filter(col("__pk_key").isNotNull)
+      .groupBy(col("__pk_key"))
+      .agg(count(lit(1)).as("__pk_cnt"))
+      .filter(col("__pk_cnt") > 1)
+    withKey
+      .join(dupCounts, Seq("__pk_key"), "left")
+      .withColumn(ReasonCol,
+        when(col("__pk_key").isNull, ReasonNullOrEmpty)
+          .when(Canonical.invalidPkFormat(col(pk).cast("string")), ReasonInvalidFormat)
+          .when(col("__pk_cnt").isNotNull, ReasonDuplicate)
+          .otherwise(ReasonValid))
+      .drop("__pk_key", "__pk_cnt")
   }
 
   /** Per-reason rollup (reference `primary_key_validator.go:193-197`). */

@@ -81,20 +81,30 @@ object SyncRunner {
         if (config.dryRun) {
           insertOrder.map(n => planOnly(ops(n)))
         } else {
-          // Phase 1: deletes, child -> parent.
+          // Phase 1: ALL deletes child -> parent — diff-mode
+          // deleteNotInFile deletes and overwrite-mode full clears.
+          // (The reference clears overwrite tables in its insert phase,
+          // dbsync.go:1231-1250, which violates FK constraints when an
+          // overwritten parent still has child rows; clearing in the
+          // delete phase preserves its intent safely.)
           val deleted = deleteOrder.flatMap { n =>
             val o = ops(n)
-            if (o.cfg.mode == SyncConfig.ModeDiff && o.cfg.deleteNotInFile && o.delRows.nonEmpty) {
-              val keys = o.delRows.map(_.getAs[Any](o.pk))
-              Some(n -> JdbcSyncWriter.bulkDelete(conn, n, o.pk, keys))
-            } else None
+            o.cfg.mode match {
+              case SyncConfig.ModeOverwrite =>
+                JdbcSyncWriter.deleteAll(conn, n)
+                None
+              case _ if o.cfg.deleteNotInFile && o.delRows.nonEmpty =>
+                val keys = o.delRows.map(_.getAs[Any](o.pk))
+                Some(n -> JdbcSyncWriter.bulkDelete(conn, n, o.pk, keys))
+              case _ => None
+            }
           }.toMap
-          // Phase 2: inserts/updates (and overwrites), parent -> child.
+          // Phase 2: inserts/updates, parent -> child.
           insertOrder.map { n =>
             val o = ops(n)
             o.cfg.mode match {
               case SyncConfig.ModeOverwrite =>
-                val ins = JdbcSyncWriter.overwrite(
+                val ins = JdbcSyncWriter.bulkInsert(
                   conn, n, o.cols, o.overwriteRows, o.cfg.timestampColumns)
                 SyncResult(n, o.cfg.mode, ins, 0, 0)
               case _ =>
@@ -142,16 +152,22 @@ object SyncRunner {
     // Align file column types to the DB schema before diffing/writing:
     // the reference leans on MySQL's implicit coercion at INSERT time;
     // casting up front keeps the diff and strict JDBC drivers coherent.
+    // A zero-column file (e.g. JSON `[]`) becomes an empty relation in
+    // the DB's shape — the reference's empty-file fallback
+    // (dbsync.go:447-459): overwrite clears, diff+deleteNotInFile
+    // deletes everything, plain diff is a no-op.
     val dbSel = db.select(cols.map(col): _*)
-    val fileSel = {
-      val lowered = file.toDF(file.columns.map(_.toLowerCase): _*)
-        .select(cols.map(col): _*)
-      cols.foldLeft(lowered) { (d, c) =>
-        val target = dbSel.schema(c).dataType
-        if (d.schema(c).dataType == target) d
-        else d.withColumn(c, col(c).cast(target))
+    val fileSel =
+      if (fileCols.isEmpty) dbSel.limit(0)
+      else {
+        val lowered = file.toDF(file.columns.map(_.toLowerCase): _*)
+          .select(cols.map(col): _*)
+        cols.foldLeft(lowered) { (d, c) =>
+          val target = dbSel.schema(c).dataType
+          if (d.schema(c).dataType == target) d
+          else d.withColumn(c, col(c).cast(target))
+        }
       }
-    }
 
     t.mode match {
       case SyncConfig.ModeOverwrite =>
@@ -159,6 +175,9 @@ object SyncRunner {
           fileSel.collect().toSeq, if (config.dryRun) dbSel.count() else 0L)
       case _ =>
         PrimaryKeyValidator.validateStrict(fileSel, pk)
+        // Change detection deliberately includes immutable columns —
+        // the reference compares every sync column (dbsync.go:695-715)
+        // and only excludes immutable ones from the UPDATE SET.
         val diff = Differ.diff(fileSel, dbSel, pk)
         val nonPk = cols.filterNot(_ == pk)
         val ins = diff.toInsert.select(cols.map(col): _*).collect().toSeq

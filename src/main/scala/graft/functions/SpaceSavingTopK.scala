@@ -32,20 +32,27 @@ final class SpaceSavingBuffer(val capacity: Int) {
         counts.update(item, (minC + inc, minC))
     }
 
+  /** Parallel SpaceSaving merge (Cafaro et al.): an item absent from a
+    * FULL sketch may have been evicted with count up to that sketch's
+    * minimum, so the absent side contributes its min count to both the
+    * estimate and the error bound. Keeps the overestimate invariant
+    * `true <= cnt <= true + err` for every reported item; sketches that
+    * never filled contribute 0 (exact regime stays exact).
+    */
   def merge(other: SpaceSavingBuffer): Unit = {
-    other.counts.foreach { case (k, (c, e)) =>
-      counts.get(k) match {
-        case Some((c0, e0)) => counts.update(k, (c0 + c, e0 + e))
-        case None => counts.update(k, (c, e))
-      }
+    def minOf(b: SpaceSavingBuffer): Long =
+      if (b.counts.size >= b.capacity) b.counts.valuesIterator.map(_._1).min else 0L
+    val m1 = minOf(this)
+    val m2 = minOf(other)
+    val keys = counts.keySet ++ other.counts.keySet
+    val merged = keys.toSeq.map { k =>
+      val (c1, e1) = counts.getOrElse(k, (m1, m1))
+      val (c2, e2) = other.counts.getOrElse(k, (m2, m2))
+      k -> (c1 + c2, e1 + e2)
     }
-    if (counts.size > capacity) {
-      // keep the top `capacity` by (count desc, key asc); the dropped
-      // mass is absorbed into the survivors' error bounds implicitly
-      val keep = counts.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
-      counts.clear()
-      keep.foreach { case (k, v) => counts.update(k, v) }
-    }
+    counts.clear()
+    merged.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
+      .foreach { case (k, v) => counts.update(k, v) }
   }
 }
 

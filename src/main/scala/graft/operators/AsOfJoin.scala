@@ -22,7 +22,6 @@ import org.apache.spark.sql.functions._
   * unspecified.
   */
 object AsOfJoin {
-  private val MatchCol = "__asof_matched"
 
   /** Reduce the right side to one row per (key, time): the row with the
     * greatest `tieBreak` value wins.
@@ -75,36 +74,38 @@ object AsOfJoin {
       inner: Boolean,
       descending: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
-    val outCols = rightCols.map("__r_" + _)
 
+    // All right columns travel in ONE struct and are gap-filled in one
+    // last(ignoreNulls) pass: filling columns independently would mix
+    // fields of different right rows whenever a matched row carries a
+    // NULL in one column (the fill would skip past it to an older row).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
       Seq(
         col(leftKey).cast("string").as("__k"),
         col(leftTime).as("__t"),
         lit(1).as("__side")) ++
-        lCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as("__r_" + c)) :+
-        lit(null).cast("boolean").as(MatchCol): _*)
+        lCols.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val r = right.select(
       Seq(
         col(rightKey).cast("string").as("__k"),
         col(rightTime).as("__t"),
         lit(0).as("__side")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as("__r_" + c)) :+
-        lit(true).as(MatchCol): _*)
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
 
     // Right rows sort before left rows at equal time (side 0 < 1), which
     // makes the match inclusive in both directions.
     val timeOrder: Column = if (descending) col("__t").desc else col("__t").asc
     val w = Window.partitionBy("__k").orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = (outCols :+ MatchCol).foldLeft(l.unionByName(r)) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     val leftRows = filled.filter(col("__side") === 1)
-    val matched = if (inner) leftRows.filter(col(MatchCol)) else leftRows
+    val matched = if (inner) leftRows.filter(col("__r").isNotNull) else leftRows
     matched.select(
-      lCols.map(col) ++ rightCols.map(c => col("__r_" + c).as(c)): _*)
+      lCols.map(col) ++ rightCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

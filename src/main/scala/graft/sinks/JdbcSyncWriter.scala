@@ -125,6 +125,10 @@ object JdbcSyncWriter {
     if (rows.isEmpty) return 0
     val setCols = cols.filterNot(c => c == pk || immutableCols.contains(c))
     val extraTs = timestampCols.filterNot(c => cols.contains(c) || immutableCols.contains(c))
+    // A row can reach toUpdate with nothing settable (the reference
+    // compares immutable columns too, it just never writes them) —
+    // an empty SET list would be malformed SQL, so skip.
+    if (setCols.isEmpty && extraTs.isEmpty) return 0
     val setList = (setCols.map(c => s"$c = ?") ++ extraTs.map(c => s"$c = ?")).mkString(", ")
     val sql = s"UPDATE $table SET $setList WHERE $pk = ?"
     val ps = conn.prepareStatement(sql)
@@ -163,19 +167,23 @@ object JdbcSyncWriter {
     keys.size
   }
 
-  /** Transactional DELETE-all + reinsert (overwrite mode). DELETE, not
-    * TRUNCATE, so it stays inside the transaction (reference
-    * `dbsync.go:494-518`).
+  /** Transactional DELETE-all (DELETE, not TRUNCATE, so it stays inside
+    * the transaction — reference `dbsync.go:494-518`).
     */
+  def deleteAll(conn: Connection, table: String): Int = {
+    val st = conn.createStatement()
+    try st.executeUpdate(s"DELETE FROM $table")
+    finally st.close()
+  }
+
+  /** Transactional DELETE-all + reinsert (overwrite mode). */
   def overwrite(
       conn: Connection,
       table: String,
       cols: Seq[String],
       rows: Seq[Row],
       timestampCols: Seq[String] = Nil): Int = {
-    val st = conn.createStatement()
-    try st.executeUpdate(s"DELETE FROM $table")
-    finally st.close()
+    deleteAll(conn, table)
     bulkInsert(conn, table, cols, rows, timestampCols)
   }
 

@@ -57,6 +57,15 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.validate().isEmpty)
   }
 
+  test("yaml dryRun key is honored") {
+    val c = SyncConfig.fromYamlString(
+      """db: {url: jdbc:derby:memory:x}
+        |dryRun: true
+        |sync: {filePath: /tmp/p.csv, tableName: t, mode: overwrite}
+        |""".stripMargin)
+    assert(c.dryRun)
+  }
+
   test("yaml multi-table config and validation errors") {
     val c = SyncConfig.fromYamlString(
       """db: {url: jdbc:derby:memory:x}

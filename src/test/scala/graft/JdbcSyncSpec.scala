@@ -130,6 +130,96 @@ class JdbcSyncSpec extends AnyFunSuite {
     assert(query("SELECT id FROM rb_table") == Seq(Seq(1)))
   }
 
+  test("json file sync e2e (diff upsert from a JSON array)") {
+    dropIfExists("json_t")
+    exec(
+      "CREATE TABLE json_t (id INT PRIMARY KEY, name VARCHAR(50), score DOUBLE)",
+      "INSERT INTO json_t VALUES (1, 'old', 1.5)")
+    val dir = Files.createTempDirectory("graft-json")
+    val f = dir.resolve("data.json")
+    Files.writeString(f,
+      """[{"id": 1, "name": "new", "score": 1.5},
+        | {"id": 2, "name": "b", "score": 2.25}]""".stripMargin)
+    val r = SyncRunner.run(spark, SyncConfig(db, Seq(TableSyncConfig(
+      name = "json_t", filePath = f.toString, mode = "diff",
+      primaryKey = "id")))).head
+    assert((r.inserts, r.updates, r.deletes) == ((1, 1, 0)))
+    assert(query("SELECT id, name, score FROM json_t ORDER BY id") ==
+      Seq(Seq(1, "new", 1.5), Seq(2, "b", 2.25)))
+  }
+
+  test("multi-table dry run plans all tables and writes nothing") {
+    dropIfExists("mdr_child")
+    dropIfExists("mdr_parent")
+    exec(
+      "CREATE TABLE mdr_parent (id INT PRIMARY KEY, name VARCHAR(50))",
+      "CREATE TABLE mdr_child (id INT PRIMARY KEY, pid INT REFERENCES mdr_parent(id))",
+      "INSERT INTO mdr_parent VALUES (1, 'p1'), (2, 'p2')",
+      "INSERT INTO mdr_child VALUES (10, 2)")
+    val pf = csvFile("id,name\n1,p1x\n3,p3\n")
+    val cf = csvFile("id,pid\n30,3\n")
+    val cfg = SyncConfig(db, Seq(
+      TableSyncConfig(name = "mdr_child", filePath = cf, mode = "diff",
+        primaryKey = "id", deleteNotInFile = true, dependencies = Seq("mdr_parent")),
+      TableSyncConfig(name = "mdr_parent", filePath = pf, mode = "diff",
+        primaryKey = "id", deleteNotInFile = true)), dryRun = true)
+    val results = SyncRunner.run(spark, cfg)
+    val byTable = results.map(r => r.table -> r.plan.get).toMap
+    assert((byTable("mdr_parent").inserts, byTable("mdr_parent").updates,
+      byTable("mdr_parent").deletes) == ((1L, 1L, 1L)))
+    assert((byTable("mdr_child").inserts, byTable("mdr_child").deletes) == ((1L, 1L)))
+    // nothing written
+    assert(query("SELECT COUNT(*) FROM mdr_parent").head.head == 2)
+    assert(query("SELECT COUNT(*) FROM mdr_child").head.head == 1)
+  }
+
+  test("update differing only in immutable columns is skipped, not malformed SQL") {
+    dropIfExists("imm_t")
+    exec(
+      "CREATE TABLE imm_t (id INT PRIMARY KEY, created_at VARCHAR(20))",
+      "INSERT INTO imm_t VALUES (1, 'old')")
+    val f = csvFile("id,created_at\n1,new\n")
+    val r = SyncRunner.run(spark, SyncConfig(db, Seq(TableSyncConfig(
+      name = "imm_t", filePath = f, mode = "diff", primaryKey = "id",
+      immutableColumns = Seq("created_at"))))).head
+    // the row is detected as changed (reference semantics) but nothing
+    // is settable, so no UPDATE executes and the value stays
+    assert(query("SELECT created_at FROM imm_t") == Seq(Seq("old")))
+  }
+
+  test("multi-table overwrite parent with FK child clears child-first") {
+    dropIfExists("ow_child")
+    dropIfExists("ow_parent")
+    exec(
+      "CREATE TABLE ow_parent (id INT PRIMARY KEY, name VARCHAR(20))",
+      "CREATE TABLE ow_child (id INT PRIMARY KEY, pid INT REFERENCES ow_parent(id))",
+      "INSERT INTO ow_parent VALUES (1, 'p1')",
+      "INSERT INTO ow_child VALUES (10, 1)")
+    val cfg = SyncConfig(db, Seq(
+      TableSyncConfig(name = "ow_parent", filePath = csvFile("id,name\n2,p2\n"),
+        mode = "overwrite"),
+      TableSyncConfig(name = "ow_child", filePath = csvFile("id,pid\n20,2\n"),
+        mode = "overwrite", dependencies = Seq("ow_parent"))))
+    SyncRunner.run(spark, cfg)
+    assert(query("SELECT id FROM ow_parent") == Seq(Seq(2)))
+    assert(query("SELECT id, pid FROM ow_child") == Seq(Seq(20, 2)))
+  }
+
+  test("zero-column file (JSON []) follows empty-file semantics") {
+    dropIfExists("zc_t")
+    exec(
+      "CREATE TABLE zc_t (id INT PRIMARY KEY, name VARCHAR(20))",
+      "INSERT INTO zc_t VALUES (1, 'a'), (2, 'b')")
+    val dir = Files.createTempDirectory("graft-zc")
+    val f = dir.resolve("empty.json")
+    Files.writeString(f, "[]")
+    val r = SyncRunner.run(spark, SyncConfig(db, Seq(TableSyncConfig(
+      name = "zc_t", filePath = f.toString, mode = "diff",
+      primaryKey = "id", deleteNotInFile = true)))).head
+    assert(r.deletes == 2)
+    assert(query("SELECT COUNT(*) FROM zc_t").head.head == 0)
+  }
+
   test("multi-table: two-phase FK-safe ordering in one transaction") {
     dropIfExists("child_t")
     dropIfExists("parent_t")

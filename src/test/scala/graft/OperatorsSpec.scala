@@ -36,6 +36,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(outer.filter(col("v").isNull).count() == 2)
   }
 
+  test("asof: a matched right row with NULL columns is not torn") {
+    // right at t=5 has (x=1, y=2); right at t=8 has (x=9, y=NULL).
+    // A left row at t=10 must get (9, NULL) — not a composite (9, 2).
+    val left = Seq((1L, ts("2024-01-01 00:00:10"), "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:05"), Some(1L), Some(2L)),
+      (1L, ts("2024-01-01 00:00:08"), Some(9L), None))
+      .toDF("rk", "rt", "x", "y")
+    val got = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("x", "y"))
+      .select("x", "y").collect()(0)
+    assert(got.getLong(0) == 9L && got.isNullAt(1))
+  }
+
+  test("space-saving merge keeps the overestimate invariant across evictions") {
+    import graft.functions.SpaceSavingBuffer
+    // reviewer scenario: C's mass passes through an eviction; merged
+    // estimate must stay within [truth, truth+err]
+    val b1 = new SpaceSavingBuffer(2)
+    b1.counts ++= Seq("A" -> ((10L, 0L)), "B" -> ((9L, 0L)))
+    val b2 = new SpaceSavingBuffer(2)
+    b2.counts ++= Seq("A" -> ((1L, 0L)), "C" -> ((8L, 0L)))
+    val b3 = new SpaceSavingBuffer(2)
+    b3.counts ++= Seq("C" -> ((8L, 0L)))
+    b1.merge(b2)
+    b1.merge(b3)
+    val truth = Map("A" -> 11L, "B" -> 9L, "C" -> 16L)
+    b1.counts.foreach { case (k, (c, e)) =>
+      assert(c >= truth(k) && c - truth(k) <= e, s"$k: cnt=$c err=$e truth=${truth(k)}")
+    }
+    // the true heaviest item (C=16) is present and ranked first
+    assert(b1.counts.toSeq.maxBy(_._2._1)._1 == "C")
+  }
+
   test("asof latestPerKeyTime dedups right side deterministically") {
     val r = Seq((1L, ts("2024-01-01 00:00:05"), 100L),
       (1L, ts("2024-01-01 00:00:05"), 200L)).toDF("k", "t", "id")
