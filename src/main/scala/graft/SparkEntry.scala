@@ -515,6 +515,27 @@ object SparkEntry {
         .orderBy("event_id", "o_orderkey")
     }),
 
+    // ---- extension: deterministic sampling + split assignment ----
+    "q46_det_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      operators.Sampling.assignSplit(
+          operators.Sampling.deterministicSample(d, "doc_id", 0.5),
+          "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("split", "source")
+    }),
+
+    // ---- extension: benchmark decontamination ----
+    "q47_decontaminate" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      operators.Decontaminate.flagContaminated(
+          d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -552,6 +573,18 @@ object SparkEntry {
        |  ELSE [array_to_string(w, ' ')] END AS shl FROM t),
        |shd AS (SELECT doc_id, list_distinct(shl) AS shl FROM sh0),
        |sh AS (SELECT doc_id, unnest(shl) AS s FROM shd)""".stripMargin
+
+  /** n-gram shingle CTEs over `src` with CTE-name prefix `p`:
+    * `<p>sh` = one row per (doc_id, shingle s), distinct.
+    */
+  private def ngramCtes(src: String, n: Int, p: String): String = {
+    val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    s"""${p}t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM $src),
+       |${p}sh0 AS (SELECT doc_id, CASE WHEN len(w) >= $n
+       |  THEN list_transform(generate_series(1, len(w)-${n - 1}), i -> concat_ws(' ', $parts))
+       |  ELSE [array_to_string(w, ' ')] END AS shl FROM ${p}t),
+       |${p}sh AS (SELECT doc_id, unnest(list_distinct(shl)) AS s FROM ${p}sh0)""".stripMargin
+  }
 
   /** MinHash signatures + LSH bands + candidate pairs over `src`. */
   private def sigsCte(src: String): String = {
@@ -933,6 +966,26 @@ object SparkEntry {
         |    regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g') AS clean
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q46_det_sample" -> {
+      import graft.operators.Sampling
+      s"""WITH smp AS (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE ${Sampling.samplePredicateSql("doc_id", 0.5)}),
+         |c AS (SELECT doc_id, source,
+         |  ${Sampling.splitCaseSql("doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+         |  FROM smp)
+         |SELECT split, source, COUNT(*) AS n, MIN(doc_id) AS min_id
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q47_decontaminate" ->
+      s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c")},
+         |${ngramCtes("documents WHERE doc_id < 10", 8, "e")},
+         |ev AS (SELECT DISTINCT s FROM esh)
+         |SELECT c.doc_id, COUNT(*) AS n_hits
+         |FROM csh c JOIN ev ON c.s = ev.s
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q45_range_join" ->
       """WITH w AS (

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents sharing verbatim
+  * n-gram shingles with an evaluation set.
+  *
+  * The standard pre-training hygiene step: any training document that
+  * contains an eval-set n-gram (n ~ 8..13 words) is suspect. Expressed
+  * relationally — explode both sides to (doc, shingle) rows and join on
+  * the shingle — the check is one hash join keyed by shingle text and
+  * scales to any corpus size; the eval side is tiny and broadcasts.
+  */
+object Decontaminate {
+
+  /** Corpus documents sharing at least one `n`-gram with `evalDocs`.
+    * Output: (idCol, n_hits = number of distinct shared shingles).
+    */
+  def flagContaminated(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val corpusSh = Dedup.shingleRows(corpus, idCol, textCol, n)
+    val evalSh = broadcast(
+      Dedup.shingleRows(evalDocs, idCol, textCol, n)
+        .select(col("__sh")).distinct())
+    corpusSh.join(evalSh, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and split assignment.
+  *
+  * RNG-based sampling (`df.sample`) is irreproducible across engines,
+  * partitionings, and reruns. Hashing a stable id and thresholding its
+  * md5 prefix gives the same sample everywhere, any number of times —
+  * the property a training-data pipeline needs for train/val/test
+  * splits that survive pipeline re-runs and backfills.
+  *
+  * The first 4 hex digits of `md5(salt || ":" || id)` are uniform over
+  * 0x0000..0xffff; comparing the PREFIX STRING lexicographically
+  * against a hex threshold implements `fraction` without any hex->int
+  * conversion, so the identical predicate runs in any SQL engine.
+  */
+object Sampling {
+
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of range")
+    f"${math.round(fraction * 65536).toInt.min(65535)}%04x"
+  }
+
+  private def prefix(id: Column, salt: String): Column =
+    substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 4)
+
+  /** Keep ~`fraction` of rows, deterministically by `idCol`. */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      salt: String = "s"): DataFrame =
+    df.filter(prefix(col(idCol), salt) < lit(hexThreshold(fraction)))
+
+  /** The DuckDB/ANSI predicate equivalent to [[deterministicSample]],
+    * for oracle SQL construction.
+    */
+  def samplePredicateSql(idCol: String, fraction: Double, salt: String = "s"): String =
+    s"substring(md5('$salt:' || CAST($idCol AS VARCHAR)), 1, 4) < '${hexThreshold(fraction)}'"
+
+  /** The ANSI CASE expression equivalent to [[assignSplit]], for oracle
+    * SQL construction.
+    */
+  def splitCaseSql(
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "s"): String = {
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val p = s"substring(md5('$salt:' || CAST($idCol AS VARCHAR)), 1, 4)"
+    val whens = splits.init.zip(cum.init).map { case ((name, _), bound) =>
+      s"WHEN $p < '${hexThreshold(bound)}' THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${splits.last._1}' END"
+  }
+
+  /** Assign each row to a named split with the given weights (summing
+    * to <= 1; remainder falls into the last split). Deterministic by
+    * `idCol`.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "s"): DataFrame = {
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val p = prefix(col(idCol), salt)
+    val expr = splits.init.zip(cum.init).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), bound)) =>
+        acc.when(p < lit(hexThreshold(bound)), lit(name))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn("split", expr)
+  }
+}

@@ -274,6 +274,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic sampling: stable, disjoint splits, plausible rates") {
+    val ids = spark.range(10000).toDF("id")
+    val s1 = operators.Sampling.deterministicSample(ids, "id", 0.3)
+      .as[Long].collect().toSet
+    val s2 = operators.Sampling.deterministicSample(ids, "id", 0.3)
+      .as[Long].collect().toSet
+    assert(s1 == s2, "same fraction+salt must select the same rows")
+    assert(math.abs(s1.size - 3000) < 200, s"got ${s1.size} of ~3000")
+    // a larger fraction is a superset of a smaller one (same salt)
+    val s3 = operators.Sampling.deterministicSample(ids, "id", 0.6)
+      .as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+    val splits = operators.Sampling.assignSplit(ids, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.values.sum == 10000)
+    assert(math.abs(splits("train") - 8000) < 200)
+    assert(math.abs(splits("val") - 1000) < 120)
+  }
+
+  test("decontamination flags docs sharing an 8-gram with the eval set") {
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words alpha beta gamma delta epsilon zeta eta theta trailer"),
+      (11L, "completely unrelated content with its own eight gram run here"))
+      .toDF("doc_id", "text")
+    val got = operators.Decontaminate.flagContaminated(corpus, evalSet, "doc_id", "text", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(10L))
+    assert(got(10L) == 1L) // "alpha beta ... theta" is the one shared 8-gram
+  }
+
   test("multimodal: stub featurize is deterministic with stable shape") {
     val media = Multimodal.fromText(
       Seq((1L, "hello world"), (2L, "hello world"), (3L, "other bytes"))
