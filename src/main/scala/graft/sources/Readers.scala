@@ -63,7 +63,10 @@ object Readers {
     if (sniffTimestamps) promoteRfc3339(projected) else projected
   }
 
-  /** Dispatch on file extension (reference `GetLoader`). */
+  /** Dispatch on file extension (reference `GetLoader`,
+    * `loader.go:203-213`; parquet/ORC are the reference's declared
+    * future work, `README.md:351` — free on Spark).
+    */
   def forPath(
       spark: SparkSession,
       path: String,
@@ -72,8 +75,21 @@ object Readers {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) csv(spark, path, delimiter, columns)
     else if (lower.endsWith(".json")) json(spark, path, columns)
+    else if (lower.endsWith(".parquet")) columnar(spark.read.parquet(path), columns)
+    else if (lower.endsWith(".orc")) columnar(spark.read.orc(path), columns)
     else throw new IllegalArgumentException(
-      s"unsupported file format for $path (expected .csv or .json)")
+      s"unsupported file format for $path (expected .csv, .json, .parquet, or .orc)")
+  }
+
+  /** Typed columnar sources: projection only (types come from the file
+    * schema; missing requested columns error like JSON).
+    */
+  private def columnar(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val missing = columns.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"missing column(s) ${missing.mkString(", ")} in columnar source")
+    if (columns.isEmpty) df else df.select(columns.map(col): _*)
   }
 
   /** Promote string columns that are entirely RFC3339 (ignoring nulls,

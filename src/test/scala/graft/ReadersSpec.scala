@@ -54,6 +54,30 @@ class ReadersSpec extends AnyFunSuite {
     assert(Readers.json(spark, p).count() == 0)
   }
 
+  test("parquet dispatch reads with projection; partitioned jdbc read works") {
+    import java.sql.DriverManager
+    val dir = Files.createTempDirectory("graft-pq")
+    val p = s"$dir/part.parquet"
+    import spark.implicits._
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+      .write.parquet(p)
+    val df = Readers.forPath(spark, p, columns = Seq("id", "score"))
+    assert(df.columns.toSeq == Seq("id", "score") && df.count() == 2)
+    intercept[IllegalArgumentException](
+      Readers.forPath(spark, p, columns = Seq("ghost")))
+
+    val db = graft.config.DbConfig("jdbc:derby:memory:partdb;create=true")
+    val c = DriverManager.getConnection(db.url)
+    c.createStatement().executeUpdate("CREATE TABLE pt (id INT PRIMARY KEY, v INT)")
+    c.createStatement().executeUpdate(
+      "INSERT INTO pt VALUES " + (1 to 50).map(i => s"($i, ${i * 10})").mkString(", "))
+    c.close()
+    val jdbcDf = graft.sinks.JdbcSyncWriter.readTablePartitioned(
+      spark, db, "pt", "id", 1, 50, 4)
+    assert(jdbcDf.rdd.getNumPartitions == 4)
+    assert(jdbcDf.count() == 50)
+  }
+
   test("extension dispatch rejects unknown formats") {
     val e = intercept[IllegalArgumentException] {
       Readers.forPath(spark, "/tmp/data.xlsx")
