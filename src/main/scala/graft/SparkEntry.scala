@@ -577,12 +577,17 @@ object SparkEntry {
   /** n-gram shingle CTEs over `src` with CTE-name prefix `p`:
     * `<p>sh` = one row per (doc_id, shingle s), distinct.
     */
-  private def ngramCtes(src: String, n: Int, p: String): String = {
+  private def ngramCtes(src: String, n: Int, p: String, strict: Boolean = false): String = {
     val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    val sh0 =
+      if (strict)
+        s"${p}sh0 AS (SELECT doc_id, list_transform(generate_series(1, len(w)-${n - 1}), i -> concat_ws(' ', $parts)) AS shl FROM ${p}t WHERE len(w) >= $n)"
+      else
+        s"""${p}sh0 AS (SELECT doc_id, CASE WHEN len(w) >= $n
+           |  THEN list_transform(generate_series(1, len(w)-${n - 1}), i -> concat_ws(' ', $parts))
+           |  ELSE [array_to_string(w, ' ')] END AS shl FROM ${p}t)""".stripMargin
     s"""${p}t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM $src),
-       |${p}sh0 AS (SELECT doc_id, CASE WHEN len(w) >= $n
-       |  THEN list_transform(generate_series(1, len(w)-${n - 1}), i -> concat_ws(' ', $parts))
-       |  ELSE [array_to_string(w, ' ')] END AS shl FROM ${p}t),
+       |$sh0,
        |${p}sh AS (SELECT doc_id, unnest(list_distinct(shl)) AS s FROM ${p}sh0)""".stripMargin
   }
 
@@ -980,8 +985,8 @@ object SparkEntry {
     },
 
     "q47_decontaminate" ->
-      s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c")},
-         |${ngramCtes("documents WHERE doc_id < 10", 8, "e")},
+      s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},
+         |${ngramCtes("documents WHERE doc_id < 10", 8, "e", strict = true)},
          |ev AS (SELECT DISTINCT s FROM esh)
          |SELECT c.doc_id, COUNT(*) AS n_hits
          |FROM csh c JOIN ev ON c.s = ev.s

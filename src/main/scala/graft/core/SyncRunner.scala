@@ -62,8 +62,22 @@ private final case class TableOps(
   */
 object SyncRunner {
 
+  /** All configured file paths must exist before any work starts
+    * (reference `ValidateFilePaths`, `loader.go:232-288`) — failing
+    * fast beats discovering a typo mid-transaction.
+    */
+  private def validateFilePaths(config: SyncConfig): Unit = {
+    val missing = config.tables
+      .map(_.filePath)
+      .filter(p => p.nonEmpty && !new java.io.File(p).exists())
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"sync file(s) not found: ${missing.mkString(", ")}")
+  }
+
   def run(spark: SparkSession, config: SyncConfig): Seq[SyncResult] = {
     config.validated()
+    validateFilePaths(config)
     val conn = JdbcSyncWriter.connect(config.db)
     try {
       val graph = new DependencyGraph(

@@ -18,8 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `counts` maps item -> (count, maxError). At most `capacity` entries.
   */
 final class SpaceSavingBuffer(val capacity: Int) {
+  require(capacity > 0, s"capacity must be positive, got $capacity")
   val counts: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
 
+  // Eviction scans all `capacity` entries for the minimum — O(capacity)
+  // per unseen item once full. Fine for the typical capacities (<= a
+  // few thousand); a stream-summary structure (Metwally et al. §3)
+  // would make it O(1) if profiling ever shows this hot.
   def add(item: String, inc: Long = 1L): Unit =
     counts.get(item) match {
       case Some((c, e)) => counts.update(item, (c + inc, e))
@@ -75,6 +80,8 @@ case class SpaceSavingTopK(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[SpaceSavingBuffer] {
+  require(k > 0, s"k must be positive, got $k")
+  require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
 
   override def prettyName: String = "topk_freq"
   override def children: Seq[Expression] = Seq(child)
@@ -108,13 +115,18 @@ case class SpaceSavingTopK(
     new GenericArrayData(top.toArray[Any])
   }
 
+  // length-prefixed UTF-8 (writeUTF caps items at 64 KB modified-UTF-8
+  // and would fail on large values, e.g. whole-document items)
   override def serialize(b: SpaceSavingBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.capacity)
     out.writeInt(b.counts.size)
     b.counts.foreach { case (item, (c, e)) =>
-      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+      val bytes = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -125,7 +137,10 @@ case class SpaceSavingTopK(
     val b = new SpaceSavingBuffer(in.readInt())
     val n = in.readInt()
     (0 until n).foreach { _ =>
-      val item = in.readUTF()
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      val item = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
       b.counts.update(item, (in.readLong(), in.readLong()))
     }
     b

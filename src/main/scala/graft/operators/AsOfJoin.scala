@@ -75,6 +75,37 @@ object AsOfJoin {
       descending: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
 
+    // SQL theta-join semantics: NULL keys/times never match. Right rows
+    // with NULL key or time are inert (and would otherwise poison the
+    // window scan — NULLS FIRST under asc ordering puts them before
+    // every real row); left rows with NULL key/time are unmatched —
+    // dropped for inner, carried through with null right columns for
+    // outer.
+    val leftValid = left.filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+    val leftInvalid = left.filter(col(leftKey).isNull || col(leftTime).isNull)
+    val right0 = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+    return asofValid(leftValid, right0, leftKey, rightKey, leftTime, rightTime,
+      rightCols, inner, descending) match {
+      case matched if inner => matched
+      case matched =>
+        matched.unionByName(leftInvalid.select(
+          lCols.map(col) ++
+            rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
+    }
+  }
+
+  private def asofValid(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      inner: Boolean,
+      descending: Boolean): DataFrame = {
+    val lCols = left.columns.toSeq
+
     // All right columns travel in ONE struct and are gap-filled in one
     // last(ignoreNulls) pass: filling columns independently would mix
     // fields of different right rows whenever a matched row carries a

@@ -16,6 +16,11 @@ object Decontaminate {
 
   /** Corpus documents sharing at least one `n`-gram with `evalDocs`.
     * Output: (idCol, n_hits = number of distinct shared shingles).
+    *
+    * Strict shingling: documents shorter than `n` tokens emit no
+    * shingles at all — a short eval item contained verbatim in a long
+    * document is NOT detected by this n-gram pass (run it again with a
+    * smaller `n`, or a substring pass, for short eval items).
     */
   def flagContaminated(
       corpus: DataFrame,
@@ -23,9 +28,9 @@ object Decontaminate {
       idCol: String,
       textCol: String,
       n: Int = 8): DataFrame = {
-    val corpusSh = Dedup.shingleRows(corpus, idCol, textCol, n)
+    val corpusSh = Dedup.shingleRows(corpus, idCol, textCol, n, strict = true)
     val evalSh = broadcast(
-      Dedup.shingleRows(evalDocs, idCol, textCol, n)
+      Dedup.shingleRows(evalDocs, idCol, textCol, n, strict = true)
         .select(col("__sh")).distinct())
     corpusSh.join(evalSh, "__sh")
       .groupBy(col(idCol))

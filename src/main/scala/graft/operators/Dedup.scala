@@ -55,13 +55,17 @@ object Dedup {
 
   /** Distinct word n-gram shingles, one row per (doc, shingle).
     * Documents with fewer than `n` tokens (but at least one) contribute
-    * a single whole-text shingle; empty documents contribute none.
+    * a single whole-text shingle (`strict = false`) or nothing
+    * (`strict = true` — the right semantics when shingles must be
+    * comparable across documents, e.g. decontamination); empty
+    * documents contribute none either way.
     */
   def shingleRows(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      strict: Boolean = false): DataFrame = {
     val t = docs.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
@@ -75,7 +79,7 @@ object Dedup {
           .otherwise(array_join(collect_list(col("__tok")).over(wAll), " ")))
       .filter(
         (col("__total") >= n && col("__pos") <= col("__total") - n) ||
-          (col("__total") < n && col("__pos") === 0))
+          (lit(!strict) && col("__total") < n && col("__pos") === 0))
       .select(col(idCol), col("__sh"))
       .distinct()
   }

@@ -24,6 +24,12 @@ object RangeJoin {
     * @param bucketSeconds bucket width; pick ~ the typical interval length
     * @param rightCols right columns carried onto matches
     */
+  /** @param maxBucketsPerInterval hard guard: an interval spanning more
+    *        buckets than this fails the job loudly (a sentinel end-date
+    *        like 9999-12-31 would otherwise explode into millions of
+    *        rows per interval and OOM quietly). Size `bucketSeconds` to
+    *        the typical interval length so this stays small.
+    */
   def bucketedIntervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -33,23 +39,36 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       rightCols: Seq[String],
-      bucketSeconds: Long): DataFrame = {
+      bucketSeconds: Long,
+      maxBucketsPerInterval: Long = 65536L): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val clash = rightCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"rightCols ${clash.mkString(", ")} collide with left columns — alias them first")
+
     val b = lit(bucketSeconds * 1000000L)
     val l = left
       .withColumn("__bucket", (unix_micros(col(leftTime)) / b).cast("long"))
       .withColumn("__k", col(leftKey).cast("string"))
+    val startB = (unix_micros(col(startCol)) / b).cast("long")
+    val endB = (unix_micros(col(endCol)) / b).cast("long")
+    val guardedEnd = when(endB - startB > maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"interval spans more than $maxBucketsPerInterval buckets at $bucketSeconds s/bucket: "),
+        col(startCol).cast("string"), lit(" .. "), col(endCol).cast("string"))))
+      .otherwise(endB)
     val r = right
-      .withColumn("__bucket",
-        explode(sequence(
-          (unix_micros(col(startCol)) / b).cast("long"),
-          (unix_micros(col(endCol)) / b).cast("long"))))
+      // inverted intervals match nothing (BETWEEN semantics), and an
+      // unfiltered descending sequence would instead enumerate buckets
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__bucket", explode(sequence(startB, guardedEnd)))
       .select(
         col(rightKey).cast("string").as("__k") +:
           col("__bucket") +:
-          col(startCol) +: col(endCol) +:
+          col(startCol).as("__rj_start") +: col(endCol).as("__rj_end") +:
           rightCols.map(col): _*)
     l.join(r, Seq("__k", "__bucket"))
-      .filter(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
-      .drop("__k", "__bucket", startCol, endCol)
+      .filter(col(leftTime) >= col("__rj_start") && col(leftTime) <= col("__rj_end"))
+      .drop("__k", "__bucket", "__rj_start", "__rj_end")
   }
 }

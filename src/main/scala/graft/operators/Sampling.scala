@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and split assignment.
   *
+  * Different operations MUST use different salts or their hashes
+  * correlate: sampling at 0.5 and then splitting with the same salt
+  * would put every sampled row in the first split. The defaults
+  * ("s" for sampling, "split" for splits) are therefore distinct.
+  *
   * RNG-based sampling (`df.sample`) is irreproducible across engines,
   * partitionings, and reruns. Hashing a stable id and thresholding its
   * md5 prefix gives the same sample everywhere, any number of times —
@@ -18,9 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** "g" sorts after every hex string, so fraction 1.0 keeps ALL rows
+    * (a clamped 'ffff' with strict < would silently drop ~1/65536).
+    */
   private def hexThreshold(fraction: Double): String = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of range")
-    f"${math.round(fraction * 65536).toInt.min(65535)}%04x"
+    val n = math.round(fraction * 65536).toInt
+    if (n >= 65536) "g" else f"$n%04x"
   }
 
   private def prefix(id: Column, salt: String): Column =
@@ -46,7 +55,7 @@ object Sampling {
   def splitCaseSql(
       idCol: String,
       splits: Seq[(String, Double)],
-      salt: String = "s"): String = {
+      salt: String = "split"): String = {
     val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
     val p = s"substring(md5('$salt:' || CAST($idCol AS VARCHAR)), 1, 4)"
     val whens = splits.init.zip(cum.init).map { case ((name, _), bound) =>
@@ -63,7 +72,7 @@ object Sampling {
       df: DataFrame,
       idCol: String,
       splits: Seq[(String, Double)],
-      salt: String = "s"): DataFrame = {
+      salt: String = "split"): DataFrame = {
     val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
     val p = prefix(col(idCol), salt)
     val expr = splits.init.zip(cum.init).foldLeft(when(lit(false), lit(""))) {

@@ -306,6 +306,15 @@ class JdbcSyncSpec extends AnyFunSuite {
     assert(got == 11.0)
   }
 
+  test("missing sync file fails fast before touching the DB") {
+    val cfg = SyncConfig(db, Seq(TableSyncConfig(
+      name = "whatever", filePath = "/tmp/does-not-exist-9z.csv",
+      mode = "diff", primaryKey = "id")))
+    val e = intercept[IllegalArgumentException](SyncRunner.run(spark, cfg))
+    assert(e.getMessage.contains("not found"))
+    assert(e.getMessage.contains("does-not-exist-9z.csv"))
+  }
+
   test("strict pk validation aborts the sync before any write") {
     dropIfExists("pv_table")
     exec(

@@ -69,6 +69,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b1.counts.toSeq.maxBy(_._2._1)._1 == "C")
   }
 
+  test("asof: NULL keys and times follow theta-join semantics (never match)") {
+    val left = Seq(
+      (Some(1L), Some(ts("2024-01-01 00:00:10")), "e1"),
+      (None, Some(ts("2024-01-01 00:00:10")), "e2"),     // null key
+      (Some(1L), None, "e3"))                            // null time
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (Some(1L), Some(ts("2024-01-01 00:00:05")), "a"),
+      (None, Some(ts("2024-01-01 00:00:01")), "nullkey"), // must be inert
+      (Some(1L), None, "nulltime"))                       // must be inert
+      .toDF("rk", "rt", "v")
+    val inner = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("ev", "v").as[(String, String)].collect().toMap
+    assert(inner == Map("e1" -> "a"))
+    val outer = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"),
+      inner = false)
+    assert(outer.count() == 3)
+    assert(outer.filter(col("v").isNull).count() == 2) // e2, e3 unmatched
+  }
+
   test("asof latestPerKeyTime dedups right side deterministically") {
     val r = Seq((1L, ts("2024-01-01 00:00:05"), 100L),
       (1L, ts("2024-01-01 00:00:05"), 200L)).toDF("k", "t", "id")

@@ -25,4 +25,24 @@ class RangeJoinWidthSpec extends AnyFunSuite {
     assert(results.forall(_ == naive), s"sizes: ${results.map(_.size)} vs ${naive.size}")
     assert(naive.nonEmpty)
   }
+
+  test("inverted intervals match nothing; runaway intervals fail loudly") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "t", "eid")
+    val inverted = Seq(
+      (1L, ts("2024-01-02 00:00:00"), ts("2024-01-01 00:00:00"), 9L))
+      .toDF("rk", "ws", "we", "wid")
+    assert(operators.RangeJoin.bucketedIntervalJoin(
+      left, inverted, "k", "rk", "t", "ws", "we", Seq("wid"), 3600).count() == 0)
+
+    val sentinel = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"), 9L))
+      .toDF("rk", "ws", "we", "wid")
+    val e = intercept[Exception] {
+      operators.RangeJoin.bucketedIntervalJoin(
+        left, sentinel, "k", "rk", "t", "ws", "we", Seq("wid"), 3600,
+        maxBucketsPerInterval = 1000).count()
+    }
+    assert(e.getMessage != null)
+  }
 }
