@@ -536,6 +536,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: one-pass column profiling ----
+    "q48_profile" -> ((s, dir) => {
+      operators.Profiler.profile(
+          T(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -971,6 +979,18 @@ object SparkEntry {
         |    regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g') AS clean
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q48_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_str,
+           |  CAST(MAX($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q46_det_sample" -> {
       import graft.operators.Sampling

@@ -327,6 +327,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(10L) == 1L) // "alpha beta ... theta" is the one shared 8-gram
   }
 
+  test("profiler computes per-column stats in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (Some(2L), Some("c")))
+      .toDF("id", "s")
+    val got = operators.Profiler.profile(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((3L, 0L, 2L, "1", "2")))
+    assert(got("s") == ((3L, 1L, 2L, "a", "c")))
+  }
+
   test("multimodal: stub featurize is deterministic with stable shape") {
     val media = Multimodal.fromText(
       Seq((1L, "hello world"), (2L, "hello world"), (3L, "other bytes"))
