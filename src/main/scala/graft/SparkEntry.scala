@@ -489,9 +489,16 @@ object SparkEntry {
     "q44_heavy_hitters" -> ((s, dir) => {
       val toks = T(s, dir, "documents")
         .select(explode(Dedup.tokens(col("text"))).as("token"))
+      // oracle parity holds only in the exact regime (vocabulary <=
+      // capacity => err == 0 for every reported item); fail loudly if a
+      // testdata change ever widens the vocabulary past capacity 64
+      val exactGuard = when(col("e.err") > 0, raise_error(lit(
+        "q44: SpaceSavingTopK left the exact regime (err>0) — raise capacity above the corpus vocabulary"))
+        .cast("boolean")).otherwise(lit(true))
       toks
         .agg(graft.functions.SpaceSavingTopK.topkFreq(col("token"), 20, 64).as("hh"))
         .select(explode(col("hh")).as("e"))
+        .filter(exactGuard)
         .select(col("e.item").as("token"), col("e.cnt").as("freq"))
         .orderBy(col("freq").desc, col("token"))
     }),

@@ -27,10 +27,25 @@ import org.apache.spark.sql.types._
 object Canonical {
 
   /** Null-like string literals (reference `primary_key_validator.go:151-161`),
-    * matched case-insensitively after trimming.
+    * matched case-insensitively after trimming. `\\n` is the literal
+    * two-character backslash-n string — the reference's Go source spells it
+    * `"\\n"` inside an already-quoted string, so it matches e.g. a CSV cell
+    * containing the characters `\` `n`, not a newline.
     */
   val NullLikeLiterals: Seq[String] =
-    Seq("", "null", "nil", "n/a", "na", "none", "undefined")
+    Seq("", "null", "nil", "\\n", "n/a", "na", "none", "undefined")
+
+  /** Character class matching everything Go `unicode.IsSpace` trims:
+    * ASCII whitespace plus NEL, NBSP, and the Unicode Zs space separators.
+    */
+  private val GoSpaceClass =
+    "[\\s\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+
+  /** Trim with Go `strings.TrimSpace` semantics. Spark's `trim` removes only
+    * ASCII spaces; the reference trims tabs/newlines/Unicode spaces too.
+    */
+  def trimWs(c: Column): Column =
+    regexp_replace(c, s"^$GoSpaceClass+|$GoSpaceClass+$$", "")
 
   /** Largest double below Long.MaxValue that is safe to cast. */
   private val LongSafeBound = 9.223372036854775e18
@@ -64,13 +79,13 @@ object Canonical {
     * SQL NULL, or a trimmed lowercase match of [[NullLikeLiterals]].
     */
   def isNullOrEmpty(c: Column): Column =
-    c.isNull || lower(trim(c)).isin(NullLikeLiterals: _*)
+    c.isNull || lower(trimWs(c)).isin(NullLikeLiterals: _*)
 
   /** Primary-key format violations (reference
     * `primary_key_validator.go:164-185`): control characters, length
     * over 255, or untrimmed whitespace.
     */
   def invalidPkFormat(c: Column): Column =
-    length(c) > 255 || c =!= trim(c) ||
+    length(c) > 255 || c =!= trimWs(c) ||
       c.contains("\n") || c.contains("\r") || c.contains("\t")
 }

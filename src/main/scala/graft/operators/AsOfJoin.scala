@@ -75,6 +75,17 @@ object AsOfJoin {
       descending: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
 
+    val reserved = Seq("__k", "__t", "__side", "__r")
+    val reservedClash = lCols.filter(reserved.contains)
+    require(reservedClash.isEmpty,
+      s"left columns clash with internal as-of columns: ${reservedClash.mkString(", ")}")
+    val outClash = rightCols.filter(lCols.contains)
+    require(outClash.isEmpty,
+      s"rightCols clash with left columns: ${outClash.mkString(", ")} — rename before joining")
+    val missing = rightCols.filterNot(right.columns.contains)
+    require(missing.isEmpty,
+      s"rightCols not present on right side: ${missing.mkString(", ")}")
+
     // SQL theta-join semantics: NULL keys/times never match. Right rows
     // with NULL key or time are inert (and would otherwise poison the
     // window scan — NULLS FIRST under asc ordering puts them before

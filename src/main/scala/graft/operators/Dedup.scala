@@ -36,6 +36,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** A lazy result plus the intermediates it persisted. Call
+    * [[CachedDF.unpersist]] once the terminal action on `df` has run;
+    * in a long-lived session the cached blocks otherwise stay pinned
+    * until eviction pressure (Spark's CacheManager holds DataFrame
+    * cache entries by plan, so they are never GC-reclaimed).
+    */
+  final case class CachedDF(df: DataFrame, handles: Seq[DataFrame]) {
+    def unpersist(): Unit = handles.foreach(_.unpersist(false))
+  }
+
   /** Exact dedup: keep the row with the smallest `idCol` per key.
     * Deterministic, unlike `dropDuplicates` which keeps an arbitrary
     * row per key.
@@ -129,15 +139,27 @@ object Dedup {
       sigs: DataFrame,
       idCol: String,
       k: Int,
-      bands: Int): DataFrame = {
+      bands: Int): DataFrame =
+    lshCandidatePairsCached(sigs, idCol, k, bands).df
+
+  /** [[lshCandidatePairs]] plus the persisted signature table, so a
+    * long-lived caller can release it after its action (one-shot jobs
+    * can use the plain variant — the JVM exit releases everything).
+    */
+  def lshCandidatePairsCached(
+      sigs: DataFrame,
+      idCol: String,
+      k: Int,
+      bands: Int): CachedDF = {
     val s = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     val b = lshBuckets(s, idCol, k, bands)
     val l = b.select(col("band"), col("bucket"), col(idCol).as("d1"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("d2"))
-    l.join(r, Seq("band", "bucket"))
+    val pairs = l.join(r, Seq("band", "bucket"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2")
       .distinct()
+    CachedDF(pairs, Seq(s))
   }
 
   /** Exact n-gram Jaccard similarity on LSH candidate pairs only.
@@ -154,10 +176,26 @@ object Dedup {
       k: Int = 9,
       bands: Int = 3,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    jaccardNearDupPairsCached(docs, idCol, textCol, k, bands, shingleSize,
+      threshold).df
+
+  /** [[jaccardNearDupPairs]] plus its persisted intermediates (shingle
+    * and signature tables) for caller-managed release.
+    */
+  def jaccardNearDupPairsCached(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 9,
+      bands: Int = 3,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): CachedDF = {
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidatePairs(minhashFromShingles(sh, idCol, k), idCol, k, bands)
+    val candCached =
+      lshCandidatePairsCached(minhashFromShingles(sh, idCol, k), idCol, k, bands)
+    val cand = candCached.df
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val a = sh.select(col(idCol).as("d1"), col("__sh"))
     val b = sh.select(col(idCol).as("d2"), col("__sh"))
@@ -166,7 +204,7 @@ object Dedup {
       .join(b, Seq("d2", "__sh"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("__inter"))
-    cand
+    val pairs = cand
       .join(inter, Seq("d1", "d2"), "left")
       .na.fill(0L, Seq("__inter"))
       .join(sizes.select(col(idCol).as("d1"), col("__n").as("__na")), "d1")
@@ -175,6 +213,7 @@ object Dedup {
         col("__inter") / (col("__na") + col("__nb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+    CachedDF(pairs, sh +: candCached.handles)
   }
 
   /** SimHash-style fingerprint over md5 hex digits.

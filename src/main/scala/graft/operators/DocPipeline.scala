@@ -42,7 +42,19 @@ object DocPipeline {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    cleanCached(docs, idCol, textCol, cfg).df
+
+  /** [[clean]] plus the persisted dedup intermediates. Long-lived
+    * sessions that clean corpus after corpus should call
+    * `.unpersist()` on the result after their terminal action, or the
+    * cached shingle/signature blocks accumulate across invocations.
+    */
+  def cleanCached(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config()): Dedup.CachedDF = {
     val nTokens = TextAnalysis.tokenCount(col(textCol))
     val stopR = TextAnalysis.stopwordRatio(col(textCol))
     val quality = docs
@@ -51,9 +63,10 @@ object DocPipeline {
     val exact = Dedup.exact(
       quality.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
       Seq("__fp"), idCol).drop("__fp")
-    val nearDupLosers = Dedup
-      .jaccardNearDupPairs(exact, idCol, textCol, threshold = cfg.jaccardThreshold)
-      .select(col("d2").as(idCol)).distinct()
-    exact.join(nearDupLosers, Seq(idCol), "left_anti")
+    val nearDup = Dedup.jaccardNearDupPairsCached(
+      exact, idCol, textCol, threshold = cfg.jaccardThreshold)
+    val nearDupLosers = nearDup.df.select(col("d2").as(idCol)).distinct()
+    val kept = exact.join(nearDupLosers, Seq(idCol), "left_anti")
+    Dedup.CachedDF(kept, nearDup.handles)
   }
 }

@@ -39,6 +39,30 @@ object JdbcSyncWriter {
     c
   }
 
+  /** SQL identifiers interpolated into DDL/DML built here must be plain
+    * (letters, digits, underscore, optional schema qualifier): they come
+    * from config, not user data, and quoting would change case semantics
+    * across Derby/MySQL/Postgres. Reject anything else.
+    */
+  private[sinks] def requirePlainIdentifier(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"unsafe SQL identifier: '$name'")
+    name
+  }
+
+  /** Table existence via JDBC metadata — no failed-statement probing,
+    * which on Postgres would abort the open transaction.
+    */
+  def tableExists(conn: Connection, table: String): Boolean = {
+    val md = conn.getMetaData
+    def probe(n: String): Boolean = {
+      val rs = md.getTables(null, null, n, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+    // unquoted identifiers are case-normalized differently per catalog
+    probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+  }
+
   /** Live table columns in ordinal order via JDBC metadata (reference
     * `getTableColumns`, `dbsync.go:253-279`).
     */
@@ -256,11 +280,15 @@ object JdbcSyncWriter {
       pk: String,
       cols: Seq[String],
       batchSize: Int = BatchSize): Long = {
+    requirePlainIdentifier(table)
+    (pk +: cols).foreach(requirePlainIdentifier)
     val staging = s"${table}_graft_stage"
     val conn = connect(db)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $staging") catch { case _: Exception => () }
+      // metadata probe, not a speculative DROP: a failed statement aborts
+      // the open transaction on Postgres (autocommit is off)
+      if (tableExists(conn, staging)) st.executeUpdate(s"DROP TABLE $staging")
       st.executeUpdate(
         s"CREATE TABLE $staging AS SELECT ${cols.mkString(", ")} FROM $table WITH NO DATA")
       conn.commit()

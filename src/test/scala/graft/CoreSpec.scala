@@ -55,6 +55,28 @@ class CoreSpec extends AnyFunSuite {
     assert(!got("ok") && !got("0"))
   }
 
+  test("isNullOrEmpty: Go TrimSpace parity and literal backslash-n") {
+    // primary_key_validator.go:158 — "\\n" is the two-char backslash-n
+    // string, and strings.TrimSpace trims tabs/newlines/NBSP, not just ' '.
+    val df = Seq("\\n", " null\t", "\nna\n", " none ", "k1\t", "\na")
+      .toDF("v")
+    val got = df.select(col("v"), Canonical.isNullOrEmpty(col("v")).as("e"))
+      .as[(String, Boolean)].collect().toMap
+    assert(got("\\n") && got(" null\t") && got("\nna\n") && got(" none "))
+    assert(!got("k1\t") && !got("\na"))
+    // a lone real newline trims to "" which is in the literal list, as in Go
+    val nl = Seq("\n").toDF("v")
+      .select(Canonical.isNullOrEmpty(col("v"))).as[Boolean].head()
+    assert(nl)
+  }
+
+  test("invalidPkFormat flags Unicode-space padding like Go TrimSpace") {
+    val df = Seq("k1 ", "　k2", "ok").toDF("v")
+    val got = df.select(col("v"), Canonical.invalidPkFormat(col("v")).as("b"))
+      .as[(String, Boolean)].collect().toMap
+    assert(got("k1 ") && got("　k2") && !got("ok"))
+  }
+
   test("diff: insert/update/delete with cross-type pk equality") {
     // file pk is string, db pk is int — "2" must match 2 (dbsync.go:21-48)
     val file = Seq(("1", "alice", 10.0), ("2", "bob-upd", 20.0), ("4", "dave", 40.0))
