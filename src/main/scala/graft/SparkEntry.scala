@@ -248,11 +248,16 @@ object SparkEntry {
 
     // ---- §2.5 grouping sets: rollup ----
     "q17_rollup" -> ((s, dir) => {
+      // pre-aggregate to one row per (flag, status) BEFORE the rollup:
+      // Expand then multiplies ~6 rows instead of the whole table, and
+      // sum/count re-aggregate exactly
       T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"), sum(dec2(col("l_quantity"))).as("__s"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          count(lit(1)).as("n"),
-          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+          sum(col("__n")).as("n"),
+          sum(col("__s")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -381,11 +386,15 @@ object SparkEntry {
 
     // ---- §2.5 grouping sets: cube ----
     "q34_cube" -> ((s, dir) => {
+      // same pre-aggregation trick as q17_rollup: cube the ~6 partial
+      // rows, not the table
       T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"), sum(dec2(col("l_quantity"))).as("__s"))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          count(lit(1)).as("n"),
-          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+          sum(col("__n")).as("n"),
+          sum(col("__s")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -418,7 +427,9 @@ object SparkEntry {
       val li = T(s, dir, "lineitem")
       val o = T(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-      Joins.saltedEquiJoin(li, o, "l_orderkey", salts = 8)
+      // 4 salts: enough to demonstrate hot-key spreading; right-side
+      // replication cost is linear in the salt count
+      Joins.saltedEquiJoin(li, o, "l_orderkey", salts = 4)
         .groupBy(col("o_orderstatus"))
         .agg(
           sum(revenueTerm).cast("double").as("revenue"),

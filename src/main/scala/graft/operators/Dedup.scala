@@ -21,13 +21,12 @@ import org.apache.spark.storage.StorageLevel
   *     candidate pairs, computed RELATIONALLY (shared-shingle counting
   *     join), so no per-document array ever has to fit in a row.
   *
-  * Shingling deliberately avoids array higher-order functions in the
-  * hot path: `transform`/`element_at` over a derived array re-evaluates
-  * the token-array expression per element (higher-order functions are
-  * interpreted, with no common-subexpression elimination), which makes
-  * shingling quadratic in document length. `posexplode` + window
-  * `lead` evaluates tokenization exactly once per document and scales
-  * linearly.
+  * Shingling materializes the token array in its own projection and
+  * slices it per shingle — linear in document length and shuffle-free
+  * (see [[shingleRows]]). Writing the same `transform` over the raw
+  * tokenization expression in ONE projection would re-tokenize the
+  * document per element (higher-order functions are interpreted, with
+  * no common-subexpression elimination) and go quadratic.
   *
   * The per-shingle hash is md5 (hex string); a "min-hash" is the
   * lexicographic MIN of `md5(seed || ":" || shingle)` per seed. md5 is
@@ -69,6 +68,15 @@ object Dedup {
     * (`strict = true` — the right semantics when shingles must be
     * comparable across documents, e.g. decontamination); empty
     * documents contribute none either way.
+    *
+    * Shuffle-free up to the final `distinct`: the token array is
+    * materialized in its OWN projection, and the shingle lambda only
+    * slices that bound array — O(n) per shingle. The two projections
+    * must stay separate (CollapseProject leaves them alone because
+    * `__toks` is non-cheap and referenced more than once); inlining the
+    * tokenization into the lambda would re-tokenize the document per
+    * element, the quadratic trap that also bites `transform` over a
+    * derived array written in one projection.
     */
   def shingleRows(
       docs: DataFrame,
@@ -76,21 +84,15 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       strict: Boolean = false): DataFrame = {
-    val t = docs.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val wAll = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val parts = (0 until n).map(j =>
-      if (j == 0) col("__tok") else lead(col("__tok"), j).over(w))
-    t.withColumn("__total", count(lit(1)).over(wAll))
-      .withColumn("__sh",
-        when(col("__total") >= n, concat_ws(" ", parts: _*))
-          .otherwise(array_join(collect_list(col("__tok")).over(wAll), " ")))
-      .filter(
-        (col("__total") >= n && col("__pos") <= col("__total") - n) ||
-          (lit(!strict) && col("__total") < n && col("__pos") === 0))
-      .select(col(idCol), col("__sh"))
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val full = when(size(col("__toks")) >= n,
+      expr(s"transform(sequence(0, size(__toks) - $n)," +
+        s" i -> array_join(slice(__toks, i + 1, $n), ' '))"))
+    val shingles =
+      if (strict) full
+      else full.when(size(col("__toks")) >= 1, array(array_join(col("__toks"), " ")))
+    withToks
+      .select(col(idCol), explode(shingles).as("__sh"))
       .distinct()
   }
 
@@ -195,10 +197,23 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candCached =
       lshCandidatePairsCached(minhashFromShingles(sh, idCol, k), idCol, k, bands)
-    val cand = candCached.df
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val a = sh.select(col(idCol).as("d1"), col("__sh"))
-    val b = sh.select(col(idCol).as("d2"), col("__sh"))
+    // LSH prunes hard: candidate docs are a small fraction of the
+    // corpus, so everything downstream should touch only them. Persist
+    // the pair list (it feeds three consumers), semi-filter the (huge)
+    // shingle table down to candidate docs, and compute sizes and
+    // intersections on the filtered remnant. No broadcast hints: AQE
+    // converts these joins to broadcast at runtime when the candidate
+    // set is actually small, and degrades gracefully to shuffle joins
+    // on a pathological corpus where it is not.
+    val cand = candCached.df.persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand.select(col("d1").as(idCol))
+      .union(cand.select(col("d2")))
+      .distinct()
+    val shc = sh.join(candDocs, Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = shc.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = shc.select(col(idCol).as("d1"), col("__sh"))
+    val b = shc.select(col(idCol).as("d2"), col("__sh"))
     val inter = cand
       .join(a, "d1")
       .join(b, Seq("d2", "__sh"))
@@ -213,7 +228,7 @@ object Dedup {
         col("__inter") / (col("__na") + col("__nb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
-    CachedDF(pairs, sh +: candCached.handles)
+    CachedDF(pairs, Seq(sh, cand, shc) ++ candCached.handles)
   }
 
   /** SimHash-style fingerprint over md5 hex digits.

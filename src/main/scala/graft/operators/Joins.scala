@@ -35,6 +35,10 @@ object Joins {
       pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, Seq(key, "__salt")).drop("__salt")
+    // The whole point of salting is that every (key, salt) build
+    // partition is small — so build a per-partition hash table instead
+    // of sort-merge: no sort of either side, and the hint keeps AQE
+    // from "fixing" the plan back.
+    l.join(r.hint("SHUFFLE_HASH"), Seq(key, "__salt")).drop("__salt")
   }
 }
