@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.Sketches
+
 /** Benchmark decontamination: flag corpus documents sharing verbatim
   * n-gram shingles with an evaluation set.
   *
@@ -32,6 +34,35 @@ object Decontaminate {
     val evalSh = broadcast(
       Dedup.shingleRows(evalDocs, idCol, textCol, n, strict = true)
         .select(col("__sh")).distinct())
+    corpusSh.join(evalSh, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[flagContaminated]] with a Bloom-filter prefilter: build a Bloom
+    * filter over the eval shingles (one distributed aggregate), drop
+    * every corpus shingle the filter rejects BEFORE the join, then
+    * confirm survivors with the exact join — false positives cost a
+    * lookup, never a wrong answer, so results are identical to
+    * [[flagContaminated]].
+    *
+    * This is the shape that survives scale inversion: when the eval set
+    * is too big to broadcast as a hash relation, its Bloom filter (a
+    * few MB for hundreds of millions of shingles at 1% fpp) still is,
+    * and it prunes the corpus-side shuffle to near-nothing.
+    */
+  def flagContaminatedBloom(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      expectedShingles: Long = 1000000L): DataFrame = {
+    val evalSh = Dedup.shingleRows(evalDocs, idCol, textCol, n, strict = true)
+      .select(col("__sh")).distinct()
+    val bloom = Sketches.buildBloom(evalSh, col("__sh"), expectedShingles)
+    val corpusSh = Dedup.shingleRows(corpus, idCol, textCol, n, strict = true)
+      .filter(Sketches.mightContain(lit(bloom), col("__sh")))
     corpusSh.join(evalSh, "__sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))

@@ -49,6 +49,41 @@ object Sampling {
   def samplePredicateSql(idCol: String, fraction: Double, salt: String = "s"): String =
     s"substring(md5('$salt:' || CAST($idCol AS VARCHAR)), 1, 4) < '${hexThreshold(fraction)}'"
 
+  /** Stratified deterministic sample: each stratum keeps its own
+    * fraction (e.g. downsample web crawl to 5%, keep curated sources at
+    * 100%). Same hash predicate as [[deterministicSample]] — the only
+    * per-stratum part is the threshold, so the filter is one codegen'd
+    * scan, no shuffle, no per-stratum pass.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "s"): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(""))) { case (acc, (k, f)) =>
+        acc.when(col(strataCol) === k, lit(hexThreshold(f)))
+      }
+      .otherwise(lit(hexThreshold(defaultFraction)))
+    df.filter(prefix(col(idCol), salt) < threshold)
+  }
+
+  /** The DuckDB/ANSI predicate equivalent to [[stratifiedSample]]. */
+  def stratifiedPredicateSql(
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "s"): String = {
+    val whens = fractions.toSeq.sortBy(_._1).map { case (k, f) =>
+      s"WHEN $strataCol = '$k' THEN '${hexThreshold(f)}'"
+    }.mkString(" ")
+    s"substring(md5('$salt:' || CAST($idCol AS VARCHAR)), 1, 4) < " +
+      s"(CASE $whens ELSE '${hexThreshold(defaultFraction)}' END)"
+  }
+
   /** The ANSI CASE expression equivalent to [[assignSplit]], for oracle
     * SQL construction.
     */

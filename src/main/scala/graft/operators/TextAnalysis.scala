@@ -74,4 +74,56 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Fraction of tokens that are purely alphabetic (Gopher's
+    * "80% of words contain at least one alphabetic character" rule,
+    * tightened to alpha-only since [[tokens]] lowercases).
+    */
+  def alphaTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.rlike("^[a-z]+$"))).cast("double") / size(t)
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1):
+    * word-count bounds, mean-word-length band, minimum alphabetic-word
+    * fraction, and at-least-one-stopword. Returns a struct of the
+    * individual verdicts plus the conjunction, so a pipeline can both
+    * filter on `keep` and report per-rule rejection counts.
+    */
+  def gopherFlags(
+      text: Column,
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8): Column = {
+    val n = tokenCount(text)
+    val mean = avgTokenLength(text)
+    val alpha = alphaTokenRatio(text)
+    val stop = stopwordRatio(text)
+    val okCount = n >= minTokens && n <= maxTokens
+    val okMean = mean >= minMeanLen && mean <= maxMeanLen
+    val okAlpha = alpha >= minAlphaRatio
+    val okStop = stop > 0
+    struct(
+      okCount.as("ok_count"),
+      okMean.as("ok_mean_len"),
+      okAlpha.as("ok_alpha"),
+      okStop.as("ok_stop"),
+      (okCount && okMean && okAlpha && okStop).as("keep"))
+  }
+
+  /** Canonical URL for dedup keying: strip fragment and query string,
+    * lowercase the scheme://host part, drop trailing slashes. Pure
+    * regexp composition, so the identical normalization runs in any
+    * engine with RE2-class regexes.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFragment = regexp_replace(url, "#.*$", "")
+    val noQuery = regexp_replace(noFragment, "\\?.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noQuery, "^([^/]*//[^/]*)", 1)),
+      regexp_replace(noQuery, "^[^/]*//[^/]*", ""))
+    regexp_replace(lowered, "/+$", "")
+  }
 }

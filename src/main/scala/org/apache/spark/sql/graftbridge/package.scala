@@ -1,14 +1,18 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal bridge to the `private[sql]` Column <-> Expression
   * converters, for lifting custom Catalyst expressions into the public
   * Column API (Spark 4 wraps ColumnNode, not Expression, so the Spark 3
-  * `new Column(expr)` construction no longer exists).
+  * `new Column(expr)` construction no longer exists), plus the
+  * LogicalPlan -> DataFrame constructor custom operators need.
   */
 package object graftbridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

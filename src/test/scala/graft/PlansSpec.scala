@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerKey
+import graft.plans.TopKPerKey.{Asc, Desc}
+
+class PlansSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("topk-per-key matches the window-function reference") {
+    val df = (1 to 5000).map(i => (i % 37, i * 31 % 1009, i)).toDF("k", "v", "id")
+      .repartition(7)
+    val got = TopKPerKey.topk(df, Seq("k"), Seq(Desc("v"), Asc("id")), 3)
+      .select("k", "rank", "v", "id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("k", "rank", "v", "id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("topk-per-key plans partial heaps before the exchange") {
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("k", "v").repartition(4)
+    val top = TopKPerKey.topk(df, Seq("k"), Seq(Desc("v")), 2)
+    top.collect()
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), s"no partial node in:\n$plan")
+    assert(plan.contains("TopKPerKeyFinal"), s"no final node in:\n$plan")
+    // partial must sit below the exchange
+    val pPartial = plan.indexOf("TopKPerKeyPartial")
+    val pExchange = plan.indexOf("Exchange")
+    assert(pExchange >= 0 && pExchange < pPartial,
+      s"exchange not between final and partial:\n$plan")
+  }
+
+  test("topk-per-key: k larger than group size emits whole groups ranked") {
+    val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v")
+    val got = TopKPerKey.topk(df, Seq("k"), Seq(Desc("v")), 5)
+      .select("k", "rank", "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq((1, 1L, 20), (1, 2L, 10), (2, 1L, 5)))
+  }
+}

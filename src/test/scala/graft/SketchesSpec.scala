@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Sketches
+import graft.operators.{Decontaminate, Sampling, TextAnalysis, TfIdf}
+
+class SketchesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bloom filter: no false negatives, folds into a filter plan") {
+    val members = (1 to 1000).map(i => s"item$i").toDF("v")
+    val bloom = Sketches.buildBloom(members, col("v"), 1000)
+    val probe = (500 to 1500).map(i => s"item$i").toDF("v")
+    val kept = probe.filter(Sketches.mightContain(lit(bloom), col("v")))
+      .as[String].collect().toSet
+    // every true member must survive (Bloom filters cannot false-negative)
+    (500 to 1000).foreach(i => assert(kept.contains(s"item$i")))
+    // false positives are allowed but must be rare at this fpp
+    val fps = kept.count(_.drop(4).toInt > 1000)
+    assert(fps < 50, s"implausible false-positive count: $fps")
+  }
+
+  test("bloom decontamination equals exact decontamination") {
+    val corpus = (10 to 60).map(i =>
+      (i.toLong, s"uniq$i " * 3 + (if (i % 7 == 0) "copy me verbatim eight words long exactly here now" else "filler words piling up to reach shingle size threshold")))
+      .toDF("doc_id", "text")
+    val eval = Seq((1L, "copy me verbatim eight words long exactly here now")).toDF("doc_id", "text")
+    val exact = Decontaminate.flagContaminated(corpus, eval, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bloomed = Decontaminate.flagContaminatedBloom(corpus, eval, "doc_id", "text", n = 8, expectedShingles = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(bloomed == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("count-min sketch never underestimates and respects the eps bound") {
+    val words = (1 to 20000).map(i => s"w${i % 300}")
+    val df = words.toDF("w")
+    val eps = 0.001
+    val sketch = Sketches.buildCountMin(df, col("w"), eps, 0.999, 7)
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.take(50).foreach { case (w, n) =>
+      val est = sketch.estimateCount(w)
+      assert(est >= n, s"$w underestimated: $est < $n")
+      assert(est <= n + (2 * eps * words.size).toLong, s"$w overestimated: $est vs $n")
+    }
+  }
+
+  test("tf-idf ranks a document's distinctive term first") {
+    val docs = Seq(
+      (1L, "apple apple apple common common"),
+      (2L, "banana banana common common common"),
+      (3L, "cherry cherry cherry common common")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) == "apple" && top(2L) == "banana" && top(3L) == "cherry")
+  }
+
+  test("gopher flags: short and symbol-heavy docs rejected, prose kept") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog again and again today"),
+      (2L, "too short"),
+      (3L, "the 111 222 333 444 555 666 777 888 999 000 111 222")).toDF("id", "text")
+    val got = docs.select(col("id"),
+        TextAnalysis.gopherFlags(col("text"), minTokens = 10).getField("keep").as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got(1L))
+    assert(!got(2L)) // below token floor
+    assert(!got(3L)) // digit tokens sink the alpha ratio
+  }
+
+  test("url normalization strips query/fragment, lowercases host, drops trailing slash") {
+    val df = Seq(
+      "HTTPS://Example.COM/Path/?q=1#frag",
+      "https://example.com/Path",
+      "http://example.com//").toDF("u")
+    val got = df.select(TextAnalysis.normalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "https://example.com/Path",
+      "https://example.com/Path",
+      "http://example.com"))
+  }
+
+  test("stratified sample keeps each stratum at its own rate") {
+    val df = (1 to 4000).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "src")
+    val kept = Sampling.stratifiedSample(df, "id", "src",
+        Map("s0" -> 1.0, "s1" -> 0.25))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("s0") == 2000)
+    assert(math.abs(kept("s1") - 500L) < 120, s"s1 kept ${kept("s1")}")
+    // default fraction 0.0 drops unknown strata entirely
+    val dropped = Sampling.stratifiedSample(df, "id", "src", Map("zz" -> 1.0))
+    assert(dropped.count() == 0)
+  }
+}
