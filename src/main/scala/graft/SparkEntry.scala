@@ -689,6 +689,13 @@ object SparkEntry {
         .orderBy("norm_url")
     }),
 
+
+    // ---- streaming twin: stream-stream join (batch plan is the oracle) ----
+    "q59_stream_attrib" -> ((s, dir) => {
+      EventStreams.purchaseAttribution(T(s, dir, "events"), windowHours = 24)
+        .orderBy("event_id", "signup_us")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -1253,6 +1260,17 @@ object SparkEntry {
         |              regexp_replace(u, '^[^/]*//[^/]*', '') AS u FROM n2),
         |n4 AS (SELECT regexp_replace(u, '/+$', '') AS norm_url FROM n3)
         |SELECT norm_url, COUNT(*) AS n FROM n4 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q59_stream_attrib" ->
+      """SELECT p.event_id, p.user_id,
+        |  CAST(epoch_us(s.ts) AS BIGINT) AS signup_us,
+        |  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+        |ORDER BY p.event_id, signup_us""".stripMargin,
 
     "q47_decontaminate" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},

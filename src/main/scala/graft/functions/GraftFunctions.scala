@@ -50,10 +50,12 @@ object GraftFunctions {
     }
 }
 
-/** Session-extensions entry point: injects graft functions at session
-  * build time.
+/** Session-extensions entry point: injects graft functions and the
+  * custom top-k planner strategy at session build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

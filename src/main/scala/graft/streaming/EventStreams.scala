@@ -121,6 +121,46 @@ object EventStreams {
     sessionize(typed, gapSeconds)
   }
 
+  /** Purchases attributed to every signup of the same user within the
+    * preceding `windowHours`. Written against a plain DataFrame so the
+    * SAME join serves batch (and the DuckDB oracle) and the
+    * stream-stream twin [[purchaseAttributionStream]].
+    */
+  def purchaseAttribution(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $windowHours HOURS"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("signup_ts")).as("signup_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+  }
+
+  /** Stream-stream twin of [[purchaseAttribution]]: both sides are
+    * watermarked and the join carries the time-range condition, so the
+    * engine can expire signup state `windowHours` past the watermark —
+    * bounded state, the requirement for an unbounded stream join.
+    */
+  def purchaseAttributionStream(
+      events: DataFrame,
+      windowHours: Int = 24,
+      watermark: String = "1 hour"): DataFrame =
+    purchaseAttribution(events.withWatermark("ts", watermark), windowHours)
+
+  /** Exactly-once event stream: drop duplicate event ids, with state
+    * bounded by the watermark (a duplicate arriving later than the
+    * watermark allows is the source's SLA violation, not ours).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source stream over an events parquet directory. */
   def readEventsStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)

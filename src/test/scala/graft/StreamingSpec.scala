@@ -87,4 +87,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
     assert(expected.size == 3) // user1 x2 sessions, user2 x1
   }
+
+  test("stream-stream attribution join matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 09:00:00"), 1, "signup", 0),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "purchase", 5),
+      Ev(3, Timestamp.valueOf("2024-01-01 09:30:00"), 2, "signup", 0),
+      // next day: outside the 24h window of user 2's signup
+      Ev(4, Timestamp.valueOf("2024-01-03 10:00:00"), 2, "purchase", 7),
+      Ev(5, Timestamp.valueOf("2024-01-01 11:00:00"), 3, "purchase", 9))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(rows: _*)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.purchaseAttributionStream(stream.toDF(), 24), "attrib_out",
+      outputMode = "append")
+      .select("event_id", "user_id", "signup_us", "purchase_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val batch = EventStreams.purchaseAttribution(rows.toDF(), 24)
+      .select("event_id", "user_id", "signup_us", "purchase_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(batch.map(_._1) == Set(2L)) // only user 1 converts in-window
+  }
+
+  test("watermarked dedup stream drops in-watermark duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.dedupStream(stream.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    stream.addData(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 0),
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:01"), 1, "click", 0), // dup id
+      Ev(2, Timestamp.valueOf("2024-01-01 10:00:02"), 1, "view", 0))
+    q.processAllAvailable()
+    stream.addData(
+      Ev(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "view", 0), // dup id, later batch
+      Ev(3, Timestamp.valueOf("2024-01-01 10:10:01"), 2, "click", 0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L))
+  }
 }
