@@ -61,6 +61,11 @@ object Bench {
             None
         }
       }
+      // queries that persist() intermediates (the LSH family) would
+      // otherwise pin blocks across the whole run and squeeze later
+      // queries' execution memory: isolate queries from each other, but
+      // let a query's second run keep its own steady-state caches
+      spark.catalog.clearCache()
       if (times.isEmpty) { failed += name; None }
       else Some(name -> times.min)
     }

@@ -120,12 +120,18 @@ object SparkEntry {
       val c = T(s, dir, "customer")
       val o = T(s, dir, "orders")
       val l = T(s, dir, "lineitem")
+      // pre-aggregate the fact table to one row per order BEFORE the
+      // join: the join probes |orders| rows instead of |lineitem|, and
+      // the distinct-order count becomes a plain count — the plan that
+      // survives lineitem >> orders at scale
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(sum(revenueTerm).as("__rev"))
       c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(perOrder, o("o_orderkey") === col("l_orderkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(revenueTerm).cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("__rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     }),
 
