@@ -702,6 +702,29 @@ object SparkEntry {
         .orderBy("event_id", "signup_us")
     }),
 
+
+    // ---- built-in session windows (batch twin of the streaming op) ----
+    "q60_session_window" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // ---- VARIANT semi-structured path (Spark 4 parse_json) ----
+    "q61_variant_json" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .filter(col("k") % 7 === 0)
+        .orderBy("event_id")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -1277,6 +1300,26 @@ object SparkEntry {
         |  ON p.user_id = s.user_id
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
         |ORDER BY p.event_id, signup_us""".stripMargin,
+
+
+    "q60_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT user_id, event_id, tus,
+        |  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) >= 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, tus,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, MIN(tus) AS start_us, MAX(tus) + 1800000000 AS end_us,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q61_variant_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "q47_decontaminate" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},

@@ -67,6 +67,29 @@ object Readers {
     * `loader.go:203-213`; parquet/ORC are the reference's declared
     * future work, `README.md:351` — free on Spark).
     */
+  /** XML via Spark 4's built-in XML source: one row per `rowTag`
+    * element; missing requested columns error like JSON (an absent
+    * element is a schema mismatch, not a silent drop). RFC3339
+    * promotion applies, as XML carries no type information either.
+    */
+  def xml(
+      spark: SparkSession,
+      path: String,
+      rowTag: String = "row",
+      columns: Seq[String] = Nil,
+      sniffTimestamps: Boolean = true): DataFrame = {
+    val df = spark.read
+      .format("xml")
+      .option("rowTag", rowTag)
+      .load(path)
+    val missing = columns.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"missing element(s) ${missing.mkString(", ")} in XML records of $path")
+    val projected = if (columns.isEmpty) df else df.select(columns.map(col): _*)
+    if (sniffTimestamps) promoteRfc3339(projected) else projected
+  }
+
   def forPath(
       spark: SparkSession,
       path: String,
@@ -75,10 +98,11 @@ object Readers {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) csv(spark, path, delimiter, columns)
     else if (lower.endsWith(".json")) json(spark, path, columns)
+    else if (lower.endsWith(".xml")) xml(spark, path, columns = columns)
     else if (lower.endsWith(".parquet")) columnar(spark.read.parquet(path), columns)
     else if (lower.endsWith(".orc")) columnar(spark.read.orc(path), columns)
     else throw new IllegalArgumentException(
-      s"unsupported file format for $path (expected .csv, .json, .parquet, or .orc)")
+      s"unsupported file format for $path (expected .csv, .json, .xml, .parquet, or .orc)")
   }
 
   /** Typed columnar sources: projection only (types come from the file

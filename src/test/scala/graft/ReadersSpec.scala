@@ -38,6 +38,23 @@ class ReadersSpec extends AnyFunSuite {
     assert(df.schema("label").dataType == StringType)
   }
 
+  test("xml: rowTag records, projection, RFC3339 promotion, dispatch") {
+    val p = tmpFile("r.xml",
+      """<rows>
+        |  <row><id>1</id><name>alice</name><at>2023-12-25T15:30:45Z</at></row>
+        |  <row><id>2</id><name>bob</name><at>2023-12-26T10:00:00Z</at></row>
+        |</rows>""".stripMargin)
+    val df = Readers.xml(spark, p, rowTag = "row")
+    assert(df.count() == 2)
+    assert(df.schema("at").dataType == TimestampType)
+    val e = intercept[IllegalArgumentException] {
+      Readers.xml(spark, p, rowTag = "row", columns = Seq("id", "ghost"))
+    }
+    assert(e.getMessage.contains("ghost"))
+    // extension dispatch reaches the XML reader
+    assert(Readers.forPath(spark, p).count() == 2)
+  }
+
   test("json: array of objects; missing requested key errors") {
     val p = tmpFile("d.json",
       """[{"id": 1, "name": "alice"}, {"id": 2, "name": "bob"}]""")
