@@ -633,7 +633,9 @@ object SparkEntry {
         .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // scoped fill: an unscoped na.fill would also rewrite a NULL
+        // day_us group key to epoch 0
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("day_us")
     }),
 
@@ -673,9 +675,13 @@ object SparkEntry {
 
     // ---- extension: Gopher-style quality rules ----
     "q57_gopher_quality" -> ((s, dir) => {
+      // tokenize ONCE into a bound column; the flags then slice that
+      // array instead of re-tokenizing per metric (no CSE in
+      // interpreted higher-order functions)
       T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), operators.TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
-          operators.TextAnalysis.gopherFlags(col("text"), minTokens = 10).as("f"))
+          operators.TextAnalysis.gopherFlagsFromTokens(col("__toks"), minTokens = 10).as("f"))
         .select(col("doc_id"), col("f.ok_count"), col("f.ok_mean_len"),
           col("f.ok_alpha"), col("f.ok_stop"), col("f.keep"))
         .orderBy("doc_id")
@@ -1306,7 +1312,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |m AS (SELECT user_id, event_id, tus,
         |  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
-        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) >= 1800000000
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
         |       THEN 1 ELSE 0 END AS brk FROM e),
         |s AS (SELECT user_id, tus,
         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id

@@ -43,8 +43,20 @@ object Profiler {
     }
     val basic = row.select(explode(array(structs: _*)).as("p")).select("p.*")
 
-    val tallStructs = cols.map(c =>
-      struct(lit(c).as("column"), col(c).cast("string").as("__v")))
+    val tallStructs = cols.map { c =>
+      // the render must be injective AND agree with native distinct
+      // semantics: doubles/floats add 0 first so -0.0 folds into 0.0
+      // (grouping normalizes signed zero; '-0.0' vs '0.0' strings do
+      // not), and binary renders as hex (a raw cast mangles non-UTF8)
+      val norm = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          (col(c) + lit(0)).cast("string")
+        case org.apache.spark.sql.types.BinaryType => hex(col(c))
+        case _ => col(c).cast("string")
+      }
+      struct(lit(c).as("column"), norm.as("__v"))
+    }
     val nDistinct = df
       .select(explode(array(tallStructs: _*)).as("t"))
       .select("t.*")

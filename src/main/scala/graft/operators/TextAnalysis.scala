@@ -15,13 +15,20 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** NULL-on-empty division: Spark 4 runs ANSI mode by default, where
+    * x/0 THROWS instead of returning null — every ratio over a
+    * possibly-empty token array must guard the divisor.
+    */
+  private def safeRatio(num: Column, denom: Column): Column =
+    when(denom > 0, num.cast("double") / denom)
+
   /** Mean token length (a cheap quality signal: very short or very
-    * long mean token length indicates boilerplate/noise).
+    * long mean token length indicates boilerplate/noise). NULL for
+    * empty documents.
     */
   def avgTokenLength(text: Column): Column = {
     val t = tokens(text)
-    aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
-      .cast("double") / size(t)
+    safeRatio(aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x), size(t))
   }
 
   private def countIn(t: Column, words: Seq[String]): Column =
@@ -32,7 +39,7 @@ object TextAnalysis {
     */
   def stopwordRatio(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
     val t = tokens(text)
-    countIn(t, stopwords).cast("double") / size(t)
+    safeRatio(countIn(t, stopwords), size(t))
   }
 
   /** Stopword-occurrence language-ID heuristic: score each candidate
@@ -77,11 +84,12 @@ object TextAnalysis {
 
   /** Fraction of tokens that are purely alphabetic (Gopher's
     * "80% of words contain at least one alphabetic character" rule,
-    * tightened to alpha-only since [[tokens]] lowercases).
+    * tightened to alpha-only since [[tokens]] lowercases). NULL for
+    * empty documents.
     */
   def alphaTokenRatio(text: Column): Column = {
     val t = tokens(text)
-    size(filter(t, x => x.rlike("^[a-z]+$"))).cast("double") / size(t)
+    safeRatio(size(filter(t, x => x.rlike("^[a-z]+$"))), size(t))
   }
 
   /** Gopher-style document quality rules (Rae et al. 2021, §A1.1):
@@ -89,22 +97,28 @@ object TextAnalysis {
     * fraction, and at-least-one-stopword. Returns a struct of the
     * individual verdicts plus the conjunction, so a pipeline can both
     * filter on `keep` and report per-rule rejection counts.
+    *
+    * `toks` must be a BOUND token-array column (tokenize in its own
+    * projection first, like q57 does): the four metrics reference the
+    * array ~8 times, and interpreted higher-order functions re-evaluate
+    * a derived-array argument on every call site.
     */
-  def gopherFlags(
-      text: Column,
+  def gopherFlagsFromTokens(
+      toks: Column,
       minTokens: Long = 50,
       maxTokens: Long = 100000,
       minMeanLen: Double = 3.0,
       maxMeanLen: Double = 10.0,
       minAlphaRatio: Double = 0.8): Column = {
-    val n = tokenCount(text)
-    val mean = avgTokenLength(text)
-    val alpha = alphaTokenRatio(text)
-    val stop = stopwordRatio(text)
+    val n = size(toks).cast("long")
+    val mean = safeRatio(
+      aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x), size(toks))
+    val alpha = safeRatio(size(filter(toks, x => x.rlike("^[a-z]+$"))), size(toks))
     val okCount = n >= minTokens && n <= maxTokens
-    val okMean = mean >= minMeanLen && mean <= maxMeanLen
-    val okAlpha = alpha >= minAlphaRatio
-    val okStop = stop > 0
+    // empty docs: NULL ratios must reject, not propagate NULL verdicts
+    val okMean = coalesce(mean >= minMeanLen && mean <= maxMeanLen, lit(false))
+    val okAlpha = coalesce(alpha >= minAlphaRatio, lit(false))
+    val okStop = countIn(toks, Seq("the", "a")) > 0
     struct(
       okCount.as("ok_count"),
       okMean.as("ok_mean_len"),
@@ -112,6 +126,20 @@ object TextAnalysis {
       okStop.as("ok_stop"),
       (okCount && okMean && okAlpha && okStop).as("keep"))
   }
+
+  /** [[gopherFlagsFromTokens]] over freshly tokenized text — fine for
+    * one-off scalar use; batch pipelines should tokenize once and use
+    * the token-array form.
+    */
+  def gopherFlags(
+      text: Column,
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8): Column =
+    gopherFlagsFromTokens(tokens(text), minTokens, maxTokens,
+      minMeanLen, maxMeanLen, minAlphaRatio)
 
   /** Canonical URL for dedup keying: strip fragment and query string,
     * lowercase the scheme://host part, drop trailing slashes. Pure

@@ -173,9 +173,16 @@ object TopKPerKey {
       orderBy: Seq[Any],
       k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // idempotent + race-free registration: planner.strategies also sees
+    // strategies injected via GraftExtensions (experimental alone does
+    // not), and the synchronized block keeps two concurrent callers
+    // from losing an append
+    TopKPerKey.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(TopKStrategy) &&
+        !spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       analyzed.output.find(a => spark.sessionState.conf.resolver(a.name, name))

@@ -52,15 +52,43 @@ object JdbcSyncWriter {
 
   /** Table existence via JDBC metadata — no failed-statement probing,
     * which on Postgres would abort the open transaction.
+    *
+    * getTables takes LIKE patterns, so `_`/`%` in the name are escaped
+    * with the driver's escape string; a `schema.table` name probes that
+    * schema, an unqualified name probes the connection's current schema
+    * (falling back to any schema only when the driver reports none) —
+    * otherwise a same-named table elsewhere would shadow the verdict.
     */
   def tableExists(conn: Connection, table: String): Boolean = {
     val md = conn.getMetaData
-    def probe(n: String): Boolean = {
-      val rs = md.getTables(null, null, n, Array("TABLE"))
-      try rs.next() finally rs.close()
+    // escape LIKE wildcards where the driver supports it (Derby reports
+    // an EMPTY escape string — no escaping possible there)
+    val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+    def pat(n: String): String = esc match {
+      case Some(e) => n.replace(e, e + e).replace("_", e + "_").replace("%", e + "%")
+      case None => n
     }
-    // unquoted identifiers are case-normalized differently per catalog
-    probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+    val (schema, name) = table.split("\\.") match {
+      case Array(sc, t) => (Some(sc), t)
+      case _ =>
+        (try Option(conn.getSchema) catch { case _: Exception => None }, table)
+    }
+    // the pattern over-matches when escaping is unavailable ('_' is a
+    // one-char wildcard), so every hit is re-checked EXACTLY against
+    // the requested name (case-insensitive: unquoted identifiers are
+    // case-normalized differently per catalog)
+    def probe(n: String): Boolean = {
+      val rs = md.getTables(null, schema.map(pat).orNull, pat(n), Array("TABLE"))
+      try {
+        var found = false
+        while (!found && rs.next()) {
+          val tn = rs.getString("TABLE_NAME")
+          found = tn != null && tn.equalsIgnoreCase(name)
+        }
+        found
+      } finally rs.close()
+    }
+    probe(name) || probe(name.toUpperCase) || probe(name.toLowerCase)
   }
 
   /** Live table columns in ordinal order via JDBC metadata (reference

@@ -6,6 +6,7 @@ import java.sql.DriverManager
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.{DbConfig, SyncConfig, TableSyncConfig}
+import graft.sinks.JdbcSyncWriter
 import graft.core.SyncRunner
 
 /** End-to-end sync against embedded Derby — the JDBC seam the reference
@@ -48,6 +49,26 @@ class JdbcSyncSpec extends AnyFunSuite {
 
   private def dropIfExists(table: String): Unit =
     try exec(s"DROP TABLE $table") catch { case _: Exception => () }
+
+  test("tableExists: metadata probe with LIKE-wildcard escaping") {
+    dropIfExists("probe_tbl")
+    dropIfExists("probeXtbl")
+    exec("CREATE TABLE probeXtbl (id INT)")
+    val c = JdbcSyncWriter.connect(db)
+    try {
+      // '_' must be escaped: probe_tbl would LIKE-match probeXtbl otherwise
+      assert(!JdbcSyncWriter.tableExists(c, "probe_tbl"))
+      assert(JdbcSyncWriter.tableExists(c, "probeXtbl"))
+      exec("CREATE TABLE probe_tbl (id INT)")
+      assert(JdbcSyncWriter.tableExists(c, "probe_tbl"))
+    } finally {
+      // Derby counts the metadata reads as an open transaction
+      try c.rollback() catch { case _: Exception => () }
+      c.close()
+    }
+    dropIfExists("probe_tbl")
+    dropIfExists("probeXtbl")
+  }
 
   test("diff sync: 1 insert + 1 update + 1 delete (e2e_csv_diff shape)") {
     dropIfExists("test_table")

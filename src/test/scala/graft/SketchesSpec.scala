@@ -63,13 +63,25 @@ class SketchesSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog again and again today"),
       (2L, "too short"),
-      (3L, "the 111 222 333 444 555 666 777 888 999 000 111 222")).toDF("id", "text")
+      (3L, "the 111 222 333 444 555 666 777 888 999 000 111 222"),
+      (4L, ""), (5L, "   ")).toDF("id", "text")
     val got = docs.select(col("id"),
         TextAnalysis.gopherFlags(col("text"), minTokens = 10).getField("keep").as("keep"))
       .as[(Long, Boolean)].collect().toMap
     assert(got(1L))
     assert(!got(2L)) // below token floor
     assert(!got(3L)) // digit tokens sink the alpha ratio
+    // empty/whitespace docs: ANSI mode must not throw on the 0-token
+    // ratios; the verdict is a plain reject
+    assert(!got(4L) && !got(5L))
+  }
+
+  test("profiler: -0.0 counts once, matching COUNT(DISTINCT) semantics") {
+    val df = Seq(0.0, -0.0, 1.5).toDF("d")
+    val prof = graft.operators.Profiler.profile(df, Seq("d"))
+      .select("n_distinct").as[Long].head()
+    val exact = df.select(countDistinct(col("d"))).as[Long].head()
+    assert(prof == exact, s"profiler $prof vs countDistinct $exact")
   }
 
   test("url normalization strips query/fragment, lowercases host, drops trailing slash") {
