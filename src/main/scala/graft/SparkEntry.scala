@@ -642,12 +642,18 @@ object SparkEntry {
     // ---- §2.5 extension: grouping sets with grouping() markers ----
     "q54_grouping_sets" -> ((s, dir) => {
       T(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      // same pre-aggregation as q17/q34: Expand multiplies ~6 partial
+      // rows, not the table
       s.sql("""
+        WITH pre AS (
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS pn,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps
+          FROM gs_lineitem GROUP BY 1, 2)
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        FROM gs_lineitem
+               SUM(pn) AS n,
+               CAST(SUM(ps) AS DOUBLE) AS sum_qty
+        FROM pre
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     }),
@@ -729,6 +735,26 @@ object SparkEntry {
           expr("variant_get(v, '$.k', 'bigint')").as("k"))
         .filter(col("k") % 7 === 0)
         .orderBy("event_id")
+    }),
+
+
+    // ---- extension: per-label embedding centroids (vector analytics) ----
+    "q62_embed_centroid" -> ((s, dir) => {
+      T(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .filter(col("dim") < 8)
+        // micro-unit integer mean: per-element round to 6 decimals ->
+        // exact integer micro-values -> integer half-away-from-zero
+        // division. A final round(double) after a double division sits
+        // on .5 boundaries where engines disagree; integers never do.
+        .withColumn("__m",
+          round(round(col("x").cast("double"), 6) * 1e6).cast("long"))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(sum(col("__m")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("label"), col("dim"),
+          (when(col("__s") < 0, -1L).otherwise(1L) *
+            expr("(2 * abs(__s) + __n) div (2 * __n)")).as("c_micro"))
+        .orderBy("label", "dim")
     }),
 
     // ---- extension: multimodal byte-column plumbing ----
@@ -1326,6 +1352,18 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
         |ORDER BY event_id""".stripMargin,
+
+
+    "q62_embed_centroid" ->
+      """WITH dims AS (SELECT unnest(range(8)) AS dim),
+        |m AS (SELECT label, CAST(d.dim AS BIGINT) AS dim,
+        |        CAST(round(round(CAST(embedding[d.dim + 1] AS DOUBLE), 6) * 1000000) AS BIGINT) AS mv
+        |      FROM embeddings CROSS JOIN dims d),
+        |a AS (SELECT label, dim, CAST(SUM(mv) AS BIGINT) AS s, COUNT(*) AS n
+        |      FROM m GROUP BY 1, 2)
+        |SELECT label, dim,
+        |  (CASE WHEN s < 0 THEN -1 ELSE 1 END) * CAST((2 * abs(s) + n) // (2 * n) AS BIGINT) AS c_micro
+        |FROM a ORDER BY label, dim""".stripMargin,
 
     "q47_decontaminate" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},
