@@ -651,7 +651,7 @@ object SparkEntry {
           FROM gs_lineitem GROUP BY 1, 2)
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-               SUM(pn) AS n,
+               CAST(COALESCE(SUM(pn), 0) AS BIGINT) AS n,
                CAST(SUM(ps) AS DOUBLE) AS sum_qty
         FROM pre
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -741,8 +741,9 @@ object SparkEntry {
     // ---- extension: per-label embedding centroids (vector analytics) ----
     "q62_embed_centroid" -> ((s, dir) => {
       T(s, dir, "embeddings")
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .filter(col("dim") < 8)
+        // slice BEFORE exploding: the generator emits 8 rows per record,
+        // not 64 rows with 56 filtered away
+        .select(col("label"), posexplode(slice(col("embedding"), 1, 8)).as(Seq("dim", "x")))
         // micro-unit integer mean: per-element round to 6 decimals ->
         // exact integer micro-values -> integer half-away-from-zero
         // division. A final round(double) after a double division sits
@@ -1358,7 +1359,8 @@ object SparkEntry {
       """WITH dims AS (SELECT unnest(range(8)) AS dim),
         |m AS (SELECT label, CAST(d.dim AS BIGINT) AS dim,
         |        CAST(round(round(CAST(embedding[d.dim + 1] AS DOUBLE), 6) * 1000000) AS BIGINT) AS mv
-        |      FROM embeddings CROSS JOIN dims d),
+        |      FROM embeddings CROSS JOIN dims d
+        |      WHERE d.dim < len(embedding)),
         |a AS (SELECT label, dim, CAST(SUM(mv) AS BIGINT) AS s, COUNT(*) AS n
         |      FROM m GROUP BY 1, 2)
         |SELECT label, dim,
