@@ -758,6 +758,23 @@ object SparkEntry {
         .orderBy("label", "dim")
     }),
 
+
+    // ---- extension: duplicate-cluster assignment (connected components) ----
+    "q63_dup_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val nearDup = Dedup.jaccardNearDupPairsCached(docs, "doc_id", "text",
+        threshold = 0.5)
+      val clusters = Dedup.dupClusters(
+        docs, nearDup.df.select("d1", "d2"), "doc_id")
+      // report only non-singleton clusters: the interesting output, and
+      // it keeps the result size bounded by the duplicate rate
+      clusters
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("cluster_id")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -1366,6 +1383,24 @@ object SparkEntry {
         |SELECT label, dim,
         |  (CASE WHEN s < 0 THEN -1 ELSE 1 END) * CAST((2 * abs(s) + n) // (2 * n) AS BIGINT) AS c_micro
         |FROM a ORDER BY label, dim""".stripMargin,
+
+
+    "q63_dup_clusters" ->
+      s"""WITH RECURSIVE ${sigsCte("documents")},
+        |j AS (
+        |  SELECT c.d1, c.d2,
+        |    CAST(len(list_distinct(list_intersect(a.shl, b.shl))) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.shl, b.shl))) AS jac
+        |  FROM cand c JOIN shd a ON a.doc_id = c.d1 JOIN shd b ON b.doc_id = c.d2),
+        |p AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+        |reach(a, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a),
+        |cl AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
+        |FROM cl GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
 
     "q47_decontaminate" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},

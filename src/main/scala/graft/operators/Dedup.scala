@@ -231,6 +231,53 @@ object Dedup {
     CachedDF(pairs, Seq(sh, cand, shc) ++ candCached.handles)
   }
 
+  /** Connected components over near-duplicate pairs: every document
+    * gets the MINIMUM id reachable through the pair graph as its
+    * `cluster_id` (singletons cluster with themselves). This is the
+    * step after pair generation that decides which documents are "the
+    * same": keep one representative per cluster, drop the rest.
+    *
+    * Iterative min-label propagation. Per round every node takes the
+    * min of its own label and its neighbors' labels — shuffle cost is
+    * |edges| per round, rounds ~ graph diameter (near-dup clusters are
+    * tiny and dense, so 3-5 rounds in practice; `maxIter` bounds
+    * pathological chains). Labels persist between rounds and the loop
+    * stops at fixpoint, detected with a count of changed labels. This
+    * is the standard scalable formulation — no driver-side graph, no
+    * assumption a component fits anywhere.
+    */
+  def dupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("__a"), col("d2").as("__b"))
+      .union(pairs.select(col("d2").as("__a"), col("d1").as("__b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("__a"), col(idCol).as("__lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborLbls = edges
+        .join(labels.select(col("__a").as("__b"), col("__lbl")), "__b")
+        .select(col("__a"), col("__lbl"))
+      val next = labels.select(col("__a"), col("__lbl"))
+        .union(neighborLbls)
+        .groupBy("__a").agg(min("__lbl").as("__lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("__lbl", "__old"), "__a")
+        .filter(col("__lbl") =!= col("__old"))
+        .count()
+      labels.unpersist(false)
+      labels = next
+      i += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("__a").as(idCol), col("__lbl").as("cluster_id"))
+  }
+
   /** SimHash-style fingerprint over md5 hex digits.
     *
     * Each token hashes to 16 hex digits; dimension j of a document is

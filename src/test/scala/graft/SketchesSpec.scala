@@ -84,6 +84,17 @@ class SketchesSpec extends AnyFunSuite {
     assert(prof == exact, s"profiler $prof vs countDistinct $exact")
   }
 
+  test("dup clusters: min-label propagation finds connected components") {
+    import graft.operators.Dedup
+    val docs = (1L to 10L).toDF("id")
+    // components: {1,2,3,4} (a chain, needs multiple rounds), {7,8}, rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("d1", "d2")
+    val got = Dedup.dupClusters(docs, pairs, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L, 10L -> 10L))
+  }
+
   test("url normalization strips query/fragment, lowercases host, drops trailing slash") {
     val df = Seq(
       "HTTPS://Example.COM/Path/?q=1#frag",
