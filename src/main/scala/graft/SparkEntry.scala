@@ -775,6 +775,25 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+
+    // ---- extension: repetition-ratio quality signal (Gopher-style) ----
+    "q64_repetition" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("__c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("__c")).as("max_freq"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+            .as("dup_ratio"),
+          round(col("max_freq").cast("double") / col("n_tokens"), 6)
+            .as("top_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -1401,6 +1420,19 @@ object SparkEntry {
         |cl AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
         |SELECT cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
         |FROM cl GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+
+
+    "q64_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id < 200),
+        |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |a AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS max_freq
+        |      FROM tc GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_ratio,
+        |  round(CAST(max_freq AS DOUBLE) / n_tokens, 6) AS top_token_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q47_decontaminate" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},

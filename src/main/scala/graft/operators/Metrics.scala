@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Zero-extra-pass pipeline metrics via `Dataset.observe`: the
+  * aggregates ride along with whatever action the caller runs — no
+  * second scan, no accumulator plumbing. This is how a production
+  * cleaning job reports docs-in/docs-out/token counts without paying
+  * for a monitoring query at 100 TB.
+  */
+object Metrics {
+
+  /** Attach corpus quality metrics to `df`; read them from the
+    * returned [[Observation]] AFTER an action on the returned frame:
+    * `n_docs`, `n_tokens`, `min_tokens`, `max_tokens`, `n_empty`.
+    */
+  def observeCorpus(df: DataFrame, textCol: String): (DataFrame, Observation) = {
+    val obs = Observation()
+    val n = TextAnalysis.tokenCount(col(textCol))
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum(n).as("n_tokens"),
+      min(n).as("min_tokens"),
+      max(n).as("max_tokens"),
+      count(when(n === 0, 1)).as("n_empty"))
+    (observed, obs)
+  }
+}

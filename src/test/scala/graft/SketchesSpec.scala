@@ -107,6 +107,18 @@ class SketchesSpec extends AnyFunSuite {
       "http://example.com"))
   }
 
+  test("observe metrics ride along with the action, no extra pass") {
+    import graft.operators.Metrics
+    val docs = Seq((1L, "the quick fox"), (2L, ""), (3L, "a b")).toDF("id", "text")
+    val (observed, obs) = Metrics.observeCorpus(docs, "text")
+    observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_docs") == 3L)
+    assert(m("n_tokens") == 5L)
+    assert(m("min_tokens") == 0L && m("max_tokens") == 3L)
+    assert(m("n_empty") == 1L)
+  }
+
   test("stratified sample keeps each stratum at its own rate") {
     val df = (1 to 4000).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "src")
     val kept = Sampling.stratifiedSample(df, "id", "src",
