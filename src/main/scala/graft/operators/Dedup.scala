@@ -251,31 +251,57 @@ object Dedup {
       pairs: DataFrame,
       idCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("__a"), col("d2").as("__b"))
+    // checkpoint the edge list BEFORE iterating: it embeds the whole
+    // pair-generation pipeline, and that subtree would otherwise be
+    // re-optimized several times per iteration plan — with tiny data
+    // the driver-side Catalyst work dominates wall time (the same
+    // reason GraphX/GraphFrames checkpoint inside iterative jobs). A
+    // reliable checkpoint dir is honored when configured; local
+    // checkpoint otherwise.
+    val edgesRaw = pairs.select(col("d1").as("__a"), col("d2").as("__b"))
       .union(pairs.select(col("d2").as("__a"), col("d1").as("__b")))
+    val edges =
+      if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        edgesRaw.checkpoint()
+      else edgesRaw.localCheckpoint()
+    // only edge endpoints can ever change label: propagate over them
+    // alone (a vanishing fraction of the corpus) and attach the
+    // untouched documents as self-labeled singletons lazily at the end
+    var persistedGen = edges.select(col("__a")).distinct()
+      .select(col("__a"), col("__a").as("__lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col(idCol).as("__a"), col(idCol).as("__lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persistedGen
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val neighborLbls = edges
         .join(labels.select(col("__a").as("__b"), col("__lbl")), "__b")
-        .select(col("__a"), col("__lbl"))
-      val next = labels.select(col("__a"), col("__lbl"))
+        .select(col("__a"), col("__lbl"), lit(false).as("__self"))
+      // one aggregation yields the new label AND the old one (the
+      // __self-tagged contribution), so convergence needs no extra join
+      val next = labels
+        .select(col("__a"), col("__lbl"), lit(true).as("__self"))
         .union(neighborLbls)
-        .groupBy("__a").agg(min("__lbl").as("__lbl"))
+        .groupBy("__a")
+        .agg(
+          min(col("__lbl")).as("__lbl"),
+          min(when(col("__self"), col("__lbl"))).as("__old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.withColumnRenamed("__lbl", "__old"), "__a")
-        .filter(col("__lbl") =!= col("__old"))
-        .count()
-      labels.unpersist(false)
-      labels = next
+      changed = next.filter(col("__lbl") =!= col("__old")).count()
+      // unpersist the PERSISTED frame — unpersisting a projection of it
+      // would be a no-op and leak a cache entry per iteration
+      persistedGen.unpersist(false)
+      persistedGen = next
+      labels = next.select(col("__a"), col("__lbl"))
       i += 1
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(s"[dupClusters] iter $i changed=$changed")
     }
-    edges.unpersist(false)
-    labels.select(col("__a").as(idCol), col("__lbl").as("cluster_id"))
+    val singletons = docs.select(col(idCol).as("__a"))
+      .join(edges.select("__a").distinct(), Seq("__a"), "left_anti")
+      .select(col("__a"), col("__a").as("__lbl"))
+    labels.union(singletons)
+      .select(col("__a").as(idCol), col("__lbl").as("cluster_id"))
   }
 
   /** SimHash-style fingerprint over md5 hex digits.
