@@ -794,6 +794,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+
+    // ---- time-range rolling window (RANGE frame, not ROWS) ----
+    "q65_rolling_window" -> ((s, dir) => {
+      // per-user rolling 1-hour event count/value: RANGE frames bound
+      // by event TIME, the semantics ROWS frames cannot express
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"))
+        .rangeBetween(-3600L, 0L)
+      T(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .withColumn("ts_s", unix_micros(col("ts")).divide(lit(1000000L)).cast("long"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+        .orderBy("event_id")
+    }),
+
+    // ---- exact-moment statistics: corr/stddev from decimal sums ----
+    "q66_moment_stats" -> ((s, dir) => {
+      // naive corr()/stddev() over doubles is partial-order dependent
+      // and never hash-stable; exact decimal moments are, and the final
+      // double arithmetic on those scalars is deterministic
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("__n"),
+          sum(x).as("__sx"), sum(y).as("__sy"),
+          sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+        .select(col("l_returnflag"), col("__n").as("n"),
+          round(
+            ((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")) /
+              sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
+                (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")),
+            6).as("corr_qp"),
+          round(
+            sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")) /
+              col("__n"), 6).as("stddev_pop_q"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -1433,6 +1476,34 @@ object SparkEntry {
         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_ratio,
         |  round(CAST(max_freq AS DOUBLE) / n_tokens, 6) AS top_token_ratio
         |FROM a ORDER BY doc_id""".stripMargin,
+
+
+    "q65_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+        |  FROM events WHERE user_id < 20)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q66_moment_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qp,
+        |  round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 6) AS stddev_pop_q
+        |FROM m ORDER BY 1""".stripMargin,
 
     "q47_decontaminate" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},
