@@ -766,6 +766,10 @@ object SparkEntry {
         threshold = 0.5)
       val clusters = Dedup.dupClusters(
         docs, nearDup.df.select("d1", "d2"), "doc_id")
+      // dupClusters checkpointed the edges eagerly, so the whole pair
+      // pipeline has already run — its caches are releasable NOW,
+      // before the rest of the bench competes for that memory
+      nearDup.unpersist()
       // report only non-singleton clusters: the interesting output, and
       // it keeps the result size bounded by the duplicate rate
       clusters

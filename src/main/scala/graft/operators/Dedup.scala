@@ -237,29 +237,53 @@ object Dedup {
     * step after pair generation that decides which documents are "the
     * same": keep one representative per cluster, drop the rest.
     *
+    * `pairs` must have columns `d1` and `d2` (the schema
+    * [[jaccardNearDupPairs]] and [[lshCandidatePairs]] emit).
+    *
     * Iterative min-label propagation. Per round every node takes the
     * min of its own label and its neighbors' labels — shuffle cost is
     * |edges| per round, rounds ~ graph diameter (near-dup clusters are
-    * tiny and dense, so 3-5 rounds in practice; `maxIter` bounds
-    * pathological chains). Labels persist between rounds and the loop
-    * stops at fixpoint, detected with a count of changed labels. This
-    * is the standard scalable formulation — no driver-side graph, no
-    * assumption a component fits anywhere.
+    * tiny and dense, so 3-5 rounds in practice). Labels persist
+    * between rounds and the loop stops at fixpoint, detected with a
+    * count of changed labels; a component whose diameter exceeds
+    * `maxIter` raises IllegalStateException rather than silently
+    * splitting one real cluster into several. This is the standard
+    * scalable formulation — no driver-side graph, no assumption a
+    * component fits anywhere.
+    *
+    * One-shot convenience over [[dupClustersCached]] — long-lived
+    * sessions should use that and release the handle after their
+    * action.
     */
   def dupClusters(
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    dupClustersCached(docs, pairs, idCol, maxIter).df
+
+  /** [[dupClusters]] plus the final persisted label generation for
+    * caller-managed release.
+    */
+  def dupClustersCached(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      maxIter: Int = 20): CachedDF = {
     // checkpoint the edge list BEFORE iterating: it embeds the whole
     // pair-generation pipeline, and that subtree would otherwise be
     // re-optimized several times per iteration plan — with tiny data
     // the driver-side Catalyst work dominates wall time (the same
     // reason GraphX/GraphFrames checkpoint inside iterative jobs). A
     // reliable checkpoint dir is honored when configured; local
-    // checkpoint otherwise.
-    val edgesRaw = pairs.select(col("d1").as("__a"), col("d2").as("__b"))
-      .union(pairs.select(col("d2").as("__a"), col("d1").as("__b")))
+    // checkpoint otherwise. One explode emits both edge directions —
+    // a self-union would evaluate the whole un-persisted pair pipeline
+    // twice during the eager checkpoint.
+    val edgesRaw = pairs
+      .select(explode(array(
+        struct(col("d1").as("__a"), col("d2").as("__b")),
+        struct(col("d2").as("__a"), col("d1").as("__b")))).as("__e"))
+      .select(col("__e.__a").as("__a"), col("__e.__b").as("__b"))
     val edges =
       if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
         edgesRaw.checkpoint()
@@ -297,11 +321,16 @@ object Dedup {
       if (sys.env.contains("GRAFT_DEBUG"))
         System.err.println(s"[dupClusters] iter $i changed=$changed")
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds ($changed labels " +
+          "still changing) — a component's diameter exceeds maxIter; raise it")
     val singletons = docs.select(col(idCol).as("__a"))
       .join(edges.select("__a").distinct(), Seq("__a"), "left_anti")
       .select(col("__a"), col("__a").as("__lbl"))
-    labels.union(singletons)
+    val clusters = labels.union(singletons)
       .select(col("__a").as(idCol), col("__lbl").as("cluster_id"))
+    CachedDF(clusters, Seq(persistedGen))
   }
 
   /** SimHash-style fingerprint over md5 hex digits.

@@ -14,15 +14,20 @@ object Metrics {
   /** Attach corpus quality metrics to `df`; read them from the
     * returned [[Observation]] AFTER an action on the returned frame:
     * `n_docs`, `n_tokens`, `min_tokens`, `max_tokens`, `n_empty`.
+    *
+    * NULL text counts as zero tokens — a junk counter that skipped
+    * null documents would report a 30%-null corpus as clean — and
+    * every metric is null-safe so an all-empty batch yields 0s, not
+    * NULLs that NPE a dashboard's arithmetic.
     */
   def observeCorpus(df: DataFrame, textCol: String): (DataFrame, Observation) = {
     val obs = Observation()
-    val n = TextAnalysis.tokenCount(col(textCol))
+    val n = coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L))
     val observed = df.observe(obs,
       count(lit(1)).as("n_docs"),
-      sum(n).as("n_tokens"),
-      min(n).as("min_tokens"),
-      max(n).as("max_tokens"),
+      coalesce(sum(n), lit(0L)).as("n_tokens"),
+      coalesce(min(n), lit(0L)).as("min_tokens"),
+      coalesce(max(n), lit(0L)).as("max_tokens"),
       count(when(n === 0, 1)).as("n_empty"))
     (observed, obs)
   }

@@ -109,14 +109,16 @@ class SketchesSpec extends AnyFunSuite {
 
   test("observe metrics ride along with the action, no extra pass") {
     import graft.operators.Metrics
-    val docs = Seq((1L, "the quick fox"), (2L, ""), (3L, "a b")).toDF("id", "text")
+    val docs = Seq((1L, "the quick fox"), (2L, ""), (3L, "a b"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
     val (observed, obs) = Metrics.observeCorpus(docs, "text")
     observed.write.format("noop").mode("overwrite").save()
     val m = obs.get
-    assert(m("n_docs") == 3L)
+    assert(m("n_docs") == 4L)
     assert(m("n_tokens") == 5L)
     assert(m("min_tokens") == 0L && m("max_tokens") == 3L)
-    assert(m("n_empty") == 1L)
+    // null text is junk too, not a skipped row
+    assert(m("n_empty") == 2L)
   }
 
   test("stratified sample keeps each stratum at its own rate") {
