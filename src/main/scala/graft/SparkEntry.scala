@@ -841,6 +841,24 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+
+    // ---- approx quantiles with a checked rank-error bound ----
+    "q67_approx_quantile" -> ((s, dir) => {
+      // same oracle pattern as the HLL/CMS queries: exact values plus a
+      // boolean asserting the sketch honored its contract. With
+      // accuracy 1000 the approx rank error is <= 0.1%; the check
+      // allows 4x slack against the exact quantiles of the value domain
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("__a50"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("p50"), col("n"),
+          (abs(col("__a50") - col("p50")) <= lit(0.5)).as("within_bound"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- extension: multimodal byte-column plumbing ----
     "q31_multimodal_bytes" -> ((s, dir) => {
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -1508,6 +1526,12 @@ object SparkEntry {
         |        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qp,
         |  round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 6) AS stddev_pop_q
         |FROM m ORDER BY 1""".stripMargin,
+
+
+    "q67_approx_quantile" ->
+      """SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS p50,
+        |  COUNT(*) AS n, TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q47_decontaminate" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},

@@ -121,6 +121,17 @@ class SketchesSpec extends AnyFunSuite {
     assert(m("n_empty") == 2L)
   }
 
+  test("compaction writes the targeted number of output files") {
+    import graft.operators.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").resolve("t").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(37)
+    val rows = Compaction.writeCompacted(df, dir, targetRowsPerFile = 2500)
+    assert(rows == 10000L)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 4 output files, got $files")
+    assert(spark.read.parquet(dir).count() == 10000L)
+  }
+
   test("stratified sample keeps each stratum at its own rate") {
     val df = (1 to 4000).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "src")
     val kept = Sampling.stratifiedSample(df, "id", "src",
