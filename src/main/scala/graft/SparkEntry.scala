@@ -560,7 +560,7 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       operators.Decontaminate.flagContaminated(
           d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
-          "doc_id", "text", n = 8)
+          "doc_id", "text", n = 5)
         .orderBy("doc_id")
     }),
 
@@ -578,7 +578,7 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       operators.Decontaminate.flagContaminatedBloom(
           d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
-          "doc_id", "text", n = 8, expectedShingles = 100000L)
+          "doc_id", "text", n = 5, expectedShingles = 100000L)
         .orderBy("doc_id")
     }),
 
@@ -1323,8 +1323,8 @@ object SparkEntry {
 
 
     "q49_bloom_decontaminate" ->
-      s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},
-         |${ngramCtes("documents WHERE doc_id < 10", 8, "e", strict = true)},
+      s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 5, "c", strict = true)},
+         |${ngramCtes("documents WHERE doc_id < 10", 5, "e", strict = true)},
          |ev AS (SELECT DISTINCT s FROM esh)
          |SELECT c.doc_id, COUNT(*) AS n_hits
          |FROM csh c JOIN ev ON c.s = ev.s
@@ -1536,8 +1536,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q47_decontaminate" ->
-      s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 8, "c", strict = true)},
-         |${ngramCtes("documents WHERE doc_id < 10", 8, "e", strict = true)},
+      s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 5, "c", strict = true)},
+         |${ngramCtes("documents WHERE doc_id < 10", 5, "e", strict = true)},
          |ev AS (SELECT DISTINCT s FROM esh)
          |SELECT c.doc_id, COUNT(*) AS n_hits
          |FROM csh c JOIN ev ON c.s = ev.s
