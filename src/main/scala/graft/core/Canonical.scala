@@ -76,10 +76,16 @@ object Canonical {
     canonical(df(name), df.schema(name).dataType).as(s"${name}_c")
 
   /** Null-like detection (reference `primary_key_validator.go:151-161`):
-    * SQL NULL, or a trimmed lowercase match of [[NullLikeLiterals]].
+    * SQL NULL, the exact empty string, or a trimmed lowercase match of the
+    * non-empty [[NullLikeLiterals]]. Order matters: the reference checks
+    * `value == ""` *before* trimming and its nullValues list does not
+    * contain `""`, so a whitespace-only key (`"\t"`, `"\n"`, NBSP…) is NOT
+    * null-like — it falls through to [[invalidPkFormat]] and is reported
+    * as a format violation instead.
     */
   def isNullOrEmpty(c: Column): Column =
-    c.isNull || lower(trimWs(c)).isin(NullLikeLiterals: _*)
+    c.isNull || c === "" ||
+      lower(trimWs(c)).isin(NullLikeLiterals.filterNot(_.isEmpty): _*)
 
   /** Primary-key format violations (reference
     * `primary_key_validator.go:164-185`): control characters, length

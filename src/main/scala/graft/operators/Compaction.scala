@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Output-file hygiene: a 100 TB pipeline that writes one file per
   * shuffle partition produces millions of small files, which punishes
@@ -13,13 +14,17 @@ object Compaction {
 
   /** Write `df` with roughly `targetRowsPerFile` rows per output file.
     *
-    * The file count comes from a cheap `count()` (one pass, but
-    * column-pruned to nothing by parquet statistics); the repartition
-    * is round-robin, so files come out evenly sized regardless of the
-    * upstream partitioning skew. For partitioned layouts pass
-    * `partitionBy` — rows are then hashed by the partition columns
-    * first so each directory gets contiguous writers instead of every
-    * task appending to every directory.
+    * `df` is persisted for the duration of the call so the sizing
+    * `count()` and the write share one upstream computation. Unpartitioned
+    * layouts round-robin into `ceil(rows/target)` files, so files come out
+    * evenly sized regardless of upstream skew.
+    *
+    * For partitioned layouts each partition value is spread over
+    * `ceil(rowsForValue/target)` writer buckets (deterministic hash of the
+    * non-partition columns), so a hot value gets many parallel writers and
+    * many right-sized files instead of one giant file, while tiny values
+    * still collapse to a single file. `maxRecordsPerFile` backstops any
+    * residual skew from hash collisions in the bucket assignment.
     */
   def writeCompacted(
       df: DataFrame,
@@ -28,14 +33,42 @@ object Compaction {
       partitionBy: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite): Long = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
-    val rows = df.count()
-    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val arranged =
-      if (partitionBy.isEmpty) df.repartition(nFiles)
-      else df.repartition(nFiles, partitionBy.map(col): _*)
-    val writer = arranged.write.mode(mode)
-    (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
-      .parquet(path)
-    rows
+    // backstop against residual skew (hash-collision bucket merges, uneven
+    // round-robin), with headroom so a file a few rows over target is NOT
+    // split into a full-size file plus a sliver
+    val maxRecords = 2 * targetRowsPerFile
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = df.count()
+      val nFiles =
+        math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      if (partitionBy.isEmpty) {
+        df.repartition(nFiles)
+          .write.mode(mode)
+          .option("maxRecordsPerFile", maxRecords)
+          .parquet(path)
+      } else {
+        val pCols = partitionBy.map(col)
+        val counts = df.groupBy(pCols: _*).agg(count(lit(1)).as("__rows"))
+        val dataCols = df.columns.filterNot(partitionBy.contains)
+        // Deterministic per-row hash; constant when every column is a
+        // partition column (then maxRecordsPerFile alone splits files).
+        val rowHash =
+          if (dataCols.isEmpty) lit(0L) else xxhash64(dataCols.map(col): _*)
+        val bucketsForValue =
+          greatest(lit(1L), ceil(col("__rows").cast("double") / targetRowsPerFile).cast("long"))
+        df.join(broadcast(counts), partitionBy)
+          .withColumn("__bucket", pmod(rowHash, bucketsForValue))
+          .repartition(nFiles, (pCols :+ col("__bucket")): _*)
+          .drop("__rows", "__bucket")
+          .write.mode(mode)
+          .option("maxRecordsPerFile", maxRecords)
+          .partitionBy(partitionBy: _*)
+          .parquet(path)
+      }
+      rows
+    } finally {
+      df.unpersist()
+    }
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
 import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale document pipelines.
@@ -41,8 +42,14 @@ object Dedup {
     * until eviction pressure (Spark's CacheManager holds DataFrame
     * cache entries by plan, so they are never GC-reclaimed).
     */
-  final case class CachedDF(df: DataFrame, handles: Seq[DataFrame]) {
-    def unpersist(): Unit = handles.foreach(_.unpersist(false))
+  final case class CachedDF(
+      df: DataFrame,
+      handles: Seq[DataFrame],
+      cleanups: Seq[() => Unit] = Nil) {
+    def unpersist(): Unit = {
+      handles.foreach(_.unpersist(false))
+      cleanups.foreach(_.apply())
+    }
   }
 
   /** Exact dedup: keep the row with the smallest `idCol` per key.
@@ -330,7 +337,15 @@ object Dedup {
       .select(col("__a"), col("__a").as("__lbl"))
     val clusters = labels.union(singletons)
       .select(col("__a").as(idCol), col("__lbl").as("cluster_id"))
-    CachedDF(clusters, Seq(persistedGen))
+    // release the checkpointed edges with the handle: localCheckpoint
+    // pins RDD blocks on executors for the session lifetime and
+    // Dataset.unpersist can't see them (they are not CacheManager
+    // entries) — graftbridge.unpersistCheckpointed frees the underlying
+    // RDD's blocks. A reliable checkpoint's FILES are reclaimed by
+    // ContextCleaner (spark.cleaner.referenceTracking.cleanCheckpoints)
+    // or manual checkpoint-dir cleanup, not here.
+    CachedDF(clusters, Seq(persistedGen),
+      Seq(() => graftbridge.unpersistCheckpointed(edges)))
   }
 
   /** SimHash-style fingerprint over md5 hex digits.

@@ -53,6 +53,12 @@ object Profiler {
              org.apache.spark.sql.types.FloatType =>
           (col(c) + lit(0)).cast("string")
         case org.apache.spark.sql.types.BinaryType => hex(col(c))
+        // cast-to-string is NOT injective for complex types —
+        // array("a, b") and array("a", "b") both render "[a, b]" —
+        // so render them as JSON, which quotes and escapes elements
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType => to_json(col(c))
         case _ => col(c).cast("string")
       }
       struct(lit(c).as("column"), norm.as("__v"))

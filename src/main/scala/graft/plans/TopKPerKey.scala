@@ -28,17 +28,23 @@ import org.apache.spark.sql.types.LongType
   *   - [[TopKPerKeyPartialExec]]: bounded per-key heaps per input
   *     partition, BEFORE the exchange — at most `k * distinctKeys`
   *     rows per partition survive, so the shuffle carries roughly
-  *     `k / rowsPerKey` of the input;
-  *   - Exchange (inserted by `EnsureRequirements` — the final node
-  *     declares `ClusteredDistribution(keys)`);
-  *   - [[TopKPerKeyFinalExec]]: merge the per-partition survivors,
-  *     emit exactly k rows per key with a `rank` column, no sort of
-  *     anything larger than a key's candidate set.
+  *     `k / rowsPerKey` of the input. The heap map itself is bounded:
+  *     past [[TopKPerKeyExec.FlushRows]] buffered rows it is flushed
+  *     downstream and restarted (the final merge re-deduplicates), so
+  *     a near-unique key column cannot pin a whole partition on the
+  *     JVM heap;
+  *   - Exchange + Sort (inserted by `EnsureRequirements` — the final
+  *     node declares `ClusteredDistribution(keys)` and requires
+  *     key-then-order sorted input; the sort spills);
+  *   - [[TopKPerKeyFinalExec]]: one streaming pass over the sorted
+  *     survivors — rank = position within the key group, emit the
+  *     first k rows of each group. O(1) memory, no driver or
+  *     executor-side materialization.
   *
-  * No full sort ever happens; memory is bounded by k x (keys per
-  * partition). This is the plan shape a 100 TB "top 3 documents per
-  * domain" job needs — the window form is quadratic-ish in shuffle
-  * volume at that scale.
+  * No full sort of the input ever happens and no operator holds an
+  * unbounded structure; this is the plan shape a 100 TB "top 3
+  * documents per domain" job needs — the window form is quadratic-ish
+  * in shuffle volume at that scale.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
@@ -58,8 +64,9 @@ case class TopKPerKeyNode(
 }
 
 /** Per-partition bounded top-k: keeps at most k rows per key seen in
-  * the partition. Output schema/partitioning unchanged — this is the
-  * map-side combine.
+  * the partition, flushing the heap map whenever it grows past
+  * [[TopKPerKeyExec.FlushRows]] buffered rows. Output
+  * schema/partitioning unchanged — this is the map-side combine.
   */
 case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
@@ -74,14 +81,16 @@ case class TopKPerKeyPartialExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val (keysL, orderL, kL, childOutput) = (keys, order, k, child.output)
     child.execute().mapPartitions({ iter =>
-      TopKPerKeyExec.partitionHeaps(iter, keysL, orderL, kL, childOutput)
-        .valuesIterator.flatMap(_.toSeq)
+      TopKPerKeyExec.partialTopK(iter, keysL, orderL, kL, childOutput,
+        TopKPerKeyExec.FlushRows)
     }, preservesPartitioning = true)
   }
 }
 
-/** Key-clustered merge: per key, select the global top k from the
-  * partial survivors and append a 1-based rank.
+/** Key-clustered, key-sorted streaming finalizer: rows arrive grouped
+  * by key and already in rank order (the required child ordering), so
+  * rank is just the position inside the current group and everything
+  * past k is skipped. Holds one key at a time — O(1) memory.
   */
 case class TopKPerKeyFinalExec(
     keys: Seq[Expression],
@@ -94,56 +103,105 @@ case class TopKPerKeyFinalExec(
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
+  // grouped by key, then rank order within the group; the planner's
+  // inserted SortExec spills, unlike a hash-of-heaps
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(SortOrder(_, Ascending)) ++ order)
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
     copy(child = newChild)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (keysL, orderL, kL, childOutput, out) = (keys, order, k, child.output, output)
+    val (keysL, kL, childOutput, out) = (keys, k, child.output, output)
     child.execute().mapPartitions({ iter =>
-      val ordering = GenerateOrdering.generate(orderL, childOutput)
+      val keyProj = UnsafeProjection.create(keysL, childOutput)
       val proj = UnsafeProjection.create(out, out)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      TopKPerKeyExec.partitionHeaps(iter, keysL, orderL, kL, childOutput)
-        .valuesIterator.flatMap { heap =>
-          heap.toSeq.sorted(ordering).iterator.zipWithIndex.map { case (row, i) =>
-            rankRow.setLong(0, i + 1L)
-            proj(joined(row, rankRow)).copy(): InternalRow
-          }
+      var currentKey: InternalRow = null
+      var rank = 0L
+      iter.flatMap { row =>
+        val key = keyProj(row)
+        if (currentKey == null || key != currentKey) {
+          currentKey = key.copy()
+          rank = 0L
         }
+        rank += 1L
+        if (rank <= kL) {
+          rankRow.setLong(0, rank)
+          Iterator.single(proj(joined(row, rankRow)).copy(): InternalRow)
+        } else Iterator.empty
+      }
     }, preservesPartitioning = true)
   }
 }
 
 private[plans] object TopKPerKeyExec {
-  /** Shared heap pass: at most k rows per key, evicting the row that
-    * sorts LAST (mutable.PriorityQueue dequeues the ordering's maximum,
-    * which under an ascending comparator is exactly the worst row).
+
+  /** Buffered-row bound for the partial heap map (~4M rows). Past this,
+    * the map is flushed downstream and restarted; the final merge
+    * re-ranks, so flushing never changes the result — it only trades a
+    * little extra shuffle volume for bounded executor memory on
+    * high-cardinality keys.
     */
-  def partitionHeaps(
+  val FlushRows: Int = 4 * 1024 * 1024
+
+  /** Bounded partial top-k pass: at most k rows per key, evicting the
+    * row that sorts LAST (mutable.PriorityQueue dequeues the ordering's
+    * maximum, which under an ascending comparator is exactly the worst
+    * row), emitting and clearing the accumulated heaps whenever more
+    * than `flushRows` rows are buffered.
+    */
+  def partialTopK(
       iter: Iterator[InternalRow],
       keys: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
-      childOutput: Seq[Attribute]): mutable.HashMap[InternalRow, mutable.PriorityQueue[InternalRow]] = {
+      childOutput: Seq[Attribute],
+      flushRows: Int): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keys, childOutput)
     val ordering = GenerateOrdering.generate(order, childOutput)
-    val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-    iter.foreach { row =>
-      val heap = heaps.getOrElseUpdate(
-        keyProj(row).copy(),
-        mutable.PriorityQueue.empty[InternalRow](ordering))
-      if (heap.size < k) heap.enqueue(row.copy())
-      else if (ordering.compare(row, heap.head) < 0) {
-        heap.dequeue()
-        heap.enqueue(row.copy())
+    new Iterator[InternalRow] {
+      private val heaps =
+        mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      private var nBuffered = 0
+      private var out: Iterator[InternalRow] = Iterator.empty
+
+      private def drain(): Iterator[InternalRow] = {
+        val snapshot = heaps.values.toList
+        heaps.clear()
+        nBuffered = 0
+        snapshot.iterator.flatMap(_.iterator)
+      }
+
+      override def hasNext: Boolean = {
+        while (!out.hasNext && (iter.hasNext || nBuffered > 0)) {
+          while (iter.hasNext && nBuffered < flushRows) {
+            val row = iter.next()
+            val heap = heaps.getOrElseUpdate(
+              keyProj(row).copy(),
+              mutable.PriorityQueue.empty[InternalRow](ordering))
+            if (heap.size < k) {
+              heap.enqueue(row.copy())
+              nBuffered += 1
+            } else if (ordering.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
+          }
+          out = drain()
+        }
+        out.hasNext
+      }
+
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException("empty iterator")
+        out.next()
       }
     }
-    heaps
   }
 }
 
-/** Plans [[TopKPerKeyNode]] as partial-heaps -> exchange -> final. */
+/** Plans [[TopKPerKeyNode]] as partial-heaps -> exchange+sort -> final. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKeyNode =>

@@ -15,4 +15,18 @@ package object graftbridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the executor blocks behind a `Dataset.localCheckpoint()` /
+    * `.checkpoint()` result. `Dataset.unpersist` is a no-op for these:
+    * checkpointed data lives as RDD blocks (localCheckpoint persists the
+    * internal RDD), not as CacheManager entries, so the release has to
+    * go through the underlying `LogicalRDD`'s RDD. Reliable-checkpoint
+    * FILES are untouched (ContextCleaner or manual dir cleanup owns
+    * those); unpersisting their RDD is harmless.
+    */
+  def unpersistCheckpointed(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }

@@ -64,10 +64,12 @@ class CoreSpec extends AnyFunSuite {
       .as[(String, Boolean)].collect().toMap
     assert(got("\\n") && got(" null\t") && got("\nna\n") && got(" none "))
     assert(!got("k1\t") && !got("\na"))
-    // a lone real newline trims to "" which is in the literal list, as in Go
-    val nl = Seq("\n").toDF("v")
-      .select(Canonical.isNullOrEmpty(col("v"))).as[Boolean].head()
-    assert(nl)
+    // whitespace-only values are NOT null-like (Go checks value=="" before
+    // trimming and its nullValues list has no ""); they are format errors
+    val ws = Seq("\n", "\t", " ").toDF("v")
+      .select(Canonical.isNullOrEmpty(col("v")) ||
+        !Canonical.invalidPkFormat(col("v"))).as[Boolean].collect()
+    assert(ws.forall(_ == false))
   }
 
   test("invalidPkFormat flags Unicode-space padding like Go TrimSpace") {
