@@ -64,8 +64,11 @@ object Bench {
       // queries that persist() intermediates (the LSH family) would
       // otherwise pin blocks across the whole run and squeeze later
       // queries' execution memory: isolate queries from each other, but
-      // let a query's second run keep its own steady-state caches
+      // let a query's second run keep its own steady-state caches.
+      // localCheckpoint blocks (dup-cluster edges) are RDD-level and
+      // invisible to clearCache — release those explicitly too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       if (times.isEmpty) { failed += name; None }
       else Some(name -> times.min)
     }

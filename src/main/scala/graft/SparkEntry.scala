@@ -870,6 +870,51 @@ object SparkEntry {
           ascii(col("text")).cast("long").as("first_byte"),
           md5(substring(col("text"), 1, 16)).as("chunk_fp"))
         .orderBy("doc_id")
+    }),
+
+    // ---- extension: blocked fuzzy join (record linkage) ----
+    "q68_fuzzy_join" -> ((s, dir) => {
+      operators.Linkage.blockedFuzzyPairs(
+          T(s, dir, "part").filter(col("p_partkey") < 300)
+            .select("p_partkey", "p_name"),
+          "p_partkey", "p_name", maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- extension: gap-filled time-series resample ----
+    "q69_resample" -> ((s, dir) => {
+      operators.TimeSeries.resampleCounts(
+          T(s, dir, "events").filter(col("user_id") < 10),
+          "user_id", "ts", unitMicros = 3600000000L)
+        .orderBy("user_id", "bucket_us")
+    }),
+
+    // ---- extension: golden-record survivorship merge ----
+    "q70_golden_record" -> ((s, dir) => {
+      val dirty = T(s, dir, "customer")
+        .select(
+          (col("c_custkey") % 500).as("cluster_id"),
+          col("c_custkey"),
+          when(col("c_custkey") % 3 =!= 0, col("c_name")).as("c_name"),
+          when(col("c_custkey") % 7 =!= 0, col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 5 =!= 0, col("c_mktsegment")).as("c_mktsegment"))
+      operators.Linkage.goldenRecord(dirty, "cluster_id", "c_custkey",
+          "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("cluster_id")
+    }),
+
+    // ---- extension: rolling z-score anomaly flags ----
+    "q71_zscore" -> ((s, dir) => {
+      operators.TimeSeries.rollingZscore(
+          T(s, dir, "orders").filter(col("o_custkey") < 50)
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          "o_custkey", Seq("o_orderkey"), "o_totalprice", nPrev = 5)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("z"), 6).as("z"),
+          (abs(col("z")) > 2.0).as("is_outlier"))
+        .orderBy("o_custkey", "o_orderkey")
     })
   )
 
@@ -1593,6 +1638,65 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q68_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    lower(split_part(p_name, ' ', 1)) || '#' || CAST(len(p_name) // 8 AS VARCHAR) AS blk
+        |  FROM part WHERE p_partkey < 300)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q69_resample" ->
+      """WITH c AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, COUNT(*) AS n
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(bucket_us) AS lo, max(bucket_us) AS hi FROM c GROUP BY 1),
+        |axis AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us FROM span)
+        |SELECT a.user_id, a.bucket_us, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM axis a LEFT JOIN c ON a.user_id = c.user_id AND a.bucket_us = c.bucket_us
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q70_golden_record" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey % 500 AS cluster_id, c_custkey,
+        |    CASE WHEN c_custkey % 3 <> 0 THEN c_name END AS c_name,
+        |    CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 5 <> 0 THEN c_mktsegment END AS c_mktsegment
+        |  FROM customer),
+        |g AS (
+        |  SELECT cluster_id,
+        |    first_value(c_name IGNORE NULLS) OVER win AS c_name,
+        |    first_value(c_acctbal IGNORE NULLS) OVER win AS c_acctbal,
+        |    first_value(c_mktsegment IGNORE NULLS) OVER win AS c_mktsegment,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY c_custkey DESC) AS rn
+        |  FROM dirty
+        |  WINDOW win AS (PARTITION BY cluster_id ORDER BY c_custkey DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT cluster_id, c_name, c_acctbal, c_mktsegment FROM g WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin,
+
+    "q71_zscore" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER win AS s1,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) OVER win AS s2,
+        |    COUNT(o_totalprice) OVER win AS np
+        |  FROM orders WHERE o_custkey < 50
+        |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT o_custkey, o_orderkey,
+        |  round(CASE WHEN np = 5 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / np) / (np - 1) > 0
+        |    THEN (o_totalprice - CAST(s1 AS DOUBLE) / np) /
+        |         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / np) / (np - 1)) END, 6) AS z,
+        |  CASE WHEN np = 5 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / np) / (np - 1) > 0
+        |    THEN abs((o_totalprice - CAST(s1 AS DOUBLE) / np) /
+        |         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / np) / (np - 1))) > 2.0 END AS is_outlier
+        |FROM w ORDER BY 1, 2""".stripMargin
   )
 }

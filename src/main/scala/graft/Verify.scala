@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query persisted frames AND RDD-level localCheckpoint
+      // blocks (invisible to clearCache) so a 66-query run's storage
+      // doesn't squeeze later queries' execution memory
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

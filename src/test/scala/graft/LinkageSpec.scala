@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Linkage, TimeSeries}
+
+class LinkageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("blocked fuzzy pairs find typos inside a block, each pair once") {
+    val df = Seq(
+      (1L, "green widget"),
+      (2L, "green widgat"),   // 1 edit from #1, same block
+      (3L, "green gadget"),   // 2 edits from #1/#5, 3 from #2
+      (4L, "blue widget"),    // different block (first token)
+      (5L, "green widget"))   // exact dup of #1
+      .toDF("id", "name")
+    val pairs = Linkage.blockedFuzzyPairs(df, "id", "name", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set(
+      (1L, 2L, 1), (1L, 5L, 0), (2L, 5L, 1), (1L, 3L, 2), (3L, 5L, 2)))
+  }
+
+  test("fuzzy pairs never compare across blocks (no cross product)") {
+    // 100 names in distinct blocks -> zero candidate pairs at all
+    val df = (1 to 100).map(i => (i.toLong, s"tok$i value")).toDF("id", "name")
+    assert(Linkage.blockedFuzzyPairs(df, "id", "name", 2).count() == 0)
+  }
+
+  test("golden record: latest non-null wins per column, one row per cluster") {
+    val df = Seq(
+      // cluster 1: name only on the oldest row, bal only on the middle one
+      (1L, 10L, Some("alice"), Some(5.0)),
+      (1L, 20L, None, Some(7.0)),
+      (1L, 30L, None, None),
+      // cluster 2: fully populated latest row
+      (2L, 11L, Some("bob"), Some(1.0)),
+      (2L, 12L, Some("bobby"), Some(2.0)))
+      .toDF("cl", "ts", "name", "bal")
+    val got = Linkage.goldenRecord(df, "cl", "ts", "ts", Seq("name", "bal"))
+      .as[(Long, Option[String], Option[Double])].collect()
+      .map { case (k, n, b) => k -> ((n, b)) }.toMap
+    assert(got(1L) == ((Some("alice"), Some(7.0))))
+    assert(got(2L) == ((Some("bobby"), Some(2.0))))
+  }
+
+  test("resample fills gaps with zero over each key's own span") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:20:00")),
+      (1L, Timestamp.valueOf("2024-01-01 03:05:00")),  // hours 1-2 missing
+      (2L, Timestamp.valueOf("2024-01-01 05:00:00")))
+      .toDF("k", "t")
+    val got = TimeSeries.resampleCounts(df, "k", "t", 3600000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val h0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val hr = 3600000000L
+    assert(got == Set(
+      (1L, h0, 2L), (1L, h0 + hr, 0L), (1L, h0 + 2 * hr, 0L), (1L, h0 + 3 * hr, 1L),
+      (2L, h0 + 5 * hr, 1L)))
+  }
+
+  test("rolling z-score: excluded current row, full-window gating, spike flagged") {
+    val vals = Seq(10.0, 10.0, 10.0, 12.0, 8.0, 10.0, 100.0, 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "seq", "v")
+    val got = TimeSeries.rollingZscore(df, "k", Seq("seq"), "v", nPrev = 5)
+      .select("seq", "z").as[(Long, Option[Double])].collect().toMap
+    // rows 0-4 lack a full trailing window
+    assert((0L to 4L).forall(got(_).isEmpty))
+    // row 6 is the spike: far above the trailing [10,10,12,8,10]
+    assert(got(6L).exists(_ > 10))
+    // row 7 is normal but its window contains the spike -> small |z|
+    assert(got(7L).exists(z => math.abs(z) < 2))
+  }
+}
