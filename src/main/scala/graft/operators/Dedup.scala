@@ -272,11 +272,67 @@ object Dedup {
   /** [[dupClusters]] plus the final persisted label generation for
     * caller-managed release.
     */
+  /** Edge-count bound for the driver union-find fast path of
+    * [[dupClustersCached]]. Same philosophy as a broadcast-join
+    * threshold: below it, the edge list provably fits on the driver
+    * (2 longs x 1M rows ~ tens of MB) and a local union-find replaces
+    * ~10 distributed actions; above it, the scalable label-propagation
+    * path runs unchanged.
+    */
+  val SmallGraphEdges: Int = 1 << 20
+
   def dupClustersCached(
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String,
-      maxIter: Int = 20): CachedDF = {
+      maxIter: Int = 20,
+      smallGraphEdges: Int = SmallGraphEdges): CachedDF = {
+    val idType = docs.schema(idCol).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralId && smallGraphEdges > 0) {
+      // near-dup pair lists are tiny relative to the corpus (the
+      // duplicate rate, not the table size): probe with limit+collect —
+      // one bounded evaluation of the pair pipeline — and finish on the
+      // driver when it fits
+      val probe = pairs
+        .select(col("d1").cast("long"), col("d2").cast("long"))
+        .limit(smallGraphEdges + 1).collect()
+      if (probe.length <= smallGraphEdges) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { row =>
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+            // attach the larger root under the smaller: every root IS
+            // the component minimum, no second pass needed
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+        }
+        val labels = parent.keys.toSeq.map(k => (k, find(k)))
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val labelDf = labels.toDF("__a", "__lbl")
+          .select(col("__a").cast(idType), col("__lbl").cast(idType))
+        val clusters = docs.select(col(idCol).as("__a"))
+          .join(broadcast(labelDf), Seq("__a"), "left")
+          .select(col("__a").as(idCol),
+            coalesce(col("__lbl"), col("__a")).as("cluster_id"))
+        return CachedDF(clusters, Nil)
+      }
+      // fell through: graph too big for the driver — run the
+      // distributed path below (the probe's partial evaluation is the
+      // price of the check, bounded by the threshold)
+    }
     // checkpoint the edge list BEFORE iterating: it embeds the whole
     // pair-generation pipeline, and that subtree would otherwise be
     // re-optimized several times per iteration plan — with tiny data

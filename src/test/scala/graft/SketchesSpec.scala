@@ -89,10 +89,18 @@ class SketchesSpec extends AnyFunSuite {
     val docs = (1L to 10L).toDF("id")
     // components: {1,2,3,4} (a chain, needs multiple rounds), {7,8}, rest singletons
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("d1", "d2")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L, 10L -> 10L)
+    // small-graph fast path (driver union-find)
     val got = Dedup.dupClusters(docs, pairs, "id")
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L, 10L -> 10L))
+    assert(got == expected)
+    // distributed label-propagation path, forced by a zero threshold —
+    // both paths must agree on the same graph
+    val distributed = Dedup.dupClustersCached(docs, pairs, "id",
+      smallGraphEdges = 0)
+    assert(distributed.df.as[(Long, Long)].collect().toMap == expected)
+    distributed.unpersist()
   }
 
   test("url normalization strips query/fragment, lowercases host, drops trailing slash") {
