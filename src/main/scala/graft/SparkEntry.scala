@@ -915,6 +915,36 @@ object SparkEntry {
           round(col("z"), 6).as("z"),
           (abs(col("z")) > 2.0).as("is_outlier"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- extension: SCD2 version history from two snapshots ----
+    "q72_scd2" -> ((s, dir) => {
+      val cur = T(s, dir, "orders").filter(col("o_custkey") < 300)
+      val nxt = fileState(T(s, dir, "orders")).filter(col("o_custkey") < 300)
+      operators.Scd2.fromSnapshots(cur, nxt, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
+    // ---- extension: token-budget corpus selection (distributed prefix sum) ----
+    "q73_token_budget" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("score"))
+      operators.PrefixSum.runningSum(scored,
+          Seq(col("score").desc, col("doc_id")), "n_tokens", "cum_tokens")
+        .filter(col("cum_tokens") <= 20000)
+        .select("doc_id", "n_tokens", "score", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: overlapping token-window chunking ----
+    "q74_chunking" -> ((s, dir) => {
+      TextAnalysis.tokenChunks(
+          T(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -1697,6 +1727,52 @@ object SparkEntry {
         |  CASE WHEN np = 5 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / np) / (np - 1) > 0
         |    THEN abs((o_totalprice - CAST(s1 AS DOUBLE) / np) /
         |         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / np) / (np - 1))) > 2.0 END AS is_outlier
-        |FROM w ORDER BY 1, 2""".stripMargin
+        |FROM w ORDER BY 1, 2""".stripMargin,
+
+    "q72_scd2" ->
+      s"""$fileCte,
+         |o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_custkey < 300),
+         |n AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM file WHERE o_custkey < 300),
+         |j AS (
+         |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+         |    o.o_orderkey IS NOT NULL AS has_o, n.o_orderkey IS NOT NULL AS has_n,
+         |    o.o_orderstatus AS o_st, o.o_totalprice AS o_tp,
+         |    n.o_orderstatus AS n_st, n.o_totalprice AS n_tp,
+         |    o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL AND
+         |      (o.o_orderstatus <> n.o_orderstatus OR o.o_totalprice <> n.o_totalprice) AS chg
+         |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         |SELECT k AS o_orderkey, o_st AS o_orderstatus, o_tp AS o_totalprice,
+         |  CAST(1 AS BIGINT) AS valid_from,
+         |  CASE WHEN NOT has_n OR chg THEN CAST(2 AS BIGINT) END AS valid_to,
+         |  (has_n AND NOT chg) AS is_current
+         |FROM j WHERE has_o
+         |UNION ALL
+         |SELECT k, n_st, n_tp, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |FROM j WHERE has_n AND (NOT has_o OR chg)
+         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "q73_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE) /
+        |      len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 6) AS score
+        |  FROM documents),
+        |r AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT doc_id, n_tokens, score, cum_tokens FROM r
+        |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
+
+    "q74_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, w,
+        |    unnest(generate_series(0, greatest(len(w) - 32, 0), 24)) AS st
+        |  FROM t)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(w, st + 1, st + 32)) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(w, st + 1, st + 32), ' ')) AS fp
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

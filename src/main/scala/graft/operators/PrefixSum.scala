@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix (running) sums over a global total order.
+  *
+  * The naive `sum().over(Window.orderBy(...))` with no partitioning
+  * moves the ENTIRE dataset through one task — the canonical
+  * accidental-single-partition trap, fatal at scale. This operator
+  * computes the same result with the classic two-level scan:
+  *
+  *   1. range-repartition + sort by the order key (each partition owns
+  *      a contiguous key range, ranges are ordered by partition id);
+  *   2. one tiny per-partition total aggregate, collected (numPartitions
+  *      rows) and turned into per-partition starting offsets on the
+  *      driver — the "scan of sums";
+  *   3. a window running sum WITHIN each partition (safe: partitions
+  *      are balanced by the range partitioner) plus the broadcast
+  *      offset.
+  *
+  * The order columns must form a total order (include a unique
+  * tiebreaker); otherwise rows equal under the ordering could land in
+  * either of two adjacent partitions and the running sum would not be
+  * reproducible.
+  */
+object PrefixSum {
+
+  /** Adds `cumCol` = running sum of `valueCol` over the total order
+    * `orderBy` (Column sort orders, e.g. `Seq(col("score").desc,
+    * col("id"))`). The input is localCheckpoint'd (it feeds two plans:
+    * the offsets aggregate and the result) — release via
+    * `spark.sparkContext.getPersistentRDDs` or session teardown.
+    */
+  def runningSum(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      valueCol: String,
+      cumCol: String = "cum"): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.get(1))
+      .sortBy(_._1)
+    // exclusive prefix of the partition totals -> starting offset per pid.
+    // Sums stay in the column's own numeric type via untyped addition on
+    // the driver (Long or java.math.BigDecimal for exact decimals).
+    var acc: Any = null
+    val offsets = totals.map { case (pid, t) =>
+      val start = acc
+      acc = (acc, t) match {
+        case (null, v) => v
+        case (a, null) => a
+        case (a: Long, v: Long) => a + v
+        case (a: java.math.BigDecimal, v: java.math.BigDecimal) => a.add(v)
+        case (a: Double, v: Double) => a + v
+        case (a, v) => throw new IllegalArgumentException(
+          s"unsupported running-sum type: ${a.getClass} + ${v.getClass}")
+      }
+      (pid, start)
+    }
+    val spark = df.sparkSession
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq.map {
+        case (pid, start) => org.apache.spark.sql.Row(pid, start)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__offset",
+          ranged.schema(valueCol).dataType, nullable = true))))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(cumCol,
+        sum(col(valueCol)).over(w) +
+          coalesce(col("__offset"), lit(0).cast(ranged.schema(valueCol).dataType)))
+      .drop("__pid", "__offset")
+  }
+}

@@ -141,6 +141,37 @@ object TextAnalysis {
     gopherFlagsFromTokens(tokens(text), minTokens, maxTokens,
       minMeanLen, maxMeanLen, minAlphaRatio)
 
+  /** Overlapping token-window chunks — the pre-tokenizer shaping step
+    * of a training pipeline (context-window packing starts from these).
+    * One row per (doc, chunk): `chunk_id`, `n_tokens`, and the chunk's
+    * md5 fingerprint. Chunks cover `chunkSize` tokens and start every
+    * `stride` tokens (overlap = chunkSize - stride); a document shorter
+    * than one chunk yields a single short chunk.
+    *
+    * The token array is materialized in its own projection and the
+    * start offsets exploded OUTSIDE any lambda — higher-order functions
+    * run interpreted without common-subexpression elimination, so
+    * slicing inside `transform` would re-tokenize per chunk.
+    */
+  def tokenChunks(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val chunk = slice(col("__toks"), col("__start") + 1, lit(chunkSize))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("__toks")) - chunkSize, lit(0)), lit(stride))).as("__start"))
+      .select(
+        col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        size(chunk).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", chunk)).as("fp"))
+  }
+
   /** Canonical URL for dedup keying: strip fragment and query string,
     * lowercase the scheme://host part, drop trailing slashes. Pure
     * regexp composition, so the identical normalization runs in any

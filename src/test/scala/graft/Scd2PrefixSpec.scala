@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PrefixSum, Scd2, TextAnalysis}
+
+class Scd2PrefixSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("scd2: unchanged/updated/deleted/inserted keys emit the right versions") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "price")
+    val nu = Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "d", 40.0))
+      .toDF("k", "status", "price")
+    val got = Scd2.fromSnapshots(old, nu, "k", Seq("status", "price"))
+      .select("k", "price", "valid_from", "valid_to", "is_current")
+      .as[(Long, Double, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 10.0, 1L, None, true),          // unchanged: one open row
+      (2L, 20.0, 1L, Some(2L), false),     // updated: old closed...
+      (2L, 25.0, 2L, None, true),          // ...new open
+      (3L, 30.0, 1L, Some(2L), false),     // deleted: closed
+      (4L, 40.0, 2L, None, true)))         // inserted: open at batch 2
+  }
+
+  test("distributed prefix sum equals the single-partition window") {
+    val df = (1 to 997).map(i => (i.toLong, ((i * 37) % 101).toLong))
+      .toDF("id", "v").repartition(7)
+    val got = PrefixSum.runningSum(df, Seq(col("id")), "v", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val expected = df
+      .withColumn("cum", sum("v").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got(997L) == (1 to 997).map(i => (i * 37) % 101).sum)
+  }
+
+  test("prefix sum respects a descending order with tiebreaker") {
+    val df = Seq((1L, 5L, 100L), (2L, 5L, 10L), (3L, 9L, 1L))
+      .toDF("id", "score", "v")
+    val got = PrefixSum.runningSum(df,
+        Seq(col("score").desc, col("id")), "v", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    // order: id3 (score 9), id1 (score 5, id tiebreak), id2
+    assert(got == Map(3L -> 1L, 1L -> 101L, 2L -> 111L))
+  }
+
+  test("token chunks: overlap, stride, and short-document fallback") {
+    val doc10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc10), (2L, "only three tokens")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenChunks(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .select("doc_id", "chunk_id", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: starts 0,3,6 -> chunks of 4,4,4 (tokens 1-4, 4-7, 7-10)
+    assert(got == Set(
+      (1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L),
+      (2L, 0L, 3L)))  // shorter than one chunk: single short chunk
+  }
+}
