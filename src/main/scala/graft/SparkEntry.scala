@@ -945,6 +945,17 @@ object SparkEntry {
           T(s, dir, "documents").filter(col("doc_id") < 100),
           "doc_id", "text", chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ---- extension: greedy sequence packing into context windows ----
+    "q75_packing" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      operators.PrefixSum.packBins(toks, Seq(col("doc_id")), "n_tokens", 2000L)
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin_id")
     })
   )
 
@@ -1773,6 +1784,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
         |  CAST(len(list_slice(w, st + 1, st + 32)) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(list_slice(w, st + 1, st + 32), ' ')) AS fp
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q75_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT *, SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

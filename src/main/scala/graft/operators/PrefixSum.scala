@@ -86,4 +86,28 @@ object PrefixSum {
           coalesce(col("__offset"), lit(0).cast(ranged.schema(valueCol).dataType)))
       .drop("__pid", "__offset")
   }
+
+  /** Greedy streaming sequence packing: assign each row (document) to
+    * the context-window bin its FIRST token lands in, walking the
+    * corpus in `orderBy` order. `binCol` = exclusive-prefix-sum div
+    * capacity — one distributed prefix sum, no per-bin state. A
+    * document longer than the remaining space overflows its bin
+    * (contiguous greedy semantics — bins average `capacity` tokens but
+    * a single row never splits); trim oversized documents with
+    * [[TextAnalysis.tokenChunks]] first if hard caps matter.
+    */
+  def packBins(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      tokenCol: String,
+      capacity: Long,
+      binCol: String = "bin_id"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val cum = runningSum(df, orderBy, tokenCol, "__cum")
+    val firstToken = col("__cum") - col(tokenCol)
+    // integer division: `/` on longs is double division in Spark
+    cum.withColumn(binCol,
+        ((firstToken - pmod(firstToken, lit(capacity))) / capacity).cast("long"))
+      .drop("__cum")
+  }
 }

@@ -50,6 +50,16 @@ class Scd2PrefixSpec extends AnyFunSuite {
     assert(got == Map(3L -> 1L, 1L -> 101L, 2L -> 111L))
   }
 
+  test("packing: each doc lands in the bin of its first token, overflow allowed") {
+    // tokens: 800, 800, 800, 5000, 100 -> first-token offsets 0, 800, 1600,
+    // 2400, 7400 -> bins 0, 0, 1, 2, 7 with capacity 1000
+    val df = Seq((1L, 800L), (2L, 800L), (3L, 800L), (4L, 5000L), (5L, 100L))
+      .toDF("doc_id", "n")
+    val got = PrefixSum.packBins(df, Seq(col("doc_id")), "n", 1000L)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 7L))
+  }
+
   test("token chunks: overlap, stride, and short-document fallback") {
     val doc10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, doc10), (2L, "only three tokens")).toDF("doc_id", "text")
