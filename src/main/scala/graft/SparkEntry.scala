@@ -1779,12 +1779,13 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
         |  FROM documents WHERE doc_id < 100),
         |s AS (SELECT doc_id, w,
-        |    unnest(generate_series(0, greatest(len(w) - 32, 0), 24)) AS st
+        |    unnest(generate_series(0, greatest(len(w) - 1, 0), 24)) AS st
         |  FROM t)
         |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
         |  CAST(len(list_slice(w, st + 1, st + 32)) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(list_slice(w, st + 1, st + 32), ' ')) AS fp
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+        |FROM s WHERE st = 0 OR st + 8 < len(w)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q75_packing" ->
       """WITH t AS (

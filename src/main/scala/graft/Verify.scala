@@ -22,8 +22,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release per-query persisted frames AND RDD-level localCheckpoint
-      // blocks (invisible to clearCache) so a 66-query run's storage
-      // doesn't squeeze later queries' execution memory
+      // blocks (invisible to clearCache) so the multi-query run's
+      // storage doesn't squeeze later queries' execution memory
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

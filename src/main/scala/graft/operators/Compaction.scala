@@ -37,7 +37,10 @@ object Compaction {
     // round-robin), with headroom so a file a few rows over target is NOT
     // split into a full-size file plus a sliver
     val maxRecords = 2 * targetRowsPerFile
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    // persist only if the caller hasn't: persist-on-cached is a no-op but
+    // unpersist would evict the CALLER's cache entry
+    val ownCache = df.storageLevel == StorageLevel.NONE
+    if (ownCache) df.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val rows = df.count()
       val nFiles =
@@ -49,7 +52,14 @@ object Compaction {
           .parquet(path)
       } else {
         val pCols = partitionBy.map(col)
+        // null-safe (<=>) join: a plain equi-join would silently DROP
+        // rows whose partition value is NULL (they belong in
+        // __HIVE_DEFAULT_PARTITION__, not nowhere)
         val counts = df.groupBy(pCols: _*).agg(count(lit(1)).as("__rows"))
+          .select(partitionBy.map(c => col(c).as(s"__cnt_$c")) :+ col("__rows"): _*)
+        val joinCond = partitionBy
+          .map(c => col(c) <=> col(s"__cnt_$c"))
+          .reduce(_ && _)
         val dataCols = df.columns.filterNot(partitionBy.contains)
         // Deterministic per-row hash; constant when every column is a
         // partition column (then maxRecordsPerFile alone splits files).
@@ -57,10 +67,10 @@ object Compaction {
           if (dataCols.isEmpty) lit(0L) else xxhash64(dataCols.map(col): _*)
         val bucketsForValue =
           greatest(lit(1L), ceil(col("__rows").cast("double") / targetRowsPerFile).cast("long"))
-        df.join(broadcast(counts), partitionBy)
+        df.join(broadcast(counts), joinCond)
           .withColumn("__bucket", pmod(rowHash, bucketsForValue))
           .repartition(nFiles, (pCols :+ col("__bucket")): _*)
-          .drop("__rows", "__bucket")
+          .drop(partitionBy.map(c => s"__cnt_$c") :+ "__rows" :+ "__bucket": _*)
           .write.mode(mode)
           .option("maxRecordsPerFile", maxRecords)
           .partitionBy(partitionBy: _*)
@@ -68,7 +78,7 @@ object Compaction {
       }
       rows
     } finally {
-      df.unpersist()
+      if (ownCache) df.unpersist()
     }
   }
 }

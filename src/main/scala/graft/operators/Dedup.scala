@@ -303,6 +303,7 @@ object Dedup {
         .limit(smallGraphEdges + 1).collect()
       if (probe.length <= smallGraphEdges) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        val endpoints = scala.collection.mutable.LinkedHashSet.empty[Long]
         def find(x: Long): Long = {
           var r = x
           while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -312,21 +313,30 @@ object Dedup {
         }
         probe.foreach { row =>
           if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            endpoints += row.getLong(0)
+            endpoints += row.getLong(1)
             val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
             // attach the larger root under the smaller: every root IS
             // the component minimum, no second pass needed
             if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
           }
         }
-        val labels = parent.keys.toSeq.map(k => (k, find(k)))
+        // mirror the distributed construction EXACTLY — one labeled row
+        // per distinct edge endpoint (even one absent from docs), plus
+        // every docs row not an endpoint as a self-labeled singleton —
+        // so crossing the size threshold never changes the result
+        val labels = endpoints.toSeq.map(k => (k, find(k)))
         val spark = docs.sparkSession
         import spark.implicits._
         val labelDf = labels.toDF("__a", "__lbl")
-          .select(col("__a").cast(idType), col("__lbl").cast(idType))
-        val clusters = docs.select(col(idCol).as("__a"))
-          .join(broadcast(labelDf), Seq("__a"), "left")
-          .select(col("__a").as(idCol),
-            coalesce(col("__lbl"), col("__a")).as("cluster_id"))
+          .select(col("__a").cast(idType).as("__a"),
+            col("__lbl").cast(idType).as("__lbl"))
+        val singletons = docs.select(col(idCol).as("__a"))
+          .join(broadcast(labelDf.select("__a")), Seq("__a"), "left_anti")
+        val clusters = labelDf
+          .select(col("__a"), col("__lbl"))
+          .unionByName(singletons.select(col("__a"), col("__a").as("__lbl")))
+          .select(col("__a").as(idCol), col("__lbl").as("cluster_id"))
         return CachedDF(clusters, Nil)
       }
       // fell through: graph too big for the driver — run the

@@ -1,8 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.operators.Dedup.CachedDF
 
 /** Distributed prefix (running) sums over a global total order.
   *
@@ -27,26 +31,30 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
-  /** Adds `cumCol` = running sum of `valueCol` over the total order
-    * `orderBy` (Column sort orders, e.g. `Seq(col("score").desc,
-    * col("id"))`). The input is localCheckpoint'd (it feeds two plans:
-    * the offsets aggregate and the result) — release via
-    * `spark.sparkContext.getPersistentRDDs` or session teardown.
+  /** [[runningSum]] plus a release handle: the input is
+    * localCheckpoint'd (it feeds two plans — the offsets aggregate and
+    * the result), and those RDD blocks stay pinned until
+    * `CachedDF.unpersist()` runs after the caller's terminal action.
     */
-  def runningSum(
+  def runningSumCached(
       df: DataFrame,
       orderBy: Seq[Column],
       valueCol: String,
-      cumCol: String = "cum"): DataFrame = {
+      cumCol: String = "cum"): CachedDF = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df
       .repartitionByRange(parts, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val totals = ranged
+    val totalsDf = ranged
       .groupBy(col("__pid"))
       .agg(sum(col(valueCol)).as("__t"))
+    // sum() WIDENS the value type (int -> long, float -> double,
+    // decimal(p,s) -> decimal(p+10,s)); the offset column must use the
+    // widened type or the offsets frame fails schema validation
+    val sumType = totalsDf.schema("__t").dataType
+    val totals = totalsDf
       .collect()
       .map(r => r.getInt(0) -> r.get(1))
       .sortBy(_._1)
@@ -70,22 +78,35 @@ object PrefixSum {
     val spark = df.sparkSession
     val offsetDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsets.toSeq.map {
-        case (pid, start) => org.apache.spark.sql.Row(pid, start)
+        case (pid, start) => Row(pid, start)
       }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__pid",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__offset",
-          ranged.schema(valueCol).dataType, nullable = true))))
+      StructType(Seq(
+        StructField("__pid", IntegerType, nullable = false),
+        StructField("__offset", sumType, nullable = true))))
     val w = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged
+    val result = ranged
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn(cumCol,
         sum(col(valueCol)).over(w) +
-          coalesce(col("__offset"), lit(0).cast(ranged.schema(valueCol).dataType)))
+          coalesce(col("__offset"), lit(0).cast(sumType)))
       .drop("__pid", "__offset")
+    CachedDF(result, Nil, Seq(() => graftbridge.unpersistCheckpointed(ranged)))
   }
+
+  /** Adds `cumCol` = running sum of `valueCol` over the total order
+    * `orderBy` (Column sort orders, e.g. `Seq(col("score").desc,
+    * col("id"))`). One-shot convenience over [[runningSumCached]]; the
+    * intermediate checkpoint blocks stay pinned for the session — long-
+    * lived sessions should use the cached variant and release after
+    * their action.
+    */
+  def runningSum(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      valueCol: String,
+      cumCol: String = "cum"): DataFrame =
+    runningSumCached(df, orderBy, valueCol, cumCol).df
 
   /** Greedy streaming sequence packing: assign each row (document) to
     * the context-window bin its FIRST token lands in, walking the
@@ -103,11 +124,11 @@ object PrefixSum {
       capacity: Long,
       binCol: String = "bin_id"): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val cum = runningSum(df, orderBy, tokenCol, "__cum")
-    val firstToken = col("__cum") - col(tokenCol)
-    // integer division: `/` on longs is double division in Spark
-    cum.withColumn(binCol,
-        ((firstToken - pmod(firstToken, lit(capacity))) / capacity).cast("long"))
-      .drop("__cum")
+    // SQL `div`, not `/`: Column./ on longs is double division, which
+    // rounds past 2^53 and would misplace documents in huge corpora
+    runningSum(df, orderBy, tokenCol, "__cum")
+      .withColumn("__first", col("__cum") - col(tokenCol))
+      .withColumn(binCol, expr(s"__first div ${capacity}L"))
+      .drop("__cum", "__first")
   }
 }

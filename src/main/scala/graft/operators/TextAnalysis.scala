@@ -145,8 +145,12 @@ object TextAnalysis {
     * of a training pipeline (context-window packing starts from these).
     * One row per (doc, chunk): `chunk_id`, `n_tokens`, and the chunk's
     * md5 fingerprint. Chunks cover `chunkSize` tokens and start every
-    * `stride` tokens (overlap = chunkSize - stride); a document shorter
-    * than one chunk yields a single short chunk.
+    * `stride` tokens (overlap = chunkSize - stride). EVERY token lands
+    * in at least one chunk: when (n - chunkSize) is not a multiple of
+    * stride, the tail is covered by a final shorter chunk (start
+    * offsets run to the end of the document, and a start whose tokens
+    * are already fully covered by the previous chunk is dropped). A
+    * document shorter than one chunk yields a single short chunk.
     *
     * The token array is materialized in its own projection and the
     * start offsets exploded OUTSIDE any lambda — higher-order functions
@@ -160,11 +164,13 @@ object TextAnalysis {
       chunkSize: Int,
       stride: Int): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val n = size(col("__toks"))
     val chunk = slice(col("__toks"), col("__start") + 1, lit(chunkSize))
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0),
-          greatest(size(col("__toks")) - chunkSize, lit(0)), lit(stride))).as("__start"))
+        explode(sequence(lit(0), greatest(n - 1, lit(0)), lit(stride))).as("__start"))
+      // keep a start iff it contributes tokens the previous chunk missed
+      .filter(col("__start") === 0 || col("__start") + (chunkSize - stride) < n)
       .select(
         col(idCol),
         (col("__start") / stride).cast("long").as("chunk_id"),

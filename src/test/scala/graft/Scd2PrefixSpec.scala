@@ -66,9 +66,20 @@ class Scd2PrefixSpec extends AnyFunSuite {
     val got = TextAnalysis.tokenChunks(df, "doc_id", "text", chunkSize = 4, stride = 3)
       .select("doc_id", "chunk_id", "n_tokens")
       .as[(Long, Long, Long)].collect().toSet
-    // doc 1: starts 0,3,6 -> chunks of 4,4,4 (tokens 1-4, 4-7, 7-10)
+    // doc 1: starts 0,3,6 -> chunks of 4,4,4 (tokens 1-4, 4-7, 7-10);
+    // the start at 9 is dropped: tokens 10 is already fully covered
     assert(got == Set(
       (1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L),
       (2L, 0L, 3L)))  // shorter than one chunk: single short chunk
+  }
+
+  test("token chunks: a trailing remainder gets its own short chunk") {
+    // 11 tokens, chunkSize 4, stride 3: starts 0,3,6 cover tokens 1-10,
+    // token 11 is only reached by the tail chunk at start 9
+    val doc11 = (1 to 11).map(i => s"t$i").mkString(" ")
+    val got = TextAnalysis.tokenChunks(
+        Seq((1L, doc11)).toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+      .select("chunk_id", "n_tokens").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 4L), (1L, 4L), (2L, 4L), (3L, 2L)))
   }
 }

@@ -87,10 +87,14 @@ class SketchesSpec extends AnyFunSuite {
   test("dup clusters: min-label propagation finds connected components") {
     import graft.operators.Dedup
     val docs = (1L to 10L).toDF("id")
-    // components: {1,2,3,4} (a chain, needs multiple rounds), {7,8}, rest singletons
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("d1", "d2")
+    // components: {1,2,3,4} (a chain, needs multiple rounds), {7,8},
+    // rest singletons; (11,12) are edge endpoints absent from docs —
+    // both paths must still label them identically
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (11L, 12L))
+      .toDF("d1", "d2")
     val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L, 10L -> 10L)
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L, 10L -> 10L,
+      11L -> 11L, 12L -> 11L)
     // small-graph fast path (driver union-find)
     val got = Dedup.dupClusters(docs, pairs, "id")
       .as[(Long, Long)].collect().toMap
@@ -138,6 +142,27 @@ class SketchesSpec extends AnyFunSuite {
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == 4, s"expected 4 output files, got $files")
     assert(spark.read.parquet(dir).count() == 10000L)
+  }
+
+  test("compaction keeps NULL-partition rows and spreads a hot value") {
+    import graft.operators.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").resolve("t").toString
+    // hot partition value "a" (3000 rows), tiny "b" (10), NULL day (5)
+    val df = ((1 to 3000).map(i => (i.toLong, Some("a"))) ++
+        (1 to 10).map(i => (3000L + i, Some("b"))) ++
+        (1 to 5).map(i => (4000L + i, Option.empty[String])))
+      .toDF("id", "day")
+    val rows = Compaction.writeCompacted(df, dir, targetRowsPerFile = 1000,
+      partitionBy = Seq("day"))
+    assert(rows == 3015L)
+    val back = spark.read.parquet(dir)
+    // NULL-day rows land in the default partition, not dropped
+    assert(back.count() == 3015L)
+    assert(back.filter(col("day").isNull).count() == 5L)
+    // the hot value is spread across multiple right-sized files
+    val aFiles = new java.io.File(s"$dir/day=a").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(aFiles >= 2, s"hot partition written as $aFiles file(s)")
   }
 
   test("stratified sample keeps each stratum at its own rate") {
