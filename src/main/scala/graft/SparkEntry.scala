@@ -947,6 +947,14 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- extension: distributed Lloyd k-means over embeddings ----
+    "q76_kmeans" -> ((s, dir) => {
+      Similarity.kmeansAssign(T(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("vec_id")
+    }),
+
     // ---- extension: greedy sequence packing into context windows ----
     "q75_packing" -> ((s, dir) => {
       val toks = T(s, dir, "documents")
@@ -962,6 +970,46 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — one per query above, same column names/types.
   // ---------------------------------------------------------------------
+
+  /** DuckDB twin of [[graft.operators.Similarity.kmeansAssign]]: the
+    * Lloyd iterations unrolled as CTE chains (assignment -> micro-unit
+    * centroid update -> rebuilt centroid list), generated for the same
+    * k/iters the Spark query uses. Micro-unit means keep every
+    * centroid coordinate an exact integer, so both engines iterate
+    * from bit-identical centroids.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH nn AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
+              |c0 AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM nn WHERE vec_id < $k),
+              |""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s"""a$i AS (SELECT vec_id, v, cid FROM (
+                |  SELECT n2.vec_id, n2.v, c.cid,
+                |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+                |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+                |  FROM n2 CROSS JOIN c${i - 1} c) t WHERE rn = 1),
+                |m$i AS (SELECT cid, dim,
+                |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) * CAST((2 * abs(s) + cnt) // (2 * cnt) AS BIGINT) AS cm
+                |  FROM (SELECT cid, CAST(d.dim AS BIGINT) AS dim,
+                |      CAST(SUM(CAST(round(round(v[d.dim + 1], 6) * 1000000) AS BIGINT)) AS BIGINT) AS s,
+                |      COUNT(*) AS cnt
+                |    FROM a$i CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+                |    WHERE d.dim < len(v) GROUP BY 1, 2) t),
+                |c$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+                |  SELECT cid, list_transform(list(cm ORDER BY dim), m -> CAST(m AS DOUBLE) / 1000000) AS cv
+                |  FROM m$i GROUP BY cid) t),
+                |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT vec_id, cid, sim FROM (
+              |  SELECT n2.vec_id, c.cid, list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) AS sim,
+              |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+              |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+              |  FROM n2 CROSS JOIN c$iters c) t WHERE rn = 1)
+              |SELECT vec_id, cid AS cluster, round(sim, 5) AS sim FROM fin ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
 
   private val fileCte =
     """WITH file AS (
@@ -1786,6 +1834,8 @@ object SparkEntry {
         |  md5(array_to_string(list_slice(w, st + 1, st + 32), ' ')) AS fp
         |FROM s WHERE st = 0 OR st + 8 < len(w)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q76_kmeans" -> kmeansOracle(k = 8, iters = 2),
 
     "q75_packing" ->
       """WITH t AS (

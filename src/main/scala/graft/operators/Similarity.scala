@@ -120,6 +120,84 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nbr"), col("sim"))
   }
 
+  /** Distributed Lloyd k-means over an embedding column, with every
+    * arithmetic step chosen for cross-engine determinism:
+    *
+    *   - init: the `k` lowest-id vectors (same convention as
+    *     [[ivfTopK]]'s cells — deterministic, no RNG);
+    *   - assignment: argmax cosine against the broadcast centroids,
+    *     ties to the lower centroid id — one broadcast-join pass over
+    *     the corpus per iteration, the corpus itself never shuffles;
+    *   - update: dimension-wise mean as EXACT integer micro-units
+    *     (round to 6 decimals -> x1e6 longs -> integer
+    *     half-away-from-zero division; the same formulation as the
+    *     oracle-checked centroid query), collected to the driver
+    *     (k x dims longs) and rebroadcast.
+    *
+    * A cluster that loses all members drops out (its centroid is not
+    * re-emitted) — standard Lloyd behavior, mirrored by the SQL oracle
+    * since GROUP BY produces the same surviving set. Returns one row
+    * per input vector: (id, cluster, sim-to-final-centroid).
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val spark = df.sparkSession
+    // the corpus is re-scanned once per iteration: checkpoint so each
+    // pass reads materialized rows, not the source pipeline (Bench and
+    // Verify scrub the blocks; long-lived callers release via
+    // sparkContext.getPersistentRDDs)
+    val e = df.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+      .localCheckpoint()
+
+    def assigned(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
+      e.join(broadcast(cents))
+        .withColumn("__csim",
+          dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+        .withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") === 1)
+        .select(col("__id"), col("__v"), col("__cid"), col("__csim"))
+    }
+
+    def centroidFrame(rows: Seq[(Long, Array[Double])]): DataFrame = {
+      import spark.implicits._
+      rows.toDF("__cid", "__cv")
+        .withColumn("__cn", l2Norm(col("__cv")))
+    }
+
+    var cents = e.filter(col("__id") < k)
+      .select(col("__id").as("__cid"), col("__v").as("__cv"), col("__n").as("__cn"))
+    for (_ <- 1 to iters) {
+      // micro-unit exact centroid update (the q62 formulation)
+      val micro = assigned(cents)
+        .select(col("__cid"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .withColumn("__m", round(round(col("x"), 6) * 1e6).cast("long"))
+        .groupBy(col("__cid"), col("dim"))
+        .agg(sum(col("__m")).as("__s"), count(lit(1)).as("__cnt"))
+        .select(col("__cid"), col("dim"),
+          (when(col("__s") < 0, -1L).otherwise(1L) *
+            expr("(2 * abs(__s) + __cnt) div (2 * __cnt)")).as("cm"))
+        .collect()
+      val next = micro
+        .groupBy(_.getLong(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1))
+            .map(_.getLong(2).toDouble / 1e6).toArray
+        }
+        .toSeq.sortBy(_._1)
+      cents = centroidFrame(next)
+    }
+    assigned(cents)
+      .select(col("__id").as(idCol), col("__cid").as("cluster"),
+        col("__csim").as("sim"))
+  }
+
   /** Bucket key: the sign pattern of the first `dims` vector elements,
     * e.g. "1010". Deterministic on raw float signs — no hashing, no
     * platform variance.

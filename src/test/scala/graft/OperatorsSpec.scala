@@ -14,6 +14,23 @@ class OperatorsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("kmeans: separates two obvious blobs regardless of seed vectors") {
+    // ids 0,1 seed the two centroids; blob A hugs (1,0,...), blob B (0,1,...)
+    def vec(main: Int, v: Float): Array[Float] = {
+      val a = Array.fill(4)(0.01f); a(main) = v; a
+    }
+    val df = (
+      Seq((0L, vec(0, 1.0f)), (1L, vec(1, 1.0f))) ++
+        (2 to 10).map(i => (i.toLong, vec(0, 0.8f + 0.02f * i))) ++
+        (11 to 20).map(i => (i.toLong, vec(1, 0.7f + 0.01f * i))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    // blob A = seed 0 + ids 2-10; blob B = seed 1 + ids 11-20
+    assert((Seq(0L) ++ (2L to 10L)).forall(got(_) == 0L), s"blob A split: $got")
+    assert((Seq(1L) ++ (11L to 20L)).forall(got(_) == 1L), s"blob B split: $got")
+  }
+
   test("asof backward: latest right row at-or-before left time, per key") {
     val left = Seq(
       (1L, ts("2024-01-01 00:00:10"), "e1"),
