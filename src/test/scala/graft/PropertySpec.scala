@@ -66,6 +66,66 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("prefix sum equals the sequential scan for any values and order") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val genRows = Gen.nonEmptyListOf(Gen.choose(-50L, 50L))
+    check("prefixSum", Prop.forAll(genRows) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = graft.operators.PrefixSum
+        .runningSum(rows.toDF("id", "v").repartition(5), Seq(col("id")), "v")
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val exp = rows.scanLeft((-1L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+        .drop(1).toMap
+      got == exp
+    })
+  }
+
+  test("scd2 invariants: one open row per surviving key, intervals ordered") {
+    import spark.implicits._
+    val genSide = Gen.mapOf(Gen.zip(Gen.choose(0, 12), Gen.choose(0, 2)))
+    check("scd2", Prop.forAll(genSide, genSide) { (oldM, newM) =>
+      val old = oldM.toSeq.map { case (k, v) => (k.toLong, v.toLong) }
+      val nu = newM.toSeq.map { case (k, v) => (k.toLong, v.toLong) }
+      val hist = graft.operators.Scd2
+        .fromSnapshots(old.toDF("k", "v"), nu.toDF("k", "v"), "k", Seq("v"))
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .as[(Long, Long, Long, Option[Long], Boolean)].collect().toSeq
+      val byKey = hist.groupBy(_._1)
+      // every key in new has exactly one open current row carrying new's value;
+      // keys only in old have exactly one closed row; no key has more rows
+      // than 2; open rows are exactly the is_current ones
+      byKey.forall { case (k, rows) =>
+        val open = rows.filter(_._4.isEmpty)
+        val current = rows.filter(_._5)
+        open == current &&
+          (newM.contains(k.toInt) match {
+            case true => open.size == 1 && open.head._2 == newM(k.toInt).toLong
+            case false => open.isEmpty && rows.size == 1 && !rows.head._5
+          }) && rows.size <= 2
+      } && hist.map(_._1).toSet == (oldM.keySet ++ newM.keySet).map(_.toLong)
+    })
+  }
+
+  test("token chunks cover every token at least once") {
+    import spark.implicits._
+    val genDoc = Gen.choose(0, 40).map(n => (1 to n).map(i => s"w$i").mkString(" "))
+    check("chunks", Prop.forAll(genDoc, Gen.choose(1, 6), Gen.choose(1, 6)) {
+      (text, size0, stride0) =>
+        val (size, stride) = (math.max(size0, stride0), math.min(size0, stride0))
+        val n = if (text.isEmpty) 0 else text.split(" ").length
+        val starts = graft.operators.TextAnalysis
+          .tokenChunks(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+            size, stride)
+          .select("chunk_id", "n_tokens").as[(Long, Long)].collect()
+        val covered = starts.flatMap { case (cid, len) =>
+          val st = cid * stride
+          (st until st + len)
+        }.toSet
+        covered == (0L until n.toLong).toSet || (n == 0 && starts.length == 1)
+    })
+  }
+
   test("sessionize session count equals the gap count + 1 per key") {
     import spark.implicits._
     val genEvents = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 2000L)))
