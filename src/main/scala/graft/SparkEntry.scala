@@ -947,6 +947,37 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- extension: text normalization (controls, accents, whitespace) ----
+    "q77_text_normalize" -> ((s, dir) => {
+      // deterministic dirty input: accents + a control char + messy
+      // whitespace wrapped around a slice of the real text
+      val dirty = concat(lit("  Héllò\tç "),
+        substring(col("text"), 1, 40), lit("\u0007"), lit("  ÑÖ  "))
+      T(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(dirty).as("norm"))
+        .select(col("doc_id"), col("norm"), md5(col("norm")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: profile drift report between two snapshots ----
+    "q78_profile_drift" -> ((s, dir) => {
+      val cols = Seq("o_orderstatus", "o_totalprice")
+      val cur = T(s, dir, "orders").select(cols.map(col): _*)
+      val nxt = fileState(T(s, dir, "orders")).select(cols.map(col): _*)
+      def prof(df: DataFrame, suffix: String) =
+        operators.Profiler.profile(df).select(
+          col("column"),
+          col("n_rows").as(s"rows_$suffix"),
+          col("n_nulls").as(s"nulls_$suffix"),
+          col("n_distinct").as(s"dist_$suffix"),
+          col("max_str").as(s"max_$suffix"))
+      prof(cur, "old").join(prof(nxt, "new"), "column")
+        .withColumn("rows_delta", col("rows_new") - col("rows_old"))
+        .withColumn("dist_delta", col("dist_new") - col("dist_old"))
+        .orderBy("column")
+    }),
+
     // ---- extension: distributed Lloyd k-means over embeddings ----
     "q76_kmeans" -> ((s, dir) => {
       Similarity.kmeansAssign(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1836,6 +1867,51 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q76_kmeans" -> kmeansOracle(k = 8, iters = 2),
+
+    "q77_text_normalize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    '  Héllò' || chr(9) || 'ç ' || substr(text, 1, 40) || chr(7) || '  ÑÖ  ' AS dirty
+         |  FROM documents WHERE doc_id < 150),
+         |n AS (SELECT doc_id,
+         |    trim(regexp_replace(translate(
+         |      regexp_replace(dirty, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '${TextAnalysis.AccentFrom}', '${TextAnalysis.AccentTo}'),
+         |      '\\s+', ' ', 'g')) AS norm
+         |  FROM d)
+         |SELECT doc_id, norm, md5(norm) AS fp FROM n ORDER BY doc_id""".stripMargin,
+
+    "q78_profile_drift" ->
+      s"""$fileCte,
+         |po AS (
+         |  SELECT 'o_orderstatus' AS "column", CAST(COUNT(*) AS BIGINT) AS rows_old,
+         |    CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS nulls_old,
+         |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS dist_old,
+         |    CAST(MAX(o_orderstatus) AS VARCHAR) AS max_old
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+         |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+         |    CAST(MAX(o_totalprice) AS VARCHAR)
+         |  FROM orders),
+         |pn AS (
+         |  SELECT 'o_orderstatus' AS "column", CAST(COUNT(*) AS BIGINT) AS rows_new,
+         |    CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS nulls_new,
+         |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS dist_new,
+         |    CAST(MAX(o_orderstatus) AS VARCHAR) AS max_new
+         |  FROM file
+         |  UNION ALL
+         |  SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+         |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+         |    CAST(MAX(o_totalprice) AS VARCHAR)
+         |  FROM file)
+         |SELECT po."column", rows_old, nulls_old, dist_old, max_old,
+         |  rows_new, nulls_new, dist_new, max_new,
+         |  rows_new - rows_old AS rows_delta, dist_new - dist_old AS dist_delta
+         |FROM po JOIN pn ON po."column" = pn."column"
+         |ORDER BY 1""".stripMargin,
 
     "q75_packing" ->
       """WITH t AS (

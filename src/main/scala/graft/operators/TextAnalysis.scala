@@ -178,6 +178,30 @@ object TextAnalysis {
         md5(concat_ws(" ", chunk)).as("fp"))
   }
 
+  /** Explicit Latin-1 accent fold table, shared verbatim with the SQL
+    * oracle — `translate` maps char-for-char identically in every
+    * engine, unlike locale-dependent Unicode normalizers.
+    */
+  val AccentFrom: String =
+    "àáâãäåèéêëìíîïòóôõöùúûüýÿçñÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÇÑ"
+  val AccentTo: String =
+    "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+
+  /** Text cleanup for dedup keying and corpus hygiene: strip
+    * non-whitespace control characters, fold Latin-1 accents through
+    * the explicit [[AccentFrom]]/[[AccentTo]] table, collapse runs of
+    * whitespace to one space, trim. Every step is a codegen'd built-in
+    * (`regexp_replace`/`translate`), and the control-strip removes
+    * `\x0B` BEFORE the `\s+` collapse so Java-regex and RE2 engines
+    * (which disagree on whether `\s` matches vertical tab) normalize
+    * identically.
+    */
+  def normalizeText(c: Column): Column = {
+    val noCtl = regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val folded = translate(noCtl, AccentFrom, AccentTo)
+    trim(regexp_replace(folded, "\\s+", " "))
+  }
+
   /** Canonical URL for dedup keying: strip fragment and query string,
     * lowercase the scheme://host part, drop trailing slashes. Pure
     * regexp composition, so the identical normalization runs in any

@@ -14,6 +14,15 @@ class OperatorsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("normalizeText strips controls, folds accents, collapses whitespace") {
+    val df = Seq(
+      "  Héllo\t\twörld  ",
+      "Ça\u000Bva", // vertical tab is a control char, stripped
+      "already clean").toDF("t")
+    val got = df.select(TextAnalysis.normalizeText(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("Hello world", "Cava", "already clean"))
+  }
+
   test("kmeans: separates two obvious blobs regardless of seed vectors") {
     // ids 0,1 seed the two centroids; blob A hugs (1,0,...), blob B (0,1,...)
     def vec(main: Int, v: Float): Array[Float] = {
