@@ -1009,7 +1009,7 @@ object SparkEntry {
     * centroid coordinate an exact integer, so both engines iterate
     * from bit-identical centroids.
     */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH nn AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
               |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
@@ -1026,7 +1026,7 @@ object SparkEntry {
                 |  FROM (SELECT cid, CAST(d.dim AS BIGINT) AS dim,
                 |      CAST(SUM(CAST(round(round(v[d.dim + 1], 6) * 1000000) AS BIGINT)) AS BIGINT) AS s,
                 |      COUNT(*) AS cnt
-                |    FROM a$i CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+                |    FROM a$i CROSS JOIN (SELECT unnest(range($dims)) AS dim) d
                 |    WHERE d.dim < len(v) GROUP BY 1, 2) t),
                 |c$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
                 |  SELECT cid, list_transform(list(cm ORDER BY dim), m -> CAST(m AS DOUBLE) / 1000000) AS cv
@@ -1866,7 +1866,7 @@ object SparkEntry {
         |FROM s WHERE st = 0 OR st + 8 < len(w)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
-    "q76_kmeans" -> kmeansOracle(k = 8, iters = 2),
+    "q76_kmeans" -> kmeansOracle(k = 8, iters = 2, dims = 64),
 
     "q77_text_normalize" ->
       s"""WITH d AS (

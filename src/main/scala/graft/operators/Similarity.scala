@@ -139,40 +139,48 @@ object Similarity {
     * since GROUP BY produces the same surviving set. Returns one row
     * per input vector: (id, cluster, sim-to-final-centroid).
     */
-  def kmeansAssign(
+  /** [[kmeansAssign]] plus a release handle for the checkpointed
+    * corpus blocks (the codebase's CachedDF convention).
+    */
+  def kmeansAssignCached(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): Dedup.CachedDF = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
-    val spark = df.sparkSession
     // the corpus is re-scanned once per iteration: checkpoint so each
-    // pass reads materialized rows, not the source pipeline (Bench and
-    // Verify scrub the blocks; long-lived callers release via
-    // sparkContext.getPersistentRDDs)
+    // pass reads materialized rows, not the source pipeline
     val e = df.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
       .withColumn("__n", l2Norm(col("__v")))
       .localCheckpoint()
 
-    def assigned(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
-      e.join(broadcast(cents))
-        .withColumn("__csim",
-          dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
-        .withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") === 1)
-        .select(col("__id"), col("__v"), col("__cid"), col("__csim"))
+    // centroids live on the driver (k x dims doubles — tiny) and enter
+    // the plan as LITERAL arrays, so assignment is a pure projection:
+    // no join, no window, no exchange of the corpus — per row, the
+    // lexicographic array_min over (-sim, cid) structs picks the
+    // highest similarity with ties to the lower centroid id, exactly
+    // the ORDER BY sim DESC, cid convention of the SQL oracle.
+    def assigned(cents: Seq[(Long, Array[Double])]): DataFrame = {
+      val entries = cents.map { case (cid, v) =>
+        // driver-side norm: same sequential left fold over the same
+        // doubles as the engines' dot(v, v), so bit-identical
+        val cn = math.sqrt(v.map(x => x * x).sum)
+        struct(
+          (dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn)))
+            .unary_-.as("negsim"),
+          lit(cid).as("cid"))
+      }
+      e.withColumn("__best", array_min(array(entries: _*)))
+        .select(col("__id"), col("__v"),
+          col("__best.cid").as("__cid"),
+          (-col("__best.negsim")).as("__csim"))
     }
 
-    def centroidFrame(rows: Seq[(Long, Array[Double])]): DataFrame = {
-      import spark.implicits._
-      rows.toDF("__cid", "__cv")
-        .withColumn("__cn", l2Norm(col("__cv")))
-    }
-
-    var cents = e.filter(col("__id") < k)
-      .select(col("__id").as("__cid"), col("__v").as("__cv"), col("__n").as("__cn"))
+    var cents: Seq[(Long, Array[Double])] = e.filter(col("__id") < k)
+      .select(col("__id"), col("__v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
     for (_ <- 1 to iters) {
       // micro-unit exact centroid update (the q62 formulation)
       val micro = assigned(cents)
@@ -184,19 +192,32 @@ object Similarity {
           (when(col("__s") < 0, -1L).otherwise(1L) *
             expr("(2 * abs(__s) + __cnt) div (2 * __cnt)")).as("cm"))
         .collect()
-      val next = micro
+      cents = micro
         .groupBy(_.getLong(0))
         .map { case (cid, rs) =>
           cid -> rs.sortBy(_.getInt(1))
             .map(_.getLong(2).toDouble / 1e6).toArray
         }
         .toSeq.sortBy(_._1)
-      cents = centroidFrame(next)
     }
-    assigned(cents)
+    val result = assigned(cents)
       .select(col("__id").as(idCol), col("__cid").as("cluster"),
         col("__csim").as("sim"))
+    Dedup.CachedDF(result, Nil,
+      Seq(() => org.apache.spark.sql.graftbridge.unpersistCheckpointed(e)))
   }
+
+  /** One-shot convenience over [[kmeansAssignCached]]; the checkpointed
+    * corpus blocks stay pinned for the session (Bench/Verify scrub
+    * them; long-lived callers should use the cached variant).
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame =
+    kmeansAssignCached(df, idCol, vecCol, k, iters).df
 
   /** Bucket key: the sign pattern of the first `dims` vector elements,
     * e.g. "1010". Deterministic on raw float signs — no hashing, no
