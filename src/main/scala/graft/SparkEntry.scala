@@ -947,6 +947,16 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- extension: weight-proportional priority sampling ----
+    "q79_priority_sample" -> ((s, dir) => {
+      val weighted = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("w"))
+      operators.Sampling.prioritySample(weighted, "doc_id", "w", k = 20)
+        .select(col("doc_id"), col("w"), col("priority"))
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: text normalization (controls, accents, whitespace) ----
     "q77_text_normalize" -> ((s, dir) => {
       // deterministic dirty input: accents + a control char + messy
@@ -1867,6 +1877,23 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q76_kmeans" -> kmeansOracle(k = 8, iters = 2, dims = 64),
+
+    "q79_priority_sample" -> {
+      val xv = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+      ).mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS w,
+         |    md5('ps:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, w,
+         |    CAST(w AS DOUBLE) / ((($xv) + 1) / 4294967296.0) AS priority
+         |  FROM t)
+         |SELECT doc_id, w, priority FROM (
+         |  SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 20)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q77_text_normalize" ->
       s"""WITH d AS (

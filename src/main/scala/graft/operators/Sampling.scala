@@ -99,6 +99,41 @@ object Sampling {
     s"CASE $whens ELSE '${splits.last._1}' END"
   }
 
+  /** Weight-proportional top-k via priority sampling (Duffield, Lund &
+    * Thorup): each row gets priority `w / u` for a deterministic
+    * per-row uniform `u`, and the k highest priorities are the sample —
+    * heavy rows are proportionally more likely in, yet any row CAN
+    * appear (the estimator stays unbiased under the DLT weighting).
+    *
+    * Built for cross-engine determinism with NO transcendental math:
+    * `u = (x + 1) / 2^32` where x is the first 8 hex digits of
+    * `md5(salt:id)` (exact integer arithmetic via the locate/strpos
+    * digit trick), so `u` is exact in IEEE754 and `w / u` is a single
+    * correctly-rounded division — identical in every engine, unlike
+    * the `-ln(u)/w` exponential-key formulation whose libm calls
+    * differ. The top-k itself plans as TakeOrderedAndProject — no
+    * global sort.
+    */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "ps"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val digits = (0 until 8).map { i =>
+      expr(s"(locate(substring(__h, ${i + 1}, 1), '0123456789abcdef') - 1)")
+        .cast("long") * (1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+    df.withColumn("__h",
+        md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+      .withColumn("__u", (digits + 1).cast("double") / 4294967296.0)
+      .withColumn("priority", col(weightCol).cast("double") / col("__u"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .drop("__h", "__u")
+  }
+
   /** Assign each row to a named split with the given weights (summing
     * to <= 1; remainder falls into the last split). Deterministic by
     * `idCol`.

@@ -60,6 +60,24 @@ class Scd2PrefixSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 7L))
   }
 
+  test("priority sample equals the naive JVM computation exactly") {
+    import graft.operators.Sampling
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = (1 to 200).map(i => (i.toLong, (i % 17 + 1).toLong))
+    val expected = rows.map { case (id, w) =>
+      val x = md5hex(s"ps:$id").take(8).foldLeft(0L)((acc, c) =>
+        acc * 16 + Character.digit(c, 16))
+      (id, w, w.toDouble / ((x + 1).toDouble / 4294967296.0))
+    }.sortBy { case (id, _, p) => (-p, id) }.take(10)
+      .map { case (id, w, p) => id -> ((w, p)) }.toMap
+    val got = Sampling.prioritySample(rows.toDF("id", "w"), "id", "w", 10)
+      .select("id", "w", "priority").as[(Long, Long, Double)].collect()
+      .map { case (id, w, p) => id -> ((w, p)) }.toMap
+    assert(got == expected)
+  }
+
   test("token chunks: overlap, stride, and short-document fallback") {
     val doc10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, doc10), (2L, "only three tokens")).toDF("doc_id", "text")
