@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.StructType
 final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
 final case class OpenSession(start_us: Long, end_us: Long, n: Long)
 final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+final case class HHItem(key: String, item: String)
+final case class HHState(counts: Map[String, (Long, Long)])
+final case class HHOut(key: String, item: String, cnt: Long, err: Long)
 
 object EventStreams {
 
@@ -168,6 +171,39 @@ object EventStreams {
   /** Memory-sink runner for tests: processes all available input
     * synchronously and returns the named in-memory table.
     */
+  /** Streaming heavy hitters: one SpaceSaving sketch per key as
+    * `flatMapGroupsWithState` state, emitting that key's current top-k
+    * snapshot every batch (Update mode). State per key is O(capacity)
+    * regardless of stream length — the unbounded-domain frequency
+    * problem (trending items per category, hot users per event type)
+    * with bounded memory; exact while distinct items per key fit the
+    * capacity, Metwally-bounded overestimates beyond it. Reuses the
+    * batch aggregate's [[graft.functions.SpaceSavingBuffer]], so the
+    * streaming and batch paths share one eviction/merge implementation.
+    */
+  def heavyHittersStream(
+      items: Dataset[HHItem],
+      capacity: Int,
+      k: Int): Dataset[HHOut] = {
+    import items.sparkSession.implicits._
+    def fold(
+        key: String,
+        it: Iterator[HHItem],
+        state: GroupState[HHState]): Iterator[HHOut] = {
+      val buf = new graft.functions.SpaceSavingBuffer(capacity)
+      state.getOption.foreach(_.counts.foreach { case (i, ce) =>
+        buf.counts.update(i, ce)
+      })
+      it.foreach(x => buf.add(x.item))
+      state.update(HHState(buf.counts.toMap))
+      buf.counts.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k)
+        .map { case (i, (c, e)) => HHOut(key, i, c, e) }.iterator
+    }
+    items
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+  }
+
   def runToMemory(df: DataFrame, name: String, outputMode: String = "complete"): DataFrame = {
     val q = df.writeStream
       .format("memory")

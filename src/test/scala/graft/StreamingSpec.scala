@@ -136,4 +136,33 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(ids.sorted == Seq(1L, 2L, 3L))
   }
+
+  test("streaming heavy hitters: state accumulates across batches, top-k exact under capacity") {
+    import spark.implicits._
+    import graft.streaming.{HHItem, HHOut}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[HHItem]
+    val q = EventStreams.heavyHittersStream(stream.toDS(), capacity = 10, k = 2)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    stream.addData(
+      HHItem("click", "u1"), HHItem("click", "u1"), HHItem("click", "u2"),
+      HHItem("view", "u9"))
+    q.processAllAvailable()
+    stream.addData(
+      HHItem("click", "u2"), HHItem("click", "u2"), HHItem("click", "u3"))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink appends every snapshot; counts are
+    // monotonic, so the max per (key, item) is the final state
+    val fin = spark.table("hh_out").as[HHOut].collect()
+      .groupBy(r => (r.key, r.item))
+      .map { case (ki, rs) => ki -> rs.map(_.cnt).max }
+    // final totals: click u1=2 u2=3 u3=1, view u9=1; k=2 keeps u2,u1
+    assert(fin(("click", "u2")) == 3L && fin(("click", "u1")) == 2L)
+    assert(fin(("view", "u9")) == 1L)
+    assert(!fin.contains(("click", "u3"))) // rank 3 never in a top-2 snapshot
+    // zero error bounds: capacity was never exceeded
+    assert(spark.table("hh_out").as[HHOut].collect().forall(_.err == 0L))
+  }
 }
