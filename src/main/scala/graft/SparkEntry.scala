@@ -947,6 +947,38 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- extension: incremental partition diff (changed-partition detection) ----
+    "q80_partition_diff" -> ((s, dir) => {
+      // per-month fingerprint: order-independent XOR of a 32-bit
+      // md5-derived value per row + row count. An incremental sync then
+      // re-diffs ONLY the months this query flags — the partition-
+      // pruned fast path for recurring syncs of partitioned tables.
+      def fp(df: DataFrame, suffix: String) = {
+        val rowStr = concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_orderstatus"),
+          dec2(col("o_totalprice")).cast("string"))
+        val digits = (0 until 8).map { i =>
+          expr(s"(locate(substring(__h, ${i + 1}, 1), '0123456789abcdef') - 1)")
+            .cast("long") * (1L << (4 * (7 - i)))
+        }.reduce(_ + _)
+        df.select(
+            substring(col("o_orderdate").cast("string"), 1, 7).as("month"),
+            md5(rowStr).as("__h"))
+          .withColumn("__v", digits)
+          .groupBy("month")
+          .agg(expr("bit_xor(__v)").as(s"fp_$suffix"),
+            count(lit(1)).as(s"n_$suffix"))
+      }
+      val old = fp(T(s, dir, "orders"), "old")
+      val nu = fp(fileState(T(s, dir, "orders")), "new")
+      old.join(nu, Seq("month"), "full_outer")
+        .filter(!(col("fp_old") <=> col("fp_new")) ||
+          !(col("n_old") <=> col("n_new")))
+        .select(col("month"), col("n_old"), col("n_new"))
+        .orderBy("month")
+    }),
+
     // ---- extension: weight-proportional priority sampling ----
     "q79_priority_sample" -> ((s, dir) => {
       val weighted = T(s, dir, "documents")
@@ -1877,6 +1909,26 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q76_kmeans" -> kmeansOracle(k = 8, iters = 2, dims = 64),
+
+    "q80_partition_diff" -> {
+      val xv = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+      ).mkString(" + ")
+      def fpCte(src: String, suffix: String) =
+        s"""SELECT month, bit_xor(v) AS fp_$suffix, CAST(COUNT(*) AS BIGINT) AS n_$suffix
+           |  FROM (SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+           |      ($xv) AS v
+           |    FROM (SELECT *, md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+           |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h FROM $src) t0) t1
+           |  GROUP BY 1""".stripMargin
+      s"""$fileCte,
+         |po AS (${fpCte("orders", "old")}),
+         |pn AS (${fpCte("file", "new")})
+         |SELECT COALESCE(po.month, pn.month) AS month, n_old, n_new
+         |FROM po FULL OUTER JOIN pn ON po.month = pn.month
+         |WHERE fp_old IS DISTINCT FROM fp_new OR n_old IS DISTINCT FROM n_new
+         |ORDER BY 1""".stripMargin
+    },
 
     "q79_priority_sample" -> {
       val xv = (0 until 8).map(i =>
