@@ -958,14 +958,10 @@ object SparkEntry {
           col("o_orderkey").cast("string"),
           col("o_orderstatus"),
           dec2(col("o_totalprice")).cast("string"))
-        val digits = (0 until 8).map { i =>
-          expr(s"(locate(substring(__h, ${i + 1}, 1), '0123456789abcdef') - 1)")
-            .cast("long") * (1L << (4 * (7 - i)))
-        }.reduce(_ + _)
         df.select(
             substring(col("o_orderdate").cast("string"), 1, 7).as("month"),
             md5(rowStr).as("__h"))
-          .withColumn("__v", digits)
+          .withColumn("__v", operators.Sampling.hexPrefixValue("__h"))
           .groupBy("month")
           .agg(expr("bit_xor(__v)").as(s"fp_$suffix"),
             count(lit(1)).as(s"n_$suffix"))
@@ -1911,9 +1907,7 @@ object SparkEntry {
     "q76_kmeans" -> kmeansOracle(k = 8, iters = 2, dims = 64),
 
     "q80_partition_diff" -> {
-      val xv = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
-      ).mkString(" + ")
+      val xv = operators.Sampling.hexPrefixSql("h")
       def fpCte(src: String, suffix: String) =
         s"""SELECT month, bit_xor(v) AS fp_$suffix, CAST(COUNT(*) AS BIGINT) AS n_$suffix
            |  FROM (SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
@@ -1931,9 +1925,7 @@ object SparkEntry {
     },
 
     "q79_priority_sample" -> {
-      val xv = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
-      ).mkString(" + ")
+      val xv = operators.Sampling.hexPrefixSql("h")
       s"""WITH t AS (
          |  SELECT doc_id,
          |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS w,

@@ -114,6 +114,24 @@ object Sampling {
     * differ. The top-k itself plans as TakeOrderedAndProject — no
     * global sort.
     */
+  /** First 8 hex digits of md5-hex column `hashCol` as an exact 32-bit
+    * integer, via the locate/strpos digit trick — pure integer
+    * arithmetic that any engine reproduces bit-for-bit (`conv()` does
+    * not exist everywhere). Shared by priority sampling and the
+    * partition-fingerprint queries.
+    */
+  def hexPrefixValue(hashCol: String): Column =
+    (0 until 8).map { i =>
+      expr(s"(locate(substring($hashCol, ${i + 1}, 1), '0123456789abcdef') - 1)")
+        .cast("long") * (1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+
+  /** ANSI-SQL twin of [[hexPrefixValue]] over hex column `hashCol`. */
+  def hexPrefixSql(hashCol: String): String =
+    (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($hashCol, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    ).mkString(" + ")
+
   def prioritySample(
       df: DataFrame,
       idCol: String,
@@ -121,13 +139,10 @@ object Sampling {
       k: Int,
       salt: String = "ps"): DataFrame = {
     require(k > 0, "k must be positive")
-    val digits = (0 until 8).map { i =>
-      expr(s"(locate(substring(__h, ${i + 1}, 1), '0123456789abcdef') - 1)")
-        .cast("long") * (1L << (4 * (7 - i)))
-    }.reduce(_ + _)
     df.withColumn("__h",
         md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
-      .withColumn("__u", (digits + 1).cast("double") / 4294967296.0)
+      .withColumn("__u",
+        (hexPrefixValue("__h") + 1).cast("double") / 4294967296.0)
       .withColumn("priority", col(weightCol).cast("double") / col("__u"))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)

@@ -120,27 +120,29 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nbr"), col("sim"))
   }
 
-  /** Distributed Lloyd k-means over an embedding column, with every
-    * arithmetic step chosen for cross-engine determinism:
+  /** Distributed Lloyd k-means over an embedding column (requires an
+    * integral id), with every arithmetic step chosen for cross-engine
+    * determinism:
     *
     *   - init: the `k` lowest-id vectors (same convention as
     *     [[ivfTopK]]'s cells — deterministic, no RNG);
-    *   - assignment: argmax cosine against the broadcast centroids,
-    *     ties to the lower centroid id — one broadcast-join pass over
-    *     the corpus per iteration, the corpus itself never shuffles;
+    *   - assignment: the centroids live on the driver (k x dims
+    *     doubles — tiny) and enter the plan as LITERAL arrays, so
+    *     nearest-centroid is a pure projection — no join, no window,
+    *     no exchange of the corpus at any point;
     *   - update: dimension-wise mean as EXACT integer micro-units
     *     (round to 6 decimals -> x1e6 longs -> integer
     *     half-away-from-zero division; the same formulation as the
-    *     oracle-checked centroid query), collected to the driver
-    *     (k x dims longs) and rebroadcast.
+    *     oracle-checked centroid query), k x dims longs collected per
+    *     iteration.
     *
     * A cluster that loses all members drops out (its centroid is not
     * re-emitted) — standard Lloyd behavior, mirrored by the SQL oracle
-    * since GROUP BY produces the same surviving set. Returns one row
-    * per input vector: (id, cluster, sim-to-final-centroid).
-    */
-  /** [[kmeansAssign]] plus a release handle for the checkpointed
-    * corpus blocks (the codebase's CachedDF convention).
+    * since GROUP BY produces the same surviving set. An empty initial
+    * centroid set (no id below k) yields an empty result, matching the
+    * oracle's empty cross join. Returns one row per input vector:
+    * (id, cluster, sim-to-final-centroid), as a CachedDF whose handle
+    * releases the checkpointed corpus blocks.
     */
   def kmeansAssignCached(
       df: DataFrame,
@@ -155,32 +157,46 @@ object Similarity {
       .withColumn("__n", l2Norm(col("__v")))
       .localCheckpoint()
 
-    // centroids live on the driver (k x dims doubles — tiny) and enter
-    // the plan as LITERAL arrays, so assignment is a pure projection:
-    // no join, no window, no exchange of the corpus — per row, the
-    // lexicographic array_min over (-sim, cid) structs picks the
-    // highest similarity with ties to the lower centroid id, exactly
-    // the ORDER BY sim DESC, cid convention of the SQL oracle.
+    // per row, the lexicographic array_min over (-sim, cid) structs
+    // picks the highest similarity with ties to the lower centroid id,
+    // exactly the ORDER BY sim DESC, cid convention of the SQL oracle;
+    // a NaN similarity (zero-norm centroid) maps to -Infinity so it
+    // still ranks FIRST, as NaN does under both engines' DESC ordering
     def assigned(cents: Seq[(Long, Array[Double])]): DataFrame = {
       val entries = cents.map { case (cid, v) =>
         // driver-side norm: same sequential left fold over the same
         // doubles as the engines' dot(v, v), so bit-identical
         val cn = math.sqrt(v.map(x => x * x).sum)
+        val sim = dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn))
+        // negsim orders; the raw sim rides along (3rd field — cid is
+        // unique, so it never participates in the comparison) to keep
+        // the output value NaN when the similarity is NaN
         struct(
-          (dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn)))
-            .unary_-.as("negsim"),
-          lit(cid).as("cid"))
+          when(isnan(sim), lit(Double.NegativeInfinity))
+            .otherwise(-sim).as("negsim"),
+          lit(cid).as("cid"),
+          sim.as("sim"))
       }
       e.withColumn("__best", array_min(array(entries: _*)))
         .select(col("__id"), col("__v"),
           col("__best.cid").as("__cid"),
-          (-col("__best.negsim")).as("__csim"))
+          col("__best.sim").as("__csim"))
     }
 
     var cents: Seq[(Long, Array[Double])] = e.filter(col("__id") < k)
       .select(col("__id"), col("__v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
+    if (cents.isEmpty) {
+      // no seed vectors below k: empty result (the oracle's empty
+      // cross join), not an analysis error from a zero-entry array_min
+      val empty = e.filter(lit(false))
+        .select(col("__id").as(idCol),
+          col("__id").cast("long").as("cluster"),
+          col("__n").as("sim"))
+      return Dedup.CachedDF(empty, Nil,
+        Seq(() => org.apache.spark.sql.graftbridge.unpersistCheckpointed(e)))
+    }
     for (_ <- 1 to iters) {
       // micro-unit exact centroid update (the q62 formulation)
       val micro = assigned(cents)

@@ -19,7 +19,7 @@ final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long
 final case class OpenSession(start_us: Long, end_us: Long, n: Long)
 final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 final case class HHItem(key: String, item: String)
-final case class HHState(counts: Map[String, (Long, Long)])
+final case class HHState(capacity: Int, counts: Map[String, (Long, Long)])
 final case class HHOut(key: String, item: String, cnt: Long, err: Long)
 
 object EventStreams {
@@ -168,9 +168,6 @@ object EventStreams {
   def readEventsStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
-  /** Memory-sink runner for tests: processes all available input
-    * synchronously and returns the named in-memory table.
-    */
   /** Streaming heavy hitters: one SpaceSaving sketch per key as
     * `flatMapGroupsWithState` state, emitting that key's current top-k
     * snapshot every batch (Update mode). State per key is O(capacity)
@@ -180,6 +177,11 @@ object EventStreams {
     * capacity, Metwally-bounded overestimates beyond it. Reuses the
     * batch aggregate's [[graft.functions.SpaceSavingBuffer]], so the
     * streaming and batch paths share one eviction/merge implementation.
+    *
+    * The effective capacity is recorded in the state: restarting a
+    * checkpointed query with a SMALLER capacity keeps each key's stored
+    * capacity (shrinking a SpaceSaving sketch in place cannot preserve
+    * its error bound); a larger capacity takes effect immediately.
     */
   def heavyHittersStream(
       items: Dataset[HHItem],
@@ -190,12 +192,13 @@ object EventStreams {
         key: String,
         it: Iterator[HHItem],
         state: GroupState[HHState]): Iterator[HHOut] = {
-      val buf = new graft.functions.SpaceSavingBuffer(capacity)
+      val cap = math.max(capacity, state.getOption.map(_.capacity).getOrElse(capacity))
+      val buf = new graft.functions.SpaceSavingBuffer(cap)
       state.getOption.foreach(_.counts.foreach { case (i, ce) =>
         buf.counts.update(i, ce)
       })
       it.foreach(x => buf.add(x.item))
-      state.update(HHState(buf.counts.toMap))
+      state.update(HHState(cap, buf.counts.toMap))
       buf.counts.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k)
         .map { case (i, (c, e)) => HHOut(key, i, c, e) }.iterator
     }
@@ -204,6 +207,9 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  /** Memory-sink runner for tests: processes all available input
+    * synchronously and returns the named in-memory table.
+    */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "complete"): DataFrame = {
     val q = df.writeStream
       .format("memory")
