@@ -1119,15 +1119,35 @@ object SparkEntry {
        |${p}sh AS (SELECT doc_id, unnest(list_distinct(shl)) AS s FROM ${p}sh0)""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.Dedup.minhashFromShingles]]'s
+    * per-permutation aggregate: the SAME affine constants
+    * (interpolated from the Scala definitions, so they cannot drift).
+    */
+  private def minhashSigExprsSql(k: Int): String = {
+    val p = Dedup.MinhashPrime
+    (0 until k).map { i =>
+      s"min(((${Dedup.minhashA(i)} * x) % $p + ${Dedup.minhashB(i)}) % $p) AS sig$i"
+    }.mkString(", ")
+  }
+
+  /** Shingle hash CTE: `<p>sx` = (doc_id, x) with x the 32-bit integer
+    * prefix of md5(shingle), matching `hexPrefixValue`.
+    */
+  private def shingleHashCte(shCte: String): String =
+    s"""shh AS (SELECT doc_id, md5(s) AS h FROM $shCte),
+       |sx AS (SELECT doc_id, (${operators.Sampling.hexPrefixSql("h")}) AS x FROM shh)""".stripMargin
+
   /** MinHash signatures + LSH bands + candidate pairs over `src`. */
   private def sigsCte(src: String): String = {
-    val sigExprs = (0 until 9).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
+    def bucket(is: Range) =
+      is.map(i => s"CAST(sig$i AS VARCHAR)").mkString(" || ':' || ")
     s"""${shingleCtes(src)},
-       |sigs AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+       |${shingleHashCte("sh")},
+       |sigs AS (SELECT doc_id, ${minhashSigExprsSql(9)} FROM sx GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, 0 AS band, sig0||sig1||sig2 AS bucket FROM sigs
-       |  UNION ALL SELECT doc_id, 1, sig3||sig4||sig5 FROM sigs
-       |  UNION ALL SELECT doc_id, 2, sig6||sig7||sig8 FROM sigs),
+       |  SELECT doc_id, 0 AS band, ${bucket(0 until 3)} AS bucket FROM sigs
+       |  UNION ALL SELECT doc_id, 1, ${bucket(3 until 6)} FROM sigs
+       |  UNION ALL SELECT doc_id, 2, ${bucket(6 until 9)} FROM sigs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
@@ -1310,9 +1330,10 @@ object SparkEntry {
         |SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q21_minhash_sig" -> {
-      val sigExprs = (0 until 4).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
-      s"""WITH ${shingleCtes("documents WHERE doc_id < 100")}
-         |SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      s"""WITH ${shingleCtes("documents WHERE doc_id < 100")},
+         |${shingleHashCte("sh")}
+         |SELECT doc_id, ${minhashSigExprsSql(4)} FROM sx GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q22_minhash_lsh" ->

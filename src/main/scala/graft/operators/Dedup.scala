@@ -103,14 +103,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Smallest prime above 2^32 — the modulus of the MinHash permutation
+    * family. */
+  val MinhashPrime: Long = 4294967311L
+
+  /** Multiplier of permutation `i`: odd-ish, below 2^31 so `a * x`
+    * (x < 2^32) stays inside a signed 64-bit long — no overflow in ANSI
+    * mode, identical arithmetic in every engine. */
+  def minhashA(i: Int): Long = ((2654435761L * (i + 1)) % 2147483629L) + 1L
+
+  /** Offset of permutation `i`, below [[MinhashPrime]]. */
+  def minhashB(i: Int): Long = (1779033703L * (i + 1)) % MinhashPrime
+
   /** MinHash signatures from shingle rows: one row per document with
-    * columns `sig0..sig{k-1}`, where `sigI = min(md5("I:" || shingle))`.
-    * One groupBy(doc) — shuffle payload is k hashes per doc.
+    * BIGINT columns `sig0..sig{k-1}`, where
+    * `sigI = min((aI * x % P + bI) % P)` over the document's shingles
+    * and `x` is the first 8 hex digits of `md5(shingle)` as an integer.
+    *
+    * ONE md5 per shingle; the k permutations are affine maps over the
+    * 32-bit hash — the standard MinHash construction, and ~k times
+    * cheaper than hashing every shingle k times (at corpus scale the
+    * shingle hashing IS the pipeline's dominant cost). All integer
+    * arithmetic, so any engine reproduces the signatures exactly.
+    * One groupBy(doc) — shuffle payload is k longs per doc.
     */
   def minhashFromShingles(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"sig$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val p = lit(MinhashPrime)
+    val aggs = (0 until k).map { i =>
+      min(((lit(minhashA(i)) * col("__x")) % p + lit(minhashB(i))) % p).as(s"sig$i")
+    }
+    sh.withColumn("__mh", md5(col("__sh")))
+      .withColumn("__x", Sampling.hexPrefixValue("__mh"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   def minhashSignatures(
@@ -130,7 +155,10 @@ object Dedup {
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        concat((b * r until (b + 1) * r).map(i => col(s"sig$i")): _*).as("bucket"))
+        // ':'-separated — integer signatures are variable-width, so a
+        // bare concat would let (1,12) collide with (11,2)
+        concat_ws(":",
+          (b * r until (b + 1) * r).map(i => col(s"sig$i").cast("string")): _*).as("bucket"))
     }
     sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
