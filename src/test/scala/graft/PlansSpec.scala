@@ -48,4 +48,31 @@ class PlansSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._2))
     assert(got.toSeq == Seq((1, 1L, 20), (1, 2L, 10), (2, 1L, 5)))
   }
+
+  test("prefix sum plans per-partition windows, never a global orderBy window") {
+    import graft.operators.PrefixSum
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong % 7)).toDF("id", "v")
+      .repartition(4)
+    val cum = PrefixSum.runningSum(df, Seq(col("id")), "v")
+    cum.collect()
+    val plan = cum.queryExecution.executedPlan.toString
+    // the window must be keyed by the internal partition id — an
+    // unkeyed window ("Window [...] ORDER BY ..." with no partition
+    // spec) would funnel everything through one task
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"window not partitioned by __pid:\n$plan")
+  }
+
+  test("kmeans assignment plans as projection only — no join, no window") {
+    import graft.operators.Similarity
+    val df = (0 until 50)
+      .map(i => (i.toLong, Array.tabulate(4)(d => (i * 7 + d) % 13 / 13.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 4, iters = 1)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment should not join:\n$plan")
+    assert(!plan.contains("Window"), s"assignment should not use a window:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment should not shuffle:\n$plan")
+  }
 }
