@@ -66,4 +66,18 @@ object Scd2 {
     j.select(explode(filter(array(oldRow, newRow), _.isNotNull)).as("__v"))
       .select("__v.*")
   }
+
+  /** Point-in-time reconstruction: the rows visible as of `batch` —
+    * versions opened at or before it and not yet closed by it. Applied
+    * to [[fromSnapshots]] output, `asOf(h, oldBatch)` returns the old
+    * snapshot's rows and `asOf(h, newBatch)` the new snapshot's: the
+    * round-trip property the history build is FOR. A pure filter, so
+    * partition pruning on `valid_from` applies when the history is
+    * stored partitioned by batch.
+    */
+  def asOf(history: DataFrame, batch: Long): DataFrame =
+    history
+      .filter(col("valid_from") <= batch &&
+        (col("valid_to").isNull || col("valid_to") > batch))
+      .drop("valid_from", "valid_to", "is_current")
 }

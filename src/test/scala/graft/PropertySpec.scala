@@ -107,6 +107,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("scd2 round-trip: asOf(batch) reconstructs each snapshot exactly") {
+    import spark.implicits._
+    val genSide = Gen.mapOf(Gen.zip(Gen.choose(0, 12), Gen.choose(0, 2)))
+    check("scd2AsOf", Prop.forAll(genSide, genSide) { (oldM, newM) =>
+      val old = oldM.toSeq.map { case (k, v) => (k.toLong, v.toLong) }
+      val nu = newM.toSeq.map { case (k, v) => (k.toLong, v.toLong) }
+      val hist = graft.operators.Scd2
+        .fromSnapshots(old.toDF("k", "v"), nu.toDF("k", "v"), "k", Seq("v"))
+      def snap(batch: Long) = graft.operators.Scd2.asOf(hist, batch)
+        .as[(Long, Long)].collect().toSet
+      snap(1L) == old.toSet && snap(2L) == nu.toSet
+    })
+  }
+
   test("token chunks cover every token at least once") {
     import spark.implicits._
     val genDoc = Gen.choose(0, 40).map(n => (1 to n).map(i => s"w$i").mkString(" "))
