@@ -1130,7 +1130,8 @@ object SparkEntry {
     }.mkString(", ")
   }
 
-  /** Shingle hash CTE: `<p>sx` = (doc_id, x) with x the 32-bit integer
+  /** Shingle hash CTEs (fixed names `shh`, `sx` — compose at most once
+    * per statement): `sx` = (doc_id, x) with x the 32-bit integer
     * prefix of md5(shingle), matching `hexPrefixValue`.
     */
   private def shingleHashCte(shCte: String): String =

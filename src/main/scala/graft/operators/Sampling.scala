@@ -99,26 +99,11 @@ object Sampling {
     s"CASE $whens ELSE '${splits.last._1}' END"
   }
 
-  /** Weight-proportional top-k via priority sampling (Duffield, Lund &
-    * Thorup): each row gets priority `w / u` for a deterministic
-    * per-row uniform `u`, and the k highest priorities are the sample —
-    * heavy rows are proportionally more likely in, yet any row CAN
-    * appear (the estimator stays unbiased under the DLT weighting).
-    *
-    * Built for cross-engine determinism with NO transcendental math:
-    * `u = (x + 1) / 2^32` where x is the first 8 hex digits of
-    * `md5(salt:id)` (exact integer arithmetic via the locate/strpos
-    * digit trick), so `u` is exact in IEEE754 and `w / u` is a single
-    * correctly-rounded division — identical in every engine, unlike
-    * the `-ln(u)/w` exponential-key formulation whose libm calls
-    * differ. The top-k itself plans as TakeOrderedAndProject — no
-    * global sort.
-    */
   /** First 8 hex digits of md5-hex column `hashCol` as an exact 32-bit
     * integer, via the locate/strpos digit trick — pure integer
     * arithmetic that any engine reproduces bit-for-bit (`conv()` does
-    * not exist everywhere). Shared by priority sampling and the
-    * partition-fingerprint queries.
+    * not exist everywhere). Shared by priority sampling, MinHash, and
+    * the partition-fingerprint queries.
     */
   def hexPrefixValue(hashCol: String): Column =
     (0 until 8).map { i =>
@@ -132,6 +117,21 @@ object Sampling {
       s"(strpos('0123456789abcdef', substr($hashCol, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     ).mkString(" + ")
 
+  /** Weight-proportional top-k via priority sampling (Duffield, Lund &
+    * Thorup): each row gets priority `w / u` for a deterministic
+    * per-row uniform `u`, and the k highest priorities are the sample —
+    * heavy rows are proportionally more likely in, yet any row CAN
+    * appear (the estimator stays unbiased under the DLT weighting).
+    *
+    * Built for cross-engine determinism with NO transcendental math:
+    * `u = (x + 1) / 2^32` where x is the first 8 hex digits of
+    * `md5(salt:id)` (exact integer arithmetic via [[hexPrefixValue]]),
+    * so `u` is exact in IEEE754 and `w / u` is a single
+    * correctly-rounded division — identical in every engine, unlike
+    * the `-ln(u)/w` exponential-key formulation whose libm calls
+    * differ. The top-k itself plans as TakeOrderedAndProject — no
+    * global sort.
+    */
   def prioritySample(
       df: DataFrame,
       idCol: String,

@@ -182,6 +182,10 @@ object EventStreams {
     * checkpointed query with a SMALLER capacity keeps each key's stored
     * capacity (shrinking a SpaceSaving sketch in place cannot preserve
     * its error bound); a larger capacity takes effect immediately.
+    * These restart semantics apply to checkpoints that already carry
+    * the capacity field — the state schema is versioned by Spark's
+    * state-store compatibility check, so older-schema checkpoints
+    * cannot be resumed by this build.
     */
   def heavyHittersStream(
       items: Dataset[HHItem],
