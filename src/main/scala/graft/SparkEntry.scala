@@ -947,6 +947,24 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- extension: per-key uniform sample via the custom top-k operator ----
+    "q81_per_key_sample" -> ((s, dir) => {
+      // deterministic uniform draw per doc; the k smallest per source
+      // ARE a uniform sample of that stratum. Composes the md5-integer
+      // uniform with the TopKPerKey physical operator, so the sample is
+      // heap-bounded map-side — no per-stratum sort or full shuffle.
+      val withU = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("pks:"), col("doc_id").cast("string"))).as("__h"))
+        .withColumn("u", operators.Sampling.hexPrefixValue("__h"))
+        .drop("__h")
+      graft.plans.TopKPerKey.topk(withU, Seq("source"),
+          Seq(graft.plans.TopKPerKey.Asc("u"), graft.plans.TopKPerKey.Asc("doc_id")),
+          5)
+        .select("source", "rank", "doc_id")
+        .orderBy("source", "rank")
+    }),
+
     // ---- extension: incremental partition diff (changed-partition detection) ----
     "q80_partition_diff" -> ((s, dir) => {
       // per-month fingerprint: order-independent XOR of a 32-bit
@@ -1927,6 +1945,17 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q76_kmeans" -> kmeansOracle(k = 8, iters = 2, dims = 64),
+
+    "q81_per_key_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, md5('pks:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |u AS (SELECT doc_id, source, (${operators.Sampling.hexPrefixSql("h")}) AS u FROM t),
+         |r AS (SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rank
+         |  FROM u)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM r
+         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "q80_partition_diff" -> {
       val xv = operators.Sampling.hexPrefixSql("h")
