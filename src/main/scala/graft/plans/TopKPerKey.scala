@@ -135,7 +135,7 @@ case class TopKPerKeyFinalExec(
   }
 }
 
-private[plans] object TopKPerKeyExec {
+private[graft] object TopKPerKeyExec {
 
   /** Buffered-row bound for the partial heap map (~4M rows). Past this,
     * the map is flushed downstream and restarted; the final merge

@@ -49,6 +49,42 @@ class PlansSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 1L, 20), (1, 2L, 10), (2, 1L, 5)))
   }
 
+  test("topk-per-key partial flush path preserves exact results") {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    // run the partial pass with a tiny flush threshold directly: the
+    // flushed output may contain more than k rows per key, but the
+    // true top-k must survive in it
+    val df = (1 to 500).map(i => (i % 7, i * 13 % 101, i)).toDF("k", "v", "id")
+    val plan = df.queryExecution.executedPlan
+    val attrs = plan.output
+    val keyAttr = attrs.find(_.name == "k").get
+    val vAttr = attrs.find(_.name == "v").get
+    val rows = plan.executeCollect().iterator
+    val out = graft.plans.TopKPerKeyExec.partialTopK(
+        rows, Seq(keyAttr), Seq(SortOrder(vAttr, Ascending)), 3, attrs, flushRows = 8)
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // per key, the 3 smallest v values overall must all be present
+    val expected = (1 to 500).map(i => (i % 7, i * 13 % 101))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.take(3).toSet }
+    expected.foreach { case (k, top3) =>
+      val got = out.filter(_._1 == k).map(_._2).toSet
+      assert(top3.subsetOf(got), s"key $k lost top values: got $got want ⊇ $top3")
+    }
+  }
+
+  test("prefix sum handles decimal values through the widened sum type") {
+    import graft.operators.PrefixSum
+    val df = (1 to 100).map(i => (i.toLong, BigDecimal(i) / 100))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("decimal(10,2)").as("v"))
+      .repartition(5)
+    val got = PrefixSum.runningSum(df, Seq(col("id")), "v", "cum")
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(got(100L).compareTo(new java.math.BigDecimal("50.50")) == 0)
+    assert(got(3L).compareTo(new java.math.BigDecimal("0.06")) == 0)
+  }
+
   test("prefix sum plans per-partition windows, never a global orderBy window") {
     import graft.operators.PrefixSum
     val df = (1 to 1000).map(i => (i.toLong, i.toLong % 7)).toDF("id", "v")
