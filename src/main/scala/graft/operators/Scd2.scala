@@ -23,6 +23,12 @@ object Scd2 {
 
   /** Build version history from two snapshots of the same table.
     *
+    * Precondition: `pk` is unique within each snapshot (the usual
+    * snapshot contract); a duplicated key would multiply through the
+    * full-outer join and emit one version pair per combination. Run
+    * [[graft.core.PrimaryKeyValidator]] first when the input is
+    * untrusted.
+    *
     * Output: `pk`, `compareCols`, `valid_from`, `valid_to` (NULL =
     * still open), `is_current`. Per key:
     *

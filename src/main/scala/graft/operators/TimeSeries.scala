@@ -30,7 +30,8 @@ object TimeSeries {
       df: DataFrame,
       keyCol: String,
       tsCol: String,
-      unitMicros: Long): DataFrame = {
+      unitMicros: Long,
+      maxBucketsPerKey: Long = 1L << 21): DataFrame = {
     // integer bucket math: `/` on longs is DOUBLE division in Spark and
     // corrupts epoch micros past 2^53 — subtract the pmod remainder instead
     val us = unix_micros(col(tsCol))
@@ -39,11 +40,23 @@ object TimeSeries {
       .select(col(keyCol).as("__k"), bucket.as("bucket_us"))
       .groupBy("__k", "bucket_us")
       .agg(count(lit(1)).as("__n"))
+    // guard the densification: ONE key with a corrupt outlier timestamp
+    // (epoch 0 next to 2024, say) would make sequence() materialize a
+    // multi-million-element array in a single row. Fail loudly with the
+    // offending key instead of silently OOMing the executor.
+    val span = (col("__hi") - col("__lo")) / lit(unitMicros)
+    // the guard lives INSIDE sequence's start argument — a standalone
+    // guard column would be pruned away as unused and never evaluate
+    val guardedLo = when(span < maxBucketsPerKey, col("__lo"))
+      .otherwise(raise_error(concat(
+        lit("resampleCounts: key "), col("__k").cast("string"),
+        lit(s" spans more than $maxBucketsPerKey buckets — corrupt "),
+        lit("timestamps, or raise maxBucketsPerKey"))).cast("long"))
     val axis = counts
       .groupBy("__k")
       .agg(min(col("bucket_us")).as("__lo"), max(col("bucket_us")).as("__hi"))
       .select(col("__k"),
-        explode(sequence(col("__lo"), col("__hi"), lit(unitMicros))).as("bucket_us"))
+        explode(sequence(guardedLo, col("__hi"), lit(unitMicros))).as("bucket_us"))
     axis.join(counts, Seq("__k", "bucket_us"), "left")
       .select(col("__k").as(keyCol), col("bucket_us"),
         coalesce(col("__n"), lit(0L)).as("n"))

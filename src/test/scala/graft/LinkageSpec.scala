@@ -64,6 +64,19 @@ class LinkageSpec extends AnyFunSuite {
       (2L, h0 + 5 * hr, 1L)))
   }
 
+  test("resample rejects a pathological span instead of exploding") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("1970-01-02 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")))  // ~473k hourly buckets
+      .toDF("k", "t")
+    val ex = intercept[Exception] {
+      TimeSeries.resampleCounts(df, "k", "t", 3600000000L,
+        maxBucketsPerKey = 1000L).collect()
+    }
+    assert(ex.getMessage.contains("spans more than"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("rolling z-score: excluded current row, full-window gating, spike flagged") {
     val vals = Seq(10.0, 10.0, 10.0, 12.0, 8.0, 10.0, 100.0, 10.0)
     val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
