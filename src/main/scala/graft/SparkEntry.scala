@@ -55,6 +55,11 @@ object SparkEntry {
     Differ.diff(fileState(o), o, "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
   }
 
+  /** BM25 query terms for q83 — shared by query and oracle SQL
+    * (one rare term, two common ones, so idf spread is visible).
+    */
+  private val Bm25Terms: Seq[String] = Seq("dup", "vector", "spark")
+
   /** Strata fractions for q55 — shared by query and oracle SQL. */
   private val StrataFractions: Map[String, Double] =
     Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
@@ -93,6 +98,76 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 joins: five-table star join (TPC-H Q5 shape) ----
+    // The flagship `entry` plan, oracle-checked: two broadcast joins
+    // for the dims, shuffle joins on the fact keys, partial aggs.
+    "q82_star_join" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(revenueTerm).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ---- extension: BM25 retrieval scoring over documents ----
+    "q83_bm25" -> ((s, dir) => {
+      operators.Ranking.bm25(T(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, topK = 20)
+    }),
+
+    // ---- extension: inverted index with capped posting lists ----
+    "q84_inverted_index" -> ((s, dir) => {
+      operators.Ranking.invertedIndex(T(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 15)
+    }),
+
+    // ---- extension: MAD robust outlier report per event type ----
+    "q85_mad_outliers" -> ((s, dir) => {
+      operators.RobustStats.madOutliers(T(s, dir, "events"), "event_type", "value")
+    }),
+
+    // ---- extension: Z-order (Morton) layout clustering ----
+    // bucket = top 4 bits of the 16-bit Z-code; min/max per bucket show
+    // BOTH dimensions stay range-bounded — the file-pruning property.
+    "q86_zorder" -> ((s, dir) => {
+      val z = operators.ZOrderLayout.interleave(
+        col("l_partkey") % 256, col("l_suppkey") % 256, bits = 8)
+      T(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sy"),
+          z.as("__z"))
+        .groupBy(expr("__z div 4096").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("px")).as("px_lo"), max(col("px")).as("px_hi"),
+          min(col("sy")).as("sy_lo"), max(col("sy")).as("sy_hi"))
+        .orderBy("bucket")
+    }),
+
+    // ---- extension: equi-width histogram ----
+    "q87_histogram" -> ((s, dir) => {
+      operators.RobustStats.equiWidthHistogram(
+        T(s, dir, "orders"), "o_totalprice", lo = 0.0, width = 25000.0, nBuckets = 12)
+    }),
+
+    // ---- extension: equi-depth buckets from exact disc cutpoints ----
+    "q88_equi_depth" -> ((s, dir) => {
+      operators.RobustStats.equiDepthBuckets(
+        T(s, dir, "lineitem"), "l_extendedprice", nBuckets = 8)
+    }),
+
+    // ---- extension: unigram LM quality scoring (CCNet-style) ----
+    "q89_unigram_logprob" -> ((s, dir) => {
+      operators.Ranking.unigramLogProb(T(s, dir, "documents"), "doc_id", "text", k = 20)
+    }),
+
     // ---- §2.5 aggregation: TPC-H Q1-shaped pricing summary ----
     "q01_pricing_summary" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -1212,6 +1287,47 @@ object SparkEntry {
     * on the same parquet tables.
     */
   def oracleSql: Map[String, String] = Map(
+    "q82_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q83_bm25" ->
+      operators.Ranking.bm25Sql("documents", "doc_id", "text", Bm25Terms, topK = 20),
+
+    "q84_inverted_index" ->
+      operators.Ranking.invertedIndexSql("documents", "doc_id", "text", maxPostings = 15),
+
+    "q85_mad_outliers" ->
+      operators.RobustStats.madOutliersSql("events", "event_type", "value"),
+
+    "q86_zorder" -> {
+      val z = operators.ZOrderLayout.interleaveSql("px", "sy", bits = 8)
+      s"""WITH m AS (
+         |  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sy FROM lineitem),
+         |z AS (SELECT px, sy, ($z) AS zc FROM m)
+         |SELECT CAST(zc // 4096 AS BIGINT) AS bucket, COUNT(*) AS n,
+         |  min(px) AS px_lo, max(px) AS px_hi,
+         |  min(sy) AS sy_lo, max(sy) AS sy_hi
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q87_histogram" ->
+      operators.RobustStats.equiWidthHistogramSql(
+        "orders", "o_totalprice", lo = 0.0, width = 25000.0, nBuckets = 12),
+
+    "q88_equi_depth" ->
+      operators.RobustStats.equiDepthBucketsSql("lineitem", "l_extendedprice", nBuckets = 8),
+
+    "q89_unigram_logprob" ->
+      operators.Ranking.unigramLogProbSql("documents", "doc_id", "text", k = 20),
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerKey
+
+/** Corpus ranking / retrieval-index operators: BM25 scoring, inverted
+  * index construction, and unigram language-model scoring.
+  *
+  * These extend the reference's text surface the same way TfIdf does —
+  * the reference has no retrieval layer at all, so the shapes here are
+  * pure Spark-first designs:
+  *
+  *  - every per-term statistic is a partial-aggregated `groupBy` keyed
+  *    on high-cardinality (doc, term) / (term) columns;
+  *  - corpus-level scalars (N, avgdl, total token count) are 1-row
+  *    frames joined in via `broadcast` crossJoin, never `collect()`ed
+  *    through the driver;
+  *  - per-term posting lists are capped with the heap-bounded
+  *    [[graft.plans.TopKPerKey]] operator BEFORE any `collect_list`,
+  *    so a stop-word term can never materialize an unbounded array on
+  *    one executor at 100 TB.
+  */
+object Ranking {
+
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms; the `topK` highest-scoring docs are returned as
+    * (id, score) ordered by (score desc, id).
+    *
+    * Determinism: the per-term contributions are pivoted into fixed
+    * columns and added in query-term order (never `sum()` over doubles,
+    * whose partial order is engine-dependent); `dl/avgdl` and the idf
+    * log run on scalars that are exact decimal/long aggregates.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val id = col(idCol)
+    val toks = docs.select(id, explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // per-doc length (all terms) and per-(doc, query-term) frequency;
+    // the term filter runs before the tf shuffle so only query terms move
+    val dl = toks.groupBy(id).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus scalars: N docs, total token count -> avgdl (double, once)
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl"))
+
+    val contrib = tf
+      .join(dl, idCol)
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("__sdl").cast("double") / col("__n"))
+      .withColumn("__idf",
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__c",
+        col("__idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+
+    // fixed-order pivot: score = c(t1) + c(t2) + ... in queryTerms order
+    val aggCols = queryTerms.map(t => max(when(col("term") === t, col("__c"))).as(s"__c_$t"))
+    val byDoc = contrib.groupBy(id).agg(aggCols.head, aggCols.tail: _*)
+    val score = queryTerms.map(t => coalesce(col(s"__c_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    byDoc.select(id, round(score, 5).as("score"))
+      .orderBy(col("score").desc, id)
+      .limit(topK)
+  }
+
+  /** DuckDB SQL equivalent of [[bm25]] over table `src`; tokenization
+    * matches `TextAnalysis.tokens` (lower, split on space, drop empties).
+    */
+  def bm25Sql(
+      src: String,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): String = {
+    val inList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val caseCols = queryTerms.map(t =>
+      s"MAX(CASE WHEN term = '$t' THEN c END) AS c_$t").mkString(",\n    ")
+    val scoreSum = queryTerms.map(t => s"COALESCE(c_$t, 0.0)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT $idCol, unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  FROM $src),
+       |dl AS (SELECT $idCol, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |tf AS (SELECT $idCol, term, COUNT(*) AS tf FROM toks
+       |       WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+       |c AS (SELECT tf.$idCol, tf.term,
+       |    ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+       |      (tf.tf * ($k1 + 1.0)) /
+       |      (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / (CAST(st.sdl AS DOUBLE) / st.n))) AS c
+       |  FROM tf JOIN dl USING ($idCol) JOIN dfq USING (term) CROSS JOIN st),
+       |p AS (SELECT $idCol,
+       |    $caseCols
+       |  FROM c GROUP BY 1)
+       |SELECT $idCol, round($scoreSum, 5) AS score FROM p
+       |ORDER BY score DESC, $idCol LIMIT $topK""".stripMargin
+  }
+
+  /** Inverted index: per term, its document frequency and a posting
+    * list of the `maxPostings` smallest doc ids, rendered as a
+    * comma-joined string (portable across the oracle compare).
+    *
+    * df is computed on the FULL distinct (doc, term) set; only the
+    * posting list is capped, via TopKPerKey (heap-bounded map-side), so
+    * no term ever collects an unbounded array.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+    val dfreq = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val capped = TopKPerKey.topk(pairs, Seq("term"), Seq(TopKPerKey.Asc(idCol)), maxPostings)
+    val postings = capped.groupBy(col("term"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col(idCol))), _.cast("string")),
+        ",").as("postings"))
+    dfreq.join(postings, "term")
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy("term")
+  }
+
+  /** DuckDB SQL equivalent of [[invertedIndex]]. */
+  def invertedIndexSql(src: String, idCol: String, textCol: String, maxPostings: Int): String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT $idCol, unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  FROM $src),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM pairs GROUP BY 1),
+       |capped AS (SELECT term, $idCol FROM (
+       |    SELECT term, $idCol,
+       |      ROW_NUMBER() OVER (PARTITION BY term ORDER BY $idCol) AS rn
+       |    FROM pairs) t WHERE rn <= $maxPostings),
+       |p AS (SELECT term, array_to_string(list_sort(list(${idCol})), ',') AS postings
+       |      FROM capped GROUP BY 1)
+       |SELECT term, df, postings FROM dfq JOIN p USING (term) ORDER BY term""".stripMargin
+
+  /** Unigram language-model quality score: each document's mean token
+    * log-probability under the corpus unigram distribution (CCNet-style
+    * LM filtering, with the corpus itself as the model). Lower = more
+    * atypical. Returns (id, n_tokens, logprob) for the `k` lowest-
+    * scoring docs.
+    *
+    * Determinism: ln() output is rounded to 9 decimals per TERM (not
+    * per token occurrence) and the per-doc total is an exact decimal
+    * sum `tf * logp9`, so the engines' float-reduction orders can never
+    * disagree; the final mean divides two exact values in double once.
+    */
+  def unigramLogProb(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20): DataFrame = {
+    val id = col(idCol)
+    val toks = docs.select(id, explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val termTotals = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val corpus = termTotals.agg(sum(col("ctf")).as("__total"))
+    val logp = termTotals.crossJoin(broadcast(corpus))
+      .select(col("term"),
+        round(log(col("ctf").cast("double") / col("__total")), 9)
+          .cast("decimal(18,9)").as("logp9"))
+    tf.join(broadcast(logp), "term")
+      .groupBy(id)
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("logp9")).as("__slp"))
+      .select(id, col("n_tokens"),
+        round(col("__slp").cast("double") / col("n_tokens"), 6).as("logprob"))
+      .orderBy(col("logprob").asc, id)
+      .limit(k)
+  }
+
+  /** DuckDB SQL equivalent of [[unigramLogProb]]. */
+  def unigramLogProbSql(src: String, idCol: String, textCol: String, k: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol, unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  FROM $src),
+       |tf AS (SELECT $idCol, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |tt AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1),
+       |corpus AS (SELECT SUM(ctf) AS total FROM tt),
+       |lp AS (SELECT term,
+       |    CAST(round(ln(CAST(ctf AS DOUBLE) / total), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM tt CROSS JOIN corpus),
+       |d AS (SELECT tf.$idCol, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |        SUM(tf.tf * lp.logp9) AS slp
+       |      FROM tf JOIN lp USING (term) GROUP BY 1)
+       |SELECT $idCol, n_tokens, round(CAST(slp AS DOUBLE) / n_tokens, 6) AS logprob
+       |FROM d ORDER BY logprob ASC, $idCol LIMIT $k""".stripMargin
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust / distributional statistics: MAD outlier detection,
+  * equi-width histograms, and exact-cutpoint equi-depth bucketing.
+  *
+  * The reference has no statistics surface (SURVEY.md §2.5 marks
+  * general aggregation *absent*); these are the data-profiling
+  * extensions a 100 TB pipeline needs. All shapes are two-pass
+  * group-aggregates: the per-group medians/cutpoints reduce to a few
+  * rows which re-enter the plan via `broadcast` joins — never a
+  * driver-side collect, never a global sort.
+  *
+  * Determinism: `percentile_disc` picks an actual data value (exact in
+  * both Spark and DuckDB — see q35/q67), so downstream arithmetic runs
+  * on identical doubles in both engines.
+  */
+object RobustStats {
+
+  /** Per-group MAD (median absolute deviation) outlier report:
+    * (group, n, med, mad, n_outliers) where an outlier deviates from
+    * the group median by more than `cutoff * 1.4826 * mad` (1.4826
+    * scales MAD to the stddev of a normal distribution).
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      cutoff: Double = 3.0): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val med = df.groupBy(g)
+      .agg(expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)").as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(v - col("med")))
+    val mad = dev.groupBy(g)
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(g)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(cutoff) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(g)
+  }
+
+  /** DuckDB SQL equivalent of [[madOutliers]]. */
+  def madOutliersSql(src: String, groupCol: String, valueCol: String,
+      cutoff: Double = 3.0): String =
+    s"""WITH med AS (
+       |  SELECT $groupCol, quantile_disc($valueCol, 0.5) AS med
+       |  FROM $src GROUP BY 1),
+       |dev AS (SELECT t.$groupCol, abs(t.$valueCol - med.med) AS dev, med.med
+       |        FROM $src t JOIN med USING ($groupCol)),
+       |mad AS (SELECT $groupCol, quantile_disc(dev, 0.5) AS mad FROM dev GROUP BY 1)
+       |SELECT dev.$groupCol, COUNT(*) AS n, ANY_VALUE(dev.med) AS med,
+       |  ANY_VALUE(mad.mad) AS mad,
+       |  CAST(SUM(CASE WHEN dev.dev > $cutoff * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM dev JOIN mad USING ($groupCol)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Equi-width histogram of `valueCol` with `nBuckets` buckets of
+    * `width` starting at `lo`; values outside clamp to the edge
+    * buckets. One partial-aggregated groupBy — the classic single-pass
+    * distributed histogram.
+    */
+  def equiWidthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      width: Double,
+      nBuckets: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val bucket = least(greatest(floor((v - lo) / width), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("long")
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(v).as("lo_v"),
+        max(v).as("hi_v"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB SQL equivalent of [[equiWidthHistogram]]. */
+  def equiWidthHistogramSql(src: String, valueCol: String,
+      lo: Double, width: Double, nBuckets: Int): String =
+    s"""SELECT CAST(least(greatest(floor((CAST($valueCol AS DOUBLE) - $lo) / $width), 0.0),
+       |    ${nBuckets - 1}.0) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n,
+       |  min(CAST($valueCol AS DOUBLE)) AS lo_v,
+       |  max(CAST($valueCol AS DOUBLE)) AS hi_v
+       |FROM $src GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Equi-depth bucketing via exact `percentile_disc` cutpoints:
+    * assigns each row the count of cutpoints strictly below its value
+    * (so ties always land in one bucket, unlike `ntile`, which splits
+    * them arbitrarily — and unlike `ntile` this needs no single-
+    * partition global sort, only an aggregate + broadcast, so it
+    * scales). Returns (bucket, n, lo_v, hi_v).
+    */
+  def equiDepthBuckets(
+      df: DataFrame,
+      valueCol: String,
+      nBuckets: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cutAgg = qs.zipWithIndex.map { case (q, i) =>
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $valueCol)")
+        .cast("double").as(s"__c$i")
+    }
+    val cuts = df.agg(cutAgg.head, cutAgg.tail: _*)
+    val bucket = qs.indices
+      .map(i => when(v > col(s"__c$i"), 1L).otherwise(0L))
+      .reduceLeft[Column](_ + _)
+    df.crossJoin(broadcast(cuts))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), min(v).as("lo_v"), max(v).as("hi_v"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB SQL equivalent of [[equiDepthBuckets]]. */
+  def equiDepthBucketsSql(src: String, valueCol: String, nBuckets: Int): String = {
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cutCols = qs.zipWithIndex.map { case (q, i) =>
+      s"CAST(quantile_disc($valueCol, $q) AS DOUBLE) AS c$i"
+    }.mkString(",\n    ")
+    val bucket = qs.indices
+      .map(i => s"(CASE WHEN CAST($valueCol AS DOUBLE) > c$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH cuts AS (
+       |  SELECT $cutCols FROM $src)
+       |SELECT CAST($bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+       |  min(CAST($valueCol AS DOUBLE)) AS lo_v,
+       |  max(CAST($valueCol AS DOUBLE)) AS hi_v
+       |FROM $src CROSS JOIN cuts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ranking, RobustStats, ZOrderLayout}
+
+class RankingStatsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bm25 ranks the doc saturated in a rare term first") {
+    val docs = Seq(
+      (1L, "rare rare rare word word"),
+      (2L, "word word word word word"),
+      (3L, "rare word other other other"),
+      (4L, "other other other other other")
+    ).toDF("doc_id", "text")
+    val top = Ranking.bm25(docs, "doc_id", "text", Seq("rare", "word"), topK = 4)
+      .collect()
+    assert(top.head.getLong(0) == 1L)
+    // doc 4 matches nothing -> it must not appear at all
+    assert(!top.map(_.getLong(0)).contains(4L))
+    // scores strictly ordered desc (ties broken by id upstream)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("inverted index: full df, capped + sorted postings") {
+    val docs = (1 to 30).map(i =>
+      (i.toLong, if (i % 3 == 0) "common triple" else "common solo")).toDF("doc_id", "text")
+    val idx = Ranking.invertedIndex(docs, "doc_id", "text", maxPostings = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // df counts every doc containing the term, not just the capped list
+    assert(idx("common")._1 == 30L)
+    assert(idx("triple")._1 == 10L)
+    // postings are the smallest ids, ascending, capped at 5
+    assert(idx("common")._2 == "1,2,3,4,5")
+    assert(idx("triple")._2 == "3,6,9,12,15")
+  }
+
+  test("unigram logprob: the all-rare-token doc scores lowest") {
+    val docs = (1 to 20).map(i => (i.toLong, "the the the common"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "zebra qux vex")).toDF("doc_id", "text"))
+    val out = Ranking.unigramLogProb(docs, "doc_id", "text", k = 3).collect()
+    assert(out.head.getLong(0) == 99L)
+    assert(out.head.getDouble(2) < out.last.getDouble(2) + 1e-9)
+  }
+
+  test("MAD outliers: resistant to the outliers it reports") {
+    val rows = (1 to 100).map(i => ("a", 10.0 + (i % 5))) ++
+      Seq(("a", 5000.0), ("a", -4000.0)) ++
+      (1 to 50).map(i => ("b", 100.0))
+    val out = RobustStats.madOutliers(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the two wild points must not drag the median/MAD
+    assert(out("a").getDouble(2) >= 10.0 && out("a").getDouble(2) <= 14.0)
+    assert(out("a").getLong(4) == 2L)
+    // a constant group has mad 0 and no outliers
+    assert(out("b").getDouble(3) == 0.0)
+    assert(out("b").getLong(4) == 0L)
+  }
+
+  test("z-order interleave is a bijection on the grid and buckets bound both dims") {
+    val df = spark.range(0, 1024).select(
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    val withZ = df.select(col("x"), col("y"),
+      ZOrderLayout.interleave(col("x"), col("y"), 5).as("z"))
+    val zs = withZ.select("z").as[Long].collect()
+    assert(zs.distinct.length == 1024 && zs.min == 0L && zs.max == 1023L)
+    // every 64-wide z-range covers at most an 8x8 tile in (x, y)
+    val spans = withZ.groupBy(expr("z div 64").as("b"))
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .collect()
+    assert(spans.forall(r => r.getLong(1) <= 7 && r.getLong(2) <= 7))
+  }
+
+  test("clusterByZ keeps z-ranges disjoint across partitions") {
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val parts = ZOrderLayout.clusterByZ(df, "x", "y", bits = 6, numPartitions = 8)
+      .select(spark_partition_id().as("p"),
+        ZOrderLayout.interleave(col("x"), col("y"), 6).as("z"))
+      .groupBy("p").agg(min("z").as("zlo"), max("z").as("zhi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    parts.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("equi-width histogram partitions the row count and clamps edges") {
+    val vals = Seq(-50.0, 0.0, 10.0, 25.0, 99.0, 150.0, 260.0).toDF("v")
+    val h = RobustStats.equiWidthHistogram(vals, "v", lo = 0.0, width = 50.0, nBuckets = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.values.sum == 7L)
+    assert(h(0L) == 4L) // -50 clamps up into bucket 0
+    assert(h(4L) == 1L) // 260 clamps down into the last bucket
+  }
+
+  test("equi-depth buckets are near-balanced and ordered") {
+    val df = spark.range(1, 1001).select(col("id").cast("double").as("v"))
+    val b = RobustStats.equiDepthBuckets(df, "v", nBuckets = 4).collect()
+    assert(b.map(_.getLong(1)).sum == 1000L)
+    // exact disc cutpoints on distinct values -> perfectly balanced here
+    assert(b.forall(_.getLong(1) == 250L))
+    // bucket value ranges must not overlap
+    val ranges = b.map(r => (r.getDouble(2), r.getDouble(3)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+}
