@@ -168,6 +168,18 @@ object SparkEntry {
       operators.Ranking.unigramLogProb(T(s, dir, "documents"), "doc_id", "text", k = 20)
     }),
 
+    // ---- extension: winsorized robust means per group ----
+    "q90_winsorize" -> ((s, dir) => {
+      operators.RobustStats.winsorizedMeans(
+        T(s, dir, "orders"), "o_orderpriority", "o_totalprice", pLo = 0.05, pHi = 0.95)
+    }),
+
+    // ---- extension: market-basket co-purchase pairs ----
+    "q91_copurchase" -> ((s, dir) => {
+      operators.Affinity.coOccurrence(
+        T(s, dir, "lineitem"), "l_orderkey", "l_partkey", maxBasket = 20, k = 20)
+    }),
+
     // ---- §2.5 aggregation: TPC-H Q1-shaped pricing summary ----
     "q01_pricing_summary" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -1327,6 +1339,14 @@ object SparkEntry {
 
     "q89_unigram_logprob" ->
       operators.Ranking.unigramLogProbSql("documents", "doc_id", "text", k = 20),
+
+    "q90_winsorize" ->
+      operators.RobustStats.winsorizedMeansSql(
+        "orders", "o_orderpriority", "o_totalprice", pLo = 0.05, pHi = 0.95),
+
+    "q91_copurchase" ->
+      operators.Affinity.coOccurrenceSql(
+        "lineitem", "l_orderkey", "l_partkey", maxBasket = 20, k = 20),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -94,6 +94,53 @@ object RobustStats {
        |  max(CAST($valueCol AS DOUBLE)) AS hi_v
        |FROM $src GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Winsorized per-group means: clip `valueCol` to its group's
+    * [pLo, pHi] exact disc percentiles, then report raw vs clipped
+    * means. The cutpoints are actual 2-decimal data values, so the
+    * clipped sum stays exact in DECIMAL(18,2) and the final division
+    * is one double op — hash-stable across engines.
+    */
+  def winsorizedMeans(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Double,
+      pHi: Double): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val cuts = df.groupBy(g).agg(
+      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $valueCol)").as("c_lo"),
+      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $valueCol)").as("c_hi"))
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    df.join(broadcast(cuts), groupCol)
+      .withColumn("__w", least(greatest(v, col("c_lo")), col("c_hi")))
+      .groupBy(g)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(v)).as("__sv"),
+        sum(dec(col("__w"))).as("__sw"))
+      .select(g, col("n"),
+        round(col("__sv").cast("double") / col("n"), 6).as("mean_raw"),
+        round(col("__sw").cast("double") / col("n"), 6).as("mean_winsor"))
+      .orderBy(g)
+  }
+
+  /** DuckDB SQL equivalent of [[winsorizedMeans]]. */
+  def winsorizedMeansSql(src: String, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): String =
+    s"""WITH cuts AS (
+       |  SELECT $groupCol,
+       |    quantile_disc($valueCol, $pLo) AS c_lo,
+       |    quantile_disc($valueCol, $pHi) AS c_hi
+       |  FROM $src GROUP BY 1),
+       |w AS (SELECT t.$groupCol, t.$valueCol AS v,
+       |        least(greatest(t.$valueCol, cuts.c_lo), cuts.c_hi) AS wv
+       |      FROM $src t JOIN cuts USING ($groupCol))
+       |SELECT $groupCol, COUNT(*) AS n,
+       |  round(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+       |  round(CAST(SUM(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_winsor
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Equi-depth bucketing via exact `percentile_disc` cutpoints:
     * assigns each row the count of cutpoints strictly below its value
     * (so ties always land in one bucket, unlike `ntile`, which splits

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Ranking, RobustStats, ZOrderLayout}
+import graft.operators.{Affinity, Ranking, RobustStats, ZOrderLayout}
 
 class RankingStatsSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -97,6 +97,33 @@ class RankingStatsSpec extends AnyFunSuite {
     assert(h.values.sum == 7L)
     assert(h(0L) == 4L) // -50 clamps up into bucket 0
     assert(h(4L) == 1L) // 260 clamps down into the last bucket
+  }
+
+  test("winsorized mean clips tails but leaves the bulk untouched") {
+    val rows = (1 to 98).map(i => ("g", 100.0)) ++ Seq(("g", 0.01), ("g", 99999.0))
+    val out = RobustStats.winsorizedMeans(rows.toDF("k", "v"), "k", "v", 0.05, 0.95)
+      .collect().head
+    assert(out.getLong(1) == 100L)
+    // raw mean is dragged ~1000 up by the tail; winsorized stays at 100
+    assert(out.getDouble(2) > 1000.0)
+    assert(out.getDouble(3) == 100.0)
+  }
+
+  test("co-occurrence counts pairs once per basket and caps basket size") {
+    val rel = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), // dup item in basket counts once
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 10L), (3L, 20L)
+    ).toDF("b", "i")
+    val out = Affinity.coOccurrence(rel, "b", "i", maxBasket = 20, k = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((10L, 20L)) == 3L)
+    assert(out((10L, 30L)) == 1L)
+    assert(out((20L, 30L)) == 1L)
+    // capping to 2 smallest items drops item 30 pairs entirely
+    val capped = Affinity.coOccurrence(rel, "b", "i", maxBasket = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 20L)))
   }
 
   test("equi-depth buckets are near-balanced and ordered") {

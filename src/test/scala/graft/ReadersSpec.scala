@@ -95,6 +95,20 @@ class ReadersSpec extends AnyFunSuite {
     assert(jdbcDf.count() == 50)
   }
 
+  test("orc round-trip: dispatch, projection, missing-column error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").resolve("t.orc").toString
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+      .write.mode("overwrite").orc(dir)
+    val back = Readers.forPath(spark, dir, columns = Seq("id", "v"))
+    assert(back.columns.toSeq == Seq("id", "v"))
+    assert(back.count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      Readers.forPath(spark, dir, columns = Seq("nope"))
+    }
+    assert(e.getMessage.contains("missing column"))
+  }
+
   test("extension dispatch rejects unknown formats") {
     val e = intercept[IllegalArgumentException] {
       Readers.forPath(spark, "/tmp/data.xlsx")
