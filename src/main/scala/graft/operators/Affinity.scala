@@ -24,6 +24,12 @@ object Affinity {
   /** Top-`k` item pairs by basket co-occurrence. Pairs are ordered
     * (item1 < item2); ties on count break by item ids. Returns
     * (item1, item2, n_baskets).
+    *
+    * Shape: NOT a self-join (which would run the dedup+cap pipeline
+    * twice and shuffle four times) — the capped basket is collected
+    * into one bounded array per basket (no extra shuffle: TopKPerKey's
+    * exchange already clusters by basket) and the x&lt;y combinations
+    * are expanded array-side, then pair-counted. Two shuffles total.
     */
   def coOccurrence(
       rel: DataFrame,
@@ -34,12 +40,13 @@ object Affinity {
     val pairs = rel.select(col(basketCol), col(itemCol)).distinct()
     val capped = TopKPerKey.topk(pairs, Seq(basketCol),
       Seq(TopKPerKey.Asc(itemCol)), maxBasket)
-      .select(col(basketCol), col(itemCol))
-    val a = capped.as("a")
-    val b = capped.as("b")
-    a.join(b, col(s"a.$basketCol") === col(s"b.$basketCol") &&
-        col(s"a.$itemCol") < col(s"b.$itemCol"))
-      .groupBy(col(s"a.$itemCol").as("item1"), col(s"b.$itemCol").as("item2"))
+    val baskets = capped.groupBy(col(basketCol))
+      .agg(sort_array(collect_list(col(itemCol))).as("__items"))
+    val combos = baskets.select(explode(expr(
+      """flatten(transform(__items,
+        |  (x, i) -> transform(slice(__items, i + 2, size(__items)),
+        |            y -> struct(x AS item1, y AS item2))))""".stripMargin)).as("p"))
+    combos.groupBy(col("p.item1").as("item1"), col("p.item2").as("item2"))
       .agg(count(lit(1)).as("n_baskets"))
       .orderBy(col("n_baskets").desc, col("item1"), col("item2"))
       .limit(k)

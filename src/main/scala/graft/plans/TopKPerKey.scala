@@ -107,6 +107,12 @@ case class TopKPerKeyFinalExec(
   // inserted SortExec spills, unlike a hash-of-heaps
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+  // streaming filter over the child's rows: clustering and order
+  // survive, so a downstream groupBy on the same keys needs no new
+  // exchange (without these overrides UnaryExecNode reports
+  // UnknownPartitioning and the planner re-shuffles)
+  override def outputPartitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
     copy(child = newChild)
 
