@@ -141,11 +141,45 @@ object RobustStats {
        |  round(CAST(SUM(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_winsor
        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Equi-depth bucketing via exact `percentile_disc` cutpoints:
+  /** Exact discrete quantile cutpoints at fractions `numerators(i) /
+    * denom`, as ONE single-row frame with columns `__c0..__c{m-1}`.
+    *
+    * `percentile_disc` is a buffering TypedImperativeAggregate — each
+    * instance holds (and sorts) every value, so m cutpoints cost m
+    * full sorts of the table. This computes all of them in one
+    * distributed pass instead: group by value (one partial-aggregated
+    * shuffle to ~distinct-values rows), distributed prefix sum of the
+    * counts in value order ([[PrefixSum]] — no single-partition sort),
+    * then pick each fraction's boundary row with exact integer
+    * arithmetic: the smallest value whose cumulative count reaches
+    * `ceil(n * num / denom)` (the SQL `percentile_disc` definition),
+    * tested as `cum * denom >= num * n` so no float rank ever rounds.
+    */
+  def discCutpoints(
+      df: DataFrame,
+      valueCol: String,
+      numerators: Seq[Int],
+      denom: Int): DataFrame = {
+    require(numerators.forall(i => i > 0 && i < denom), "fractions must be in (0,1)")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.runningSum(counts, Seq(col("__v")), "__c", "__cum")
+    val tot = counts.agg(sum(col("__c")).as("__n"))
+    val picks = numerators.zipWithIndex.map { case (num, i) =>
+      max(when(
+        col("__cum") * denom >= lit(num.toLong) * col("__n") &&
+          (col("__cum") - col("__c")) * denom < lit(num.toLong) * col("__n"),
+        col("__v"))).as(s"__c$i")
+    }
+    cum.crossJoin(broadcast(tot)).agg(picks.head, picks.tail: _*)
+  }
+
+  /** Equi-depth bucketing via exact disc cutpoints ([[discCutpoints]]):
     * assigns each row the count of cutpoints strictly below its value
     * (so ties always land in one bucket, unlike `ntile`, which splits
     * them arbitrarily — and unlike `ntile` this needs no single-
-    * partition global sort, only an aggregate + broadcast, so it
+    * partition global sort, only aggregates + a broadcast, so it
     * scales). Returns (bucket, n, lo_v, hi_v).
     */
   def equiDepthBuckets(
@@ -153,13 +187,8 @@ object RobustStats {
       valueCol: String,
       nBuckets: Int): DataFrame = {
     val v = col(valueCol).cast("double")
-    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val cutAgg = qs.zipWithIndex.map { case (q, i) =>
-      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $valueCol)")
-        .cast("double").as(s"__c$i")
-    }
-    val cuts = df.agg(cutAgg.head, cutAgg.tail: _*)
-    val bucket = qs.indices
+    val cuts = discCutpoints(df, valueCol, (1 until nBuckets), nBuckets)
+    val bucket = (0 until nBuckets - 1)
       .map(i => when(v > col(s"__c$i"), 1L).otherwise(0L))
       .reduceLeft[Column](_ + _)
     df.crossJoin(broadcast(cuts))
