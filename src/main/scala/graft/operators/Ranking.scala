@@ -175,7 +175,10 @@ object Ranking {
       .select(col("term"),
         round(log(col("ctf").cast("double") / col("__total")), 9)
           .cast("decimal(18,9)").as("logp9"))
-    tf.join(broadcast(logp), "term")
+    // no broadcast hint: logp is vocabulary-sized (unbounded on a web
+    // corpus) — the equi-join on term shuffles both sides; AQE still
+    // broadcasts it when it measures small
+    tf.join(logp, "term")
       .groupBy(id)
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("logp9")).as("__slp"))

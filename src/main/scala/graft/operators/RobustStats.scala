@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * Determinism: `percentile_disc` picks an actual data value (exact in
   * both Spark and DuckDB — see q35/q67), so downstream arithmetic runs
   * on identical doubles in both engines.
+  *
+  * Cardinality contract: the grouped operators broadcast their
+  * per-group stats frame back onto the data, which assumes `groupCol`
+  * is dimension-like (event types, priorities — thousands, not
+  * billions). For high-cardinality groups remove the hint and let the
+  * shuffled equi-join / AQE handle it. `percentile_disc` also buffers
+  * each GROUP's values in one aggregate buffer, which caps per-group
+  * row counts at executor memory — [[discCutpoints]] is the unbounded
+  * alternative for the global case.
   */
 object RobustStats {
 
