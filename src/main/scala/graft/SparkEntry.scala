@@ -180,6 +180,38 @@ object SparkEntry {
         T(s, dir, "lineitem"), "l_orderkey", "l_partkey", maxBasket = 20, k = 20)
     }),
 
+    // ---- extension: PMI association over customer baskets ----
+    "q92_pmi" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      val rel = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("basket"), col("l_partkey").as("item"))
+      operators.Affinity.pmiPairs(rel, "basket", "item",
+        maxBasket = 40, minCount = 2, k = 20)
+    }),
+
+    // ---- extension: CDC log application (latest-wins materialize) ----
+    "q93_cdc_apply" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val k = col("o_orderkey")
+      def ver(df: DataFrame, seq: Long, op: String) =
+        df.withColumn("seq", lit(seq)).withColumn("op", lit(op))
+      // deletes arrive as U-then-D; updates as two U versions (latest
+      // wins); inserts re-key; one update legitimately NULLs a column
+      val dels = o.filter(k % 10 === 0)
+      val ups = o.filter(k % 7 === 0 && k % 10 =!= 0)
+      val log = ver(dels.withColumn("o_totalprice", col("o_totalprice") + 5.0), 1, "U")
+        .unionByName(ver(dels, 2, "D"))
+        .unionByName(ver(ups.withColumn("o_totalprice", col("o_totalprice") + 1.0), 1, "U"))
+        .unionByName(ver(ups.withColumn("o_totalprice", col("o_totalprice") + 2.0)
+          .withColumn("o_orderstatus", lit(null).cast("string")), 2, "U"))
+        .unionByName(ver(o.filter(k % 13 === 0)
+          .withColumn("o_orderkey", k + 20000000L), 1, "I"))
+      operators.Cdc.applyLog(o, log, "o_orderkey", "seq", "op")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- §2.5 aggregation: TPC-H Q1-shaped pricing summary ----
     "q01_pricing_summary" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -1339,6 +1371,40 @@ object SparkEntry {
 
     "q89_unigram_logprob" ->
       operators.Ranking.unigramLogProbSql("documents", "doc_id", "text", k = 20),
+
+    "q92_pmi" ->
+      operators.Affinity.pmiPairsSql(
+        "(SELECT o_custkey AS basket, l_partkey AS item FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "basket", "item", maxBasket = 40, minCount = 2, k = 20),
+
+    "q93_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 5.0 AS o_totalprice, 1 AS seq, 'U' AS op
+        |    FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 2, 'D'
+        |    FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 1, 'U'
+        |    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, o_totalprice + 2.0, 2, 'U'
+        |    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice, 1, 'I'
+        |    FROM orders WHERE o_orderkey % 13 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT log.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM log) t WHERE rn = 1),
+        |merged AS (
+        |  SELECT COALESCE(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |    CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+        |    c.op AS op
+        |  FROM orders s FULL OUTER JOIN latest c ON s.o_orderkey = c.o_orderkey)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q90_winsorize" ->
       operators.RobustStats.winsorizedMeansSql(

@@ -52,6 +52,71 @@ object Affinity {
       .limit(k)
   }
 
+  /** Pointwise mutual information of co-occurring item pairs:
+    * `pmi = ln(n_ab * N / (n_a * n_b))` over basket probabilities,
+    * keeping pairs with `n_ab >= minCount`, top-`k` by pmi. PMI
+    * separates genuinely associated pairs from pairs that co-occur
+    * only because both items are popular — the association measure
+    * behind "bought together" vs "both just common".
+    *
+    * Same bounded pipeline as [[coOccurrence]] (all marginals count
+    * the SAME capped baskets, so probabilities stay consistent); the
+    * marginal join keys on item1/item2 and N is a broadcast scalar.
+    */
+  def pmiPairs(
+      rel: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Int,
+      minCount: Long,
+      k: Int): DataFrame = {
+    val pairsRel = rel.select(col(basketCol), col(itemCol)).distinct()
+    val capped = TopKPerKey.topk(pairsRel, Seq(basketCol),
+      Seq(TopKPerKey.Asc(itemCol)), maxBasket)
+    val baskets = capped.groupBy(col(basketCol))
+      .agg(sort_array(collect_list(col(itemCol))).as("__items"))
+    val nBaskets = baskets.agg(count(lit(1)).as("__nb"))
+    val itemCounts = capped.groupBy(col(itemCol)).agg(count(lit(1)).as("__na"))
+    val pairCounts = baskets.select(explode(expr(
+      """flatten(transform(__items,
+        |  (x, i) -> transform(slice(__items, i + 2, size(__items)),
+        |            y -> struct(x AS item1, y AS item2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.item1").as("item1"), col("p.item2").as("item2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairCounts
+      .join(itemCounts.withColumnsRenamed(Map(itemCol -> "item1", "__na" -> "__n1")), "item1")
+      .join(itemCounts.withColumnsRenamed(Map(itemCol -> "item2", "__na" -> "__n2")), "item2")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item1"), col("item2"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("__nb") /
+          (col("__n1") * col("__n2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("item1"), col("item2"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL equivalent of [[pmiPairs]]. */
+  def pmiPairsSql(src: String, basketCol: String, itemCol: String,
+      maxBasket: Int, minCount: Long, k: Int): String =
+    s"""WITH rel AS (SELECT DISTINCT $basketCol, $itemCol FROM $src),
+       |capped AS (SELECT $basketCol, $itemCol FROM (
+       |    SELECT $basketCol, $itemCol,
+       |      ROW_NUMBER() OVER (PARTITION BY $basketCol ORDER BY $itemCol) AS rn
+       |    FROM rel) t WHERE rn <= $maxBasket),
+       |nb AS (SELECT COUNT(DISTINCT $basketCol) AS nb FROM capped),
+       |ic AS (SELECT $itemCol, COUNT(*) AS na FROM capped GROUP BY 1),
+       |pc AS (SELECT a.$itemCol AS item1, b.$itemCol AS item2, COUNT(*) AS n_ab
+       |       FROM capped a JOIN capped b
+       |         ON a.$basketCol = b.$basketCol AND a.$itemCol < b.$itemCol
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $minCount)
+       |SELECT item1, item2, n_ab,
+       |  round(ln(CAST(n_ab AS DOUBLE) * nb.nb / (i1.na * i2.na)), 6) AS pmi
+       |FROM pc
+       |JOIN ic i1 ON pc.item1 = i1.$itemCol
+       |JOIN ic i2 ON pc.item2 = i2.$itemCol
+       |CROSS JOIN nb
+       |ORDER BY pmi DESC, item1, item2 LIMIT $k""".stripMargin
+
   /** DuckDB SQL equivalent of [[coOccurrence]]. */
   def coOccurrenceSql(src: String, basketCol: String, itemCol: String,
       maxBasket: Int, k: Int): String =

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Affinity, Ranking, RobustStats, ZOrderLayout}
+import graft.operators.{Affinity, Cdc, Ranking, RobustStats, ZOrderLayout}
 
 class RankingStatsSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -124,6 +124,39 @@ class RankingStatsSpec extends AnyFunSuite {
     val capped = Affinity.coOccurrence(rel, "b", "i", maxBasket = 2, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((10L, 20L)))
+  }
+
+  test("cdc apply: latest wins, deletes drop, inserts add, NULL updates replace") {
+    val snap = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("pk", "s", "v")
+    val log = Seq(
+      (2L, "b2", 21.0, 1L, "U"), (2L, "b3", 22.0, 2L, "U"), // latest wins
+      (3L, "c", 30.0, 1L, "U"), (3L, "c", 30.0, 2L, "D"),   // net delete
+      (5L, "e", 50.0, 1L, "I"),                             // insert
+      (4L, null.asInstanceOf[String], 41.0, 1L, "U")        // NULL overwrites
+    ).toDF("pk", "s", "v", "seq", "op")
+    val out = Cdc.applyLog(snap, log, "pk", "seq", "op")
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L))
+    assert(out(1L) == ((Some("a"), 10.0)))      // untouched passthrough
+    assert(out(2L) == ((Some("b3"), 22.0)))     // seq 2 beat seq 1
+    assert(out(4L) == ((None, 41.0)))           // NULL replaced, not coalesced
+    assert(out(5L) == ((Some("e"), 50.0)))
+  }
+
+  test("pmi: exclusive pairs score positive, anti-associated pairs negative") {
+    // items 1,2 always together; 1,3 never share a basket beyond chance
+    val rel = (1 to 40).flatMap { b =>
+      if (b % 2 == 0) Seq((b.toLong, 1L), (b.toLong, 2L))
+      else Seq((b.toLong, 3L), (b.toLong, 4L))
+    }.toDF("b", "i")
+    val out = Affinity.pmiPairs(rel, "b", "i", maxBasket = 10, minCount = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // P(1,2)=0.5, P(1)=P(2)=0.5 -> pmi = ln(0.5/0.25) = ln 2
+    assert(math.abs(out((1L, 2L)) - math.log(2)) < 1e-6)
+    assert(math.abs(out((3L, 4L)) - math.log(2)) < 1e-6)
+    assert(!out.contains((1L, 3L))) // never co-occur -> no pair row at all
   }
 
   test("equi-depth buckets are near-balanced and ordered") {
