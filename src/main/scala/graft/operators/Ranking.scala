@@ -43,33 +43,34 @@ object Ranking {
       topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val id = col(idCol)
+    // the query terms are literals, so per-doc length AND every
+    // per-term frequency pivot out of ONE explode + ONE partial-
+    // aggregated shuffle (no (doc, term) shuffle, no tf/dl joins)
     val toks = docs.select(id, explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    // per-doc length (all terms) and per-(doc, query-term) frequency;
-    // the term filter runs before the tf shuffle so only query terms move
-    val dl = toks.groupBy(id).agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("term").isin(queryTerms: _*))
-      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // corpus scalars: N docs, total token count -> avgdl (double, once)
-    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl"))
+    val tfAggs = count(lit(1)).as("dl") +:
+      queryTerms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__tf_$t"))
+    val byDoc = toks.groupBy(id).agg(tfAggs.head, tfAggs.tail: _*)
+    // corpus scalars in one tiny pass over the doc-level frame:
+    // N, total length, and each term's document frequency
+    val statAggs = count(lit(1)).as("__n") +: sum(col("dl")).as("__sdl") +:
+      queryTerms.map(t => sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).as(s"__df_$t"))
+    val stats = byDoc.agg(statAggs.head, statAggs.tail: _*)
 
-    val contrib = tf
-      .join(dl, idCol)
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
+    def contrib(t: String): Column = {
+      val tf = col(s"__tf_$t")
+      val idf = log((col("__n") - col(s"__df_$t") + 0.5) / (col(s"__df_$t") + 0.5) + 1.0)
+      when(tf > 0,
+        idf * (tf * (k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    // fixed-order sum: c(t1) + c(t2) + ... in queryTerms order, never
+    // a float aggregate whose partial order an engine could vary
+    val score = queryTerms.map(contrib).reduceLeft(_ + _)
+    byDoc.crossJoin(broadcast(stats))
       .withColumn("__avgdl", col("__sdl").cast("double") / col("__n"))
-      .withColumn("__idf",
-        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("__c",
-        col("__idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
-
-    // fixed-order pivot: score = c(t1) + c(t2) + ... in queryTerms order
-    val aggCols = queryTerms.map(t => max(when(col("term") === t, col("__c"))).as(s"__c_$t"))
-    val byDoc = contrib.groupBy(id).agg(aggCols.head, aggCols.tail: _*)
-    val score = queryTerms.map(t => coalesce(col(s"__c_$t"), lit(0.0)))
-      .reduceLeft(_ + _)
-    byDoc.select(id, round(score, 5).as("score"))
+      .filter(queryTerms.map(t => col(s"__tf_$t") > 0).reduceLeft(_ || _))
+      .select(id, round(score, 5).as("score"))
       .orderBy(col("score").desc, id)
       .limit(topK)
   }
