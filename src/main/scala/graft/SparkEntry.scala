@@ -212,6 +212,12 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- extension: DSIR importance weights (domain selection) ----
+    "q94_dsir" -> ((s, dir) => {
+      operators.Ranking.dsirLogWeights(
+        T(s, dir, "documents"), "doc_id", "text", col("lang") === "en", k = 20)
+    }),
+
     // ---- §2.5 aggregation: TPC-H Q1-shaped pricing summary ----
     "q01_pricing_summary" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -1371,6 +1377,10 @@ object SparkEntry {
 
     "q89_unigram_logprob" ->
       operators.Ranking.unigramLogProbSql("documents", "doc_id", "text", k = 20),
+
+    "q94_dsir" ->
+      operators.Ranking.dsirLogWeightsSql(
+        "documents", "doc_id", "text", "lang = 'en'", k = 20),
 
     "q92_pmi" ->
       operators.Affinity.pmiPairsSql(

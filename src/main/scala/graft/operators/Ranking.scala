@@ -189,6 +189,77 @@ object Ranking {
       .limit(k)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * score each POOL document by its mean per-token log-ratio of
+    * target-distribution probability to pool-distribution probability
+    * (hashed-ngram DSIR with whitespace unigrams as the feature space).
+    * High scores = pool documents that look like the target domain —
+    * the `k` best are returned as (id, n_tokens, logw).
+    *
+    * Both unigram LMs are add-1 smoothed over the shared vocabulary.
+    * Same determinism scheme as [[unigramLogProb]]: one rounded
+    * decimal per TERM, exact decimal `tf * logr` sums per doc, one
+    * final double division.
+    */
+  def dsirLogWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      k: Int = 20): DataFrame = {
+    val id = col(idCol)
+    val toks = docs
+      .select(id, isTarget.as("__t"), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(id, col("__t"), col("term")).agg(count(lit(1)).as("tf"))
+    val termStats = tf.groupBy(col("term")).agg(
+      sum(when(col("__t"), col("tf")).otherwise(0L)).as("ct"),
+      sum(when(!col("__t"), col("tf")).otherwise(0L)).as("cp"))
+    val totals = termStats.agg(
+      sum(col("ct")).as("__T"), sum(col("cp")).as("__P"),
+      count(lit(1)).as("__V"))
+    val logr = termStats.crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(log(
+          ((col("ct") + 1).cast("double") / (col("__T") + col("__V"))) /
+            ((col("cp") + 1).cast("double") / (col("__P") + col("__V")))), 9)
+          .cast("decimal(18,9)").as("logr9"))
+    tf.filter(!col("__t"))
+      .join(logr, "term")
+      .groupBy(id)
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("logr9")).as("__slr"))
+      .select(id, col("n_tokens"),
+        round(col("__slr").cast("double") / col("n_tokens"), 6).as("logw"))
+      .orderBy(col("logw").desc, id)
+      .limit(k)
+  }
+
+  /** DuckDB SQL equivalent of [[dsirLogWeights]]; `targetPred` is a
+    * SQL boolean over `src`'s columns.
+    */
+  def dsirLogWeightsSql(src: String, idCol: String, textCol: String,
+      targetPred: String, k: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol, ($targetPred) AS t,
+       |    unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  FROM $src),
+       |tf AS (SELECT $idCol, t, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |ts AS (SELECT term,
+       |    SUM(CASE WHEN t THEN tf ELSE 0 END) AS ct,
+       |    SUM(CASE WHEN NOT t THEN tf ELSE 0 END) AS cp
+       |  FROM tf GROUP BY 1),
+       |tot AS (SELECT SUM(ct) AS T, SUM(cp) AS P, COUNT(*) AS V FROM ts),
+       |lr AS (SELECT term,
+       |    CAST(round(ln((CAST(ct + 1 AS DOUBLE) / (T + V)) /
+       |                  (CAST(cp + 1 AS DOUBLE) / (P + V))), 9) AS DECIMAL(18,9)) AS logr9
+       |  FROM ts CROSS JOIN tot),
+       |d AS (SELECT tf.$idCol, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |        SUM(tf.tf * lr.logr9) AS slr
+       |      FROM tf JOIN lr USING (term) WHERE NOT tf.t GROUP BY 1)
+       |SELECT $idCol, n_tokens, round(CAST(slr AS DOUBLE) / n_tokens, 6) AS logw
+       |FROM d ORDER BY logw DESC, $idCol LIMIT $k""".stripMargin
+
   /** DuckDB SQL equivalent of [[unigramLogProb]]. */
   def unigramLogProbSql(src: String, idCol: String, textCol: String, k: Int = 20): String =
     s"""WITH toks AS (

@@ -126,6 +126,20 @@ class RankingStatsSpec extends AnyFunSuite {
     assert(capped == Set((10L, 20L)))
   }
 
+  test("dsir: pool docs resembling the target domain outrank the rest") {
+    val target = (1 to 30).map(i => (i.toLong, "alpha beta alpha beta gamma", true))
+    val pool = Seq(
+      (101L, "alpha beta alpha gamma beta", false), // target-like
+      (102L, "delta epsilon delta epsilon zeta", false), // nothing shared
+      (103L, "alpha delta epsilon zeta zeta", false) // mixed
+    )
+    val docs = (target ++ pool).toDF("doc_id", "text", "is_t")
+    val out = Ranking.dsirLogWeights(docs, "doc_id", "text", col("is_t"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(101L, 103L, 102L))
+    assert(out.head._2 > 0.0 && out.last._2 < 0.0)
+  }
+
   test("cdc apply: latest wins, deletes drop, inserts add, NULL updates replace") {
     val snap = Seq(
       (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
