@@ -99,6 +99,38 @@ class PlansSpec extends AnyFunSuite {
       s"window not partitioned by __pid:\n$plan")
   }
 
+  test("topk-per-key consumer grouping by the same key adds no exchange") {
+    val df = (1 to 2000).map(i => (i % 40, i)).toDF("k", "v").repartition(4)
+    val top = TopKPerKey.topk(df, Seq("k"), Seq(Asc("v")), 5)
+    val regrouped = top.groupBy("k").agg(collect_list("v").as("vs"))
+    regrouped.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // only the final section. Exactly the exchanges BELOW the final
+    // node (repartition + topk clustering) may appear; the
+    // collect_list agg must reuse the clustering.
+    val plan = regrouped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx == 2, s"expected 2 exchanges (repartition + topk), got $nEx in:\n$plan")
+  }
+
+  test("multi-quantile cutpoints plan one pass — no percentile_disc buffers") {
+    import graft.operators.RobustStats
+    val df = (1 to 5000).map(i => i.toDouble).toDF("v")
+    val cuts = RobustStats.discCutpoints(df, "v", Seq(1, 2, 3), 4)
+    val row = cuts.collect().head
+    assert((0 to 2).map(row.getDouble) == Seq(1250.0, 2500.0, 3750.0))
+    val plan = cuts.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile_disc"), s"buffered percentile in:\n$plan")
+    // the prefix-sum window must run per range-partition (__pid key),
+    // never as an unpartitioned global window (the final 1-row max
+    // reduce IS a SinglePartition exchange — that one is fine)
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"prefix-sum window not partitioned by __pid in:\n$plan")
+    assert(!plan.contains("windowspecdefinition(__v"),
+      s"global-order window in:\n$plan")
+  }
+
   test("kmeans assignment plans as projection only — no join, no window") {
     import graft.operators.Similarity
     val df = (0 until 50)
