@@ -187,7 +187,7 @@ object SparkEntry {
       val rel = l.join(o, l("l_orderkey") === o("o_orderkey"))
         .select(col("o_custkey").as("basket"), col("l_partkey").as("item"))
       operators.Affinity.pmiPairs(rel, "basket", "item",
-        maxBasket = 40, minCount = 2, k = 20)
+        maxBasket = 24, minCount = 2, k = 20)
     }),
 
     // ---- extension: CDC log application (latest-wins materialize) ----
@@ -1385,7 +1385,7 @@ object SparkEntry {
     "q92_pmi" ->
       operators.Affinity.pmiPairsSql(
         "(SELECT o_custkey AS basket, l_partkey AS item FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
-        "basket", "item", maxBasket = 40, minCount = 2, k = 20),
+        "basket", "item", maxBasket = 24, minCount = 2, k = 20),
 
     "q93_cdc_apply" ->
       """WITH log AS (

@@ -73,10 +73,18 @@ object Affinity {
     val pairsRel = rel.select(col(basketCol), col(itemCol)).distinct()
     val capped = TopKPerKey.topk(pairsRel, Seq(basketCol),
       Seq(TopKPerKey.Asc(itemCol)), maxBasket)
+    // N, the item marginals, and the pair counts all derive from the
+    // basket arrays; checkpoint them once so the dedup+cap pipeline
+    // (the expensive upstream) runs once, not once per consumer. The
+    // blocks stay pinned for the session — long-lived sessions release
+    // them via graftbridge.unpersistCheckpointed after their action.
     val baskets = capped.groupBy(col(basketCol))
       .agg(sort_array(collect_list(col(itemCol))).as("__items"))
+      .localCheckpoint(true)
     val nBaskets = baskets.agg(count(lit(1)).as("__nb"))
-    val itemCounts = capped.groupBy(col(itemCol)).agg(count(lit(1)).as("__na"))
+    val itemCounts = baskets
+      .select(explode(col("__items")).as(itemCol))
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("__na"))
     val pairCounts = baskets.select(explode(expr(
       """flatten(transform(__items,
         |  (x, i) -> transform(slice(__items, i + 2, size(__items)),
