@@ -42,23 +42,28 @@ object Ranking {
       b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.distinct == queryTerms, "query terms must be distinct")
     val id = col(idCol)
+    // pivot columns are keyed by term INDEX, not term text — tokens
+    // routinely contain dots/quotes/backticks that would break column
+    // resolution or generated SQL
+    val ti = queryTerms.indices
     // the query terms are literals, so per-doc length AND every
     // per-term frequency pivot out of ONE explode + ONE partial-
     // aggregated shuffle (no (doc, term) shuffle, no tf/dl joins)
     val toks = docs.select(id, explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val tfAggs = count(lit(1)).as("dl") +:
-      queryTerms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__tf_$t"))
+      ti.map(i => sum(when(col("term") === queryTerms(i), 1L).otherwise(0L)).as(s"__tf_$i"))
     val byDoc = toks.groupBy(id).agg(tfAggs.head, tfAggs.tail: _*)
     // corpus scalars in one tiny pass over the doc-level frame:
     // N, total length, and each term's document frequency
     val statAggs = count(lit(1)).as("__n") +: sum(col("dl")).as("__sdl") +:
-      queryTerms.map(t => sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).as(s"__df_$t"))
+      ti.map(i => sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
     val stats = byDoc.agg(statAggs.head, statAggs.tail: _*)
 
-    def contrib(t: String): Column = {
-      val tf = col(s"__tf_$t")
-      val idf = log((col("__n") - col(s"__df_$t") + 0.5) / (col(s"__df_$t") + 0.5) + 1.0)
+    def contrib(i: Int): Column = {
+      val tf = col(s"__tf_$i")
+      val idf = log((col("__n") - col(s"__df_$i") + 0.5) / (col(s"__df_$i") + 0.5) + 1.0)
       when(tf > 0,
         idf * (tf * (k1 + 1.0)) /
           (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
@@ -66,10 +71,10 @@ object Ranking {
     }
     // fixed-order sum: c(t1) + c(t2) + ... in queryTerms order, never
     // a float aggregate whose partial order an engine could vary
-    val score = queryTerms.map(contrib).reduceLeft(_ + _)
+    val score = ti.map(contrib).reduceLeft(_ + _)
     byDoc.crossJoin(broadcast(stats))
       .withColumn("__avgdl", col("__sdl").cast("double") / col("__n"))
-      .filter(queryTerms.map(t => col(s"__tf_$t") > 0).reduceLeft(_ || _))
+      .filter(ti.map(i => col(s"__tf_$i") > 0).reduceLeft(_ || _))
       .select(id, round(score, 5).as("score"))
       .orderBy(col("score").desc, id)
       .limit(topK)
@@ -86,10 +91,12 @@ object Ranking {
       k1: Double = 1.2,
       b: Double = 0.75,
       topK: Int = 20): String = {
-    val inList = queryTerms.map(t => s"'$t'").mkString(", ")
-    val caseCols = queryTerms.map(t =>
-      s"MAX(CASE WHEN term = '$t' THEN c END) AS c_$t").mkString(",\n    ")
-    val scoreSum = queryTerms.map(t => s"COALESCE(c_$t, 0.0)").mkString(" + ")
+    def q(t: String) = "'" + t.replace("'", "''") + "'"
+    val inList = queryTerms.map(q).mkString(", ")
+    val caseCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      s"MAX(CASE WHEN term = ${q(t)} THEN c END) AS c_$i"
+    }.mkString(",\n    ")
+    val scoreSum = queryTerms.indices.map(i => s"COALESCE(c_$i, 0.0)").mkString(" + ")
     s"""WITH toks AS (
        |  SELECT $idCol, unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
        |  FROM $src),
