@@ -212,6 +212,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- extension: ANN recall evaluation vs exact ground truth ----
+    "q95_ann_recall" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+      val approx = Similarity.ivfTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+        k = 3, nCells = 16, nProbe = 2)
+      Similarity.recallAtK(exact, approx, "qid", "nbr", k = 3)
+    }),
+
     // ---- extension: DSIR importance weights (domain selection) ----
     "q94_dsir" -> ((s, dir) => {
       operators.Ranking.dsirLogWeights(
@@ -1336,7 +1347,53 @@ object SparkEntry {
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables.
     */
+  /** q26's oracle, shared with the q95 recall evaluation. */
+  private val embedTopkOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |q AS (SELECT * FROM n WHERE vec_id < 20),
+      |p AS (SELECT q.vec_id AS qid, n.vec_id AS nbr,
+      |        list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS sim
+      |      FROM q JOIN n ON n.vec_id <> q.vec_id),
+      |r AS (SELECT qid, nbr, sim,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+      |      FROM p)
+      |SELECT qid, rank, nbr, round(sim, 5) AS sim FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
+  /** q32's oracle, shared with the q95 recall evaluation. */
+  private val ivfTopkOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+      |ca AS (SELECT vec_id AS nbr, v, nrm, cid AS cell FROM (
+      |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
+      |  FROM n CROSS JOIN c) t WHERE rn = 1),
+      |qa AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell FROM (
+      |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
+      |  FROM n CROSS JOIN c WHERE n.vec_id < 20) t WHERE rn <= 2),
+      |p AS (SELECT DISTINCT q.qid, ca.nbr,
+      |        list_dot_product(q.qv, ca.v) / (q.qn * ca.nrm) AS sim
+      |      FROM qa q JOIN ca ON q.cell = ca.cell AND ca.nbr <> q.qid),
+      |r AS (SELECT qid, nbr, sim,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+      |      FROM p)
+      |SELECT qid, rank, nbr, round(sim, 5) AS sim FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q95_ann_recall" ->
+      s"""SELECT e.qid,
+         |  CAST(SUM(CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 3, 6) AS recall
+         |FROM ($embedTopkOracle) e
+         |LEFT JOIN ($ivfTopkOracle) a ON e.qid = a.qid AND e.nbr = a.nbr
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q82_star_join" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -1596,18 +1653,7 @@ object SparkEntry {
         |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
         |SELECT d1, d2, round(sim, 5) AS sim FROM p WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
 
-    "q26_embed_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |q AS (SELECT * FROM n WHERE vec_id < 20),
-        |p AS (SELECT q.vec_id AS qid, n.vec_id AS nbr,
-        |        list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS sim
-        |      FROM q JOIN n ON n.vec_id <> q.vec_id),
-        |r AS (SELECT qid, nbr, sim,
-        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
-        |      FROM p)
-        |SELECT qid, rank, nbr, round(sim, 5) AS sim FROM r WHERE rank <= 3
-        |ORDER BY qid, rank""".stripMargin,
+    "q26_embed_topk" -> embedTopkOracle,
 
     "q27_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
@@ -1652,28 +1698,7 @@ object SparkEntry {
         |  md5(substring(text, 1, 16)) AS chunk_fp
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
-    "q32_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
-        |ca AS (SELECT vec_id AS nbr, v, nrm, cid AS cell FROM (
-        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
-        |  FROM n CROSS JOIN c) t WHERE rn = 1),
-        |qa AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell FROM (
-        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
-        |  FROM n CROSS JOIN c WHERE n.vec_id < 20) t WHERE rn <= 2),
-        |p AS (SELECT DISTINCT q.qid, ca.nbr,
-        |        list_dot_product(q.qv, ca.v) / (q.qn * ca.nrm) AS sim
-        |      FROM qa q JOIN ca ON q.cell = ca.cell AND ca.nbr <> q.qid),
-        |r AS (SELECT qid, nbr, sim,
-        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
-        |      FROM p)
-        |SELECT qid, rank, nbr, round(sim, 5) AS sim FROM r WHERE rank <= 3
-        |ORDER BY qid, rank""".stripMargin,
+    "q32_ivf_topk" -> ivfTopkOracle,
 
     "q33_window_running" ->
       """SELECT o_custkey, o_orderkey,

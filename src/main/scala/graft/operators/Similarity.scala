@@ -268,4 +268,30 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("d1"), col("d2"), col("sim"))
   }
+
+  /** Recall@k of an approximate neighbor result against exact ground
+    * truth: per query, the fraction of the exact top-k the approximate
+    * search found. The evaluation every ANN configuration needs before
+    * it is trusted at corpus scale — run it on a sampled query set and
+    * tune nCells/nProbe until recall clears the bar.
+    *
+    * Both inputs are (qidCol, nbrCol, ...) result frames (e.g.
+    * [[bruteForceTopK]] and [[ivfTopK]]). One equi-join on
+    * (qid, nbr) + one groupBy — evaluation cost is O(k * queries).
+    */
+  def recallAtK(
+      exact: DataFrame,
+      approx: DataFrame,
+      qidCol: String,
+      nbrCol: String,
+      k: Int): DataFrame = {
+    val hit = approx.select(col(qidCol), col(nbrCol)).withColumn("__hit", lit(1L))
+    exact.select(col(qidCol), col(nbrCol))
+      .join(hit, Seq(qidCol, nbrCol), "left")
+      .groupBy(col(qidCol))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col(qidCol), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall"))
+      .orderBy(qidCol)
+  }
 }

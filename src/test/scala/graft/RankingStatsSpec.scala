@@ -126,6 +126,17 @@ class RankingStatsSpec extends AnyFunSuite {
     assert(capped == Set((10L, 20L)))
   }
 
+  test("recall@k scores hits per query and keeps zero-recall queries") {
+    import graft.operators.Similarity
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("qid", "nbr")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 98L), (2L, 97L))
+      .toDF("qid", "nbr")
+    val out = Similarity.recallAtK(exact, approx, "qid", "nbr", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.666667), (2L, 0L, 0.0)))
+  }
+
   test("dsir: pool docs resembling the target domain outrank the rest") {
     val target = (1 to 30).map(i => (i.toLong, "alpha beta alpha beta gamma", true))
     val pool = Seq(
