@@ -212,6 +212,21 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- extension: PageRank over the co-purchase adjacency ----
+    "q96_pagerank" -> ((s, dir) => {
+      // edges: parts adjacent by line number within an order — a
+      // linear-size, deterministic proxy for the co-purchase graph
+      val l = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val a = l.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("src"))
+      val b = l.select(col("l_orderkey"),
+        (col("l_linenumber") - 1).as("l_linenumber"), col("l_partkey").as("dst"))
+      val edges = a.join(b, Seq("l_orderkey", "l_linenumber"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      operators.Graph.pageRankMicro(edges, "src", "dst", iters = 3, k = 20)
+    }),
+
     // ---- extension: ANN recall evaluation vs exact ground truth ----
     "q95_ann_recall" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -1386,6 +1401,14 @@ object SparkEntry {
       |ORDER BY qid, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q96_pagerank" ->
+      operators.Graph.pageRankMicroSql(
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+          |  WHERE a.l_partkey <> b.l_partkey""".stripMargin,
+        iters = 3, k = 20),
+
     "q95_ann_recall" ->
       s"""SELECT e.qid,
          |  CAST(SUM(CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,

@@ -126,6 +126,22 @@ class RankingStatsSpec extends AnyFunSuite {
     assert(capped == Set((10L, 20L)))
   }
 
+  test("pagerank: hub outranks leaves, ring is uniform, mass conserved-ish") {
+    import graft.operators.Graph
+    // star: node 0 connected to 1..10
+    val star = (1 to 10).map(i => (0L, i.toLong)).toDF("s", "d")
+    val starRanks = Graph.pageRankMicro(star, "s", "d", iters = 3, k = 11)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starRanks(0L) > starRanks(1L) * 5, s"hub not dominant: $starRanks")
+    assert((1 to 10).map(i => starRanks(i.toLong)).distinct.size == 1)
+    // ring: every node identical by symmetry, rank stays ~Scale
+    val ring = (0 until 8).map(i => (i.toLong, ((i + 1) % 8).toLong)).toDF("s", "d")
+    val ringRanks = Graph.pageRankMicro(ring, "s", "d", iters = 3, k = 8)
+      .collect().map(_.getLong(1))
+    assert(ringRanks.distinct.length == 1)
+    assert(math.abs(ringRanks.head - Graph.Scale) < Graph.Scale / 100)
+  }
+
   test("recall@k scores hits per query and keeps zero-recall queries") {
     import graft.operators.Similarity
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
