@@ -212,6 +212,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- extension: per-source token entropy (corpus diversity) ----
+    "q97_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(T(s, dir, "documents"), "source", "text")
+    }),
+
+    // ---- extension: cross-source vocabulary overlap ----
+    "q98_vocab_overlap" -> ((s, dir) => {
+      TextAnalysis.vocabOverlap(T(s, dir, "documents"), "source", "text")
+    }),
+
     // ---- extension: PageRank over the co-purchase adjacency ----
     "q96_pagerank" -> ((s, dir) => {
       // edges: parts adjacent by line number within an order — a
@@ -1401,6 +1411,12 @@ object SparkEntry {
       |ORDER BY qid, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q97_entropy" ->
+      TextAnalysis.tokenEntropySql("documents", "source", "text"),
+
+    "q98_vocab_overlap" ->
+      TextAnalysis.vocabOverlapSql("documents", "source", "text"),
+
     "q96_pagerank" ->
       operators.Graph.pageRankMicroSql(
         """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

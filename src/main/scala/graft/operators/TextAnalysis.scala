@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis scalar operators for document pipelines: token
@@ -215,4 +215,92 @@ object TextAnalysis {
       regexp_replace(noQuery, "^[^/]*//[^/]*", ""))
     regexp_replace(lowered, "/+$", "")
   }
+
+  /** Per-group Shannon entropy of the token distribution, in nats —
+    * the corpus-diversity signal (a source whose entropy collapses is
+    * template spam). Uses the identity `H = ln T - (Σ c·ln c)/T` so
+    * the only per-term float is `ln c`, rounded to 9 decimals and
+    * decimal-summed exactly (the cross-engine determinism scheme of
+    * q89); ln T runs once on the exact total. Returns
+    * (group, n_tokens, n_vocab, entropy).
+    */
+  def tokenEntropy(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val g = col(groupCol)
+    val counts = docs
+      .select(g, explode(tokens(col(textCol))).as("term"))
+      .groupBy(g, col("term")).agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(g)
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(col("c") * round(log(col("c").cast("double")), 9).cast("decimal(18,9)"))
+          .as("__slc"))
+      .select(g, col("n_tokens"), col("n_vocab"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__slc").cast("double") / col("n_tokens"), 6).as("entropy"))
+      .orderBy(g)
+  }
+
+  /** DuckDB SQL equivalent of [[tokenEntropy]]. */
+  def tokenEntropySql(src: String, groupCol: String, textCol: String): String =
+    s"""WITH toks AS (
+       |  SELECT $groupCol, unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  FROM $src),
+       |c AS (SELECT $groupCol, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       |s AS (SELECT $groupCol, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |        COUNT(*) AS n_vocab,
+       |        SUM(c * CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))) AS slc
+       |      FROM c GROUP BY 1)
+       |SELECT $groupCol, n_tokens, n_vocab,
+       |  round(ln(CAST(n_tokens AS DOUBLE)) - CAST(slc AS DOUBLE) / n_tokens, 6) AS entropy
+       |FROM s ORDER BY 1""".stripMargin
+
+  /** Pairwise vocabulary Jaccard overlap between groups (sources):
+    * which slices of a corpus are near-copies of each other at the
+    * vocabulary level. One distinct (group, term) projection,
+    * self-joined on term — term-keyed, partial-aggregated, no
+    * quadratic blowup beyond the true pair co-occurrences. Returns
+    * (g1, g2, n_inter, jaccard).
+    */
+  def vocabOverlap(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val gv = docs
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    val sizes = gv.groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    val inter = gv.as("a").join(gv.as("b"),
+        col("a.term") === col("b.term") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("g" -> "g1", "nv" -> "__v1")), "g1")
+      .join(sizes.withColumnsRenamed(Map("g" -> "g2", "nv" -> "__v2")), "g2")
+      .select(col("g1"), col("g2"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("__v1") + col("__v2") - col("n_inter")), 6).as("jaccard"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
+  /** DuckDB SQL equivalent of [[vocabOverlap]]. */
+  def vocabOverlapSql(src: String, groupCol: String, textCol: String): String =
+    s"""WITH gv AS (
+       |  SELECT DISTINCT $groupCol AS g,
+       |    unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  FROM $src),
+       |sizes AS (SELECT g, COUNT(*) AS nv FROM gv GROUP BY 1),
+       |inter AS (SELECT a.g AS g1, b.g AS g2, COUNT(*) AS n_inter
+       |          FROM gv a JOIN gv b ON a.term = b.term AND a.g < b.g
+       |          GROUP BY 1, 2)
+       |SELECT g1, g2, n_inter,
+       |  round(CAST(n_inter AS DOUBLE) / (s1.nv + s2.nv - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON inter.g1 = s1.g
+       |JOIN sizes s2 ON inter.g2 = s2.g
+       |ORDER BY 1, 2""".stripMargin
 }

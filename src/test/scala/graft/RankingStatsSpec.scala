@@ -126,6 +126,30 @@ class RankingStatsSpec extends AnyFunSuite {
     assert(capped == Set((10L, 20L)))
   }
 
+  test("entropy: uniform vocab maxes out, constant text scores zero") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("u", "a b c d"), ("u", "e f g h"),            // 8 distinct tokens once each
+      ("k", "x x x x"), ("k", "x x x x")             // one token repeated
+    ).toDF("src", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "src", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("k") == ((8L, 1L, 0.0)))
+    assert(math.abs(out("u")._3 - math.log(8)) < 1e-6)
+  }
+
+  test("vocab overlap: identical sources hit 1.0, disjoint sources emit no row") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("s1", "red green blue"), ("s2", "red green blue"),
+      ("s3", "cyan magenta")
+    ).toDF("src", "text")
+    val out = TextAnalysis.vocabOverlap(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out((("s1", "s2"))) == 1.0)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
+
   test("pagerank: hub outranks leaves, ring is uniform, mass conserved-ish") {
     import graft.operators.Graph
     // star: node 0 connected to 1..10
