@@ -75,11 +75,10 @@ object SparkEntry {
       .otherwise(concat(lit("k"), k.cast("string")))
   }
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
-    * Five-table star join -> per-nation revenue (TPC-H Q5 shape).
+  /** Five-table star join -> per-nation revenue (TPC-H Q5 shape).
+    * Shared by the flagship [[entry]] and the oracle-checked q82.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  private def starJoin(spark: SparkSession, dir: String): DataFrame = {
     val r = T(spark, dir, "region")
     val n = T(spark, dir, "nation")
     val c = T(spark, dir, "customer")
@@ -96,27 +95,16 @@ object SparkEntry {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame =
+    starJoin(spark, "/root/testdata/sf0.001")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 joins: five-table star join (TPC-H Q5 shape) ----
     // The flagship `entry` plan, oracle-checked: two broadcast joins
     // for the dims, shuffle joins on the fact keys, partial aggs.
-    "q82_star_join" -> ((s, dir) => {
-      val l = T(s, dir, "lineitem")
-      val o = T(s, dir, "orders")
-      val c = T(s, dir, "customer")
-      val n = T(s, dir, "nation")
-      val r = T(s, dir, "region")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(
-          sum(revenueTerm).cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
-        .orderBy(col("r_name"), col("n_name"))
-    }),
+    "q82_star_join" -> ((s, dir) => starJoin(s, dir)),
 
     // ---- extension: BM25 retrieval scoring over documents ----
     "q83_bm25" -> ((s, dir) => {

@@ -53,10 +53,14 @@ object Graph {
     for (_ <- 1 to iters) {
       val contribs = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("c"))
+      // damping without overflow: 85*(s div 100) + (85*(s%100)) div 100
+      // == (85*s) div 100 for s >= 0, but never exceeds Long range —
+      // a naive 85*s throws (ANSI) once a hub's inbound mass passes
+      // Long.MaxValue/85, a reachable degree at full scale
       ranks = contribs.groupBy(col("dst"))
         .agg(sum(col("c")).as("__s"))
         .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * __s) div 100")).as("r"))
+          (lit(base) + expr("85 * (__s div 100) + (85 * (__s % 100)) div 100")).as("r"))
     }
     ranks.orderBy(col("r").desc, col("node")).limit(k)
   }
@@ -71,7 +75,8 @@ object Graph {
     val steps = (1 to iters).map { i =>
       s"""c$i AS (SELECT sym.dst, (r${i - 1}.r // deg.deg) AS c
          |  FROM sym JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = sym.src),
-         |r$i AS (SELECT dst AS node, $base + ((85 * SUM(c)) // 100) AS r
+         |r$i AS (SELECT dst AS node,
+         |    $base + 85 * (SUM(c) // 100) + (85 * (SUM(c) % 100)) // 100 AS r
          |  FROM c$i GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS ($edgesSql),

@@ -98,7 +98,7 @@ object Ranking {
     }.mkString(",\n    ")
     val scoreSum = queryTerms.indices.map(i => s"COALESCE(c_$i, 0.0)").mkString(" + ")
     s"""WITH toks AS (
-       |  SELECT $idCol, unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  SELECT $idCol, unnest(${TextAnalysis.tokensSql(textCol)}) AS term
        |  FROM $src),
        |dl AS (SELECT $idCol, COUNT(*) AS dl FROM toks GROUP BY 1),
        |tf AS (SELECT $idCol, term, COUNT(*) AS tf FROM toks
@@ -147,7 +147,7 @@ object Ranking {
   /** DuckDB SQL equivalent of [[invertedIndex]]. */
   def invertedIndexSql(src: String, idCol: String, textCol: String, maxPostings: Int): String =
     s"""WITH pairs AS (
-       |  SELECT DISTINCT $idCol, unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  SELECT DISTINCT $idCol, unnest(${TextAnalysis.tokensSql(textCol)}) AS term
        |  FROM $src),
        |dfq AS (SELECT term, COUNT(*) AS df FROM pairs GROUP BY 1),
        |capped AS (SELECT term, $idCol FROM (
@@ -189,7 +189,11 @@ object Ranking {
     tf.join(logp, "term")
       .groupBy(id)
       .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("tf") * col("logp9")).as("__slp"))
+        // cast the count to decimal(18,0) first: long widens to
+        // decimal(20,0) and the product's precision-39 result gets
+        // CLAMPED to decimal(38,8) — every product silently rounded,
+        // where the oracle keeps exact scale 9
+        sum(col("tf").cast("decimal(18,0)") * col("logp9")).as("__slp"))
       .select(id, col("n_tokens"),
         round(col("__slp").cast("double") / col("n_tokens"), 6).as("logprob"))
       .orderBy(col("logprob").asc, id)
@@ -235,7 +239,9 @@ object Ranking {
       .join(logr, "term")
       .groupBy(id)
       .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("tf") * col("logr9")).as("__slr"))
+        // decimal(18,0) cast: see unigramLogProb — keeps the product
+        // at exact scale 9 instead of a clamped decimal(38,8)
+        sum(col("tf").cast("decimal(18,0)") * col("logr9")).as("__slr"))
       .select(id, col("n_tokens"),
         round(col("__slr").cast("double") / col("n_tokens"), 6).as("logw"))
       .orderBy(col("logw").desc, id)
@@ -249,7 +255,7 @@ object Ranking {
       targetPred: String, k: Int = 20): String =
     s"""WITH toks AS (
        |  SELECT $idCol, ($targetPred) AS t,
-       |    unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |    unnest(${TextAnalysis.tokensSql(textCol)}) AS term
        |  FROM $src),
        |tf AS (SELECT $idCol, t, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
        |ts AS (SELECT term,
@@ -262,7 +268,7 @@ object Ranking {
        |                  (CAST(cp + 1 AS DOUBLE) / (P + V))), 9) AS DECIMAL(18,9)) AS logr9
        |  FROM ts CROSS JOIN tot),
        |d AS (SELECT tf.$idCol, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-       |        SUM(tf.tf * lr.logr9) AS slr
+       |        SUM(CAST(tf.tf AS DECIMAL(18,0)) * lr.logr9) AS slr
        |      FROM tf JOIN lr USING (term) WHERE NOT tf.t GROUP BY 1)
        |SELECT $idCol, n_tokens, round(CAST(slr AS DOUBLE) / n_tokens, 6) AS logw
        |FROM d ORDER BY logw DESC, $idCol LIMIT $k""".stripMargin
@@ -270,7 +276,7 @@ object Ranking {
   /** DuckDB SQL equivalent of [[unigramLogProb]]. */
   def unigramLogProbSql(src: String, idCol: String, textCol: String, k: Int = 20): String =
     s"""WITH toks AS (
-       |  SELECT $idCol, unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  SELECT $idCol, unnest(${TextAnalysis.tokensSql(textCol)}) AS term
        |  FROM $src),
        |tf AS (SELECT $idCol, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
        |tt AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1),
@@ -279,7 +285,7 @@ object Ranking {
        |    CAST(round(ln(CAST(ctf AS DOUBLE) / total), 9) AS DECIMAL(18,9)) AS logp9
        |  FROM tt CROSS JOIN corpus),
        |d AS (SELECT tf.$idCol, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-       |        SUM(tf.tf * lp.logp9) AS slp
+       |        SUM(CAST(tf.tf AS DECIMAL(18,0)) * lp.logp9) AS slp
        |      FROM tf JOIN lp USING (term) GROUP BY 1)
        |SELECT $idCol, n_tokens, round(CAST(slp AS DOUBLE) / n_tokens, 6) AS logprob
        |FROM d ORDER BY logprob ASC, $idCol LIMIT $k""".stripMargin

@@ -13,6 +13,14 @@ object TextAnalysis {
   /** Lowercased whitespace tokens, empties removed. */
   def tokens(text: Column): Column = Dedup.tokens(text)
 
+  /** DuckDB rendering of [[tokens]] — the single oracle twin of the
+    * tokenization every text operator shares. Any change to [[tokens]]
+    * changes this in lockstep (and vice versa) instead of drifting
+    * across per-operator SQL strings.
+    */
+  def tokensSql(textExpr: String): String =
+    s"list_filter(string_split(lower($textExpr), ' '), x -> x <> '')"
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** NULL-on-empty division: Spark 4 runs ANSI mode by default, where
@@ -237,7 +245,10 @@ object TextAnalysis {
       .agg(
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_vocab"),
-        sum(col("c") * round(log(col("c").cast("double")), 9).cast("decimal(18,9)"))
+        // decimal(18,0) cast: long * decimal(18,9) clamps to a ROUNDED
+        // decimal(38,8); (18,0) x (18,9) stays exact at scale 9
+        sum(col("c").cast("decimal(18,0)") *
+            round(log(col("c").cast("double")), 9).cast("decimal(18,9)"))
           .as("__slc"))
       .select(g, col("n_tokens"), col("n_vocab"),
         round(log(col("n_tokens").cast("double")) -
@@ -248,12 +259,12 @@ object TextAnalysis {
   /** DuckDB SQL equivalent of [[tokenEntropy]]. */
   def tokenEntropySql(src: String, groupCol: String, textCol: String): String =
     s"""WITH toks AS (
-       |  SELECT $groupCol, unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |  SELECT $groupCol, unnest(${tokensSql(textCol)}) AS term
        |  FROM $src),
        |c AS (SELECT $groupCol, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
        |s AS (SELECT $groupCol, CAST(SUM(c) AS BIGINT) AS n_tokens,
        |        COUNT(*) AS n_vocab,
-       |        SUM(c * CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))) AS slc
+       |        SUM(CAST(c AS DECIMAL(18,0)) * CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))) AS slc
        |      FROM c GROUP BY 1)
        |SELECT $groupCol, n_tokens, n_vocab,
        |  round(ln(CAST(n_tokens AS DOUBLE)) - CAST(slc AS DOUBLE) / n_tokens, 6) AS entropy
@@ -291,7 +302,7 @@ object TextAnalysis {
   def vocabOverlapSql(src: String, groupCol: String, textCol: String): String =
     s"""WITH gv AS (
        |  SELECT DISTINCT $groupCol AS g,
-       |    unnest(list_filter(string_split(lower($textCol), ' '), x -> x <> '')) AS term
+       |    unnest(${tokensSql(textCol)}) AS term
        |  FROM $src),
        |sizes AS (SELECT g, COUNT(*) AS nv FROM gv GROUP BY 1),
        |inter AS (SELECT a.g AS g1, b.g AS g2, COUNT(*) AS n_inter
