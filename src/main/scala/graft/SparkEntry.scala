@@ -200,6 +200,34 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- extension: shingle novelty (inverse near-dup density) ----
+    "q99_novelty" -> ((s, dir) => {
+      Dedup.shingleNovelty(T(s, dir, "documents"), "doc_id", "text", n = 3)
+    }),
+
+    // ---- extension: MinHash estimate vs exact Jaccard error check ----
+    "q100_minhash_err" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 9)
+      val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        k = 9, bands = 3, threshold = 0.5)
+      val a = sigs.select(col("doc_id").as("d1") +:
+        (0 until 9).map(i => col(s"sig$i").as(s"__a$i")): _*)
+      val b = sigs.select(col("doc_id").as("d2") +:
+        (0 until 9).map(i => col(s"sig$i").as(s"__b$i")): _*)
+      val matches = (0 until 9)
+        .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+        .reduceLeft[Column](_ + _)
+      exact.join(a, "d1").join(b, "d2")
+        .select(col("d1"), col("d2"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(matches.cast("double") / 9, 6).as("est"))
+        // the sketch's 3-sigma-ish acceptance band at k=9: the check a
+        // pipeline runs before trusting signatures instead of shingles
+        .withColumn("within_bound", abs(col("est") - col("jaccard")) <= 0.4)
+        .orderBy("d1", "d2")
+    }),
+
     // ---- extension: per-source token entropy (corpus diversity) ----
     "q97_entropy" -> ((s, dir) => {
       TextAnalysis.tokenEntropy(T(s, dir, "documents"), "source", "text")
@@ -1399,6 +1427,34 @@ object SparkEntry {
       |ORDER BY qid, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q99_novelty" ->
+      s"""WITH ${shingleCtes("documents")},
+         |cnt AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY 1),
+         |d AS (SELECT sh.doc_id, COUNT(*) AS n_sh,
+         |        CAST(SUM(CASE WHEN cnt.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq
+         |      FROM sh JOIN cnt USING (s) GROUP BY 1)
+         |SELECT doc_id, n_sh, n_uniq,
+         |  round(CAST(n_uniq AS DOUBLE) / n_sh, 6) AS novelty
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q100_minhash_err" -> {
+      val matches = (0 until 9)
+        .map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ${sigsCte("documents")},
+         |j AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(len(list_distinct(list_intersect(sa.shl, sb.shl))) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.shl, sb.shl))) AS jaccard
+         |  FROM cand c JOIN shd sa ON sa.doc_id = c.d1 JOIN shd sb ON sb.doc_id = c.d2),
+         |jj AS (SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT jj.d1, jj.d2, round(jj.jaccard, 6) AS jaccard,
+         |        round(CAST($matches AS DOUBLE) / 9, 6) AS est
+         |      FROM jj JOIN sigs a ON a.doc_id = jj.d1 JOIN sigs b ON b.doc_id = jj.d2)
+         |SELECT d1, d2, jaccard, est, (abs(est - jaccard) <= 0.4) AS within_bound
+         |FROM e ORDER BY d1, d2""".stripMargin
+    },
+
     "q97_entropy" ->
       TextAnalysis.tokenEntropySql("documents", "source", "text"),
 

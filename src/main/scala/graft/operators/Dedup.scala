@@ -217,6 +217,30 @@ object Dedup {
     jaccardNearDupPairsCached(docs, idCol, textCol, k, bands, shingleSize,
       threshold).df
 
+  /** Per-document n-gram novelty: the fraction of a document's
+    * distinct shingles that appear NOWHERE else in the corpus — the
+    * inverse of near-dup density, and the cheap "is this document new
+    * information" signal a dedup pipeline reports alongside its pair
+    * lists. Two partial-aggregated shuffles (per-shingle corpus counts,
+    * per-doc rollup); no pairs ever materialize. Returns
+    * (id, n_sh, n_uniq, novelty).
+    */
+  def shingleNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val cnt = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__c"))
+    sh.join(cnt, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_uniq"))
+      .select(col(idCol), col("n_sh"), col("n_uniq"),
+        round(col("n_uniq").cast("double") / col("n_sh"), 6).as("novelty"))
+      .orderBy(idCol)
+  }
+
   /** [[jaccardNearDupPairs]] plus its persisted intermediates (shingle
     * and signature tables) for caller-managed release.
     */

@@ -126,6 +126,19 @@ class RankingStatsSpec extends AnyFunSuite {
     assert(capped == Set((10L, 20L)))
   }
 
+  test("shingle novelty: copied docs score zero, unique docs score one") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact copy: zero novelty
+      (3L, "omega psi chi phi upsilon")       // fully unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.shingleNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0)
+    assert(out(3L) == 1.0)
+  }
+
   test("entropy: uniform vocab maxes out, constant text scores zero") {
     import graft.operators.TextAnalysis
     val docs = Seq(
