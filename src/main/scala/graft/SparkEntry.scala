@@ -200,6 +200,14 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- extension: quantile-rank (empirical CDF) transform ----
+    "q101_quantile_rank" -> ((s, dir) => {
+      val cdf = operators.RobustStats.empiricalCdf(T(s, dir, "lineitem"), "l_extendedprice")
+      val probes = T(s, dir, "lineitem").filter(col("l_orderkey") < 50)
+        .select(col("l_extendedprice").cast("double").as("v")).distinct()
+      probes.join(cdf, "v").select("v", "cum", "pct").orderBy("v")
+    }),
+
     // ---- extension: shingle novelty (inverse near-dup density) ----
     "q99_novelty" -> ((s, dir) => {
       Dedup.shingleNovelty(T(s, dir, "documents"), "doc_id", "text", n = 3)
@@ -1427,6 +1435,12 @@ object SparkEntry {
       |ORDER BY qid, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q101_quantile_rank" ->
+      s"""WITH cdf AS (${operators.RobustStats.empiricalCdfSql("lineitem", "l_extendedprice")}),
+         |p AS (SELECT DISTINCT CAST(l_extendedprice AS DOUBLE) AS v
+         |      FROM lineitem WHERE l_orderkey < 50)
+         |SELECT v, cum, pct FROM p JOIN cdf USING (v) ORDER BY v""".stripMargin,
+
     "q99_novelty" ->
       s"""WITH ${shingleCtes("documents")},
          |cnt AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY 1),

@@ -103,6 +103,33 @@ object RobustStats {
        |  max(CAST($valueCol AS DOUBLE)) AS hi_v
        |FROM $src GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Empirical CDF of `valueCol` as a (v, cum, pct) table over the
+    * DISTINCT values: pct = fraction of rows with value <= v — the
+    * quantile-rank (percentile) feature transform. Equivalent to
+    * `cume_dist() OVER (ORDER BY v)`, but that window is a
+    * single-partition global sort; this is a value-grouped count +
+    * one distributed prefix sum, the same machinery as
+    * [[discCutpoints]]. Join it back on the value column (or
+    * range-join for unseen values) to annotate rows.
+    */
+  def empiricalCdf(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.runningSum(counts, Seq(col("v")), "__c", "cum")
+    val tot = counts.agg(sum(col("__c")).as("__n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("cum"),
+        round(col("cum").cast("double") / col("__n"), 9).as("pct"))
+  }
+
+  /** DuckDB SQL equivalent of [[empiricalCdf]] (via `cume_dist`). */
+  def empiricalCdfSql(src: String, valueCol: String): String =
+    s"""SELECT DISTINCT CAST($valueCol AS DOUBLE) AS v,
+       |  CAST(COUNT(*) OVER (ORDER BY $valueCol RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |  round(cume_dist() OVER (ORDER BY $valueCol), 9) AS pct
+       |FROM $src WHERE $valueCol IS NOT NULL""".stripMargin
+
   /** Winsorized per-group means: clip `valueCol` to its group's
     * [pLo, pHi] exact disc percentiles, then report raw vs clipped
     * means. The cutpoints are actual 2-decimal data values, so the

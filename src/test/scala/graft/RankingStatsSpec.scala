@@ -126,6 +126,15 @@ class RankingStatsSpec extends AnyFunSuite {
     assert(capped == Set((10L, 20L)))
   }
 
+  test("empirical cdf matches cume_dist semantics including ties") {
+    val df = Seq(10.0, 10.0, 20.0, 30.0, 30.0, 30.0, 40.0, 50.0, 60.0, 70.0).toDF("v")
+    val cdf = RobustStats.empiricalCdf(df, "v")
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(cdf(10.0) == ((2L, 0.2)))
+    assert(cdf(30.0) == ((6L, 0.6)))  // ties counted inclusively
+    assert(cdf(70.0) == ((10L, 1.0)))
+  }
+
   test("shingle novelty: copied docs score zero, unique docs score one") {
     import graft.operators.Dedup
     val docs = Seq(
