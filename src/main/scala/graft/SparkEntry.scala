@@ -200,6 +200,11 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- extension: categorical mutual information (dependency) ----
+    "q102_mutual_info" -> ((s, dir) => {
+      operators.Profiler.mutualInformation(T(s, dir, "documents"), "lang", "source")
+    }),
+
     // ---- extension: quantile-rank (empirical CDF) transform ----
     "q101_quantile_rank" -> ((s, dir) => {
       val cdf = operators.RobustStats.empiricalCdf(T(s, dir, "lineitem"), "l_extendedprice")
@@ -1435,6 +1440,9 @@ object SparkEntry {
       |ORDER BY qid, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q102_mutual_info" ->
+      operators.Profiler.mutualInformationSql("documents", "lang", "source"),
+
     "q101_quantile_rank" ->
       s"""WITH cdf AS (${operators.RobustStats.empiricalCdfSql("lineitem", "l_extendedprice")}),
          |p AS (SELECT DISTINCT CAST(l_extendedprice AS DOUBLE) AS v

@@ -76,4 +76,50 @@ object Profiler {
       .na.fill(0L, Seq("n_distinct"))
       .select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
   }
+
+  /** Mutual information (nats) between two categorical columns —
+    * the column-dependency signal that tells a layout optimizer two
+    * columns cluster together (partition by one and the other prunes
+    * too) or a schema auditor that a column is derivable. Three
+    * partial-aggregated groupBys over the (a, b) contingency counts;
+    * the per-cell probability ratio runs in double (cell*N / cx*cy
+    * overflows integer range at table scale) but its log is rounded
+    * to 9 decimals and decimal-summed, so both engines reduce
+    * identically. Returns one row (n, mi).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__cab"))
+    val ca = cells.groupBy(col("__a")).agg(sum(col("__cab")).as("__ca"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__cab")).as("__cb"))
+    val tot = cells.agg(sum(col("__cab")).as("__n"))
+    cells
+      .join(ca, "__a").join(cb, "__b")
+      .crossJoin(broadcast(tot))
+      .select((col("__cab").cast("decimal(18,0)") *
+        round(log(col("__cab").cast("double") * col("__n") /
+          (col("__ca").cast("double") * col("__cb"))), 9).cast("decimal(18,9)"))
+        .as("__term"), col("__n"))
+      .groupBy(col("__n"))
+      .agg(round(sum(col("__term")).cast("double") / col("__n"), 6).as("mi"))
+      .select(col("__n").as("n"), col("mi"))
+  }
+
+  /** DuckDB SQL equivalent of [[mutualInformation]]. */
+  def mutualInformationSql(src: String, aCol: String, bCol: String): String =
+    s"""WITH cells AS (
+       |  SELECT $aCol AS a, $bCol AS b, COUNT(*) AS cab FROM $src
+       |  WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL GROUP BY 1, 2),
+       |ca AS (SELECT a, SUM(cab) AS ca FROM cells GROUP BY 1),
+       |cb AS (SELECT b, SUM(cab) AS cb FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM cells),
+       |terms AS (SELECT
+       |    CAST(cells.cab AS DECIMAL(18,0)) *
+       |      CAST(round(ln(CAST(cells.cab AS DOUBLE) * tot.n /
+       |        (CAST(ca.ca AS DOUBLE) * cb.cb)), 9) AS DECIMAL(18,9)) AS term,
+       |    tot.n AS n
+       |  FROM cells JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot)
+       |SELECT n, round(CAST(SUM(term) AS DOUBLE) / n, 6) AS mi
+       |FROM terms GROUP BY n""".stripMargin
 }

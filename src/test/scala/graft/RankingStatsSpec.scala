@@ -126,6 +126,17 @@ class RankingStatsSpec extends AnyFunSuite {
     assert(capped == Set((10L, 20L)))
   }
 
+  test("mutual information: zero for independent columns, ln k for copies") {
+    import graft.operators.Profiler
+    val indep = (0 until 400).map(i => (s"a${i % 4}", s"b${i % 5}")).toDF("x", "y")
+    val miIndep = Profiler.mutualInformation(indep, "x", "y").collect().head
+    assert(miIndep.getLong(0) == 400L)
+    assert(math.abs(miIndep.getDouble(1)) < 1e-6)
+    val copy = (0 until 300).map(i => (s"v${i % 3}", s"w${i % 3}")).toDF("x", "y")
+    val miCopy = Profiler.mutualInformation(copy, "x", "y").collect().head
+    assert(math.abs(miCopy.getDouble(1) - math.log(3)) < 1e-5)
+  }
+
   test("empirical cdf matches cume_dist semantics including ties") {
     val df = Seq(10.0, 10.0, 20.0, 30.0, 30.0, 30.0, 40.0, 50.0, 60.0, 70.0).toDF("v")
     val cdf = RobustStats.empiricalCdf(df, "v")
