@@ -221,9 +221,11 @@ object SparkEntry {
     // ---- extension: MinHash estimate vs exact Jaccard error check ----
     "q100_minhash_err" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 9)
-      val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
-        k = 9, bands = 3, threshold = 0.5)
+      // one shingle+hash pipeline for both the exact pairs and the
+      // signature estimate — the dominant cost, paid once
+      val (exactCached, sigs) = Dedup.jaccardNearDupPairsWithSigs(
+        docs, "doc_id", "text", k = 9, bands = 3, threshold = 0.5)
+      val exact = exactCached.df
       val a = sigs.select(col("doc_id").as("d1") +:
         (0 until 9).map(i => col(s"sig$i").as(s"__a$i")): _*)
       val b = sigs.select(col("doc_id").as("d2") +:
@@ -1306,9 +1308,21 @@ object SparkEntry {
     s"""t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM $src),
        |sh0 AS (SELECT doc_id, CASE WHEN len(w) >= 3
        |  THEN list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-       |  ELSE [array_to_string(w, ' ')] END AS shl FROM t),
+       |  ELSE [array_to_string(w, ' ')] END AS shl FROM t
+       |  WHERE len(w) >= 1),
        |shd AS (SELECT doc_id, list_distinct(shl) AS shl FROM sh0),
        |sh AS (SELECT doc_id, unnest(shl) AS s FROM shd)""".stripMargin
+
+  /** Exact-Jaccard CTE over `cand` pairs and `shd` shingle lists (the
+    * names [[shingleCtes]]/[[sigsCte]] emit) — shared by q23 and q100
+    * so the formula cannot drift between them.
+    */
+  private val jaccardCte: String =
+    """j AS (
+      |  SELECT c.d1, c.d2,
+      |    CAST(len(list_distinct(list_intersect(sa.shl, sb.shl))) AS DOUBLE) /
+      |      len(list_distinct(list_concat(sa.shl, sb.shl))) AS jaccard
+      |  FROM cand c JOIN shd sa ON sa.doc_id = c.d1 JOIN shd sb ON sb.doc_id = c.d2)""".stripMargin
 
   /** n-gram shingle CTEs over `src` with CTE-name prefix `p`:
     * `<p>sh` = one row per (doc_id, shingle s), distinct.
@@ -1464,11 +1478,7 @@ object SparkEntry {
         .map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH ${sigsCte("documents")},
-         |j AS (
-         |  SELECT c.d1, c.d2,
-         |    CAST(len(list_distinct(list_intersect(sa.shl, sb.shl))) AS DOUBLE) /
-         |      len(list_distinct(list_concat(sa.shl, sb.shl))) AS jaccard
-         |  FROM cand c JOIN shd sa ON sa.doc_id = c.d1 JOIN shd sb ON sb.doc_id = c.d2),
+         |$jaccardCte,
          |jj AS (SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5),
          |e AS (SELECT jj.d1, jj.d2, round(jj.jaccard, 6) AS jaccard,
          |        round(CAST($matches AS DOUBLE) / 9, 6) AS est
@@ -1735,11 +1745,7 @@ object SparkEntry {
 
     "q23_jaccard_neardup" ->
       s"""WITH ${sigsCte("documents")},
-         |j AS (
-         |  SELECT c.d1, c.d2,
-         |    CAST(len(list_distinct(list_intersect(a.shl, b.shl))) AS DOUBLE) /
-         |      len(list_distinct(list_concat(a.shl, b.shl))) AS jaccard
-         |  FROM cand c JOIN shd a ON a.doc_id = c.d1 JOIN shd b ON b.doc_id = c.d2)
+         |$jaccardCte
          |SELECT d1, d2, round(jaccard, 6) AS jaccard FROM j
          |WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
 

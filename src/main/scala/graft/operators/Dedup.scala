@@ -251,7 +251,23 @@ object Dedup {
       k: Int = 9,
       bands: Int = 3,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): CachedDF = {
+      threshold: Double = 0.5): CachedDF =
+    jaccardNearDupPairsWithSigs(docs, idCol, textCol, k, bands, shingleSize,
+      threshold)._1
+
+  /** [[jaccardNearDupPairsCached]] plus the persisted signature frame
+    * the pairs were LSH-blocked with — for consumers that need both
+    * (e.g. the sketch-accuracy check) without paying the dominant
+    * shingle+hash pipeline twice.
+    */
+  def jaccardNearDupPairsWithSigs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 9,
+      bands: Int = 3,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): (CachedDF, DataFrame) = {
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candCached =
@@ -287,7 +303,9 @@ object Dedup {
         col("__inter") / (col("__na") + col("__nb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
-    CachedDF(pairs, Seq(sh, cand, shc) ++ candCached.handles)
+    // candCached.handles.head IS the persisted signature frame
+    (CachedDF(pairs, Seq(sh, cand, shc) ++ candCached.handles),
+      candCached.handles.head)
   }
 
   /** Connected components over near-duplicate pairs: every document

@@ -123,11 +123,15 @@ object RobustStats {
         round(col("cum").cast("double") / col("__n"), 9).as("pct"))
   }
 
-  /** DuckDB SQL equivalent of [[empiricalCdf]] (via `cume_dist`). */
+  /** DuckDB SQL equivalent of [[empiricalCdf]] (via `cume_dist`).
+    * Windows ORDER BY the DOUBLE cast — the Spark side groups by the
+    * cast, so ordering the raw column would diverge on sources whose
+    * raw ordering differs from (or collides under) the cast.
+    */
   def empiricalCdfSql(src: String, valueCol: String): String =
     s"""SELECT DISTINCT CAST($valueCol AS DOUBLE) AS v,
-       |  CAST(COUNT(*) OVER (ORDER BY $valueCol RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-       |  round(cume_dist() OVER (ORDER BY $valueCol), 9) AS pct
+       |  CAST(COUNT(*) OVER (ORDER BY CAST($valueCol AS DOUBLE) RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |  round(cume_dist() OVER (ORDER BY CAST($valueCol AS DOUBLE)), 9) AS pct
        |FROM $src WHERE $valueCol IS NOT NULL""".stripMargin
 
   /** Winsorized per-group means: clip `valueCol` to its group's
