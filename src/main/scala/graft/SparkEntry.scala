@@ -205,6 +205,26 @@ object SparkEntry {
       operators.Profiler.mutualInformation(T(s, dir, "documents"), "lang", "source")
     }),
 
+    // ---- extension: per-source KL drift from the corpus token mix ----
+    "q103_kl_drift" -> ((s, dir) => {
+      TextAnalysis.tokenKlDrift(T(s, dir, "documents"), "source", "text")
+    }),
+
+    // ---- extension: int8 embedding quantization error report ----
+    "q104_embed_quantize" -> ((s, dir) => {
+      Similarity.quantizationReport(T(s, dir, "embeddings"), "embedding")
+    }),
+
+    // ---- extension: SRP-LSH cosine bucketing (collision histogram) ----
+    "q105_srp_buckets" -> ((s, dir) => {
+      Similarity.srpBuckets(T(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+        .filter(col("n") > 1)
+        .orderBy("bucket")
+    }),
+
     // ---- extension: quantile-rank (empirical CDF) transform ----
     "q101_quantile_rank" -> ((s, dir) => {
       val cdf = operators.RobustStats.empiricalCdf(T(s, dir, "lineitem"), "l_extendedprice")
@@ -793,15 +813,23 @@ object SparkEntry {
     // ---- extension: Count-Min frequency estimates with checked bounds ----
     "q51_cms_bound" -> ((s, dir) => {
       import s.implicits._
-      val toks = T(s, dir, "documents")
+      // ONE partial-aggregated shuffle over the exploded tokens; the
+      // total, the top-10, and the sketch all derive from the (distinct
+      // token, freq) table — the occurrence stream is never re-scanned
+      // (CMS addition is linear, so add(token, freq) builds the
+      // identical sketch to one add per occurrence)
+      val counts = T(s, dir, "documents")
         .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .persist()
       val eps = 1e-4
+      val total = counts.agg(sum(col("freq"))).head().getLong(0)
       val sketch = graft.functions.Sketches
-        .buildCountMin(toks, col("token"), eps, 0.99, 42)
-      val total = toks.count()
-      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .buildCountMinWeighted(counts, col("token"), col("freq"), eps, 0.99, 42)
+      val top = counts
         .orderBy(col("freq").desc, col("token")).limit(10)
         .as[(String, Long)].collect().toSeq
+      counts.unpersist(false)
       // CMS guarantees: never under, over by at most eps*N w.h.p. —
       // checked with 2x slack so the verdict is robust at every SF
       top.map { case (t, f) =>
@@ -1037,17 +1065,31 @@ object SparkEntry {
     // ---- approx quantiles with a checked rank-error bound ----
     "q67_approx_quantile" -> ((s, dir) => {
       // same oracle pattern as the HLL/CMS queries: exact values plus a
-      // boolean asserting the sketch honored its contract. Accuracy
-      // 1000 bounds rank error at 0.1%; quantities are integers spaced
-      // 1 apart, so a handful of rank-neighbors span <= 2.0 — the bound
-      // tolerates the sketch landing near the true median without ever
-      // accepting a gross miss
+      // boolean asserting the approximation honored its contract. ONE
+      // hash-aggregated pass builds the tiny (flag, value) count table
+      // with a deterministic 5% hash-sample folded in; the exact median
+      // comes from rank arithmetic over the counts (smallest value with
+      // 2*cum >= n — percentile_disc semantics) and the approximate one
+      // is the sample's median from the same rows. Nothing ever buffers
+      // a group's values (percentile_disc/percentile_approx buffer and
+      // sort ALL of them per group — the executor-memory cliff this
+      // formulation avoids at scale; it assumes a modest distinct-value
+      // domain, the usual case for physical quantities).
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val sampled = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(20)) === 0
       T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("__na"),
+          sum(when(sampled, 1L).otherwise(0L)).as("__ns"))
+        .select(col("l_returnflag"), col("l_quantity"),
+          sum(col("__na")).over(w).as("__ca"), sum(col("__ns")).over(w).as("__cs"),
+          sum(col("__na")).over(wAll).as("__n"), sum(col("__ns")).over(wAll).as("__m"))
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("__a50"),
-          count(lit(1)).as("n"))
+          min(when(col("__ca") * 2 >= col("__n"), col("l_quantity"))).as("p50"),
+          min(when(col("__cs") * 2 >= col("__m"), col("l_quantity"))).as("__a50"),
+          max(col("__n")).as("n"))
         .select(col("l_returnflag"), col("p50"), col("n"),
           (abs(col("__a50") - col("p50")) <= lit(2.0)).as("within_bound"))
         .orderBy("l_returnflag")
@@ -1456,6 +1498,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q102_mutual_info" ->
       operators.Profiler.mutualInformationSql("documents", "lang", "source"),
+
+    "q103_kl_drift" ->
+      TextAnalysis.tokenKlDriftSql("documents", "source", "text"),
+
+    "q104_embed_quantize" ->
+      Similarity.quantizationReportSql("embeddings", 64),
+
+    "q105_srp_buckets" -> {
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |bk AS (SELECT vec_id, ${Similarity.srpBucketSqlExpr("v", 6)} AS bucket FROM e)
+         |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+         |FROM bk GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin
+    },
 
     "q101_quantile_rank" ->
       s"""WITH cdf AS (${operators.RobustStats.empiricalCdfSql("lineitem", "l_extendedprice")}),

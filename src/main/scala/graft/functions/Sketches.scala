@@ -67,4 +67,36 @@ object Sketches {
       .head().getAs[Array[Byte]]("cms")
     CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
   }
+
+  /** Distributed Count-Min build from PRE-AGGREGATED (item, count)
+    * rows: each partition folds its rows into a local sketch with
+    * `add(item, count)` and the partial sketches merge pairwise. Same
+    * sketch as [[buildCountMin]] over the raw occurrences (CMS addition
+    * is linear), but the distributed pass touches one row per DISTINCT
+    * item instead of one per occurrence — the right build shape when a
+    * frequency table already exists or is cheap (one partial-aggregated
+    * shuffle), which at corpus scale it usually is.
+    *
+    * Hashes the item's STRING; probe estimates with
+    * `sketch.estimateCount(item: String)`.
+    */
+  def buildCountMinWeighted(
+      df: DataFrame,
+      item: Column,
+      weight: Column,
+      eps: Double,
+      confidence: Double,
+      seed: Int): CountMinSketch = {
+    val rows = df.select(item.cast("string").as("i"), weight.cast("long").as("w"))
+    rows.queryExecution.toRdd
+      .mapPartitions { it =>
+        val cms = CountMinSketch.create(eps, confidence, seed)
+        it.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1))
+            cms.add(r.getUTF8String(0).toString, r.getLong(1))
+        }
+        Iterator.single(cms)
+      }
+      .treeReduce { (a, b) => a.mergeInPlace(b); a }
+  }
 }

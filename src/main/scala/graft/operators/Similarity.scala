@@ -87,24 +87,49 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 2): DataFrame = {
-    val cents = broadcast(
-      corpus.filter(col(idCol) < nCells).select(
-        col(idCol).as("__cid"),
-        toDoubleArray(col(vecCol)).as("__cv"))
-        .withColumn("__cn", l2Norm(col("__cv"))))
+    // The centroid table is k x dims doubles — collect it and inline
+    // the vectors as LITERALS, so cell assignment is a pure projection
+    // (one codegen'd dot per centroid inside array_sort/array_min): no
+    // centroid join, no per-row window, and the corpus never shuffles
+    // for its assignment. Same layout as the k-means assignment below;
+    // driver-side norms use the same sequential fold as the engine's
+    // l2Norm, so similarities are bit-identical to the joined form.
+    val cents = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("long").as("__cid"), toDoubleArray(col(vecCol)).as("__cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
 
+    // Each centroid similarity is computed ONCE into a bound array
+    // column in its own projection; the (negsim, cid) ranking structs
+    // then reference array elements, not copies of the dot-product
+    // expression. Inlining the dots into the structs would replicate
+    // every 64-literal dot ~3x per centroid (once per when-branch) and
+    // blow the generated code up by two orders of magnitude — the
+    // comparator structs order by similarity DESC with ties to the
+    // lower centroid id, and a NaN similarity (zero-norm vector) maps
+    // to -Infinity so it ranks first, matching NaN's DESC sort position.
     def assign(df: DataFrame, outId: String, vecOut: String, normOut: String,
         probes: Int): DataFrame = {
       val e = df.select(col(idCol).as(outId), toDoubleArray(col(vecCol)).as(vecOut))
         .withColumn(normOut, l2Norm(col(vecOut)))
-      val w = Window.partitionBy(outId)
-        .orderBy(col("__csim").desc, col("__cid"))
-      e.join(cents)
-        .withColumn("__csim",
-          dot(col(vecOut), col("__cv")) / (col(normOut) * col("__cn")))
-        .withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") <= probes)
-        .select(col(outId), col(vecOut), col(normOut), col("__cid").as("__cell"))
+      if (cents.isEmpty) return e.withColumn("__cell", lit(null).cast("long")).limit(0)
+      val sims = array(cents.map { case (_, v) =>
+        val cn = math.sqrt(v.map(x => x * x).sum)
+        dot(col(vecOut), typedLit(v.toSeq)) / (col(normOut) * lit(cn))
+      }: _*)
+      val entries = cents.zipWithIndex.map { case ((cid, _), i) =>
+        val s = element_at(col("__sims"), i + 1)
+        struct(
+          when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s).as("negsim"),
+          lit(cid).as("cid"))
+      }
+      val cell =
+        if (probes == 1) array_min(array(entries: _*)).getField("cid")
+        else explode(transform(
+          slice(array_sort(array(entries: _*)), 1, probes), s => s.getField("cid")))
+      e.withColumn("__sims", sims)
+        .select(col(outId), col(vecOut), col(normOut), cell.as("__cell"))
     }
 
     val corpusCells = assign(corpus, "nbr", "__cv2", "__cn2", probes = 1)
@@ -163,21 +188,29 @@ object Similarity {
     // a NaN similarity (zero-norm centroid) maps to -Infinity so it
     // still ranks FIRST, as NaN does under both engines' DESC ordering
     def assigned(cents: Seq[(Long, Array[Double])]): DataFrame = {
-      val entries = cents.map { case (cid, v) =>
+      // each similarity lands ONCE in a bound array column; the ranking
+      // structs below reference elements of it (inlining the dot into
+      // the struct would replicate it 3x per centroid — once per
+      // when-branch plus the carried raw value — and balloon codegen)
+      val sims = array(cents.map { case (_, v) =>
         // driver-side norm: same sequential left fold over the same
         // doubles as the engines' dot(v, v), so bit-identical
         val cn = math.sqrt(v.map(x => x * x).sum)
-        val sim = dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn))
+        dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn))
+      }: _*)
+      val entries = cents.zipWithIndex.map { case ((cid, _), i) =>
+        val s = element_at(col("__sims"), i + 1)
         // negsim orders; the raw sim rides along (3rd field — cid is
         // unique, so it never participates in the comparison) to keep
         // the output value NaN when the similarity is NaN
         struct(
-          when(isnan(sim), lit(Double.NegativeInfinity))
-            .otherwise(-sim).as("negsim"),
+          when(isnan(s), lit(Double.NegativeInfinity))
+            .otherwise(-s).as("negsim"),
           lit(cid).as("cid"),
-          sim.as("sim"))
+          s.as("sim"))
       }
-      e.withColumn("__best", array_min(array(entries: _*)))
+      e.withColumn("__sims", sims)
+        .withColumn("__best", array_min(array(entries: _*)))
         .select(col("__id"), col("__v"),
           col("__best.cid").as("__cid"),
           col("__best.sim").as("__csim"))
@@ -268,6 +301,130 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("d1"), col("d2"), col("sim"))
   }
+
+  /** Per-dimension int8 scalar-quantization report: quantize each
+    * dimension to 256 levels over its [min, max] range and report the
+    * reconstruction error — the go/no-go numbers for shipping a
+    * quantized ANN index (4x smaller vectors) instead of float32.
+    *
+    * Two scans, both reduced map-side: pass 1 aggregates per-dim
+    * min/max (D rows), pass 2 broadcasts those stats back, quantizes
+    * per element, and aggregates the error moments per dim. No shuffle
+    * ever carries more than D x partitions partial rows. Per-element
+    * squared errors are rounded to 12 decimals and decimal-summed, so
+    * the MSE is exact and engine-portable; max-abs-error is an exact
+    * selection over identically-computed doubles.
+    */
+  def quantizationReport(df: DataFrame, vecCol: String): DataFrame = {
+    val el = df.select(posexplode(toDoubleArray(col(vecCol))).as(Seq("dim", "x")))
+    val stats = el.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val scale = (col("mx") - col("mn")) / lit(255.0)
+    // a constant dimension (mx == mn) quantizes to level 0 exactly
+    val q = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise(least(greatest(
+        round((col("x") - col("mn")) / scale, 0), lit(0.0)), lit(255.0)))
+    val err = col("x") - (col("mn") + q * scale)
+    el.join(broadcast(stats), "dim")
+      .select(col("dim"), col("mn"), col("mx"),
+        round(err * err, 12).cast("decimal(24,12)").as("__e2"),
+        abs(err).as("__ae"))
+      .groupBy(col("dim").cast("long").as("dim"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__e2")).cast("double") / count(lit(1)), 9).as("mse"),
+        round(max(col("__ae")), 6).as("max_abs_err"))
+      .select(col("dim"), col("n"),
+        round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+        col("mse"), col("max_abs_err"))
+      .orderBy("dim")
+  }
+
+  /** DuckDB SQL equivalent of [[quantizationReport]] for a table with
+    * an `embedding` list column of `dims` elements.
+    */
+  def quantizationReportSql(src: String, dims: Int): String =
+    s"""WITH d AS (SELECT unnest(range($dims)) AS dim),
+       |el AS (SELECT d.dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS x
+       |       FROM $src CROSS JOIN d WHERE d.dim < len(embedding)),
+       |st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY 1),
+       |e AS (SELECT el.dim, st.mn, st.mx,
+       |        el.x - (st.mn + (CASE WHEN st.mx = st.mn THEN 0.0
+       |          ELSE least(greatest(round((el.x - st.mn) / ((st.mx - st.mn) / 255.0)), 0.0), 255.0)
+       |          END) * ((st.mx - st.mn) / 255.0)) AS err
+       |      FROM el JOIN st USING (dim))
+       |SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+       |  round(mn, 6) AS mn, round(mx, 6) AS mx,
+       |  round(CAST(SUM(CAST(round(err * err, 12) AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*), 9) AS mse,
+       |  round(MAX(abs(err)), 6) AS max_abs_err
+       |FROM e GROUP BY dim, mn, mx ORDER BY dim""".stripMargin
+
+  /** Deterministic signed-random-projection hyperplanes: `k` rows of
+    * `dims` values in {-1.0, +1.0}, derived from md5 of "srp:i:d" —
+    * reproducible in any engine, no RNG state. The classic SRP-LSH
+    * family for cosine similarity (Charikar 2002): vectors on the same
+    * side of all k hyperplanes land in the same bucket, and
+    * P[same bit] = 1 - angle/pi per plane.
+    */
+  def srpSigns(k: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { i =>
+      (0 until dims).map { d =>
+        val h = md.digest(s"srp:$i:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** SRP-LSH bucket per vector: bit `i` of the bucket string is the
+    * sign of the projection onto hyperplane `i`. One bound projection
+    * array (each dot computed once), bucket assembly is pure string
+    * concat — no explode, no shuffle; the bucket becomes the join /
+    * groupBy key of whatever blocking step follows.
+    */
+  def srpBuckets(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val signs = srpSigns(k, 64)
+    val e = df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
+    val projs = array(signs.map(s => dot(col("__v"), typedLit(s))): _*)
+    val bits = (0 until k).map(i =>
+      when(element_at(col("__projs"), i + 1) >= 0, lit("1")).otherwise(lit("0")))
+    e.withColumn("__projs", projs)
+      .select(col(idCol), concat(bits: _*).as("bucket"))
+  }
+
+  /** Near-duplicate candidate pairs from [[srpBuckets]] blocking with
+    * the exact cosine computed only within buckets — same scale shape
+    * as [[signBucketNearDupPairs]] but with rotation-invariant SRP
+    * hyperplanes instead of leading-dimension signs.
+    */
+  def srpCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val e = df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+      .join(srpBuckets(df, idCol, vecCol, k), idCol)
+    val a = e.select(col("bucket"), col(idCol).as("d1"),
+      col("__v").as("__v1"), col("__n").as("__n1"))
+    val b = e.select(col("bucket"), col(idCol).as("d2"),
+      col("__v").as("__v2"), col("__n").as("__n2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("sim", dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), col("sim"))
+  }
+
+  /** DuckDB bucket expression matching [[srpBuckets]]: a `||` concat of
+    * per-plane sign bits over `list_dot_product` with the same literal
+    * hyperplanes (the sequential-fold parity trick of the ANN oracles).
+    */
+  def srpBucketSqlExpr(vExpr: String, k: Int): String =
+    srpSigns(k, 64).map { s =>
+      val lst = s.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 
   /** Recall@k of an approximate neighbor result against exact ground
     * truth: per query, the fraction of the exact top-k the approximate

@@ -270,6 +270,60 @@ object TextAnalysis {
        |  round(ln(CAST(n_tokens AS DOUBLE)) - CAST(slc AS DOUBLE) / n_tokens, 6) AS entropy
        |FROM s ORDER BY 1""".stripMargin
 
+  /** Per-group KL divergence of the group's token distribution from
+    * the corpus-wide distribution — the canonical "has this source
+    * drifted from the mix" signal (DoReMi-style domain weighting
+    * starts from exactly these numbers). KL(P_g || P) is finite with
+    * no smoothing needed: every token of group g exists in the corpus,
+    * so p(t) > 0 wherever p_g(t) > 0.
+    *
+    * Same determinism scheme as [[tokenEntropy]]/q89: the only per-term
+    * float is one `ln`, rounded to 9 decimals and decimal-summed
+    * exactly; the single division by n_g happens once per group on the
+    * exact decimal sum. Shuffles: one partial-aggregated (group, term)
+    * count, a term-keyed join against the corpus counts, and the final
+    * per-group rollup. Returns (group, n_tokens, kl).
+    */
+  def tokenKlDrift(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val st = docs
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("g"), col("term")).agg(count(lit(1)).as("cst"))
+    val ct = st.groupBy(col("term")).agg(sum(col("cst")).as("ct"))
+    val ns = st.groupBy(col("g")).agg(sum(col("cst")).as("ns"))
+    val n = st.agg(sum(col("cst")).as("n"))
+    st.join(ct, "term").join(ns, "g").crossJoin(broadcast(n))
+      .select(col("g"), col("ns"),
+        (col("cst").cast("decimal(18,0)") *
+          round(log(col("cst").cast("double") * col("n") /
+            (col("ns").cast("double") * col("ct"))), 9).cast("decimal(18,9)"))
+          .as("__t"))
+      .groupBy(col("g"), col("ns"))
+      .agg(round(sum(col("__t")).cast("double") / col("ns"), 6).as("kl"))
+      .select(col("g").as(groupCol), col("ns").as("n_tokens"), col("kl"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB SQL equivalent of [[tokenKlDrift]]. */
+  def tokenKlDriftSql(src: String, groupCol: String, textCol: String): String =
+    s"""WITH toks AS (
+       |  SELECT $groupCol AS g, unnest(${tokensSql(textCol)}) AS term
+       |  FROM $src),
+       |st AS (SELECT g, term, COUNT(*) AS cst FROM toks GROUP BY 1, 2),
+       |ct AS (SELECT term, SUM(cst) AS ct FROM st GROUP BY 1),
+       |ns AS (SELECT g, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cst) AS BIGINT) AS n FROM st),
+       |terms AS (SELECT st.g, ns.ns,
+       |    CAST(st.cst AS DECIMAL(18,0)) *
+       |      CAST(round(ln(CAST(st.cst AS DOUBLE) * tot.n /
+       |        (CAST(ns.ns AS DOUBLE) * ct.ct)), 9) AS DECIMAL(18,9)) AS t
+       |  FROM st JOIN ct USING (term) JOIN ns USING (g) CROSS JOIN tot)
+       |SELECT g AS $groupCol, ns AS n_tokens,
+       |  round(CAST(SUM(t) AS DOUBLE) / ns, 6) AS kl
+       |FROM terms GROUP BY g, ns ORDER BY 1""".stripMargin
+
   /** Pairwise vocabulary Jaccard overlap between groups (sources):
     * which slices of a corpus are near-copies of each other at the
     * vocabulary level. One distinct (group, term) projection,

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Specs for the round-3 similarity/corpus extensions: SRP-LSH cosine
+  * bucketing, int8 quantization error reporting, and KL mix drift.
+  */
+class SimilarityExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("srpSigns is deterministic and valued in {-1, +1}") {
+    val a = Similarity.srpSigns(4, 16)
+    val b = Similarity.srpSigns(4, 16)
+    assert(a == b)
+    assert(a.flatten.forall(x => x == 1.0 || x == -1.0))
+    // not degenerate: both signs occur
+    assert(a.flatten.distinct.size == 2)
+  }
+
+  test("srpBuckets: identical vectors collide, negated vectors anti-collide") {
+    import spark.implicits._
+    val v = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val df = Seq(
+      (1L, v), (2L, v), (3L, v.map(x => -x))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.srpBuckets(df, "vec_id", "embedding", k = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == got(2L))
+    // every projection flips sign, so every bit flips
+    assert(got(3L) == got(1L).map(c => if (c == '1') '0' else '1'))
+  }
+
+  test("srpCandidatePairs finds the near-identical pair only") {
+    import spark.implicits._
+    val v = Seq.tabulate(64)(i => math.cos(i * 0.3).toFloat)
+    val near = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val far = Seq.tabulate(64)(i => math.sin(i * 1.7 + 0.5).toFloat)
+    val df = Seq((1L, v), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Similarity.srpCandidatePairs(df, "vec_id", "embedding", k = 6, threshold = 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("quantizationReport: constant dim has zero error, ranges surface") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 7.0f)),
+      (2L, Seq(5.0f, 7.0f)),
+      (3L, Seq(10.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizationReport(df, "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (n0, mn0, mx0, mse0, mae0) = rows(0L)
+    assert(n0 == 3 && mn0 == 0.0 && mx0 == 10.0)
+    // 256 levels over a span of 10: worst rounding error is half a
+    // step (plus the report's own 6-decimal output rounding)
+    assert(mae0 <= 10.0 / 255.0 / 2 + 1e-6)
+    assert(mse0 >= 0.0 && mse0 <= mae0 * mae0 + 1e-12)
+    val (_, mn1, mx1, mse1, mae1) = rows(1L)
+    assert(mn1 == 7.0 && mx1 == 7.0 && mse1 == 0.0 && mae1 == 0.0)
+  }
+
+  test("tokenKlDrift: identical mixes score zero, skewed mixes positive") {
+    import spark.implicits._
+    val df = Seq(
+      ("s0", "a b c d"), ("s0", "a b c d"),
+      ("s1", "a b c d"),
+      ("s2", "a a a a")
+    ).toDF("source", "text")
+    val got = TextAnalysis.tokenKlDrift(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // s0 and s1 match each other but not the corpus mix (which includes
+    // s2's a-heavy skew), so they carry a small positive drift; s2 is
+    // the outlier with the largest drift
+    assert(got("s0") == got("s1"))
+    assert(got("s2") > got("s0"))
+    assert(got.values.forall(_ >= 0.0))
+  }
+
+  test("tokenKlDrift is zero when every source matches the corpus") {
+    import spark.implicits._
+    val df = Seq(("s0", "x y"), ("s1", "x y")).toDF("source", "text")
+    val got = TextAnalysis.tokenKlDrift(df, "source", "text")
+      .collect().map(r => r.getDouble(2))
+    assert(got.forall(_ == 0.0))
+  }
+}
