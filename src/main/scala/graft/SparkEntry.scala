@@ -225,6 +225,26 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- extension: SRP-blocked cosine near-dup pairs ----
+    "q106_srp_neardup" -> ((s, dir) => {
+      Similarity.srpCandidatePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, threshold = 0.4)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- extension: per-source token-budget corpus selection ----
+    "q107_token_budget" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      operators.Sampling.tokenBudgetSample(toks, "doc_id", "source", "n_tokens", 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("kept_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("source")
+    }),
+
     // ---- extension: quantile-rank (empirical CDF) transform ----
     "q101_quantile_rank" -> ((s, dir) => {
       val cdf = operators.RobustStats.empiricalCdf(T(s, dir, "lineitem"), "l_extendedprice")
@@ -1511,6 +1531,28 @@ object SparkEntry {
          |bk AS (SELECT vec_id, ${Similarity.srpBucketSqlExpr("v", 6)} AS bucket FROM e)
          |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
          |FROM bk GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin
+    },
+
+    "q106_srp_neardup" -> {
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, ${Similarity.srpBucketSqlExpr("v", 4)} AS bucket,
+         |        sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |p AS (SELECT a.vec_id AS d1, b2.vec_id AS d2,
+         |        list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) AS sim
+         |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT d1, d2, round(sim, 5) AS sim FROM p WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin
+    },
+
+    "q107_token_budget" -> {
+      val cum = operators.Sampling.tokenBudgetCumSql("doc_id", "source", "n_tokens")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens, $cum AS cum FROM t)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens, MIN(doc_id) AS first_doc
+         |FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q101_quantile_rank" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and split assignment.
@@ -148,6 +149,44 @@ object Sampling {
       .limit(k)
       .drop("__h", "__u")
   }
+
+  /** Per-group token-budget selection: walk each group's rows in
+    * deterministic `md5(salt:id)` order and keep the prefix whose
+    * running token total stays within `budget` — "give me ~N tokens
+    * per source, chosen reproducibly" (the curation step that turns
+    * per-source mixing weights into an actual training corpus). The
+    * hash order makes the kept set independent of ingestion order and
+    * stable across reruns/backfills, like every sampler here.
+    *
+    * Because token counts are positive, the running sum is monotone
+    * per group, so `cum <= budget` IS a prefix — the first document
+    * that overflows the budget cuts the group off. One hash shuffle by
+    * group plus the window's in-partition sort (which spills, so a
+    * giant group degrades to disk rather than OOM); no driver state,
+    * no second pass.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCol: String,
+      budget: Long,
+      salt: String = "tb"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
+    df.withColumn("__h", md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__h", "__cum")
+  }
+
+  /** DuckDB/ANSI window SQL skeleton matching [[tokenBudgetSample]]'s
+    * running sum: order by the same md5, same default RANGE frame.
+    */
+  def tokenBudgetCumSql(idCol: String, groupCol: String, tokenCol: String,
+      salt: String = "tb"): String =
+    s"SUM($tokenCol) OVER (PARTITION BY $groupCol " +
+      s"ORDER BY md5('$salt:' || CAST($idCol AS VARCHAR)))"
 
   /** Assign each row to a named split with the given weights (summing
     * to <= 1; remainder falls into the last split). Deterministic by

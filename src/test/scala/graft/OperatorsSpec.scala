@@ -340,6 +340,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(splits("val") - 1000) < 120)
   }
 
+  test("token-budget sample keeps a stable hash-prefix per group within budget") {
+    val docs = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L), (4L, "a", 40L),
+      (5L, "b", 25L), (6L, "b", 1000L), (7L, "c", 10L)
+    ).toDF("id", "src", "toks")
+    val kept = operators.Sampling
+      .tokenBudgetSample(docs, "id", "src", "toks", budget = 100L)
+      .select("id").as[Long].collect().toSet
+    val again = operators.Sampling
+      .tokenBudgetSample(docs, "id", "src", "toks", budget = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == again, "selection must be deterministic")
+    // group a: 4 docs x 40 tokens — exactly 2 fit in 100
+    assert(kept.count(Set(1L, 2L, 3L, 4L)) == 2)
+    // group b: the 1000-token doc can never fit; if it hashes first it
+    // cuts the whole group off (prefix semantics), so at most doc 5
+    // survives and doc 6 never does
+    assert(!kept.contains(6L))
+    assert(kept.count(Set(5L, 6L)) <= 1)
+    // group c fits entirely
+    assert(kept.contains(7L))
+    // schema passthrough: helper columns dropped
+    val cols = operators.Sampling
+      .tokenBudgetSample(docs, "id", "src", "toks", budget = 100L).columns.toSeq
+    assert(cols == Seq("id", "src", "toks"))
+  }
+
   test("decontamination flags docs sharing an 8-gram with the eval set") {
     val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
       .toDF("doc_id", "text")
