@@ -245,6 +245,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- extension: bigram LM quality score (order-sensitive) ----
+    "q108_bigram_lm" -> ((s, dir) => {
+      operators.Ranking.bigramLogProb(T(s, dir, "documents"), "doc_id", "text", k = 20)
+    }),
+
+    // ---- extension: incremental-ingest SimHash near-dup probe ----
+    "q109_simhash_ingest" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.simhashIncrementalPairs(
+          d.filter(col("doc_id") < 150),
+          d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy("new_id", "old_id")
+    }),
+
     // ---- extension: quantile-rank (empirical CDF) transform ----
     "q101_quantile_rank" -> ((s, dir) => {
       val cdf = operators.RobustStats.empiricalCdf(T(s, dir, "lineitem"), "l_extendedprice")
@@ -1531,6 +1546,29 @@ object SparkEntry {
          |bk AS (SELECT vec_id, ${Similarity.srpBucketSqlExpr("v", 6)} AS bucket FROM e)
          |SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
          |FROM bk GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin
+    },
+
+    "q108_bigram_lm" ->
+      operators.Ranking.bigramLogProbSql("documents", "doc_id", "text", k = 20),
+
+    "q109_simhash_ingest" -> {
+      val dims = (0 until 16).map(j =>
+        s"avg(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) AS d$j")
+        .mkString(", ")
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN d$j >= 7.5 THEN '1' ELSE '0' END").mkString(" || ")
+      val ham = (1 to 16).map(j =>
+        s"(CASE WHEN substring(n.s, $j, 1) <> substring(b.s, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS h
+         |  FROM documents WHERE doc_id < 250),
+         |d AS (SELECT doc_id, $dims FROM toks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $bits AS s FROM d),
+         |p AS (SELECT n.doc_id AS new_id, b.doc_id AS old_id,
+         |        CAST($ham AS BIGINT) AS hamming
+         |      FROM sh n JOIN sh b ON n.doc_id >= 150 AND b.doc_id < 150)
+         |SELECT new_id, old_id, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin
     },
 
     "q106_srp_neardup" -> {

@@ -492,6 +492,47 @@ object Dedup {
     * classic SimHash, over 16 4-bit dimensions). Near-identical token
     * multisets produce identical fingerprints. One groupBy(doc).
     */
+  /** Incremental-ingest near-dup check: which INCOMING documents are
+    * within `maxHamming` SimHash bits of an already-ingested BASE
+    * document. The daily-batch shape of dedup — the base corpus is
+    * indexed once, each new batch probes it — instead of the all-pairs
+    * [[jaccardNearDupPairs]] shape.
+    *
+    * Blocking is the classic Hamming-LSH pigeonhole: split the 16-bit
+    * fingerprint into 4 bands of 4 bits; any pair within Hamming
+    * distance 3 (< number of bands) agrees EXACTLY on at least one
+    * band, so the band equi-join is lossless for `maxHamming <= 3` —
+    * never a cross join, candidates only from shared-band buckets.
+    * Returns (new_id, old_id, hamming), one row per qualifying pair.
+    */
+  def simhashIncrementalPairs(
+      base: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band blocking is only lossless for maxHamming <= 3, got $maxHamming")
+    def bands(sig: Column): Column =
+      array((0 until 4).map(i =>
+        struct(lit(i).as("band"), substring(sig, 1 + 4 * i, 4).as("chunk"))): _*)
+    val b = simhash16(base, idCol, textCol)
+      .select(col(idCol).as("old_id"), col("simhash").as("__sb"))
+      .select(col("old_id"), col("__sb"), explode(bands(col("__sb"))).as("__b"))
+    val n = simhash16(incoming, idCol, textCol)
+      .select(col(idCol).as("new_id"), col("simhash").as("__sn"))
+      .select(col("new_id"), col("__sn"), explode(bands(col("__sn"))).as("__b"))
+    val hamming = (1 to 16).map(j =>
+      when(substring(col("__sb"), j, 1) =!= substring(col("__sn"), j, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    n.join(b, "__b")
+      .select(col("new_id"), col("old_id"), col("__sn"), col("__sb"))
+      .distinct()
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("old_id"), col("hamming"))
+  }
+
   def simhash16(
       docs: DataFrame,
       idCol: String,

@@ -200,6 +200,76 @@ object Ranking {
       .limit(k)
   }
 
+  /** Bigram language-model quality score: each document's mean bigram
+    * log-probability under the corpus bigram MLE
+    * `P(w2 | w1) = c(w1 w2) / c(w1 ·)`, where `c(w1 ·)` counts w1 as a
+    * bigram CONTEXT (sum of its bigram counts, not its unigram count —
+    * a document-final token opens no bigram). The order-sensitive
+    * upgrade of [[unigramLogProb]]: scrambled or templated text scores
+    * far lower than prose with the same vocabulary. No smoothing
+    * needed — every document bigram occurs in the corpus it is scored
+    * against, so the MLE is finite. Returns (id, n_bigrams, logprob)
+    * for the `k` lowest-scoring docs.
+    *
+    * Adjacency never shuffles: the bigram stream is a per-row
+    * `transform` over the token array (struct of token i and token
+    * i+1), so pairing happens inside the scan projection. Everything
+    * downstream is partial-aggregated groupBys and one (w1, w2)-keyed
+    * join. Determinism: same scheme as [[unigramLogProb]] — one ln()
+    * rounded to 9 decimals per distinct BIGRAM, exact decimal
+    * `bf * logp9` per-doc sums, one final double division.
+    */
+  def bigramLogProb(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20): DataFrame = {
+    val id = col(idCol)
+    val bg = docs
+      .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
+      .select(id, explode(expr(
+        "transform(slice(__a, 1, greatest(size(__a) - 1, 0)), " +
+          "(w, i) -> struct(w AS w1, element_at(__a, i + 2) AS w2))")).as("__bg"))
+      .select(id, col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val bf = bg.groupBy(id, col("w1"), col("w2")).agg(count(lit(1)).as("bf"))
+    val cb = bf.groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("cb"))
+    val c1 = cb.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+    val logp = cb.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("cb").cast("double") / col("c1")), 9)
+          .cast("decimal(18,9)").as("logp9"))
+    bf.join(logp, Seq("w1", "w2"))
+      .groupBy(id)
+      .agg(sum(col("bf")).as("n_bigrams"),
+        sum(col("bf").cast("decimal(18,0)") * col("logp9")).as("__slp"))
+      .select(id, col("n_bigrams"),
+        round(col("__slp").cast("double") / col("n_bigrams"), 6).as("logprob"))
+      .orderBy(col("logprob").asc, id)
+      .limit(k)
+  }
+
+  /** DuckDB SQL equivalent of [[bigramLogProb]] — the two zipped
+    * `unnest` slices pair each token with its successor positionally,
+    * mirroring the Spark `transform` adjacency.
+    */
+  def bigramLogProbSql(src: String, idCol: String, textCol: String, k: Int = 20): String =
+    s"""WITH t AS (
+       |  SELECT $idCol, ${TextAnalysis.tokensSql(textCol)} AS a FROM $src),
+       |bg AS (SELECT $idCol,
+       |    unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |  FROM t WHERE len(a) >= 2),
+       |bf AS (SELECT $idCol, w1, w2, COUNT(*) AS bf FROM bg GROUP BY 1, 2, 3),
+       |cb AS (SELECT w1, w2, SUM(bf) AS cb FROM bf GROUP BY 1, 2),
+       |c1 AS (SELECT w1, SUM(cb) AS c1 FROM cb GROUP BY 1),
+       |lp AS (SELECT cb.w1, cb.w2,
+       |    CAST(round(ln(CAST(cb.cb AS DOUBLE) / c1.c1), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM cb JOIN c1 USING (w1)),
+       |d AS (SELECT bf.$idCol, CAST(SUM(bf.bf) AS BIGINT) AS n_bigrams,
+       |        SUM(CAST(bf.bf AS DECIMAL(18,0)) * lp.logp9) AS slp
+       |      FROM bf JOIN lp USING (w1, w2) GROUP BY 1)
+       |SELECT $idCol, n_bigrams, round(CAST(slp AS DOUBLE) / n_bigrams, 6) AS logprob
+       |FROM d ORDER BY logprob ASC, $idCol LIMIT $k""".stripMargin
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", arXiv:2302.03169):
     * score each POOL document by its mean per-token log-ratio of

@@ -367,6 +367,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cols == Seq("id", "src", "toks"))
   }
 
+  test("bigram LM scores scrambled text below prose with the same vocabulary") {
+    val prose = "the cat sat on the mat and the dog sat on the rug"
+    val docs = Seq(
+      (1L, prose), (2L, prose), (3L, prose),
+      // same tokens, scrambled order: rare bigrams -> lower logprob
+      (4L, "mat the on sat cat rug and dog the on the sat the")
+    ).toDF("doc_id", "text")
+    val got = operators.Ranking.bigramLogProb(docs, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(4L)._2 < got(1L)._2, s"scrambled must score lower: $got")
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    // 13 tokens -> 12 bigrams
+    assert(got(1L)._1 == 12L)
+    // single-token and empty docs produce no bigrams and no row
+    val tiny = Seq((1L, "word"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val rows = operators.Ranking.bigramLogProb(tiny, "doc_id", "text", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(3L))
+  }
+
+  test("simhash incremental probe finds the copied doc, band blocking is lossless") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 1
+      (11L, "totally different words that share nothing at all here")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup
+      .simhashIncrementalPairs(base, incoming, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the copy has hamming 0 to its original
+    assert(got.contains((10L, 1L, 0L)), s"got ${got.toSeq}")
+    // every reported pair honors the threshold
+    assert(got.forall(_._3 <= 3))
+    // blocking must agree with the unblocked check: recompute by brute force
+    val sh = operators.Dedup.simhash16(base.unionByName(incoming), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val brute = for {
+      n <- Seq(10L, 11L); b <- Seq(1L, 2L)
+      h = hamming(sh(n), sh(b)) if h <= 3
+    } yield (n, b, h.toLong)
+    assert(got.toSet == brute.toSet)
+  }
+
   test("decontamination flags docs sharing an 8-gram with the eval set") {
     val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
       .toDF("doc_id", "text")
