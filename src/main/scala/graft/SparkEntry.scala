@@ -260,6 +260,12 @@ object SparkEntry {
         .orderBy("new_id", "old_id")
     }),
 
+    // ---- extension: Gopher duplicate-5-gram character fraction ----
+    "q110_dup_ngrams" -> ((s, dir) => {
+      TextAnalysis.dupNgramCharFrac(
+        T(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", n = 5)
+    }),
+
     // ---- extension: quantile-rank (empirical CDF) transform ----
     "q101_quantile_rank" -> ((s, dir) => {
       val cdf = operators.RobustStats.empiricalCdf(T(s, dir, "lineitem"), "l_extendedprice")
@@ -1550,6 +1556,10 @@ object SparkEntry {
 
     "q108_bigram_lm" ->
       operators.Ranking.bigramLogProbSql("documents", "doc_id", "text", k = 20),
+
+    "q110_dup_ngrams" ->
+      TextAnalysis.dupNgramCharFracSql("documents", "doc_id", "text",
+        n = 5, where = "doc_id < 200"),
 
     "q109_simhash_ingest" -> {
       val dims = (0 until 16).map(j =>

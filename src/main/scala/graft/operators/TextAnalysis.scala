@@ -270,6 +270,64 @@ object TextAnalysis {
        |  round(ln(CAST(n_tokens AS DOUBLE)) - CAST(slc AS DOUBLE) / n_tokens, 6) AS entropy
        |FROM s ORDER BY 1""".stripMargin
 
+  /** Gopher's duplicate-n-gram signal (Rae et al. 2021, §A1.1): per
+    * document, the fraction of characters covered by token n-grams
+    * that occur more than once IN THAT DOCUMENT — the repetition cue
+    * that catches boilerplate/listicle spam which token-level ratios
+    * ([[gopherFlagsFromTokens]], q64) miss. Every occurrence of a
+    * duplicated gram counts its full character length (overlaps
+    * double-count, as in the original).
+    *
+    * The sliding n-gram stream is a per-row `transform` over the bound
+    * token array — pairing happens inside the scan projection, no
+    * shuffle to build grams. Two partial-aggregated groupBys follow
+    * ((doc, gram) counts, then the per-doc rollup); all arithmetic is
+    * exact integers until one final double division rounded to 6.
+    * Documents with fewer than `n` tokens emit no grams and no row.
+    * Returns (id, n_grams, dup_frac).
+    */
+  def dupNgramCharFrac(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val id = col(idCol)
+    docs
+      .select(id, length(col(textCol)).cast("long").as("__nc"),
+        tokens(col(textCol)).as("__a"))
+      .select(id, col("__nc"), explode(expr(
+        s"transform(slice(__a, 1, greatest(size(__a) - ${n - 1}, 0)), " +
+          s"(w, i) -> concat_ws(' ', slice(__a, i + 1, $n)))")).as("gram"))
+      .groupBy(id, col("__nc"), col("gram")).agg(count(lit(1)).as("__c"))
+      .groupBy(id, col("__nc"))
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(when(col("__c") >= 2, col("__c") * length(col("gram")).cast("long"))
+          .otherwise(0L)).as("__dup"))
+      .select(id, col("n_grams"),
+        round(col("__dup").cast("double") / col("__nc"), 6).as("dup_frac"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB SQL equivalent of [[dupNgramCharFrac]] (`where` narrows the
+    * source table, e.g. "doc_id < 200").
+    */
+  def dupNgramCharFracSql(src: String, idCol: String, textCol: String,
+      n: Int = 5, where: String = "TRUE"): String =
+    s"""WITH t AS (SELECT $idCol, CAST(length($textCol) AS BIGINT) AS nc,
+       |    ${tokensSql(textCol)} AS a
+       |  FROM $src WHERE $where),
+       |g AS (SELECT $idCol, nc,
+       |    unnest(list_transform(range(1, len(a) - ${n - 2}),
+       |      i -> array_to_string(a[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], ' '))) AS gram
+       |  FROM t),
+       |c AS (SELECT $idCol, nc, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+       |d AS (SELECT $idCol, nc, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |        CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dup
+       |      FROM c GROUP BY 1, 2)
+       |SELECT $idCol, n_grams, round(CAST(dup AS DOUBLE) / nc, 6) AS dup_frac
+       |FROM d ORDER BY $idCol""".stripMargin
+
   /** Per-group KL divergence of the group's token distribution from
     * the corpus-wide distribution — the canonical "has this source
     * drifted from the mix" signal (DoReMi-style domain weighting

@@ -414,6 +414,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSet == brute.toSet)
   }
 
+  test("duplicate-5-gram char fraction: repeated text high, unique text zero") {
+    val looped = Seq.fill(4)("one two three four five").mkString(" ")
+    val unique = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, looped), (2L, unique), (3L, "too short")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.dupNgramCharFrac(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // 20 tokens -> 16 grams; the loop makes most of them repeat
+    assert(got(1L)._1 == 16L)
+    assert(got(1L)._2 > 0.5, s"looped text must be mostly duplicated: ${got(1L)}")
+    // all grams unique -> zero duplicated characters
+    assert(got(2L)._2 == 0.0)
+    // < 5 tokens -> no grams, no row
+    assert(!got.contains(3L))
+  }
+
   test("decontamination flags docs sharing an 8-gram with the eval set") {
     val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
       .toDF("doc_id", "text")
