@@ -266,6 +266,29 @@ object SparkEntry {
         T(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", n = 5)
     }),
 
+    // ---- extension: per-source template detection (top 8-grams) ----
+    // the cross-document twin of q110: a gram dominating a SOURCE is
+    // boilerplate (headers, nav text, license blocks) — the top-3 per
+    // source with corpus share is the report a cleaning pass starts
+    // from. Gram construction is the same in-projection transform as
+    // q110; the per-source top-3 runs on the heap-bounded TopKPerKey
+    // physical operator, so no (source, gram) group ever sorts fully.
+    "q111_template_detect" -> ((s, dir) => {
+      val counts = T(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("__a"))
+        .select(col("source"), explode(expr(
+          "transform(slice(__a, 1, greatest(size(__a) - 7, 0)), " +
+            "(w, i) -> concat_ws(' ', slice(__a, i + 1, 8)))")).as("gram"))
+        .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("total"))
+      graft.plans.TopKPerKey.topk(counts, Seq("source"),
+          Seq(graft.plans.TopKPerKey.Desc("n"), graft.plans.TopKPerKey.Asc("gram")), 3)
+        .join(totals, "source")
+        .select(col("source"), col("rank"), col("gram"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"))
+        .orderBy("source", "rank")
+    }),
+
     // ---- extension: quantile-rank (empirical CDF) transform ----
     "q101_quantile_rank" -> ((s, dir) => {
       val cdf = operators.RobustStats.empiricalCdf(T(s, dir, "lineitem"), "l_extendedprice")
@@ -1560,6 +1583,24 @@ object SparkEntry {
     "q110_dup_ngrams" ->
       TextAnalysis.dupNgramCharFracSql("documents", "doc_id", "text",
         n = 5, where = "doc_id < 200"),
+
+    "q111_template_detect" ->
+      """WITH t AS (SELECT source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+        |  FROM documents),
+        |g AS (SELECT source,
+        |    unnest(list_transform(range(1, len(a) - 6),
+        |      i -> array_to_string(a[CAST(i AS INT):CAST(i AS INT) + 7], ' '))) AS gram
+        |  FROM t),
+        |c AS (SELECT source, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1),
+        |r AS (SELECT source, gram, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, gram) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT r.source, r.rank, r.gram, r.n,
+        |  round(CAST(r.n AS DOUBLE) / tot.total, 6) AS share
+        |FROM r JOIN tot USING (source)
+        |WHERE r.rank <= 3 ORDER BY r.source, r.rank""".stripMargin,
 
     "q109_simhash_ingest" -> {
       val dims = (0 until 16).map(j =>
