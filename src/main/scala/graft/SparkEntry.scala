@@ -289,6 +289,20 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // ---- extension: video frame-sampling plumbing (explode shape) ----
+    // one row per sampled frame offset; the oracle checks the inclusive
+    // sequence semantics via the closed form (count = dur div step + 1,
+    // last = dur div step * step) — the schema/partitioning contract a
+    // real per-frame decoder plugs into
+    "q112_frame_sample" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.fromText(
+        T(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", kind = "video")
+      graft.multimodal.Multimodal.frameSample(media, 500L)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_ms")).as("last_ms"))
+        .orderBy("media_id")
+    }),
+
     // ---- extension: quantile-rank (empirical CDF) transform ----
     "q101_quantile_rank" -> ((s, dir) => {
       val cdf = operators.RobustStats.empiricalCdf(T(s, dir, "lineitem"), "l_extendedprice")
@@ -1583,6 +1597,12 @@ object SparkEntry {
     "q110_dup_ngrams" ->
       TextAnalysis.dupNgramCharFracSql("documents", "doc_id", "text",
         n = 5, where = "doc_id < 200"),
+
+    "q112_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(strlen(text) // 500 + 1 AS BIGINT) AS n_frames,
+        |  CAST((strlen(text) // 500) * 500 AS BIGINT) AS last_ms
+        |FROM documents WHERE doc_id < 200 ORDER BY 1""".stripMargin,
 
     "q111_template_detect" ->
       """WITH t AS (SELECT source,
