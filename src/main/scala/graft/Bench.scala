@@ -3,17 +3,45 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line with per-query
+  * seconds.
+  *
+  * Hard constraints learned from rounds 2-3 (BENCH_r02/r03 both had
+  * `parsed: null`):
+  *   - The harness keeps only the LAST ~2000 chars of combined
+  *     stdout+stderr and parses the JSON line out of THAT tail. A final
+  *     line longer than the tail arrives front-truncated and unparseable
+  *     (r02: rc=0 but parsed=null). So the line must stay well under
+  *     2000 chars: query keys are shortened to their unique "qNN"
+  *     prefix and times use centisecond precision.
+  *   - The harness also enforces an external wall timeout (r03: rc=124,
+  *     no output at all). So the query loop honors an internal budget
+  *     (SPARK_GRAFT_BENCH_BUDGET_S, default 480 s wall from JVM start)
+  *     and a per-query watchdog (cancelJobGroup) — when time runs out,
+  *     remaining queries are skipped and the final line still prints.
+  *   - Nothing may print AFTER the final line (it would push the JSON
+  *     out of the tail): logging is forced OFF and spark.stop() runs
+  *     BEFORE the println.
+  *
+  * Full-precision, full-name results are additionally written to the
+  * file given by SPARK_GRAFT_BENCH_OUT (default
+  * /root/repo/bench_full.json), rewritten after EVERY query so even a
+  * hard kill leaves complete partial numbers on disk.
   *
   * Methodology: AQE on; a warm-up action first so JIT/codegen/session
   * startup don't land in the first measured query; results are fully
   * materialized through the noop sink (count() would let Spark prune
-  * work that a real consumer pays for).
+  * work that a real consumer pays for). One timed run per query — the
+  * min-of-2 hedge from r02 cost more wall than the noise it removed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val jvmStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
+    val queryCapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_S", "90").toDouble
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -22,7 +50,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    // The inter-query unpersist scrub races straggler task completions:
+    // DAGScheduler then logs "attempted to access non-existent
+    // accumulator" stacks at ERROR, flooding the bounded output tail
+    // (this buried the r03 diagnostics). Benign for results — silence
+    // that one logger for the bench process.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
+
+    def elapsedS: Double = (System.nanoTime() - jvmStart) / 1e9
 
     // Warm up: session machinery, parquet footer reads, and JIT/codegen
     // for the operator classes the queries use (hash agg, sort-merge +
@@ -44,45 +83,87 @@ object Bench {
       r.select(md5(concat(lit("s:"), col("id").cast("string")))).count()
     }
 
-    // Two timed runs per query, keep the min: the box is shared, and a
-    // single run can absorb multi-second external stalls. A failing
-    // query must NOT contribute its (fast) failure time — it is
-    // reported in "failed" instead of "queries".
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // "q63_dup_clusters" → "q63": unique across all queries, keeps the
+    // final JSON line inside the parse tail at 111+ queries.
+    def shortName(name: String): String = name.takeWhile(_ != '_')
+
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+
+    def writeFullFile(): Unit = try {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
+        .mkString("{", ",", "}")
+      val f = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val s = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        s"""{"metric":"total","value":${fmt3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
+    } catch { case _: Throwable => () } // bench must not die on a dump
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timer = new java.util.Timer("bench-watchdog", true)
+    ordered.foreach { case (name, fn) =>
+      val remaining = budgetS - elapsedS
+      if (remaining < 10) { skipped += name }
+      else {
+        // Watchdog: a single wedged query must not eat the whole budget
+        // and suppress the final line — cancel its jobs at the cap.
+        val capMs = (math.min(queryCapS, remaining) * 1000).toLong
+        sc.setJobGroup(name, name, interruptOnCancel = true)
+        val task = new java.util.TimerTask {
+          def run(): Unit = sc.cancelJobGroup(name)
+        }
+        timer.schedule(task, capMs)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val secs = (System.nanoTime() - t0) / 1e9
+          results += name -> secs
+          System.err.println(
+            s"[bench] $name ${fmt3(secs)}s (${results.size + failed.size}/${ordered.size}, ${fmt2(elapsedS)}s elapsed)")
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
+            failed += name
+            System.err.println(s"[bench] $name FAILED after ${fmt2((System.nanoTime() - t0) / 1e9)}s: ${e.getMessage}")
+        } finally {
+          task.cancel()
+          sc.clearJobGroup()
         }
+        // queries that persist() intermediates (the LSH family) would
+        // otherwise pin blocks across the whole run and squeeze later
+        // queries' execution memory. localCheckpoint blocks (dup-cluster
+        // edges) are RDD-level and invisible to clearCache — release
+        // those explicitly too.
+        spark.catalog.clearCache()
+        sc.getPersistentRDDs.values.foreach(_.unpersist(false))
+        writeFullFile()
       }
-      // queries that persist() intermediates (the LSH family) would
-      // otherwise pin blocks across the whole run and squeeze later
-      // queries' execution memory: isolate queries from each other, but
-      // let a query's second run keep its own steady-state caches.
-      // localCheckpoint blocks (dup-cluster edges) are RDD-level and
-      // invisible to clearCache — release those explicitly too.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      if (times.isEmpty) { failed += name; None }
-      else Some(name -> times.min)
     }
-    // Millisecond precision keeps the single JSON line compact: the
-    // harness keeps only a bounded tail of the output, and 100+ queries
-    // at full double precision overflow it (the line then arrives
-    // truncated and unparseable).
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    timer.cancel()
+    writeFullFile()
+
+    // Compact final line: short names + centiseconds keep ~111 queries
+    // near 1400 chars — inside the harness's ~2000-char parse tail.
+    val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
+    val skippedJson = skipped.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir"}"""
+    // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to
+    // stderr, and anything after the JSON line pushes it out of the
+    // parse tail. Force logging off, stop Spark, then print last.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark", org.apache.logging.log4j.Level.OFF)
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

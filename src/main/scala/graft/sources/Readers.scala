@@ -54,12 +54,48 @@ object Readers {
     val df = spark.read.option("multiLine", "true").json(path)
     if (df.columns.contains("_corrupt_record"))
       throw new IllegalArgumentException(s"invalid JSON in $path")
-    // JSON errors on requested columns missing from the data.
+    // Cheap whole-file check first: requested columns absent from the
+    // inferred (union) schema are missing from EVERY record.
     val missing = columns.filterNot(df.columns.contains)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"missing key(s) ${missing.mkString(", ")} in JSON records of $path")
-    val projected = if (columns.isEmpty) df else df.select(columns.map(col): _*)
+    // Per-record key-PRESENCE check (`loader.go:185-193`): the reference
+    // errors when ANY record lacks a required key, and `"k": null` is
+    // NOT missing. The inferred read yields null for both cases, so
+    // presence is checked on the raw records: each record parsed into a
+    // map (values as raw JSON text) and probed with map_contains_key.
+    // Auto-detect parity (`loader.go:174-182`): with no requested
+    // columns the required set is the FIRST record's keys, sorted — and
+    // the result is projected to exactly those keys, so a key appearing
+    // only in later records is dropped like the reference drops it.
+    // wholeTextFiles is per-file — the same parallelism the multiLine
+    // (non-splittable) inferred read already has.
+    import spark.implicits._
+    val recs = spark.sparkContext.wholeTextFiles(path).values.toDF("j")
+      .select(posexplode(from_json(col("j"),
+        ArrayType(MapType(StringType, StringType)))).as(Seq("i", "rec")))
+    val required: Seq[String] =
+      if (columns.nonEmpty) columns
+      else recs.filter(col("i") === 0).select(map_keys(col("rec")))
+        .collect().headOption.map(_.getSeq[String](0).sorted).getOrElse(Nil)
+    if (required.nonEmpty) {
+      val checks = required.zipWithIndex.map { case (c, ix) =>
+        min(when(!map_contains_key(col("rec"), lit(c)), col("i"))).as(s"__m_$ix")
+      }
+      val row = recs.agg(checks.head, checks.tail: _*).collect()(0)
+      val hits = required.zipWithIndex.flatMap { case (c, ix) =>
+        if (row.isNullAt(ix)) None
+        else Some((row.getAs[Number](ix).longValue, ix, c))
+      }
+      // first offending (record, key) in the reference's iteration
+      // order: records outer, required columns inner
+      hits.sorted.headOption.foreach { case (i, _, c) =>
+        throw new IllegalArgumentException(
+          s"JSON file '$path', record $i: missing required key '$c'")
+      }
+    }
+    val projected = if (required.isEmpty) df else df.select(required.map(col): _*)
     if (sniffTimestamps) promoteRfc3339(projected) else projected
   }
 

@@ -66,6 +66,41 @@ class ReadersSpec extends AnyFunSuite {
     assert(e.getMessage.contains("email"))
   }
 
+  test("json: record-level missing key errors; explicit null does not") {
+    // mirrors reference main_test.go:327-338 / loader.go:185-193: the
+    // key exists in the file's union schema but SOME records lack it
+    val p = tmpFile("m.json",
+      """[{"id": 1, "name": "alice", "email": "a@x"},
+        | {"id": 2, "name": "bob"},
+        | {"id": 3, "name": "carol", "email": "c@x"}]""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      Readers.json(spark, p, columns = Seq("id", "name", "email"))
+    }
+    assert(e.getMessage.contains("record 1") &&
+      e.getMessage.contains("missing required key 'email'"))
+    // columns not requesting the partial key load fine
+    assert(Readers.json(spark, p, columns = Seq("id", "name")).count() == 3)
+    // an explicit JSON null is PRESENT (reference: jsonObj[col] ok=true)
+    val pn = tmpFile("n.json",
+      """[{"id": 1, "email": "a@x"}, {"id": 2, "email": null}]""")
+    val dfn = Readers.json(spark, pn, columns = Seq("id", "email"))
+    assert(dfn.count() == 2)
+  }
+
+  test("json: auto-detect uses first record's sorted keys; later-record gap errors") {
+    // reference loader.go:174-182: actualColumns = first object's keys
+    // (sorted); record 1 lacking one of those keys errors, while a key
+    // appearing only in later records is silently dropped
+    val p = tmpFile("f.json",
+      """[{"b": 1, "a": "x"}, {"a": "y", "b": 2, "extra": true}]""")
+    val df = Readers.json(spark, p)
+    assert(df.columns.toSeq == Seq("a", "b")) // sorted, no "extra"
+    val pBad = tmpFile("g.json", """[{"a": 1, "b": 2}, {"a": 3}]""")
+    val e = intercept[IllegalArgumentException](Readers.json(spark, pBad))
+    assert(e.getMessage.contains("record 1") &&
+      e.getMessage.contains("missing required key 'b'"))
+  }
+
   test("json: empty array loads as empty result") {
     val p = tmpFile("e.json", "[]")
     assert(Readers.json(spark, p).count() == 0)
