@@ -55,7 +55,10 @@ final case class TableSyncConfig(
 final case class SyncConfig(
     db: DbConfig,
     tables: Seq[TableSyncConfig],
-    dryRun: Boolean = false) {
+    dryRun: Boolean = false,
+    // Whole-run wall-clock bound, reference `main.go:59-62`
+    // (context.WithTimeout, 5 minutes). <= 0 disables the deadline.
+    timeoutSeconds: Long = 300) {
   def isMultiTable: Boolean = tables.size > 1
 
   /** Validation rules of the reference (`config.go:142-365`): required
@@ -162,6 +165,9 @@ object SyncConfig {
           tableFrom(m, "tableName")
         }
     }
-    SyncConfig(db, tables, dryRun = bool(r, "dryRun"))
+    val timeout = r.get("timeoutSeconds")
+      .map(v => String.valueOf(v).toLong).getOrElse(300L)
+    SyncConfig(db, tables, dryRun = bool(r, "dryRun"),
+      timeoutSeconds = timeout)
   }
 }

@@ -60,6 +60,12 @@ private final case class TableOps(
   *   5. else: deletes child->parent, then inserts/updates
   *      parent->child, one commit
   */
+/** The sync exceeded its configured wall-clock budget (reference
+  * `main.go:59-62`: the whole run is bounded by a 5-minute context).
+  * The transaction is rolled back before this is thrown.
+  */
+final class SyncTimeoutException(msg: String) extends RuntimeException(msg)
+
 object SyncRunner {
 
   /** All configured file paths must exist before any work starts
@@ -75,7 +81,36 @@ object SyncRunner {
         s"sync file(s) not found: ${missing.mkString(", ")}")
   }
 
+  /** Runs the sync under the configured wall-clock deadline (reference
+    * `main.go:59-62`; `timeoutSeconds <= 0` disables it). The work runs
+    * on a daemon worker thread; on deadline the worker is interrupted —
+    * JDBC drivers (Derby included) abort the in-flight statement and
+    * kill the connection on interrupt, and Spark actions throw out of
+    * their result wait — so the worker's normal rollback path runs (a
+    * dead connection has already rolled back server-side).
+    */
   def run(spark: SparkSession, config: SyncConfig): Seq[SyncResult] = {
+    val budget = config.timeoutSeconds
+    if (budget <= 0) return runInternal(spark, config)
+    @volatile var outcome: Either[Throwable, Seq[SyncResult]] = null
+    val worker = new Thread(() => {
+      outcome =
+        try Right(runInternal(spark, config))
+        catch { case t: Throwable => Left(t) }
+    }, "graft-sync-worker")
+    worker.setDaemon(true)
+    worker.start()
+    worker.join(budget * 1000L)
+    if (outcome == null) {
+      worker.interrupt()
+      worker.join(15000L) // give the abort path time to roll back
+      throw new SyncTimeoutException(
+        s"sync exceeded its ${budget}s wall-clock budget; transaction rolled back")
+    }
+    outcome.fold(e => throw e, identity)
+  }
+
+  private def runInternal(spark: SparkSession, config: SyncConfig): Seq[SyncResult] = {
     config.validated()
     validateFilePaths(config)
     val conn = JdbcSyncWriter.connect(config.db)
@@ -135,9 +170,13 @@ object SyncRunner {
       results
     } catch {
       case e: Throwable =>
-        conn.rollback()
+        // an interrupt-aborted connection is already dead (and rolled
+        // back server-side) — the explicit rollback then throws too
+        try conn.rollback() catch { case _: Throwable => () }
         throw e
-    } finally conn.close()
+    } finally {
+      try conn.close() catch { case _: Throwable => () }
+    }
   }
 
   private def computeOps(

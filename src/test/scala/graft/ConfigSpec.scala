@@ -55,6 +55,16 @@ class ConfigSpec extends AnyFunSuite {
     assert(t.name == "products" && t.mode == "diff" && t.deleteNotInFile)
     assert(t.timestampColumns == Seq("created_at", "updated_at"))
     assert(c.validate().isEmpty)
+    assert(c.timeoutSeconds == 300) // reference main.go:61 default
+  }
+
+  test("yaml timeoutSeconds overrides the 5-minute default") {
+    val c = SyncConfig.fromYamlString(
+      """db: {url: jdbc:derby:memory:x}
+        |timeoutSeconds: 42
+        |sync: {filePath: /tmp/p.csv, tableName: t, mode: overwrite}
+        |""".stripMargin)
+    assert(c.timeoutSeconds == 42)
   }
 
   test("yaml dryRun key is honored") {

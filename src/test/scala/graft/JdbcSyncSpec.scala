@@ -151,6 +151,33 @@ class JdbcSyncSpec extends AnyFunSuite {
     assert(query("SELECT id FROM rb_table") == Seq(Seq(1)))
   }
 
+  test("stalled sync aborts at the wall-clock deadline and rolls back") {
+    // reference main.go:59-62 bounds the whole run with a 5-minute
+    // context; here a second connection holds an uncommitted row lock,
+    // so the sync's scan/update blocks (Derby lock wait is 60 s) until
+    // the 2 s deadline interrupts it
+    dropIfExists("stall_t")
+    exec(
+      "CREATE TABLE stall_t (id INT PRIMARY KEY, name VARCHAR(50))",
+      "INSERT INTO stall_t VALUES (1, 'orig'), (2, 'other')")
+    val locker = DriverManager.getConnection(db.url)
+    locker.setAutoCommit(false)
+    locker.createStatement().executeUpdate(
+      "UPDATE stall_t SET name = 'locked' WHERE id = 1")
+    try {
+      val f = csvFile("id,name\n1,changed\n2,other\n")
+      val cfg = SyncConfig(db, Seq(TableSyncConfig(
+        name = "stall_t", filePath = f, mode = "diff", primaryKey = "id")),
+        timeoutSeconds = 2)
+      val t0 = System.nanoTime()
+      intercept[graft.core.SyncTimeoutException](SyncRunner.run(spark, cfg))
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(secs < 45, s"deadline did not cut the Derby 60s lock wait short ($secs s)")
+    } finally { locker.rollback(); locker.close() }
+    // nothing from the aborted sync was committed
+    assert(query("SELECT name FROM stall_t WHERE id = 1") == Seq(Seq("orig")))
+  }
+
   test("json file sync e2e (diff upsert from a JSON array)") {
     dropIfExists("json_t")
     exec(
