@@ -672,6 +672,18 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: IVF ANN over TRAINED k-means cells (q32's
+    // production path — cells track the data distribution) ----
+    "q113_ivf_kmeans" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 6)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          k = 3, nProbe = 2, centroids = Some(cents))
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- §2.6 running window aggregate ----
     "q33_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1377,9 +1389,14 @@ object SparkEntry {
     * centroid coordinate an exact integer, so both engines iterate
     * from bit-identical centroids.
     */
-  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+  /** Lloyd-iteration CTE chain shared by the q76 and q113 oracles
+    * (no `WITH`, no trailing comma): `n2` = normalized corpus,
+    * `c$iters` = final centroid table (cid, cv, cn) — the SQL replay
+    * of [[Similarity.kmeansCentroids]]'s exact micro-unit updates.
+    */
+  private def kmeansCtesSql(k: Int, iters: Int, dims: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH nn AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    sb ++= s"""nn AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
               |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
               |c0 AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM nn WHERE vec_id < $k),
               |""".stripMargin
@@ -1401,14 +1418,45 @@ object SparkEntry {
                 |  FROM m$i GROUP BY cid) t),
                 |""".stripMargin
     }
-    sb ++= s"""fin AS (SELECT vec_id, cid, sim FROM (
-              |  SELECT n2.vec_id, c.cid, list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) AS sim,
-              |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
-              |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
-              |  FROM n2 CROSS JOIN c$iters c) t WHERE rn = 1)
-              |SELECT vec_id, cid AS cluster, round(sim, 5) AS sim FROM fin ORDER BY vec_id""".stripMargin
+    // drop the trailing ",\n" so callers can append their own CTEs
+    sb.delete(sb.length - 2, sb.length)
     sb.toString
   }
+
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${kmeansCtesSql(k, iters, dims)},
+       |fin AS (SELECT vec_id, cid, sim FROM (
+       |  SELECT n2.vec_id, c.cid, list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+       |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+       |  FROM n2 CROSS JOIN c$iters c) t WHERE rn = 1)
+       |SELECT vec_id, cid AS cluster, round(sim, 5) AS sim FROM fin ORDER BY vec_id""".stripMargin
+
+  /** q113: IVF probe over TRAINED k-means cells — the Lloyd CTEs feed
+    * the same corpus-assign / query-probe / rank pipeline as the q32
+    * (lowest-id cells) oracle.
+    */
+  private def ivfKmeansOracle(
+      k: Int, iters: Int, dims: Int, nProbe: Int, topK: Int): String =
+    s"""WITH ${kmeansCtesSql(k, iters, dims)},
+       |ca AS (SELECT vec_id AS nbr, v, nrm, cid AS cell FROM (
+       |  SELECT n2.vec_id, n2.v, n2.nrm, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+       |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+       |  FROM n2 CROSS JOIN c$iters c) t WHERE rn = 1),
+       |qa AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell FROM (
+       |  SELECT n2.vec_id, n2.v, n2.nrm, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+       |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+       |  FROM n2 CROSS JOIN c$iters c WHERE n2.vec_id < 20) t WHERE rn <= $nProbe),
+       |p AS (SELECT DISTINCT q.qid, ca.nbr,
+       |        list_dot_product(q.qv, ca.v) / (q.qn * ca.nrm) AS sim
+       |      FROM qa q JOIN ca ON q.cell = ca.cell AND ca.nbr <> q.qid),
+       |r AS (SELECT qid, nbr, sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+       |      FROM p)
+       |SELECT qid, rank, nbr, round(sim, 5) AS sim FROM r WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
 
   private val fileCte =
     """WITH file AS (
@@ -2017,6 +2065,9 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q32_ivf_topk" -> ivfTopkOracle,
+
+    "q113_ivf_kmeans" ->
+      ivfKmeansOracle(k = 8, iters = 6, dims = 64, nProbe = 2, topK = 3),
 
     "q33_window_running" ->
       """SELECT o_custkey, o_orderkey,

@@ -71,9 +71,12 @@ object Similarity {
     * from |corpus| dots to |centroids| + |probed cells| dots, and cell
     * assignment is one broadcast pass over the corpus.
     *
-    * Centroids here are the `nCells` lowest-id corpus vectors —
-    * deterministic and engine-portable; production would plug in k-means
-    * centroids (the assignment/probe machinery is identical).
+    * By default the centroids are the `nCells` lowest-id corpus
+    * vectors — deterministic and engine-portable. The production path
+    * passes trained [[kmeansCentroids]] via `centroids` (the
+    * assignment/probe machinery is identical; k-means cells track the
+    * data distribution, so recall at equal probe cost is at least the
+    * lowest-id baseline's — asserted in SimilarityExtSpec).
     * Approximate by design: a true neighbor in an unprobed cell is
     * missed; raise `nProbe` for recall.
     *
@@ -86,7 +89,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      centroids: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     // The centroid table is k x dims doubles — collect it and inline
     // the vectors as LITERALS, so cell assignment is a pure projection
     // (one codegen'd dot per centroid inside array_sort/array_min): no
@@ -94,11 +98,12 @@ object Similarity {
     // for its assignment. Same layout as the k-means assignment below;
     // driver-side norms use the same sequential fold as the engine's
     // l2Norm, so similarities are bit-identical to the joined form.
-    val cents = corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).cast("long").as("__cid"), toDoubleArray(col(vecCol)).as("__cv"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).toSeq
+    val cents = centroids.map(_.sortBy(_._1)).getOrElse(
+      corpus.filter(col(idCol) < nCells)
+        .select(col(idCol).cast("long").as("__cid"), toDoubleArray(col(vecCol)).as("__cv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq)
 
     // Each centroid similarity is computed ONCE into a bound array
     // column in its own projection; the (negsim, cid) ranking structs
@@ -176,50 +181,8 @@ object Similarity {
       k: Int,
       iters: Int): Dedup.CachedDF = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
-    // the corpus is re-scanned once per iteration: checkpoint so each
-    // pass reads materialized rows, not the source pipeline
-    val e = df.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
-      .withColumn("__n", l2Norm(col("__v")))
-      .localCheckpoint()
-
-    // per row, the lexicographic array_min over (-sim, cid) structs
-    // picks the highest similarity with ties to the lower centroid id,
-    // exactly the ORDER BY sim DESC, cid convention of the SQL oracle;
-    // a NaN similarity (zero-norm centroid) maps to -Infinity so it
-    // still ranks FIRST, as NaN does under both engines' DESC ordering
-    def assigned(cents: Seq[(Long, Array[Double])]): DataFrame = {
-      // each similarity lands ONCE in a bound array column; the ranking
-      // structs below reference elements of it (inlining the dot into
-      // the struct would replicate it 3x per centroid — once per
-      // when-branch plus the carried raw value — and balloon codegen)
-      val sims = array(cents.map { case (_, v) =>
-        // driver-side norm: same sequential left fold over the same
-        // doubles as the engines' dot(v, v), so bit-identical
-        val cn = math.sqrt(v.map(x => x * x).sum)
-        dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn))
-      }: _*)
-      val entries = cents.zipWithIndex.map { case ((cid, _), i) =>
-        val s = element_at(col("__sims"), i + 1)
-        // negsim orders; the raw sim rides along (3rd field — cid is
-        // unique, so it never participates in the comparison) to keep
-        // the output value NaN when the similarity is NaN
-        struct(
-          when(isnan(s), lit(Double.NegativeInfinity))
-            .otherwise(-s).as("negsim"),
-          lit(cid).as("cid"),
-          s.as("sim"))
-      }
-      e.withColumn("__sims", sims)
-        .withColumn("__best", array_min(array(entries: _*)))
-        .select(col("__id"), col("__v"),
-          col("__best.cid").as("__cid"),
-          col("__best.sim").as("__csim"))
-    }
-
-    var cents: Seq[(Long, Array[Double])] = e.filter(col("__id") < k)
-      .select(col("__id"), col("__v")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).toSeq
+    val e = kmeansPrep(df, idCol, vecCol)
+    val cents = lloydCentroids(e, k, iters)
     if (cents.isEmpty) {
       // no seed vectors below k: empty result (the oracle's empty
       // cross join), not an analysis error from a zero-entry array_min
@@ -230,9 +193,87 @@ object Similarity {
       return Dedup.CachedDF(empty, Nil,
         Seq(() => org.apache.spark.sql.graftbridge.unpersistCheckpointed(e)))
     }
+    val result = kmeansAssigned(e, cents)
+      .select(col("__id").as(idCol), col("__cid").as("cluster"),
+        col("__csim").as("sim"))
+    Dedup.CachedDF(result, Nil,
+      Seq(() => org.apache.spark.sql.graftbridge.unpersistCheckpointed(e)))
+  }
+
+  /** Final Lloyd centroids only — the trained cell table to hand to
+    * [[ivfTopK]]'s `centroids` parameter. Same init/update arithmetic
+    * as [[kmeansAssignCached]] (shared helpers), so an oracle that
+    * replays the Lloyd CTEs reproduces these exactly. The checkpointed
+    * working set is released before returning.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Seq[(Long, Array[Double])] = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val e = kmeansPrep(df, idCol, vecCol)
+    try lloydCentroids(e, k, iters)
+    finally org.apache.spark.sql.graftbridge.unpersistCheckpointed(e)
+  }
+
+  // the corpus is re-scanned once per iteration: checkpoint so each
+  // pass reads materialized rows, not the source pipeline
+  private def kmeansPrep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+      .localCheckpoint()
+
+  /** Per row, the lexicographic array_min over (-sim, cid) structs
+    * picks the highest similarity with ties to the lower centroid id,
+    * exactly the ORDER BY sim DESC, cid convention of the SQL oracle;
+    * a NaN similarity (zero-norm centroid) maps to -Infinity so it
+    * still ranks FIRST, as NaN does under both engines' DESC ordering.
+    */
+  private def kmeansAssigned(
+      e: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    // each similarity lands ONCE in a bound array column; the ranking
+    // structs below reference elements of it (inlining the dot into
+    // the struct would replicate it 3x per centroid — once per
+    // when-branch plus the carried raw value — and balloon codegen)
+    val sims = array(cents.map { case (_, v) =>
+      // driver-side norm: same sequential left fold over the same
+      // doubles as the engines' dot(v, v), so bit-identical
+      val cn = math.sqrt(v.map(x => x * x).sum)
+      dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn))
+    }: _*)
+    val entries = cents.zipWithIndex.map { case ((cid, _), i) =>
+      val s = element_at(col("__sims"), i + 1)
+      // negsim orders; the raw sim rides along (3rd field — cid is
+      // unique, so it never participates in the comparison) to keep
+      // the output value NaN when the similarity is NaN
+      struct(
+        when(isnan(s), lit(Double.NegativeInfinity))
+          .otherwise(-s).as("negsim"),
+        lit(cid).as("cid"),
+        s.as("sim"))
+    }
+    e.withColumn("__sims", sims)
+      .withColumn("__best", array_min(array(entries: _*)))
+      .select(col("__id"), col("__v"),
+        col("__best.cid").as("__cid"),
+        col("__best.sim").as("__csim"))
+  }
+
+  /** Lowest-id init + `iters` exact micro-unit Lloyd updates over a
+    * [[kmeansPrep]] frame; empty when no id falls below `k`.
+    */
+  private def lloydCentroids(
+      e: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    var cents: Seq[(Long, Array[Double])] = e.filter(col("__id") < k)
+      .select(col("__id"), col("__v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    if (cents.isEmpty) return Nil
     for (_ <- 1 to iters) {
       // micro-unit exact centroid update (the q62 formulation)
-      val micro = assigned(cents)
+      val micro = kmeansAssigned(e, cents)
         .select(col("__cid"), posexplode(col("__v")).as(Seq("dim", "x")))
         .withColumn("__m", round(round(col("x"), 6) * 1e6).cast("long"))
         .groupBy(col("__cid"), col("dim"))
@@ -249,11 +290,7 @@ object Similarity {
         }
         .toSeq.sortBy(_._1)
     }
-    val result = assigned(cents)
-      .select(col("__id").as(idCol), col("__cid").as("cluster"),
-        col("__csim").as("sim"))
-    Dedup.CachedDF(result, Nil,
-      Seq(() => org.apache.spark.sql.graftbridge.unpersistCheckpointed(e)))
+    cents
   }
 
   /** One-shot convenience over [[kmeansAssignCached]]; the checkpointed
@@ -380,9 +417,16 @@ object Similarity {
     * array (each dot computed once), bucket assembly is pure string
     * concat — no explode, no shuffle; the bucket becomes the join /
     * groupBy key of whatever blocking step follows.
+    *
+    * `dims` must match the embedding width: the dot product folds over
+    * min(length), so a too-small value silently projects onto a
+    * truncated hyperplane (and a DuckDB twin would diverge — its
+    * list_dot_product handles mismatched lengths differently). Pass it
+    * through [[srpBucketSqlExpr]] with the same value.
     */
-  def srpBuckets(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val signs = srpSigns(k, 64)
+  def srpBuckets(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dims: Int = 64): DataFrame = {
+    val signs = srpSigns(k, dims)
     val e = df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
     val projs = array(signs.map(s => dot(col("__v"), typedLit(s))): _*)
     val bits = (0 until k).map(i =>
@@ -401,10 +445,11 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      dims: Int = 64): DataFrame = {
     val e = df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
       .withColumn("__n", l2Norm(col("__v")))
-      .join(srpBuckets(df, idCol, vecCol, k), idCol)
+      .join(srpBuckets(df, idCol, vecCol, k, dims), idCol)
     val a = e.select(col("bucket"), col(idCol).as("d1"),
       col("__v").as("__v1"), col("__n").as("__n1"))
     val b = e.select(col("bucket"), col(idCol).as("d2"),
@@ -420,8 +465,8 @@ object Similarity {
     * per-plane sign bits over `list_dot_product` with the same literal
     * hyperplanes (the sequential-fold parity trick of the ANN oracles).
     */
-  def srpBucketSqlExpr(vExpr: String, k: Int): String =
-    srpSigns(k, 64).map { s =>
+  def srpBucketSqlExpr(vExpr: String, k: Int, dims: Int = 64): String =
+    srpSigns(k, dims).map { s =>
       val lst = s.mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")

@@ -44,6 +44,26 @@ class SimilarityExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ivf over k-means cells: recall >= lowest-id-cell baseline") {
+    // the q113 claim: trained cells track the data distribution, so at
+    // equal cell count and probe budget the k-means IVF cannot recall
+    // worse than the arbitrary lowest-id-vector cells of plain ivfTopK
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 3)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx, "qid", "nbr", k = 3)
+        .agg(org.apache.spark.sql.functions.avg("recall")).collect()(0).getDouble(0)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 6)
+    assert(cents.size == 8)
+    val trained = meanRecall(Similarity.ivfTopK(
+      queries, e, "vec_id", "embedding", k = 3, nProbe = 2, centroids = Some(cents)))
+    val baseline = meanRecall(Similarity.ivfTopK(
+      queries, e, "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2))
+    assert(trained >= baseline,
+      s"k-means cells recall $trained < lowest-id baseline $baseline")
+  }
+
   test("quantizationReport: constant dim has zero error, ranges surface") {
     import spark.implicits._
     val df = Seq(
