@@ -18,11 +18,14 @@ import org.apache.spark.sql.types._
   * UDFs — so expressions stay inside whole-stage codegen and scale to
   * arbitrarily large inputs.
   *
-  * Known divergence from the reference: non-integral doubles outside
-  * [1e-3, 1e7) render in Java scientific notation (`1.0E-4`) where Go's
-  * `strconv 'g'` would emit `0.0001`. Diff correctness is unaffected —
-  * both renderings are injective, so equality verdicts agree — it only
-  * matters if canonical strings are surfaced verbatim to users.
+  * The COLUMN path ([[canonical]]) keeps Java's scientific rendering
+  * for non-integral doubles outside [1e-3, 1e7) (`1.0E-4` vs Go `'g'`'s
+  * `0.0001`) — diff correctness is unaffected since both renderings are
+  * injective, so equality verdicts agree. Where strings are surfaced
+  * verbatim to users (dry-run ExecutionPlan samples), the DRIVER-side
+  * [[goString]] renders byte-for-byte like the reference's
+  * `convertValueToString` (`dbsync.go:57-129`), including Go `'g'`
+  * float formatting.
   */
 object Canonical {
 
@@ -86,6 +89,69 @@ object Canonical {
   def isNullOrEmpty(c: Column): Column =
     c.isNull || c === "" ||
       lower(trimWs(c)).isin(NullLikeLiterals.filterNot(_.isEmpty): _*)
+
+  /** Driver-side Go `strconv.FormatFloat(v, 'g', -1, bits)` with the
+    * reference's integral fast path (`dbsync.go:93-98`): integral
+    * values drop the point, otherwise shortest round-trip digits,
+    * scientific only when the decimal exponent is < -4 or >= 21, and
+    * a two-digit signed exponent (`1e-05`, `1.5e+21`). The shortest
+    * digits come from `Double.toString`/`Float.toString` (Java's
+    * uniquely-distinguishing decimal), reformatted to Go's layout.
+    */
+  private def goFloatDigits(digitsSrc: String, v: Double): String = {
+    if (v.isNaN) return "NaN"
+    if (v.isInfinite) return if (v > 0) "+Inf" else "-Inf"
+    if (v == v.toLong.toDouble && math.abs(v) < LongSafeBound)
+      return v.toLong.toString
+    val bd = new java.math.BigDecimal(digitsSrc).abs.stripTrailingZeros()
+    val digits = bd.unscaledValue.toString
+    val exp = digits.length - 1 - bd.scale // exponent of the leading digit
+    val s =
+      if (exp < -4 || exp >= 21) {
+        val mant =
+          if (digits.length == 1) digits
+          else s"${digits.head}.${digits.tail}"
+        val es = "%s%02d".format(if (exp < 0) "-" else "+", math.abs(exp))
+        s"${mant}e$es"
+      } else if (exp >= 0) {
+        if (digits.length > exp + 1)
+          s"${digits.take(exp + 1)}.${digits.drop(exp + 1)}"
+        else digits + ("0" * (exp + 1 - digits.length))
+      } else {
+        "0." + ("0" * (-exp - 1)) + digits
+      }
+    if (v < 0) "-" + s else s
+  }
+
+  def goString(d: Double): String =
+    goFloatDigits(java.lang.Double.toString(math.abs(d)), d)
+
+  def goString(f: Float): String =
+    goFloatDigits(java.lang.Float.toString(math.abs(f)), f.toDouble)
+
+  /** Driver-side mirror of the reference's `convertValueToString`
+    * (`dbsync.go:57-129`) for values plucked from collected Rows —
+    * the rendering dry-run plan samples surface to users.
+    */
+  def goString(v: Any): String = v match {
+    case null                  => ""
+    case s: String             => s
+    case b: Boolean            => if (b) "true" else "false"
+    case d: Double             => goString(d)
+    case f: Float              => goString(f)
+    case d: java.math.BigDecimal => goString(d.doubleValue)
+    case d: BigDecimal         => goString(d.doubleValue)
+    case t: java.sql.Timestamp =>
+      // Go time.Time.Format(time.RFC3339); Spark session zone is UTC
+      java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(t.toInstant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+    case i: java.time.Instant  =>
+      java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(i.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+    case other                 => other.toString
+  }
 
   /** Primary-key format violations (reference
     * `primary_key_validator.go:164-185`): control characters, length

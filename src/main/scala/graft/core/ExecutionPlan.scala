@@ -57,8 +57,11 @@ object ExecutionPlan {
     val updates = diff.toUpdate.count()
     val deletes = diff.toDelete.count()
 
+    // reference-parity value rendering (convertValueToString, incl.
+    // Go 'g' floats); null keeps the explicit NULL marker for display
+    def disp(v: Any): String = if (v == null) "NULL" else Canonical.goString(v)
     def fmt(r: Row, cs: Seq[String]): String =
-      cs.map(c => s"$c=${Option(r.getAs[Any](c)).getOrElse("NULL")}").mkString(", ")
+      cs.map(c => s"$c=${disp(r.getAs[Any](c))}").mkString(", ")
 
     val insertSamples = diff.toInsert.select(cols.map(col): _*)
       .limit(SampleLimit).collect().toSeq.map(r => fmt(r, cols))
@@ -68,15 +71,15 @@ object ExecutionPlan {
       .select((cols.map(col) ++ nonPk.map(c => col(Differ.DbPrefix + c))): _*)
       .limit(SampleLimit).collect().toSeq.map { r =>
         val changes = nonPk.flatMap { c =>
-          val before = Option(r.getAs[Any](Differ.DbPrefix + c)).getOrElse("NULL")
-          val after = Option(r.getAs[Any](c)).getOrElse("NULL")
+          val before = disp(r.getAs[Any](Differ.DbPrefix + c))
+          val after = disp(r.getAs[Any](c))
           if (before == after) None
           else {
             val note = if (immutableCols.contains(c)) " [immutable — skipped]" else ""
             Some(s"$c: $before -> $after$note")
           }
         }
-        s"$pk=${r.getAs[Any](pk)}: ${changes.mkString("; ")}"
+        s"$pk=${disp(r.getAs[Any](pk))}: ${changes.mkString("; ")}"
       }
 
     val deleteSamples = diff.toDelete.select(cols.map(col): _*)

@@ -252,20 +252,23 @@ object SyncRunner {
       return SyncResult(t.name, t.mode, 0, 0, 0, Some(plan))
     }
     val lim = ExecutionPlan.SampleLimit
+    // reference-parity value rendering (convertValueToString, incl.
+    // Go 'g' floats); null keeps the explicit NULL marker for display
+    def disp(v: Any): String = if (v == null) "NULL" else Canonical.goString(v)
     def fmt(r: Row): String =
-      o.cols.map(c => s"$c=${Option(r.getAs[Any](c)).getOrElse("NULL")}").mkString(", ")
+      o.cols.map(c => s"$c=${disp(r.getAs[Any](c))}").mkString(", ")
     val nonPk = o.cols.filterNot(_ == o.pk)
     val updSamples = o.updRows.take(lim).map { r =>
       val changes = nonPk.flatMap { c =>
-        val before = Option(r.getAs[Any](Differ.DbPrefix + c)).getOrElse("NULL")
-        val after = Option(r.getAs[Any](c)).getOrElse("NULL")
+        val before = disp(r.getAs[Any](Differ.DbPrefix + c))
+        val after = disp(r.getAs[Any](c))
         if (before == after) None
         else {
           val note = if (t.immutableColumns.contains(c)) " [immutable — skipped]" else ""
           Some(s"$c: $before -> $after$note")
         }
       }
-      s"${o.pk}=${r.getAs[Any](o.pk)}: ${changes.mkString("; ")}"
+      s"${o.pk}=${disp(r.getAs[Any](o.pk))}: ${changes.mkString("; ")}"
     }
     val plan = ExecutionPlan(
       t.name, o.insRows.size.toLong, o.updRows.size.toLong, o.delRows.size.toLong,

@@ -46,6 +46,39 @@ class CoreSpec extends AnyFunSuite {
     assert(got.getString(2) == "2023-12-25T15:30:45Z")
   }
 
+  test("goString: byte-for-byte convertValueToString parity (dbsync_test.go:1003)") {
+    // the reference golden matrix, including the Go-'g' float cases
+    assert(Canonical.goString(null) == "")
+    assert(Canonical.goString("hello") == "hello")
+    assert(Canonical.goString(true) == "true")
+    assert(Canonical.goString(false) == "false")
+    assert(Canonical.goString(42) == "42")
+    assert(Canonical.goString(8.toByte) == "8")
+    assert(Canonical.goString(16.toShort) == "16")
+    assert(Canonical.goString(64L) == "64")
+    assert(Canonical.goString(3.14f) == "3.14")
+    assert(Canonical.goString(3.14159) == "3.14159")
+    assert(Canonical.goString(100.0) == "100")
+    // time.Time -> RFC3339 (dbsync_test.go:1040-1046)
+    assert(Canonical.goString(
+      java.sql.Timestamp.from(java.time.Instant.parse("2023-12-25T15:30:45Z")))
+      == "2023-12-25T15:30:45Z")
+    // Go strconv 'g' corner cases the column path renders differently:
+    // exponent -4 stays decimal, below that switches to e-notation
+    // with a two-digit signed exponent (verified against Go 1.22)
+    assert(Canonical.goString(0.0001) == "0.0001")
+    assert(Canonical.goString(0.00001) == "1e-05")
+    assert(Canonical.goString(-0.00025) == "-0.00025")
+    assert(Canonical.goString(1.5e21) == "1.5e+21")
+    assert(Canonical.goString(1e21) == "1e+21")
+    assert(Canonical.goString(1e19) == "10000000000000000000")
+    assert(Canonical.goString(1234567.25) == "1234567.25")
+    assert(Canonical.goString(-42.5) == "-42.5")
+    assert(Canonical.goString(Double.NaN) == "NaN")
+    assert(Canonical.goString(Double.PositiveInfinity) == "+Inf")
+    assert(Canonical.goString(Double.NegativeInfinity) == "-Inf")
+  }
+
   test("isNullOrEmpty matches the reference literal list") {
     val df = Seq("", "null", "NULL", " nil ", "n/a", "NA", "none",
       "undefined", "ok", "0").toDF("v")
