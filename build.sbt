@@ -30,12 +30,22 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+) ++ {
   // Shuffle files, spills, and broadcast blocks go to tmpfs: the
   // block device in this environment writes at ~4 MB/s (measured with
   // dd conv=fsync), which turns every tiny shuffle write into seconds
   // of idle wait. RAM is 128 GiB, so tmpfs comfortably holds local[32]
-  // shuffle data at the benched scale factors.
-  "-Dspark.local.dir=/dev/shm/spark-local",
+  // shuffle data at the benched scale factors. Overridable via
+  // SPARK_LOCAL_DIR, and only applied when the target has real
+  // capacity — Docker's default /dev/shm is 64 MB, where shuffle
+  // spills would fail with no-space errors.
+  val localDir = sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local")
+  val parent = new java.io.File(localDir).getParentFile
+  if (parent != null && parent.isDirectory
+      && parent.getUsableSpace > 4L * 1024 * 1024 * 1024)
+    Seq(s"-Dspark.local.dir=$localDir")
+  else Seq.empty
+} ++ Seq(
   // Fresh anon-page faults in this VM cost ~85us per 4 KiB page
   // (measured: 256 MiB of first-touch takes 65 s; steady-state memcpy
   // is a normal 7 GB/s). madvise'd 2 MiB pages fault ~8x faster, and a

@@ -1154,34 +1154,37 @@ object SparkEntry {
 
     // ---- approx quantiles with a checked rank-error bound ----
     "q67_approx_quantile" -> ((s, dir) => {
-      // same oracle pattern as the HLL/CMS queries: exact values plus a
-      // boolean asserting the approximation honored its contract. ONE
-      // hash-aggregated pass builds the tiny (flag, value) count table
-      // with a deterministic 5% hash-sample folded in; the exact median
-      // comes from rank arithmetic over the counts (smallest value with
-      // 2*cum >= n — percentile_disc semantics) and the approximate one
-      // is the sample's median from the same rows. Nothing ever buffers
-      // a group's values (percentile_disc/percentile_approx buffer and
-      // sort ALL of them per group — the executor-memory cliff this
-      // formulation avoids at scale; it assumes a modest distinct-value
-      // domain, the usual case for physical quantities).
+      // ONE hash-aggregated pass builds the tiny (flag, value) count
+      // table with a deterministic md5-based 5% sample folded in; the
+      // exact median comes from rank arithmetic over the counts
+      // (smallest value with 2*cum >= n — percentile_disc semantics)
+      // and the sampled median from the same rows. Nothing ever
+      // buffers a group's values (percentile_disc/percentile_approx
+      // buffer and sort ALL of them per group — the executor-memory
+      // cliff this formulation avoids at scale; it assumes a modest
+      // distinct-value domain, the usual case for physical
+      // quantities). The sample membership is md5-derived, so the
+      // DuckDB oracle recomputes the SAME sampled median exactly — no
+      // fixed error-bound assertion that could flip at an untested
+      // scale factor (the round-3 ADVICE hazard).
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
       val wAll = Window.partitionBy(col("l_returnflag"))
-      val sampled = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(20)) === 0
       T(s, dir, "lineitem")
+        .withColumn("__h", md5(concat_ws(":",
+          lit("q67"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("__smp", operators.Sampling.hexPrefixValue("__h") % 20 === 0)
         .groupBy(col("l_returnflag"), col("l_quantity"))
         .agg(count(lit(1)).as("__na"),
-          sum(when(sampled, 1L).otherwise(0L)).as("__ns"))
+          sum(when(col("__smp"), 1L).otherwise(0L)).as("__ns"))
         .select(col("l_returnflag"), col("l_quantity"),
           sum(col("__na")).over(w).as("__ca"), sum(col("__ns")).over(w).as("__cs"),
           sum(col("__na")).over(wAll).as("__n"), sum(col("__ns")).over(wAll).as("__m"))
         .groupBy(col("l_returnflag"))
         .agg(
           min(when(col("__ca") * 2 >= col("__n"), col("l_quantity"))).as("p50"),
-          min(when(col("__cs") * 2 >= col("__m"), col("l_quantity"))).as("__a50"),
-          max(col("__n")).as("n"))
-        .select(col("l_returnflag"), col("p50"), col("n"),
-          (abs(col("__a50") - col("p50")) <= lit(2.0)).as("within_bound"))
+          min(when(col("__m") > 0 && col("__cs") * 2 >= col("__m"),
+            col("l_quantity"))).as("a50"),
+          max(col("__n")).as("n"), max(col("__m")).as("m"))
         .orderBy("l_returnflag")
     }),
 
@@ -2380,9 +2383,26 @@ object SparkEntry {
 
 
     "q67_approx_quantile" ->
-      """SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS p50,
-        |  COUNT(*) AS n, TRUE AS within_bound
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH h AS (SELECT l_returnflag, l_quantity,
+         |    md5(concat_ws(':', 'q67', CAST(l_orderkey AS VARCHAR),
+         |      CAST(l_linenumber AS VARCHAR))) AS hh
+         |  FROM lineitem),
+         |s AS (SELECT l_returnflag, l_quantity,
+         |    ((${operators.Sampling.hexPrefixSql("hh")}) % 20 = 0) AS smp FROM h),
+         |c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS na,
+         |    SUM(CASE WHEN smp THEN 1 ELSE 0 END) AS ns
+         |  FROM s GROUP BY 1, 2),
+         |r AS (SELECT l_returnflag, l_quantity,
+         |    SUM(na) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS ca,
+         |    SUM(ns) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cs,
+         |    SUM(na) OVER (PARTITION BY l_returnflag) AS n,
+         |    SUM(ns) OVER (PARTITION BY l_returnflag) AS m
+         |  FROM c)
+         |SELECT l_returnflag,
+         |  MIN(CASE WHEN ca * 2 >= n THEN l_quantity END) AS p50,
+         |  MIN(CASE WHEN m > 0 AND cs * 2 >= m THEN l_quantity END) AS a50,
+         |  CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(m) AS BIGINT) AS m
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q47_decontaminate" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 5, "c", strict = true)},

@@ -173,7 +173,14 @@ object Sampling {
       budget: Long,
       salt: String = "tb"): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
+    // (__h, idCol) ordering + an explicit ROWS frame: with the default
+    // RANGE frame, duplicate ids would be frame peers and the running
+    // sum would include the whole tie group at once (overshooting the
+    // budget or dropping the entire cluster). ROWS over a total order
+    // makes the prefix well-defined even for duplicate ids.
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__h", md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
       .withColumn("__cum", sum(col(tokenCol)).over(w))
       .filter(col("__cum") <= budget)
@@ -181,12 +188,13 @@ object Sampling {
   }
 
   /** DuckDB/ANSI window SQL skeleton matching [[tokenBudgetSample]]'s
-    * running sum: order by the same md5, same default RANGE frame.
+    * running sum: same (md5, id) total order, same explicit ROWS frame.
     */
   def tokenBudgetCumSql(idCol: String, groupCol: String, tokenCol: String,
       salt: String = "tb"): String =
     s"SUM($tokenCol) OVER (PARTITION BY $groupCol " +
-      s"ORDER BY md5('$salt:' || CAST($idCol AS VARCHAR)))"
+      s"ORDER BY md5('$salt:' || CAST($idCol AS VARCHAR)), $idCol " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
 
   /** Assign each row to a named split with the given weights (summing
     * to <= 1; remainder falls into the last split). Deterministic by

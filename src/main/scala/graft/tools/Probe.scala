@@ -33,9 +33,9 @@ object Probe {
     // `all` expands to every SparkEntry query (live per-query output —
     // unlike Bench, which prints one line at the very end)
     val names =
-      if (args.contains("all"))
+      (if (args.contains("all"))
         graft.SparkEntry.queries.keys.toSeq.sorted ++ args.filterNot(_ == "all")
-      else args.toSeq
+      else args.toSeq).distinct
     names.foreach { name =>
       val fn = extra.getOrElse(name, graft.SparkEntry.queries(name))
       (1 to 2).foreach { i =>
