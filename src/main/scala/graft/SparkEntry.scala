@@ -60,6 +60,14 @@ object SparkEntry {
     */
   private val Bm25Terms: Seq[String] = Seq("dup", "vector", "spark")
 
+  /** q115 mixing weights: source src_i gets weight i+1, so the keep
+    * fractions sweep the full range (src19 binds at 1.0, src0 keeps
+    * ~1/20 of its rows). Shared by the Spark query and the oracle SQL
+    * via [[operators.Sampling.normalizedTargets]].
+    */
+  private val domainMixTargets: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap
+
   /** Strata fractions for q55 — shared by query and oracle SQL. */
   private val StrataFractions: Map[String, Double] =
     Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
@@ -682,6 +690,34 @@ object SparkEntry {
           k = 3, nProbe = 2, centroids = Some(cents))
         .withColumn("sim", round(col("sim"), 5))
         .orderBy("qid", "rank")
+    }),
+
+    // ---- extension: segment-level (CCNet-style) boilerplate dedup ----
+    // the sub-document twin of q20 exact dedup: 8-token segments that
+    // repeat across >1 documents (headers, nav text, license blocks)
+    // are dropped everywhere and each document is rebuilt from its
+    // surviving segments in order
+    "q114_segment_dedup" -> ((s, dir) => {
+      Dedup.segmentDedup(T(s, dir, "documents"), "doc_id", "text",
+          segTokens = 8, maxDf = 1)
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: domain-mix resampling to target proportions ----
+    // per-source mixing weights (here: weight i+1 for src_i) turned
+    // into an actual corpus by pure downsampling — the binding source
+    // keeps everything, every other source downsamples toward its
+    // share; selection is the deterministic md5 threshold with a
+    // relationally-derived per-group fraction
+    "q115_domain_mix" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val kept = operators.Sampling
+        .domainMixSample(docs, "doc_id", "source", domainMixTargets)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+        .join(kept, Seq("source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy("source")
     }),
 
     // ---- §2.6 running window aggregate ----
@@ -2071,6 +2107,42 @@ object SparkEntry {
 
     "q113_ivf_kmeans" ->
       ivfKmeansOracle(k = 8, iters = 6, dims = 64, nProbe = 2, topK = 3),
+
+    "q114_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS seg
+        |  FROM t, unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS u(i)),
+        |boiler AS (SELECT md5(seg) AS h FROM seg
+        |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1),
+        |flag AS (SELECT s.doc_id, s.i, s.seg, b.h IS NULL AS kept
+        |  FROM seg s LEFT JOIN boiler b ON md5(s.seg) = b.h)
+        |SELECT doc_id, COUNT(*) AS n_seg,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(seg, ' ' ORDER BY i) FILTER (WHERE kept), ''))
+        |    AS kept_fp
+        |FROM flag GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q115_domain_mix" -> {
+      val tgtRows = operators.Sampling.normalizedTargets(domainMixTargets)
+        .map { case (k, w) => s"('$k', $w)" }.mkString(", ")
+      s"""WITH tgt(source, tw) AS (VALUES $tgtRows),
+         |cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         |j AS (SELECT c.source, c.n, t.tw FROM cnt c JOIN tgt t USING (source)),
+         |cm AS (SELECT MIN(CAST(n AS DOUBLE) / tw) AS cmin FROM j),
+         |fr AS (SELECT source,
+         |    LEAST(CAST(1.0 AS DOUBLE), cm.cmin * tw / CAST(n AS DOUBLE)) AS frac
+         |  FROM j, cm),
+         |hashed AS (SELECT d.source,
+         |    md5('mix:' || CAST(d.doc_id AS VARCHAR)) AS h, fr.frac
+         |  FROM documents d JOIN fr USING (source)),
+         |k AS (SELECT source, COUNT(*) AS n_kept FROM hashed
+         |  WHERE ${operators.Sampling.hexPrefixSql("h")} < frac * 4294967296.0
+         |  GROUP BY 1)
+         |SELECT c.source, c.n AS n_orig,
+         |  COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         |FROM cnt c LEFT JOIN k USING (source) ORDER BY 1""".stripMargin
+    },
 
     "q33_window_running" ->
       """SELECT o_custkey, o_orderkey,

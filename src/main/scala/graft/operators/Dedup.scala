@@ -533,6 +533,66 @@ object Dedup {
       .select(col("new_id"), col("old_id"), col("hamming"))
   }
 
+  /** Segment-level (CCNet-style paragraph) dedup: split each document
+    * into consecutive NON-overlapping `segTokens`-token segments, call
+    * a segment boilerplate when it occurs in more than `maxDf` distinct
+    * documents, drop boilerplate occurrences everywhere, and rebuild
+    * each document from its surviving segments in order. This is the
+    * sub-document twin of exact dedup: headers, navigation text and
+    * license blocks repeat across documents that are NOT near-dups as
+    * wholes, so document-level passes never see them.
+    *
+    * Output: (id, n_seg, n_kept, kept_fp) where kept_fp is the md5 of
+    * the rebuilt text ("" when every segment was boilerplate) — the
+    * fingerprint a downstream exact-dedup pass would key on.
+    *
+    * Scale shape (the part that must survive 100 TB):
+    *   - segmenting is a pure projection + explode (no shuffle);
+    *     segments are keyed by md5 so the wide segment text never
+    *     shuffles for counting;
+    *   - the df-count is one partial-aggregated groupBy on the 32-char
+    *     hash;
+    *   - only the BOILERPLATE subset (df > maxDf — vastly smaller than
+    *     the distinct-segment universe) joins back, as a left join
+    *     whose null-match IS the kept flag, so AQE can broadcast it;
+    *   - the rebuild groups a document's OWN segments (bounded by the
+    *     document's size, same as the input row) — `array_sort` on
+    *     (i, seg, kept) structs restores order without a window.
+    */
+  def segmentDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 8,
+      maxDf: Int = 1): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val segs = docs
+      .select(col(idCol), expr(
+        s"""explode(transform(
+           |  sequence(0, cast(ceil(size(split($textCol, ' ')) / $segTokens.0D) as int) - 1),
+           |  i -> struct(
+           |    cast(i as bigint) as i,
+           |    array_join(slice(split($textCol, ' '), i * $segTokens + 1, $segTokens), ' ') as seg)))
+           |""".stripMargin).as("__s"))
+      .select(col(idCol), col("__s.i").as("i"), col("__s.seg").as("seg"))
+    val boiler = segs
+      .groupBy(md5(col("seg")).as("__h"))
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+      .filter(col("__ndocs") > maxDf)
+      .select(col("__h"))
+    segs
+      .join(boiler, md5(col("seg")) === boiler("__h"), "left")
+      .withColumn("kept", col("__h").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        md5(expr(
+          "array_join(transform(filter(array_sort(collect_list(struct(i, seg, kept))), " +
+            "x -> x.kept), x -> x.seg), ' ')")).as("kept_fp"))
+  }
+
   def simhash16(
       docs: DataFrame,
       idCol: String,

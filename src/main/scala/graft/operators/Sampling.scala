@@ -196,6 +196,67 @@ object Sampling {
       s"ORDER BY md5('$salt:' || CAST($idCol AS VARCHAR)), $idCol " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
 
+  /** Normalized (key-sorted) target weights shared by
+    * [[domainMixSample]] and its oracle-SQL twin: normalizing ONCE in
+    * Scala and embedding the resulting shortest-round-trip double
+    * literals on both sides keeps the Spark and DuckDB arithmetic
+    * bit-identical (each engine parses the same decimal literal to the
+    * same IEEE754 double, instead of each re-deriving w/sum(w) its own
+    * way).
+    */
+  def normalizedTargets(targets: Map[String, Double]): Seq[(String, Double)] = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0), "target weights must be positive")
+    val total = targets.values.sum
+    targets.toSeq.sortBy(_._1).map { case (k, w) => k -> w / total }
+  }
+
+  /** Domain-mix resampling: downsample each group so the kept corpus
+    * approaches the `targets` mixing proportions — the step that turns
+    * per-source mixing weights (hand-set or DoReMi-style learned) into
+    * an actual training corpus. No group is upsampled: the binding
+    * group (smallest n_g / t_g) keeps everything and every other group
+    * downsamples toward its share, i.e. the output is the LARGEST
+    * target-proportioned corpus obtainable by pure filtering.
+    *
+    * Selection is the deterministic md5-threshold of every sampler
+    * here, but with a PER-GROUP fraction computed relationally:
+    * group counts (one tiny partial-aggregated shuffle) -> scalar
+    * C = min(n_g / t_g) (1-row broadcast cross join, the house scalar
+    * pattern) -> frac_g = min(1, C * t_g / n_g) joined back by group
+    * (broadcast — the group table is #domains rows). The row filter
+    * itself is a codegen'd scan: no shuffle of the data being sampled,
+    * no window, no per-group pass — the property that matters when the
+    * corpus is 100 TB and the group table is a few thousand rows.
+    *
+    * Groups absent from `targets` get weight 0 and are dropped.
+    */
+  def domainMixSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      targets: Map[String, Double],
+      salt: String = "mix"): DataFrame = {
+    val norm = normalizedTargets(targets)
+    val twExpr = norm
+      .foldLeft(when(lit(false), lit(0.0))) { case (acc, (k, w)) =>
+        acc.when(col(groupCol) === k, lit(w))
+      }
+      .otherwise(lit(0.0))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__tw", twExpr)
+      .filter(col("__tw") > 0)
+    val cmin = counts.agg(min(col("__n").cast("double") / col("__tw")).as("__cmin"))
+    val fr = counts.crossJoin(broadcast(cmin))
+      .withColumn("__frac",
+        least(lit(1.0), col("__cmin") * col("__tw") / col("__n").cast("double")))
+      .select(col(groupCol), col("__frac"))
+    df.join(broadcast(fr), groupCol)
+      .withColumn("__h", md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+      .filter(hexPrefixValue("__h").cast("double") < col("__frac") * 4294967296.0)
+      .select(df.columns.map(col): _*) // USING-join put the key first; restore caller order
+  }
+
   /** Assign each row to a named split with the given weights (summing
     * to <= 1; remainder falls into the last split). Deterministic by
     * `idCol`.
