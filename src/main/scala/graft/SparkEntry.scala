@@ -720,6 +720,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- extension: int8 retrieve-then-rescore ANN (two-phase) ----
+    // coarse phase scores float queries against the int8-reconstructed
+    // corpus (asymmetric distance, 4x smaller index) and shortlists
+    // k*refine per query through the heap-bounded TopKPerKey operator;
+    // only the shortlist pays the exact float rescore
+    "q116_int8_rescore" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.int8RescoreTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", k = 3, refine = 3)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- §2.6 running window aggregate ----
     "q33_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -2143,6 +2156,10 @@ object SparkEntry {
          |  COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
          |FROM cnt c LEFT JOIN k USING (source) ORDER BY 1""".stripMargin
     },
+
+    "q116_int8_rescore" ->
+      Similarity.int8RescoreSql("embeddings", dims = 64, nQueries = 20,
+        k = 3, refine = 3),
 
     "q33_window_running" ->
       """SELECT o_custkey, o_orderkey,

@@ -376,6 +376,125 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Two-phase int8 retrieve-then-rescore top-k (the production ANN
+    * serving pattern): phase 1 scores every query against the
+    * int8-QUANTIZED corpus (asymmetric distance — the float query
+    * against the reconstructed corpus vector, so only the corpus pays
+    * the 4x compression) and keeps the top `k * refine` candidates per
+    * query; phase 2 rescores just those candidates with the exact
+    * float cosine and emits the top `k`. `coarse_rank` in the output
+    * shows where rescoring reordered the quantized shortlist.
+    *
+    * Quantization is [[quantizationReport]]'s per-dimension affine
+    * scheme (256 levels over [min, max], constant dims pin to mn), so
+    * the go/no-go report and the search index share one definition.
+    *
+    * Scale shape: the per-dim stats are D rows — collected and inlined
+    * as LITERAL arrays (the centroid pattern), so corpus
+    * reconstruction is a pure projection; the coarse phase streams the
+    * corpus against the broadcast query side with NO corpus shuffle,
+    * and the shortlist runs through the heap-bounded TopKPerKey
+    * physical operator (never a full per-query sort); the rescore
+    * joins the corpus against the BROADCAST candidate set (|Q| x
+    * k x refine rows), so the second corpus pass is also shuffle-free.
+    * At 100 TB the expensive exact math touches only the shortlist.
+    *
+    * Output: (qid, rank 1..k, nbr, sim, coarse_rank).
+    */
+  def int8RescoreTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int = 3): DataFrame = {
+    require(k > 0 && refine > 0, "k and refine must be positive")
+    val stats = corpus
+      .select(posexplode(toDoubleArray(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("dim")
+      .collect() // D rows (embedding width) — bounded like the centroid tables
+    val mns = stats.map(_.getDouble(1)).toSeq
+    val scs = stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+    val mnL = typedLit(mns)
+    val scL = typedLit(scs)
+    def reconstruct(v: Column): Column = transform(v, (x, d) => {
+      val m = element_at(mnL, d + 1)
+      val s = element_at(scL, d + 1)
+      when(s === 0.0, m).otherwise(
+        m + least(greatest(round((x - m) / s, 0), lit(0.0)), lit(255.0)) * s)
+    })
+
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv"))))
+    val c = corpus
+      .select(col(idCol).as("nbr"), toDoubleArray(col(vecCol)).as("__cv"))
+      .withColumn("__rc", reconstruct(col("__cv")))
+      .withColumn("__rcn", l2Norm(col("__rc")))
+    val coarse = q.join(c, col("qid") =!= col("nbr"))
+      .withColumn("__csim",
+        dot(col("__qv"), col("__rc")) / (col("__qn") * col("__rcn")))
+      .select(col("qid"), col("nbr"), col("__csim"))
+    val cands = graft.plans.TopKPerKey.topk(coarse, Seq("qid"),
+        Seq(graft.plans.TopKPerKey.Desc("__csim"), graft.plans.TopKPerKey.Asc("nbr")),
+        k * refine)
+      .withColumnRenamed("rank", "coarse_rank")
+      .select(col("qid"), col("nbr"), col("coarse_rank"))
+
+    val cExact = corpus
+      .select(col(idCol).as("nbr"), toDoubleArray(col(vecCol)).as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv")))
+    val exact = cExact
+      .join(broadcast(cands.join(q, "qid")), "nbr")
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"), col("coarse_rank"))
+  }
+
+  /** DuckDB SQL twin of [[int8RescoreTopK]] over a table with `vec_id`
+    * and a `dims`-wide `embedding` list column, queries = vec_id <
+    * `nQueries`. The quantization arithmetic mirrors
+    * [[quantizationReportSql]] term for term; candidate selection and
+    * rescoring use the same (score DESC, nbr) total order as the Spark
+    * side.
+    */
+  def int8RescoreSql(src: String, dims: Int, nQueries: Int, k: Int,
+      refine: Int = 3): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM $src),
+       |el AS (SELECT d.dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS x
+       |       FROM $src CROSS JOIN (SELECT unnest(range($dims)) AS dim) d
+       |       WHERE d.dim < len(embedding)),
+       |st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY 1),
+       |arrs AS (SELECT list(mn ORDER BY dim) AS mns,
+       |                list((mx - mn) / 255.0 ORDER BY dim) AS scs FROM st),
+       |c AS (SELECT vec_id AS nbr, v,
+       |        list_transform(range($dims), d -> CASE WHEN a.scs[d + 1] = 0 THEN a.mns[d + 1]
+       |          ELSE a.mns[d + 1] + least(greatest(round((v[d + 1] - a.mns[d + 1]) / a.scs[d + 1]), 0.0), 255.0) * a.scs[d + 1]
+       |          END) AS rc
+       |      FROM e, arrs a),
+       |cn AS (SELECT nbr, v, rc, sqrt(list_dot_product(v, v)) AS vn,
+       |              sqrt(list_dot_product(rc, rc)) AS rcn FROM c),
+       |q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |      FROM e WHERE vec_id < $nQueries),
+       |cand AS (SELECT qid, nbr, CAST(rn AS BIGINT) AS coarse_rank FROM (
+       |  SELECT q.qid, cn.nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY list_dot_product(q.qv, cn.rc) / (q.qn * cn.rcn) DESC, cn.nbr) AS rn
+       |  FROM q JOIN cn ON cn.nbr <> q.qid) t WHERE rn <= ${k * refine}),
+       |ex AS (SELECT cand.qid, cand.nbr, cand.coarse_rank,
+       |         list_dot_product(q.qv, cn.v) / (q.qn * cn.vn) AS sim
+       |       FROM cand JOIN q USING (qid) JOIN cn USING (nbr)),
+       |r AS (SELECT qid, nbr, coarse_rank, sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+       |      FROM ex)
+       |SELECT qid, rank, nbr, round(sim, 5) AS sim, coarse_rank
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** DuckDB SQL equivalent of [[quantizationReport]] for a table with
     * an `embedding` list column of `dims` elements.
     */
