@@ -733,6 +733,17 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: maximal cross-document repeated token spans ----
+    // substring-level exact dedup (Lee et al. 2021): overlapping
+    // 8-token window hashes shared by >= 2 docs, merged per document
+    // into maximal spans — the overlapping-window twin of q114's
+    // disjoint segments
+    "q117_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(T(s, dir, "documents"), "doc_id", "text",
+          window = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- §2.6 running window aggregate ----
     "q33_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -2160,6 +2171,9 @@ object SparkEntry {
     "q116_int8_rescore" ->
       Similarity.int8RescoreSql("embeddings", dims = 64, nQueries = 20,
         k = 3, refine = 3),
+
+    "q117_repeated_spans" ->
+      Dedup.repeatedSpansSql("documents", "doc_id", "text", window = 8),
 
     "q33_window_running" ->
       """SELECT o_custkey, o_orderkey,

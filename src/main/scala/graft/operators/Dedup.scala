@@ -609,4 +609,100 @@ object Dedup {
       when(col(s"__d$j") >= 7.5, lit("1")).otherwise(lit("0")))
     agged.select(col(idCol), concat(bits: _*).as("simhash"))
   }
+
+  /** Maximal cross-document repeated token spans — the substring-level
+    * exact-dedup primitive (the pattern of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, which removes repeated substrings rather than
+    * whole near-dup documents; reference scope: mydatasyncer has no
+    * text operators — this is extension surface).
+    *
+    * A `window`-token sliding hash is computed at EVERY token offset
+    * (overlapping, unlike [[segmentDedup]]'s disjoint tiles), window
+    * hashes that occur in >= 2 distinct documents are kept, and each
+    * document's hit offsets are merged into maximal spans: two hits
+    * belong to one span when their offsets differ by at most `window`
+    * (overlapping windows share tokens; exactly-adjacent windows abut
+    * into one contiguous duplicated region). Output: one row per
+    * (document, span) with the 0-based token offset, the span's token
+    * length, and how many duplicated windows support it.
+    *
+    * Scale shape: window hashing happens inside the scan projection
+    * (array `transform` over the one materialized token array — no
+    * shuffle, ~one md5 per token, same order of work as shingling).
+    * Then exactly three shuffles, none carrying text: the duplicated-
+    * window groupBy (partial-aggregated, key = 32-char hash), the
+    * hit semi-join (AQE broadcasts the dup side when small), and the
+    * per-document island merge (payload = (doc, pos) longs). The span
+    * merge is two window functions over each document's hits — spills,
+    * never buffers a whole document's text.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8): DataFrame = {
+    require(window > 0, "window must be positive")
+    val wins = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= window)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__toks) - $window), " +
+          s"i -> struct(cast(i as bigint) as pos, " +
+          s"md5(array_join(slice(__toks, i + 1, $window), ' ')) as h))")).as("__w"))
+      .select(col(idCol), col("__w.pos").as("pos"), col("__w.h").as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("h"))
+    val hits = wins.join(dup, "h").select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      // first row per doc: lag is NULL, the comparison is NULL, the
+      // otherwise-branch fires -> starts island 1 (same in the SQL twin)
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= window, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(window.toLong)).as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_tokens"), col("n_windows"))
+  }
+
+  /** DuckDB SQL twin of [[repeatedSpans]] over table `src`. */
+  def repeatedSpansSql(
+      src: String,
+      idCol: String,
+      textCol: String,
+      window: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT $idCol, ${graft.operators.TextAnalysis.tokensSql(textCol)} AS a FROM $src),
+       |w0 AS (
+       |  SELECT $idCol, a, unnest(range(len(a) - $window + 1)) AS i
+       |  FROM t WHERE len(a) >= $window),
+       |w AS (
+       |  SELECT $idCol, CAST(i AS BIGINT) AS pos,
+       |         md5(array_to_string(a[i + 1 : i + $window], ' ')) AS h
+       |  FROM w0),
+       |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT $idCol) >= 2),
+       |hit AS (SELECT $idCol, pos FROM w JOIN dup USING (h)),
+       |isl0 AS (
+       |  SELECT $idCol, pos,
+       |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY $idCol ORDER BY pos)
+       |                   <= $window THEN 0 ELSE 1 END AS nw
+       |  FROM hit),
+       |isl AS (
+       |  SELECT $idCol, pos,
+       |         SUM(nw) OVER (PARTITION BY $idCol ORDER BY pos
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM isl0)
+       |SELECT $idCol, MIN(pos) AS span_start,
+       |       MAX(pos) - MIN(pos) + $window AS span_tokens,
+       |       COUNT(*) AS n_windows
+       |FROM isl GROUP BY $idCol, g
+       |ORDER BY $idCol, span_start""".stripMargin
 }
