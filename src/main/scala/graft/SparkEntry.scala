@@ -733,6 +733,16 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: edit-distance-verified near-dup pairs ----
+    // exact Levenshtein confirmation of the q22 LSH candidates: the
+    // blocker proposes, the O(len^2) measure disposes — capped text,
+    // banded early-exit DP, never the all-pairs product
+    "q118_editdist_neardup" -> ((s, dir) => {
+      Dedup.editDistanceNearDup(T(s, dir, "documents"), "doc_id", "text",
+          k = 9, bands = 3, maxChars = 400, maxDist = 80)
+        .orderBy("d1", "d2")
+    }),
+
     // ---- extension: maximal cross-document repeated token spans ----
     // substring-level exact dedup (Lee et al. 2021): overlapping
     // 8-token window hashes shared by >= 2 docs, merged per document
@@ -2174,6 +2184,17 @@ object SparkEntry {
 
     "q117_repeated_spans" ->
       Dedup.repeatedSpansSql("documents", "doc_id", "text", window = 8),
+
+    "q118_editdist_neardup" ->
+      s"""WITH ${sigsCte("documents")},
+         |capped AS (SELECT doc_id, substr(text, 1, 400) AS tt FROM documents)
+         |SELECT d1, d2, CAST(levenshtein(a.tt, b.tt) AS BIGINT) AS edit_dist,
+         |       CAST(length(a.tt) AS BIGINT) AS len1,
+         |       CAST(length(b.tt) AS BIGINT) AS len2
+         |FROM cand JOIN capped a ON a.doc_id = cand.d1
+         |          JOIN capped b ON b.doc_id = cand.d2
+         |WHERE levenshtein(a.tt, b.tt) <= 80
+         |ORDER BY d1, d2""".stripMargin,
 
     "q33_window_running" ->
       """SELECT o_custkey, o_orderkey,

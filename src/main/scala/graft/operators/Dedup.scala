@@ -673,6 +673,46 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_tokens"), col("n_windows"))
   }
 
+  /** Edit-distance-verified near-duplicates: exact Levenshtein
+    * confirmation of the MinHash-LSH candidate pairs — the final
+    * verification stage of a dedup pipeline, where the cheap
+    * probabilistic blocker proposes and an exact character-level
+    * measure disposes.
+    *
+    * Levenshtein is O(len^2) PER PAIR, so it must never see the
+    * all-pairs product; here it runs only on band-blocked LSH
+    * candidates (the 100 TB-safe shape), and each side is capped at
+    * `maxChars` characters so one pathological document pair cannot
+    * dominate a task. Spark's built-in `levenshtein(l, r, threshold)`
+    * additionally abandons the DP early once the running distance
+    * exceeds `maxDist` (banded DP: O(len * maxDist)) and returns -1,
+    * which the output filter drops.
+    *
+    * Shuffles: the LSH pipeline's own (per-doc aggregate + bucket
+    * self-join), plus two id-keyed joins to fetch the capped texts.
+    * The distance itself is a codegen'd projection.
+    */
+  def editDistanceNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 9,
+      bands: Int = 3,
+      maxChars: Int = 400,
+      maxDist: Int = 80): DataFrame = {
+    require(maxChars > 0 && maxDist >= 0, "maxChars/maxDist out of range")
+    val sigs = minhashSignatures(docs, idCol, textCol, k)
+    val t = docs.select(col(idCol), substring(col(textCol), 1, maxChars).as("__t"))
+    lshCandidatePairs(sigs, idCol, k, bands)
+      .join(t.select(col(idCol).as("d1"), col("__t").as("__t1")), "d1")
+      .join(t.select(col(idCol).as("d2"), col("__t").as("__t2")), "d2")
+      .select(col("d1"), col("d2"),
+        levenshtein(col("__t1"), col("__t2"), maxDist).cast("long").as("edit_dist"),
+        length(col("__t1")).cast("long").as("len1"),
+        length(col("__t2")).cast("long").as("len2"))
+      .filter(col("edit_dist").between(0, maxDist))
+  }
+
   /** DuckDB SQL twin of [[repeatedSpans]] over table `src`. */
   def repeatedSpansSql(
       src: String,
