@@ -733,6 +733,18 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: semantic (embedding-space) decontamination ----
+    // paraphrased benchmark leakage that q47/q49's shingle overlap
+    // can't see: corpus vectors within cosine 0.4 of any eval vector
+    // (eval = vec_id < 20, the q26/q116 convention)
+    "q119_semantic_decon" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.semanticContamination(
+          e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("cid")
+    }),
+
     // ---- extension: edit-distance-verified near-dup pairs ----
     // exact Levenshtein confirmation of the q22 LSH candidates: the
     // blocker proposes, the O(len^2) measure disposes — capped text,
@@ -2184,6 +2196,16 @@ object SparkEntry {
 
     "q117_repeated_spans" ->
       Dedup.repeatedSpansSql("documents", "doc_id", "text", window = 8),
+
+    "q119_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS eid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE vec_id >= 20),
+        |p AS (SELECT cid, eid, list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS sim
+        |      FROM c JOIN q ON cid <> eid)
+        |SELECT cid, COUNT(*) AS n_eval_hits, round(MAX(sim), 5) AS max_sim,
+        |       MIN(eid) AS first_eval_id
+        |FROM p WHERE sim >= 0.4 GROUP BY cid ORDER BY cid""".stripMargin,
 
     "q118_editdist_neardup" ->
       s"""WITH ${sigsCte("documents")},

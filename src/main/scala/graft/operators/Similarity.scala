@@ -615,4 +615,42 @@ object Similarity {
         round(col("n_hit").cast("double") / k, 6).as("recall"))
       .orderBy(qidCol)
   }
+
+  /** Semantic decontamination: flag corpus vectors whose cosine
+    * similarity to ANY eval-set vector reaches `threshold` — the
+    * embedding-space analogue of the n-gram decontamination in
+    * `Decontaminate` (exact shingle overlap misses paraphrased
+    * benchmark leakage; embedding proximity catches it). Output per
+    * flagged corpus id: how many eval vectors it matched, the best
+    * (rounded) similarity, and the lowest matching eval id.
+    *
+    * Plan shape = [[bruteForceTopK]]'s: the eval side broadcasts
+    * (benchmarks are small by definition), the corpus streams through
+    * one codegen'd dot-product projection and ONE partial-aggregated
+    * groupBy — no corpus shuffle before the aggregate's own. For an
+    * eval set too big to broadcast, block both sides with
+    * [[srpBuckets]] first (q106's shape) and apply the same threshold
+    * to the bucket-joined pairs.
+    */
+  def semanticContamination(
+      evalSet: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val q = broadcast(
+      evalSet.select(col(idCol).as("eid"), toDoubleArray(col(vecCol)).as("__qv"))
+        .withColumn("__qn", l2Norm(col("__qv"))))
+    corpus
+      .select(col(idCol).as("cid"), toDoubleArray(col(vecCol)).as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv")))
+      .join(q, col("cid") =!= col("eid"))
+      .withColumn("sim", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_eval_hits"),
+        round(max(col("sim")), 5).as("max_sim"),
+        min(col("eid")).as("first_eval_id"))
+  }
 }
