@@ -733,6 +733,17 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: classifier threshold sweep (PR calibration) ----
+    // precision/recall of "keep docs with token count >= t" for
+    // selecting src_0 documents, swept over 20 equi-width thresholds —
+    // the calibration table behind any quality-filter cut-off
+    "q120_threshold_sweep" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(
+        TextAnalysis.tokenCount(col("text")).as("score"),
+        (col("source") === "src_0").as("lab"))
+      operators.Metrics.thresholdSweep(d, "score", "lab", buckets = 20)
+    }),
+
     // ---- extension: semantic (embedding-space) decontamination ----
     // paraphrased benchmark leakage that q47/q49's shingle overlap
     // can't see: corpus vectors within cosine 0.4 of any eval vector
@@ -2196,6 +2207,37 @@ object SparkEntry {
 
     "q117_repeated_spans" ->
       Dedup.repeatedSpansSql("documents", "doc_id", "text", window = 8),
+
+    "q120_threshold_sweep" -> {
+      val B = 20
+      s"""WITH d AS (SELECT
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS DOUBLE) AS sc,
+         |    (source = 'src_0') AS lab FROM documents),
+         |mm AS (SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM d),
+         |b AS (SELECT CASE WHEN mx = mn THEN 0
+         |        ELSE LEAST(CAST(FLOOR((sc - mn) / ((mx - mn) / $B)) AS BIGINT), $B - 1)
+         |      END AS bkt, lab, mn, mx FROM d, mm),
+         |g AS (SELECT bkt,
+         |        SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+         |        SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS nn,
+         |        MIN(mn) AS mn, MIN(mx) AS mx
+         |      FROM b GROUP BY bkt),
+         |tot AS (SELECT SUM(np) AS pos_total FROM g),
+         |c AS (SELECT bkt, mn, mx, pos_total,
+         |        SUM(np) OVER (ORDER BY bkt DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |        SUM(nn) OVER (ORDER BY bkt DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+         |      FROM g, tot)
+         |SELECT bkt AS bucket,
+         |       round(mn + bkt * ((mx - mn) / $B), 6) AS threshold,
+         |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |       CAST(pos_total - tp AS BIGINT) AS fn,
+         |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+         |       CASE WHEN pos_total > 0
+         |            THEN round(CAST(tp AS DOUBLE) / pos_total, 6) END AS recall
+         |FROM c ORDER BY bucket""".stripMargin
+    },
 
     "q119_semantic_decon" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Metrics
+
+/** Round-4 extension: classifier threshold sweep (q120). */
+class SweepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cumulative tp/fp, precision and recall per threshold bucket") {
+    // scores 0..9 in 5 buckets of width 2; positives at scores >= 6
+    val df = (0 until 10).map(i => (i.toDouble, i >= 6)).toDF("score", "lab")
+    val got = Metrics.thresholdSweep(df, "score", "lab", buckets = 5)
+      .select("bucket", "threshold", "tp", "fp", "fn", "precision", "recall")
+      .as[(Long, Double, Long, Long, Long, Double, Double)].collect().toSeq
+
+    // bucket k covers scores [2k - epsilon-free equi-width bounds);
+    // selecting at bucket b keeps all buckets >= b (score >= 2b)
+    assert(got == Seq(
+      (0L, 0.0, 4L, 6L, 0L, 0.4, 1.0),       // keep all
+      (1L, 1.8, 4L, 4L, 0L, 0.5, 1.0),       // score >= 1.8 -> 2..9
+      (2L, 3.6, 4L, 2L, 0L, 0.666667, 1.0),  // 4..9
+      (3L, 5.4, 4L, 0L, 0L, 1.0, 1.0),       // 6..9 all positive
+      (4L, 7.2, 2L, 0L, 2L, 1.0, 0.5)))      // 8..9
+  }
+
+  test("constant scores collapse to one bucket") {
+    val df = Seq((5.0, true), (5.0, false), (5.0, true)).toDF("score", "lab")
+    val got = Metrics.thresholdSweep(df, "score", "lab", buckets = 4)
+      .select("bucket", "tp", "fp", "fn").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 1L, 0L)))
+  }
+}
