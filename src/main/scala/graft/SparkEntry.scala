@@ -733,6 +733,24 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: cluster-representative selection (dedup action) ----
+    // q63 finds the near-dup clusters; this picks the keeper: the
+    // longest member (ties -> lowest id, so reruns keep the SAME doc)
+    // and the drop count per cluster — the table a curation job joins
+    // to materialize the deduplicated corpus
+    "q121_cluster_keep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val nearDup = Dedup.jaccardNearDupPairsCached(docs, "doc_id", "text",
+        threshold = 0.5)
+      val clusters = Dedup.dupClusters(
+        docs, nearDup.df.select("d1", "d2"), "doc_id")
+      nearDup.unpersist()
+      val quality = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Dedup.clusterRepresentatives(clusters, quality, "doc_id", "n_tokens")
+        .orderBy("cluster_id")
+    }),
+
     // ---- extension: classifier threshold sweep (PR calibration) ----
     // precision/recall of "keep docs with token count >= t" for
     // selecting src_0 documents, swept over 20 equi-width thresholds —
@@ -2207,6 +2225,32 @@ object SparkEntry {
 
     "q117_repeated_spans" ->
       Dedup.repeatedSpansSql("documents", "doc_id", "text", window = 8),
+
+    "q121_cluster_keep" ->
+      s"""WITH RECURSIVE ${sigsCte("documents")},
+         |j AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(len(list_distinct(list_intersect(a.shl, b.shl))) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.shl, b.shl))) AS jac
+         |  FROM cand c JOIN shd a ON a.doc_id = c.d1 JOIN shd b ON b.doc_id = c.d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |reach(a, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a),
+         |cl AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |        CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |m AS (SELECT cl.cluster_id, cl.doc_id, q.n_tokens,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                           ORDER BY n_tokens DESC, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+         |      FROM cl JOIN q USING (doc_id))
+         |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs, doc_id AS kept_doc,
+         |       n_tokens AS kept_quality, CAST(n_docs - 1 AS BIGINT) AS n_dropped
+         |FROM m WHERE rn = 1 AND n_docs > 1 ORDER BY cluster_id""".stripMargin,
 
     "q120_threshold_sweep" -> {
       val B = 20

@@ -673,6 +673,36 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_tokens"), col("n_windows"))
   }
 
+  /** The dedup ACTION for clustered near-duplicates: keep the
+    * highest-quality document of each cluster, drop the rest. Takes
+    * the [[dupClusters]] output plus any per-id quality signal (token
+    * count, a model score, recency) and reports, per non-singleton
+    * cluster, the kept id, its quality, and how many members were
+    * dropped — the table a curation job joins against to materialize
+    * the deduplicated corpus.
+    *
+    * Ties break on the lower id, so reruns and backfills keep the SAME
+    * representative (a nondeterministic winner would churn the corpus
+    * between identical runs). One join and one cluster-keyed window
+    * whose partitions are cluster-sized — bounded by the duplicate
+    * rate, not the corpus.
+    */
+  def clusterRepresentatives(
+      clusters: DataFrame,
+      quality: DataFrame,
+      idCol: String,
+      qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    clusters.join(quality, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("__rn") === 1 && col("n_docs") > 1)
+      .select(col("cluster_id"), col("n_docs"),
+        col(idCol).as("kept_doc"), col(qualityCol).as("kept_quality"),
+        (col("n_docs") - 1).as("n_dropped"))
+  }
+
   /** Edit-distance-verified near-duplicates: exact Levenshtein
     * confirmation of the MinHash-LSH candidate pairs — the final
     * verification stage of a dedup pipeline, where the cheap
