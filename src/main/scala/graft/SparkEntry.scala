@@ -733,6 +733,23 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: interval x interval overlap join ----
+    // per-customer order "activity windows" (orderdate .. +orderkey%14
+    // days) overlap-joined against themselves — bucketed to an equi
+    // join, each pair emitted exactly once (first overlap bucket)
+    "q122_interval_overlap" -> ((s, dir) => {
+      val iv = T(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(
+          col("o_orderkey").as("id"), col("o_custkey").as("k"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("s"))
+        .withColumn("e", col("s") + col("id") % 14)
+      operators.RangeJoin.intervalOverlapJoin(iv, iv,
+          "id", "k", "s", "e", bucketWidth = 14L)
+        .filter(col("a_id") < col("b_id"))
+        .withColumnRenamed("k", "o_custkey")
+        .orderBy("o_custkey", "a_id", "b_id")
+    }),
+
     // ---- extension: cluster-representative selection (dedup action) ----
     // q63 finds the near-dup clusters; this picks the keeper: the
     // longest member (ties -> lowest id, so reruns keep the SAME doc)
@@ -2225,6 +2242,17 @@ object SparkEntry {
 
     "q117_repeated_spans" ->
       Dedup.repeatedSpansSql("documents", "doc_id", "text", window = 8),
+
+    "q122_interval_overlap" ->
+      """WITH i AS (SELECT o_orderkey AS id, o_custkey AS k,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS s,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) + o_orderkey % 14 AS e
+        |  FROM orders WHERE o_custkey < 200)
+        |SELECT a.k AS o_custkey, a.id AS a_id, b.id AS b_id,
+        |       GREATEST(a.s, b.s) AS overlap_start, LEAST(a.e, b.e) AS overlap_end
+        |FROM i a JOIN i b ON a.k = b.k AND a.id < b.id
+        |                 AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q121_cluster_keep" ->
       s"""WITH RECURSIVE ${sigsCte("documents")},

@@ -71,4 +71,58 @@ object RangeJoin {
       .filter(col(leftTime) >= col("__rj_start") && col(leftTime) <= col("__rj_end"))
       .drop("__k", "__bucket", "__rj_start", "__rj_end")
   }
+
+  /** Interval x interval overlap join: pairs of rows (same `keyCol`)
+    * whose inclusive integer ranges [startCol, endCol] intersect.
+    * Output: (keyCol, a_id, b_id, overlap_start, overlap_end).
+    *
+    * Same bucketing idea as [[bucketedIntervalJoin]], with one twist
+    * that removes the dedup shuffle a naive bucket self-join needs:
+    * overlapping intervals share EVERY bucket their overlap covers, so
+    * a pair would surface once per shared bucket — but the overlap's
+    * first bucket (the one containing `greatest(a.start, b.start)`) is
+    * provably covered by BOTH intervals and is unique per pair, so the
+    * join emits a pair only there. No `distinct`, no post-join
+    * exchange; the only shuffles are the (key, bucket) hash join's own.
+    *
+    * Bounds are integer (days, epoch-seconds — caller's choice of
+    * unit); `bucketWidth` in the same unit, sized to the typical
+    * interval length. The `maxBucketsPerInterval` guard fails loudly
+    * on sentinel end-values, as in [[bucketedIntervalJoin]].
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      keyCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 65536L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def buckets(df: DataFrame, p: String): DataFrame = {
+      val sB = floor(col(startCol).cast("long") / bucketWidth).cast("long")
+      val eB = floor(col(endCol).cast("long") / bucketWidth).cast("long")
+      val guardedEnd = when(eB - sB > maxBucketsPerInterval,
+        raise_error(concat(
+          lit(s"interval spans more than $maxBucketsPerInterval buckets at width $bucketWidth: "),
+          col(startCol).cast("string"), lit(" .. "), col(endCol).cast("string"))))
+        .otherwise(eB)
+      df.filter(col(startCol) <= col(endCol))
+        .select(
+          col(keyCol).as("__k"),
+          col(idCol).as(s"${p}_id"),
+          col(startCol).cast("long").as(s"__${p}s"),
+          col(endCol).cast("long").as(s"__${p}e"),
+          explode(sequence(sB, guardedEnd)).as("__bucket"))
+    }
+    buckets(left, "a").join(buckets(right, "b"), Seq("__k", "__bucket"))
+      .filter(col("__as") <= col("__be") && col("__bs") <= col("__ae"))
+      .filter(col("__bucket") ===
+        floor(greatest(col("__as"), col("__bs")) / bucketWidth).cast("long"))
+      .select(
+        col("__k").as(keyCol), col("a_id"), col("b_id"),
+        greatest(col("__as"), col("__bs")).as("overlap_start"),
+        least(col("__ae"), col("__be")).as("overlap_end"))
+  }
 }
