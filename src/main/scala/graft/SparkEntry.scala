@@ -733,6 +733,13 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: join-key skew diagnostics ----
+    // the pre-flight report that decides whether a key needs salting
+    // (q37) or AQE skew handling: per-key count distribution summary
+    "q123_skew_report" -> ((s, dir) => {
+      operators.Profiler.skewReport(T(s, dir, "events"), "user_id", topK = 10)
+    }),
+
     // ---- extension: interval x interval overlap join ----
     // per-customer order "activity windows" (orderdate .. +orderkey%14
     // days) overlap-joined against themselves — bucketed to an equi
@@ -2242,6 +2249,20 @@ object SparkEntry {
 
     "q117_repeated_spans" ->
       Dedup.repeatedSpansSql("documents", "doc_id", "text", window = 8),
+
+    "q123_skew_report" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |top AS (SELECT CAST(SUM(cnt) AS BIGINT) AS topk_rows
+        |        FROM (SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)),
+        |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |        MAX(cnt) AS max_rows,
+        |        CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_rows,
+        |        CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_rows
+        |      FROM c)
+        |SELECT n_keys, n_rows, max_rows, p50_rows, p99_rows, topk_rows,
+        |       round(max_rows / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS max_over_avg,
+        |       round(CAST(topk_rows AS DOUBLE) / n_rows, 6) AS topk_share
+        |FROM s, top""".stripMargin,
 
     "q122_interval_overlap" ->
       """WITH i AS (SELECT o_orderkey AS id, o_custkey AS k,

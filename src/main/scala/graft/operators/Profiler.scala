@@ -122,4 +122,46 @@ object Profiler {
        |  FROM cells JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot)
        |SELECT n, round(CAST(SUM(term) AS DOUBLE) / n, 6) AS mi
        |FROM terms GROUP BY n""".stripMargin
+
+  /** Key-skew diagnostics for a prospective join/groupBy key: the
+    * one-row report that decides whether the key needs salting (q37's
+    * operator) or AQE skew-join handling before a 100 TB run is
+    * launched. Reports key cardinality, row count, the heaviest key,
+    * discrete p50/p99 of rows-per-key, the top-`topK` keys' row mass,
+    * and two ratios: `max_over_avg` (a perfectly uniform key = 1) and
+    * `topk_share`.
+    *
+    * One partial-aggregated groupBy builds the per-key count table;
+    * everything after runs on counts, never rows: a single global
+    * aggregate (exact discrete percentiles over n_keys values — the
+    * same percentile_disc the quantile queries use) plus a
+    * TakeOrdered top-K (heap per partition, K rows to the driver)
+    * summed and broadcast back. Ties at the top-K boundary carry equal
+    * counts, so the reported mass is tie-invariant.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
+    val top = counts
+      .orderBy(col("__cnt").desc, col(keyCol))
+      .limit(topK)
+      .agg(sum(col("__cnt")).as("__top_rows"))
+    counts
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__cnt")).as("n_rows"),
+        max(col("__cnt")).as("max_rows"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __cnt)")
+          .cast("long").as("p50_rows"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY __cnt)")
+          .cast("long").as("p99_rows"))
+      .crossJoin(broadcast(top))
+      .select(
+        col("n_keys"), col("n_rows"), col("max_rows"),
+        col("p50_rows"), col("p99_rows"),
+        col("__top_rows").as("topk_rows"),
+        round(col("max_rows") /
+          (col("n_rows").cast("double") / col("n_keys")), 6).as("max_over_avg"),
+        round(col("__top_rows").cast("double") / col("n_rows"), 6).as("topk_share"))
+  }
 }
