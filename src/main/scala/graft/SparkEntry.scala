@@ -733,6 +733,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: mixed-language (code-switching) detection ----
+    // docs whose second-best language stopword score is close to the
+    // best are bilingual or boilerplate-contaminated — flagged here,
+    // integer-exact (2*secondary >= primary)
+    "q124_lang_mix" -> ((s, dir) => {
+      T(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.langHitsPrimary(col("text")).as("n_primary"),
+          TextAnalysis.langHitsSecondary(col("text")).as("n_secondary"))
+        .withColumn("mixed",
+          col("n_secondary") > 0 && col("n_secondary") * 2 >= col("n_primary"))
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: join-key skew diagnostics ----
     // the pre-flight report that decides whether a key needs salting
     // (q37) or AQE skew handling: per-key count distribution summary
@@ -2249,6 +2265,29 @@ object SparkEntry {
 
     "q117_repeated_spans" ->
       Dedup.repeatedSpansSql("documents", "doc_id", "text", window = 8),
+
+    "q124_lang_mix" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(w, x -> x = 'el' OR x = 'la' OR x = 'de' OR x = 'que')) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'und' OR x = 'das')) AS BIGINT) AS s_de
+        |  FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |            WHEN s_es > s_en AND s_es >= s_de THEN 'es'
+        |            WHEN s_de > 0 THEN 'de'
+        |            ELSE 'und' END AS lang,
+        |       GREATEST(s_en, s_es, s_de) AS n_primary,
+        |       s_en + s_es + s_de - GREATEST(s_en, s_es, s_de)
+        |         - LEAST(s_en, s_es, s_de) AS n_secondary,
+        |       (s_en + s_es + s_de - GREATEST(s_en, s_es, s_de)
+        |         - LEAST(s_en, s_es, s_de)) > 0 AND
+        |       2 * (s_en + s_es + s_de - GREATEST(s_en, s_es, s_de)
+        |         - LEAST(s_en, s_es, s_de)) >= GREATEST(s_en, s_es, s_de) AS mixed
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q123_skew_report" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),

@@ -58,14 +58,48 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val t = tokens(text)
-    val en = countIn(t, Seq("the", "a"))
-    val es = countIn(t, Seq("el", "la", "de", "que"))
-    val de = countIn(t, Seq("der", "die", "und", "das"))
+    val en = countIn(t, LangStopwords("en"))
+    val es = countIn(t, LangStopwords("es"))
+    val de = countIn(t, LangStopwords("de"))
     when(en >= es && en >= de && en > 0, lit("en"))
       .when(es > en && es >= de, lit("es"))
       .when(de > 0, lit("de"))
       .otherwise(lit("und"))
   }
+
+  /** Mixed-language (code-switching) signals for one document: the
+    * per-language stopword hit counts behind [[langId]], reduced to
+    * (primary hits, secondary hits). A document whose second-best
+    * language scores close to the best is bilingual or boilerplate-
+    * contaminated — material most monolingual training mixes drop or
+    * route to a translation-pair pipeline. Integer counts only, so the
+    * mixed verdict (`2 * secondary >= primary`) is exact in any
+    * engine.
+    */
+  def langHitsPrimary(text: Column): Column = {
+    val t = tokens(text)
+    greatest(countIn(t, LangStopwords("en")), countIn(t, LangStopwords("es")),
+      countIn(t, LangStopwords("de"))).cast("long")
+  }
+
+  /** Second-highest per-language stopword hit count — see
+    * [[langHitsPrimary]].
+    */
+  def langHitsSecondary(text: Column): Column = {
+    val t = tokens(text)
+    val en = countIn(t, LangStopwords("en"))
+    val es = countIn(t, LangStopwords("es"))
+    val de = countIn(t, LangStopwords("de"))
+    (en + es + de - greatest(en, es, de) - least(en, es, de)).cast("long")
+  }
+
+  /** The stopword lists [[langId]] scores against (also the SQL twin's
+    * source of truth).
+    */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"))
 
   /** GPT-2-style pre-tokenizer classes: letter runs, digit runs,
     * single punctuation marks. RE2-compatible, so the same pattern runs
