@@ -733,6 +733,41 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: leakage-safe train/valid/test split ----
+    // near-dup clusters draw ONE split assignment (hash of cluster id,
+    // not doc id), so paraphrases can never straddle train and test;
+    // n_leaky counts straddling clusters and must be 0
+    "q126_leakage_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val nearDup = Dedup.jaccardNearDupPairsCached(docs, "doc_id", "text",
+        threshold = 0.5)
+      val clusters = Dedup.dupClusters(
+        docs, nearDup.df.select("d1", "d2"), "doc_id")
+      nearDup.unpersist()
+      val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+      val assigned = operators.Sampling
+        .leakageSafeSplit(docs.select("doc_id"), clusters, "doc_id", splits)
+        .join(clusters, "doc_id")
+      val leaky = assigned.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("__ns"))
+        .filter(col("__ns") > 1)
+        .agg(count(lit(1)).as("n_leaky"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(broadcast(leaky))
+        .orderBy("split")
+    }),
+
+    // ---- extension: functional-dependency discovery (profiling) ----
+    // which customer columns determine which: c_custkey (the PK)
+    // determines everything; nothing determines it back
+    "q125_fd_discovery" -> ((s, dir) => {
+      operators.Profiler.functionalDependencies(
+        T(s, dir, "customer"),
+        Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+    }),
+
     // ---- extension: mixed-language (code-switching) detection ----
     // docs whose second-best language stopword score is close to the
     // best are bilingual or boilerplate-contaminated — flagged here,
@@ -2265,6 +2300,34 @@ object SparkEntry {
 
     "q117_repeated_spans" ->
       Dedup.repeatedSpansSql("documents", "doc_id", "text", window = 8),
+
+    "q125_fd_discovery" ->
+      operators.Profiler.functionalDependenciesSql("customer",
+        Seq("c_custkey", "c_nationkey", "c_mktsegment")),
+
+    "q126_leakage_split" -> {
+      val splitCase = operators.Sampling.splitCaseSql("cluster_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      s"""WITH RECURSIVE ${sigsCte("documents")},
+         |j AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(len(list_distinct(list_intersect(a.shl, b.shl))) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.shl, b.shl))) AS jac
+         |  FROM cand c JOIN shd a ON a.doc_id = c.d1 JOIN shd b ON b.doc_id = c.d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |reach(a, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a),
+         |cl AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |asgn AS (SELECT doc_id, cluster_id, $splitCase AS split FROM cl),
+         |leaky AS (SELECT COUNT(*) AS n_leaky FROM (
+         |  SELECT cluster_id FROM asgn GROUP BY 1 HAVING COUNT(DISTINCT split) > 1))
+         |SELECT split, COUNT(*) AS n_docs,
+         |       COUNT(DISTINCT cluster_id) AS n_clusters, n_leaky
+         |FROM asgn, leaky GROUP BY split, n_leaky ORDER BY split""".stripMargin
+    },
 
     "q124_lang_mix" ->
       """WITH t AS (SELECT doc_id,

@@ -123,6 +123,55 @@ object Profiler {
        |SELECT n, round(CAST(SUM(term) AS DOUBLE) / n, 6) AS mi
        |FROM terms GROUP BY n""".stripMargin
 
+  /** Functional-dependency discovery over a fixed column list: for
+    * every ordered pair (a, b), does a's value DETERMINE b's value?
+    * The classic data-profiling primitive behind key detection,
+    * denormalization checks, and join-collapse opportunities (if
+    * a -> b holds, b can ride a's dimension table instead of being
+    * carried through a fact join).
+    *
+    * a -> b holds iff |distinct a| = |distinct (a, b)|. One scan tags
+    * each row with all pairs' values (a bounded explode: rows x
+    * pairs), then ONE distinct and one partial-aggregated groupBy —
+    * no per-pair rescans. NULL is treated as an ordinary value (via a
+    * sentinel), so a column that is null for two different b values
+    * correctly fails the dependency.
+    *
+    * Keep `cols` to the handful of columns under investigation: the
+    * explode factor is k*(k-1) and the distinct shuffles it.
+    */
+  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    def v(c: String) = coalesce(col(c).cast("string"), lit("<null>"))
+    val tagged = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          v(a).as("va"), v(b).as("vb"))
+      }: _*)).as("__p"))
+      .select(col("__p.col_a"), col("__p.col_b"), col("__p.va"), col("__p.vb"))
+    tagged.distinct()
+      .groupBy(col("col_a"), col("col_b"))
+      .agg(countDistinct(col("va")).as("n_lhs"), count(lit(1)).as("n_pairs"))
+      .withColumn("fd_holds", col("n_lhs") === col("n_pairs"))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** DuckDB SQL twin of [[functionalDependencies]]. */
+  def functionalDependenciesSql(src: String, cols: Seq[String]): String = {
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val blocks = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  COALESCE(CAST($a AS VARCHAR), '<null>') AS va,
+         |  COALESCE(CAST($b AS VARCHAR), '<null>') AS vb FROM $src""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH p AS (
+       |$blocks),
+       |d AS (SELECT DISTINCT col_a, col_b, va, vb FROM p)
+       |SELECT col_a, col_b, COUNT(DISTINCT va) AS n_lhs, COUNT(*) AS n_pairs,
+       |       COUNT(DISTINCT va) = COUNT(*) AS fd_holds
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Key-skew diagnostics for a prospective join/groupBy key: the
     * one-row report that decides whether the key needs salting (q37's
     * operator) or AQE skew-join handling before a 100 TB run is

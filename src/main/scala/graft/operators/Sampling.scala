@@ -274,4 +274,28 @@ object Sampling {
     }.otherwise(lit(splits.last._1))
     df.withColumn("split", expr)
   }
+
+  /** Leakage-safe train/validation/test split: near-duplicate
+    * documents must land on the SAME side of a split, or the held-out
+    * set silently contains paraphrases of training rows and the eval
+    * is contaminated by construction. [[assignSplit]] hashes the
+    * per-row id; this hashes the near-dup CLUSTER id (from
+    * [[Dedup.dupClusters]]), so every member of a cluster — and every
+    * singleton, whose cluster is itself — draws the same split.
+    *
+    * One id-keyed join of the cluster map onto the corpus; the split
+    * assignment itself stays a pure codegen'd projection. Cluster
+    * proportions follow the weights in expectation over CLUSTERS, not
+    * rows — a giant cluster moves as one unit (that is the point).
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    val assigned = assignSplit(
+      clusters.select(col(idCol), col("cluster_id")), "cluster_id", splits, salt)
+    docs.join(assigned.select(col(idCol), col("split")), idCol)
+  }
 }
