@@ -125,7 +125,9 @@ object Bench {
       "q51_cms_bound", "q57_gopher_quality", "q67_approx_quantile",
       "q73_token_budget", "q83_bm25", "q30_stream_hourly",
       "q107_token_budget", "q111_template_detect",
-      "q114_segment_dedup", "q115_domain_mix")
+      "q114_segment_dedup", "q115_domain_mix", "q117_repeated_spans",
+      "q118_editdist_neardup", "q120_threshold_sweep",
+      "q122_interval_overlap", "q126_leakage_split")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = priority.flatMap(n => all.find(_._1 == n)) ++
       all.filterNot(q => priority.contains(q._1))
