@@ -733,6 +733,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: ad-hoc probe top-k (fused-cosine scan) ----
+    // "what's similar to vector 0?" — probe inlined as a literal,
+    // corpus streams through ONE fused-cosine projection (ArrayCosine)
+    // into a TakeOrdered heap; the degenerate ANN case with no index
+    "q127_probe_topk" -> ((s, dir) => {
+      Similarity.probeTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        probeId = 0L, k = 20)
+    }),
+
     // ---- extension: leakage-safe train/valid/test split ----
     // near-dup clusters draw ONE split assignment (hash of cluster id,
     // not doc id), so paraphrases can never straddle train and test;
@@ -2304,6 +2313,18 @@ object SparkEntry {
     "q125_fd_discovery" ->
       operators.Profiler.functionalDependenciesSql("customer",
         Seq("c_custkey", "c_nationkey", "c_mktsegment")),
+
+    "q127_probe_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_dot_product(v, pv) /
+        |         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 5) AS sim
+        |FROM e, probe WHERE vec_id <> 0
+        |ORDER BY list_dot_product(v, pv) /
+        |         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) DESC,
+        |         vec_id
+        |LIMIT 20""".stripMargin,
 
     "q126_leakage_split" -> {
       val splitCase = operators.Sampling.splitCaseSql("cluster_id",

@@ -35,7 +35,12 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Fused single-pass cosine (see [[graft.functions.ArrayCosine]]) —
+    * bit-identical to `dot(a,b) / (l2Norm(a) * l2Norm(b))` but one
+    * generated function instead of three expression evaluations per
+    * candidate pair.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.ArrayCosine(a, b)
 
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * `corpus` rows (self-matches by id excluded). Output:
@@ -614,6 +619,33 @@ object Similarity {
       .select(col(qidCol), col("n_hit"),
         round(col("n_hit").cast("double") / k, 6).as("recall"))
       .orderBy(qidCol)
+  }
+
+  /** Ad-hoc probe query: the `k` corpus vectors nearest to ONE given
+    * vector (a user's interactive "what's similar to this?" — the
+    * degenerate ANN case where building any index is overkill). The
+    * probe row is collected (one row) and inlined as a literal array,
+    * so the corpus streams through a single fused-cosine projection
+    * ([[graft.functions.ArrayCosine]] — one generated loop per row,
+    * no per-row norm sub-expressions) into a TakeOrdered top-k: heap
+    * per partition, k rows to the driver, no shuffle of the corpus.
+    */
+  def probeTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeId: Long,
+      k: Int): DataFrame = {
+    val pv = corpus.filter(col(idCol) === probeId)
+      .select(toDoubleArray(col(vecCol)).as("v"))
+      .head().getSeq[Double](0)
+    val probe = array(pv.map(lit): _*)
+    corpus.filter(col(idCol) =!= probeId)
+      .select(col(idCol),
+        cosine(toDoubleArray(col(vecCol)), probe).as("__sim"))
+      .orderBy(col("__sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("__sim"), 5).as("sim"))
   }
 
   /** Semantic decontamination: flag corpus vectors whose cosine
