@@ -24,6 +24,7 @@ object GraftFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (exprs => ArrayDotProduct(exprs(0), exprs(1))),
+    "array_cosine" -> (exprs => ArrayCosine(exprs(0), exprs(1))),
     // topk_freq(col, k, capacity) — SpaceSaving heavy hitters
     "topk_freq" -> (exprs => {
       if (exprs.size != 3)

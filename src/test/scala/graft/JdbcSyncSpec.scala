@@ -354,6 +354,14 @@ class JdbcSyncSpec extends AnyFunSuite {
     assert(got == 11.0)
   }
 
+  test("custom sql function array_cosine registers and evaluates") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(got == 1.0)
+  }
+
   test("missing sync file fails fast before touching the DB") {
     val cfg = SyncConfig(db, Seq(TableSyncConfig(
       name = "whatever", filePath = "/tmp/does-not-exist-9z.csv",
