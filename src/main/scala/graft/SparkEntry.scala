@@ -598,6 +598,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: per-ROW MinHash signatures (streaming path) ----
+    // array-expression formulation StreamingDedup uses (stateless per
+    // row, no aggregate) — must produce byte-identical signatures to
+    // q21's aggregate path, and the oracle is literally q21's SQL
+    "q128_row_minhash" -> ((s, dir) => {
+      Dedup.rowMinhashSignatures(
+          T(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", k = 9)
+        .select("doc_id", "sig0", "sig1", "sig2", "sig3")
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: MinHash-LSH candidate pairs ----
     "q22_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(T(s, dir, "documents"), "doc_id", "text", k = 9)
@@ -2186,6 +2198,13 @@ object SparkEntry {
         |SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q21_minhash_sig" -> {
+      s"""WITH ${shingleCtes("documents WHERE doc_id < 100")},
+         |${shingleHashCte("sh")}
+         |SELECT doc_id, ${minhashSigExprsSql(4)} FROM sx GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q128_row_minhash" -> {
       s"""WITH ${shingleCtes("documents WHERE doc_id < 100")},
          |${shingleHashCte("sh")}
          |SELECT doc_id, ${minhashSigExprsSql(4)} FROM sx GROUP BY doc_id

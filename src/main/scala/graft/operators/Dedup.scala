@@ -146,6 +146,53 @@ object Dedup {
       shingleSize: Int = 3): DataFrame =
     minhashFromShingles(shingleRows(docs, idCol, textCol, shingleSize), idCol, k)
 
+  /** Per-ROW MinHash signatures: the same sig0..sig{k-1} columns as
+    * [[minhashSignatures]], computed with array expressions only — no
+    * explode, no groupBy. `array_min` over the shingle array replaces
+    * the per-shingle-row `min` aggregate; duplicates in the raw
+    * shingle array don't move a min, so the values are IDENTICAL to
+    * the aggregate path's (asserted in StreamingSpec).
+    *
+    * This is the formulation a STREAMING pipeline needs: a stateless
+    * per-row projection keeps the signature step out of streaming
+    * state entirely (the aggregate formulation would demand a
+    * watermarked stateful agg just to assemble one document's
+    * signature). Batch callers should prefer [[minhashSignatures]],
+    * whose shingle rows feed the rest of the LSH pipeline.
+    *
+    * `conv(hex, 16, 10)` supplies the 32-bit shingle hash here (Spark-
+    * only code path); the aggregate path uses the locate-trick
+    * [[Sampling.hexPrefixValue]] because its value must also be
+    * reproducible in the DuckDB oracle — both compute the integer
+    * value of the first 8 md5 hex digits, so signatures agree.
+    *
+    * Documents with no tokens yield no row (null shingle array
+    * filtered), matching the aggregate path.
+    */
+  def rowMinhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      shingleSize: Int = 3): DataFrame = {
+    val p = lit(MinhashPrime)
+    val n = shingleSize
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val shingles = when(size(col("__toks")) >= n,
+        expr(s"transform(sequence(0, size(__toks) - $n)," +
+          s" i -> array_join(slice(__toks, i + 1, $n), ' '))"))
+      .when(size(col("__toks")) >= 1, array(array_join(col("__toks"), " ")))
+    val sigCols = (0 until k).map { i =>
+      array_min(transform(col("__shs"), sh => {
+        val x = conv(substring(md5(sh), 1, 8), 16, 10).cast("long")
+        ((lit(minhashA(i)) * x) % p + lit(minhashB(i))) % p
+      })).as(s"sig$i")
+    }
+    withToks.withColumn("__shs", shingles)
+      .filter(col("__shs").isNotNull)
+      .select(col(idCol) +: sigCols: _*)
+  }
+
   /** Explode signatures into (id, band, bucket) rows; `bucket` is the
     * concatenation of the band's `k / bands` signature values.
     */
