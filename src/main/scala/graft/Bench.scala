@@ -143,6 +143,11 @@ object Bench {
         // job through (observed: a query surviving 107 s past a 90 s
         // cap). Repeat the cancel until the query thread returns.
         val capMs = (math.min(queryCapS, remaining) * 1000).toLong
+        // when the WALL budget (not the query's own cap) bounds the
+        // run, a watchdog kill means "ran out of round time", not "this
+        // query is broken" — record it as skipped so the next round's
+        // failed-list triage only chases real regressions
+        val budgetLimited = remaining < queryCapS
         sc.setJobGroup(name, name, interruptOnCancel = true)
         val task = new java.util.TimerTask {
           def run(): Unit = sc.cancelJobGroup(name)
@@ -157,8 +162,14 @@ object Bench {
             s"[bench] $name ${fmt3(secs)}s (${results.size + failed.size}/${ordered.size}, ${fmt2(elapsedS)}s elapsed)")
         } catch {
           case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name FAILED after ${fmt2((System.nanoTime() - t0) / 1e9)}s: ${e.getMessage}")
+            val ranS = (System.nanoTime() - t0) / 1e9
+            if (budgetLimited && ranS * 1000 >= capMs * 0.9) {
+              skipped += name
+              System.err.println(s"[bench] $name SKIPPED (wall budget) after ${fmt2(ranS)}s")
+            } else {
+              failed += name
+              System.err.println(s"[bench] $name FAILED after ${fmt2(ranS)}s: ${e.getMessage}")
+            }
         } finally {
           task.cancel()
           sc.clearJobGroup()

@@ -849,12 +849,12 @@ object SparkEntry {
 
     // ---- extension: classifier threshold sweep (PR calibration) ----
     // precision/recall of "keep docs with token count >= t" for
-    // selecting src_0 documents, swept over 20 equi-width thresholds —
+    // selecting src0 documents, swept over 20 equi-width thresholds —
     // the calibration table behind any quality-filter cut-off
     "q120_threshold_sweep" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(
         TextAnalysis.tokenCount(col("text")).as("score"),
-        (col("source") === "src_0").as("lab"))
+        (col("source") === "src0").as("lab"))
       operators.Metrics.thresholdSweep(d, "score", "lab", buckets = 20)
     }),
 
@@ -2447,7 +2447,7 @@ object SparkEntry {
       val B = 20
       s"""WITH d AS (SELECT
          |    CAST(len(${TextAnalysis.tokensSql("text")}) AS DOUBLE) AS sc,
-         |    (source = 'src_0') AS lab FROM documents),
+         |    (source = 'src0') AS lab FROM documents),
          |mm AS (SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM d),
          |b AS (SELECT CASE WHEN mx = mn THEN 0
          |        ELSE LEAST(CAST(FLOOR((sc - mn) / ((mx - mn) / $B)) AS BIGINT), $B - 1)
@@ -2479,7 +2479,7 @@ object SparkEntry {
         |q AS (SELECT vec_id AS eid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE vec_id < 20),
         |c AS (SELECT vec_id AS cid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE vec_id >= 20),
         |p AS (SELECT cid, eid, list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS sim
-        |      FROM c JOIN q ON cid <> eid)
+        |      FROM c CROSS JOIN q)
         |SELECT cid, COUNT(*) AS n_eval_hits, round(MAX(sim), 5) AS max_sim,
         |       MIN(eid) AS first_eval_id
         |FROM p WHERE sim >= 0.4 GROUP BY cid ORDER BY cid""".stripMargin,

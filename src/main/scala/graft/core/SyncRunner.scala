@@ -104,8 +104,18 @@ object SyncRunner {
     if (outcome == null) {
       worker.interrupt()
       worker.join(15000L) // give the abort path time to roll back
-      throw new SyncTimeoutException(
-        s"sync exceeded its ${budget}s wall-clock budget; transaction rolled back")
+      // Re-read the outcome AFTER the grace join: the interrupt may
+      // have landed past conn.commit(), in which case the worker
+      // finished successfully during the grace window and reporting
+      // "rolled back" would send an operator into a duplicate re-run.
+      outcome match {
+        case Right(results) => return results
+        case _ =>
+          throw new SyncTimeoutException(
+            s"sync exceeded its ${budget}s wall-clock budget; " +
+              (if (outcome == null) "worker still running, transaction will roll back on abort"
+               else "transaction rolled back"))
+      }
     }
     outcome.fold(e => throw e, identity)
   }

@@ -182,14 +182,20 @@ object Dedup {
         expr(s"transform(sequence(0, size(__toks) - $n)," +
           s" i -> array_join(slice(__toks, i + 1, $n), ' '))"))
       .when(size(col("__toks")) >= 1, array(array_join(col("__toks"), " ")))
+    // ONE md5 per shingle, materialized as the __xs hash array in its
+    // own projection; the k signatures are array_mins of affine maps
+    // over it. Folding the md5 into each sig column would hash every
+    // shingle k times — the exact cost minhashFromShingles documents
+    // as the pipeline's dominant one.
+    val xs = transform(col("__shs"),
+      sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
     val sigCols = (0 until k).map { i =>
-      array_min(transform(col("__shs"), sh => {
-        val x = conv(substring(md5(sh), 1, 8), 16, 10).cast("long")
-        ((lit(minhashA(i)) * x) % p + lit(minhashB(i))) % p
-      })).as(s"sig$i")
+      array_min(transform(col("__xs"),
+        x => ((lit(minhashA(i)) * x) % p + lit(minhashB(i))) % p)).as(s"sig$i")
     }
     withToks.withColumn("__shs", shingles)
       .filter(col("__shs").isNotNull)
+      .withColumn("__xs", xs)
       .select(col(idCol) +: sigCols: _*)
   }
 
@@ -614,13 +620,17 @@ object Dedup {
       maxDf: Int = 1): DataFrame = {
     require(segTokens > 0, "segTokens must be positive")
     require(maxDf >= 1, "maxDf must be >= 1")
+    // materialize the token array ONCE per document — inlining the
+    // split into the transform lambda would re-tokenize the document
+    // per segment (the quadratic trap shingleRows documents)
     val segs = docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), expr(
         s"""explode(transform(
-           |  sequence(0, cast(ceil(size(split($textCol, ' ')) / $segTokens.0D) as int) - 1),
+           |  sequence(0, cast(ceil(size(__toks) / $segTokens.0D) as int) - 1),
            |  i -> struct(
            |    cast(i as bigint) as i,
-           |    array_join(slice(split($textCol, ' '), i * $segTokens + 1, $segTokens), ' ') as seg)))
+           |    array_join(slice(__toks, i * $segTokens + 1, $segTokens), ' ') as seg)))
            |""".stripMargin).as("__s"))
       .select(col(idCol), col("__s.i").as("i"), col("__s.seg").as("seg"))
     val boiler = segs

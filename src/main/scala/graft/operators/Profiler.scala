@@ -133,9 +133,11 @@ object Profiler {
     * a -> b holds iff |distinct a| = |distinct (a, b)|. One scan tags
     * each row with all pairs' values (a bounded explode: rows x
     * pairs), then ONE distinct and one partial-aggregated groupBy —
-    * no per-pair rescans. NULL is treated as an ordinary value (via a
-    * sentinel), so a column that is null for two different b values
-    * correctly fails the dependency.
+    * no per-pair rescans. NULL is treated as an ordinary value via a
+    * TYPED encoding ("n" for null, "v:" + value otherwise), so a
+    * column that is null for two different b values correctly fails
+    * the dependency AND a literal string value can never collide with
+    * the null marker.
     *
     * Keep `cols` to the handful of columns under investigation: the
     * explode factor is k*(k-1) and the distinct shuffles it.
@@ -143,7 +145,8 @@ object Profiler {
   def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
-    def v(c: String) = coalesce(col(c).cast("string"), lit("<null>"))
+    def v(c: String) =
+      when(col(c).isNull, lit("n")).otherwise(concat(lit("v:"), col(c).cast("string")))
     val tagged = df.select(explode(array(pairs.map { case (a, b) =>
         struct(lit(a).as("col_a"), lit(b).as("col_b"),
           v(a).as("va"), v(b).as("vb"))
@@ -159,10 +162,12 @@ object Profiler {
   /** DuckDB SQL twin of [[functionalDependencies]]. */
   def functionalDependenciesSql(src: String, cols: Seq[String]): String = {
     val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    def v(c: String) =
+      s"CASE WHEN $c IS NULL THEN 'n' ELSE 'v:' || CAST($c AS VARCHAR) END"
     val blocks = pairs.map { case (a, b) =>
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
-         |  COALESCE(CAST($a AS VARCHAR), '<null>') AS va,
-         |  COALESCE(CAST($b AS VARCHAR), '<null>') AS vb FROM $src""".stripMargin
+         |  ${v(a)} AS va,
+         |  ${v(b)} AS vb FROM $src""".stripMargin
     }.mkString("\n  UNION ALL\n")
     s"""WITH p AS (
        |$blocks),

@@ -643,6 +643,10 @@ object Similarity {
     corpus.filter(col(idCol) =!= probeId)
       .select(col(idCol),
         cosine(toDoubleArray(col(vecCol)), probe).as("__sim"))
+      // ArrayCosine yields NaN for a zero-norm vector, and Spark sorts
+      // NaN ABOVE every double in a DESC order — without this filter a
+      // degenerate corpus vector would win rank 1 for every probe
+      .filter(!isnan(col("__sim")))
       .orderBy(col("__sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("__sim"), 5).as("sim"))
@@ -673,10 +677,15 @@ object Similarity {
     val q = broadcast(
       evalSet.select(col(idCol).as("eid"), toDoubleArray(col(vecCol)).as("__qv"))
         .withColumn("__qn", l2Norm(col("__qv"))))
+    // eval set and corpus are SEPARATE datasets: every corpus row is
+    // compared against every eval row. (An id-equality exclusion here
+    // would silently skip real comparisons whenever the two id spaces
+    // overlap by coincidence — if the corpus still contains the eval
+    // rows themselves, filter them out upstream, as q119 does.)
     corpus
       .select(col(idCol).as("cid"), toDoubleArray(col(vecCol)).as("__cv"))
       .withColumn("__cn", l2Norm(col("__cv")))
-      .join(q, col("cid") =!= col("eid"))
+      .crossJoin(q)
       .withColumn("sim", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
       .filter(col("sim") >= threshold)
       .groupBy(col("cid"))

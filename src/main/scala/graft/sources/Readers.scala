@@ -72,9 +72,17 @@ object Readers {
     // wholeTextFiles is per-file — the same parallelism the multiLine
     // (non-splittable) inferred read already has.
     import spark.implicits._
+    // A multiLine file may be a top-level ARRAY (many records) or one
+    // top-level OBJECT (one record — Spark reads it as a single row).
+    // The array parse returns null for the object form, which would
+    // silently skip the per-record check — fall back to wrapping the
+    // object parse as a one-record array.
+    val asArray = from_json(col("j"), ArrayType(MapType(StringType, StringType)))
+    val asObject = from_json(col("j"), MapType(StringType, StringType))
     val recs = spark.sparkContext.wholeTextFiles(path).values.toDF("j")
-      .select(posexplode(from_json(col("j"),
-        ArrayType(MapType(StringType, StringType)))).as(Seq("i", "rec")))
+      .select(posexplode(
+        when(asArray.isNotNull, asArray)
+          .when(asObject.isNotNull, array(asObject))).as(Seq("i", "rec")))
     val required: Seq[String] =
       if (columns.nonEmpty) columns
       else recs.filter(col("i") === 0).select(map_keys(col("rec")))

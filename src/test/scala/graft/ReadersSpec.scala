@@ -106,6 +106,19 @@ class ReadersSpec extends AnyFunSuite {
     assert(Readers.json(spark, p).count() == 0)
   }
 
+  test("json: single top-level object gets the same per-record check") {
+    // the array-schema parse yields null for an object file; without
+    // the object fallback the presence check silently skipped it
+    val p = tmpFile("o.json", """{"id": 1, "name": "alice"}""")
+    assert(Readers.json(spark, p, columns = Seq("id", "name")).count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      Readers.json(spark, p, columns = Seq("id", "email"))
+    }
+    assert(e.getMessage.contains("email"))
+    // auto-detect takes the object's own sorted keys
+    assert(Readers.json(spark, p).columns.toSeq == Seq("id", "name"))
+  }
+
   test("parquet dispatch reads with projection; partitioned jdbc read works") {
     import java.sql.DriverManager
     val dir = Files.createTempDirectory("graft-pq")
