@@ -163,7 +163,13 @@ object Bench {
         } catch {
           case e: Throwable =>
             val ranS = (System.nanoTime() - t0) / 1e9
-            if (budgetLimited && ranS * 1000 >= capMs * 0.9) {
+            // only an actual watchdog cancellation counts as a budget
+            // skip — a genuine failure that happens to land late must
+            // still reach the failed list the next round triages
+            val cancelled = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(8)
+              .exists(t => Option(t.getMessage).exists(_.toLowerCase.contains("cancel")))
+            if (budgetLimited && cancelled) {
               skipped += name
               System.err.println(s"[bench] $name SKIPPED (wall budget) after ${fmt2(ranS)}s")
             } else {

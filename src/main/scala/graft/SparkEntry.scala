@@ -2335,14 +2335,14 @@ object SparkEntry {
 
     "q127_probe_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0)
-        |SELECT vec_id,
-        |       round(list_dot_product(v, pv) /
-        |         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 5) AS sim
-        |FROM e, probe WHERE vec_id <> 0
-        |ORDER BY list_dot_product(v, pv) /
-        |         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) DESC,
-        |         vec_id
+        |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |        list_dot_product(v, pv) /
+        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) AS sim
+        |      FROM e, probe WHERE vec_id <> 0)
+        |SELECT vec_id, round(sim, 5) AS sim
+        |FROM s WHERE NOT isnan(sim)
+        |ORDER BY s.sim DESC, vec_id
         |LIMIT 20""".stripMargin,
 
     "q126_leakage_split" -> {

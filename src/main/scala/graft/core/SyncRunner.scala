@@ -104,16 +104,19 @@ object SyncRunner {
     if (outcome == null) {
       worker.interrupt()
       worker.join(15000L) // give the abort path time to roll back
-      // Re-read the outcome AFTER the grace join: the interrupt may
-      // have landed past conn.commit(), in which case the worker
-      // finished successfully during the grace window and reporting
-      // "rolled back" would send an operator into a duplicate re-run.
-      outcome match {
+      // Re-read the outcome ONCE after the grace join (a second read
+      // could observe a commit that landed between match and message —
+      // the exact committed-but-reported-rolled-back hazard): the
+      // interrupt may have landed past conn.commit(), in which case
+      // the worker finished successfully during the grace window and
+      // reporting "rolled back" would invite a duplicate re-run.
+      val o = outcome
+      o match {
         case Right(results) => return results
         case _ =>
           throw new SyncTimeoutException(
             s"sync exceeded its ${budget}s wall-clock budget; " +
-              (if (outcome == null) "worker still running, transaction will roll back on abort"
+              (if (o == null) "worker still running, transaction will roll back on abort"
                else "transaction rolled back"))
       }
     }

@@ -85,6 +85,21 @@ object Dedup {
     * element, the quadratic trap that also bites `transform` over a
     * derived array written in one projection.
     */
+  /** The shingle ARRAY for a bound token-array column — the ONE
+    * definition of shingle semantics, shared by the row-explode path
+    * ([[shingleRows]]) and the per-row signature path
+    * ([[rowMinhashSignatures]]) so the two formulations cannot drift
+    * (StreamingDedup and the q128 oracle depend on their signatures
+    * being byte-identical).
+    */
+  private[operators] def shingleArray(toks: Column, n: Int, strict: Boolean): Column = {
+    val full = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    if (strict) full
+    else full.when(size(toks) >= 1, array(array_join(toks, " ")))
+  }
+
   def shingleRows(
       docs: DataFrame,
       idCol: String,
@@ -92,14 +107,8 @@ object Dedup {
       n: Int = 3,
       strict: Boolean = false): DataFrame = {
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val full = when(size(col("__toks")) >= n,
-      expr(s"transform(sequence(0, size(__toks) - $n)," +
-        s" i -> array_join(slice(__toks, i + 1, $n), ' '))"))
-    val shingles =
-      if (strict) full
-      else full.when(size(col("__toks")) >= 1, array(array_join(col("__toks"), " ")))
     withToks
-      .select(col(idCol), explode(shingles).as("__sh"))
+      .select(col(idCol), explode(shingleArray(col("__toks"), n, strict)).as("__sh"))
       .distinct()
   }
 
@@ -178,10 +187,7 @@ object Dedup {
     val p = lit(MinhashPrime)
     val n = shingleSize
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val shingles = when(size(col("__toks")) >= n,
-        expr(s"transform(sequence(0, size(__toks) - $n)," +
-          s" i -> array_join(slice(__toks, i + 1, $n), ' '))"))
-      .when(size(col("__toks")) >= 1, array(array_join(col("__toks"), " ")))
+    val shingles = shingleArray(col("__toks"), n, strict = false)
     // ONE md5 per shingle, materialized as the __xs hash array in its
     // own projection; the k signatures are array_mins of affine maps
     // over it. Folding the md5 into each sig column would hash every
