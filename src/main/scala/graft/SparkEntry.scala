@@ -610,6 +610,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: per-pair containment decontamination ----
+    // the report behind q47's corpus-side flags: WHICH eval item leaked
+    // into which training doc, and how completely — |shared 5-grams| /
+    // |eval 5-grams| per (corpus, eval) pair; eval side broadcasts,
+    // one (cid, eid) shuffle
+    "q129_containment" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      operators.Decontaminate.containmentPairs(
+          d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+          "doc_id", "text", n = 5)
+        .orderBy("cid", "eid")
+    }),
+
+    // ---- extension: truncation-duplicate (prefix) pairs ----
+    // docs cut at different ingest byte limits: A a strict char prefix
+    // of B. Guaranteed hits here by unioning half-length truncations
+    // (doc_id+100000) of every 7th doc; the operator blocks on a
+    // 16-char prefix key — an equi join, never all-pairs
+    "q130_prefix_dups" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val truncated = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          col("text").substr(lit(1), (length(col("text")) / 2).cast("int"))
+            .as("text"))
+      Dedup.prefixDupPairs(d.unionByName(truncated), "doc_id", "text")
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- extension: MinHash-LSH candidate pairs ----
     "q22_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(T(s, dir, "documents"), "doc_id", "text", k = 9)
@@ -2332,6 +2360,31 @@ object SparkEntry {
     "q125_fd_discovery" ->
       operators.Profiler.functionalDependenciesSql("customer",
         Seq("c_custkey", "c_nationkey", "c_mktsegment")),
+
+    "q129_containment" ->
+      s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 5, "c", strict = true)},
+         |${ngramCtes("documents WHERE doc_id < 10", 5, "e", strict = true)},
+         |ez AS (SELECT doc_id AS eid, COUNT(*) AS n_eval FROM esh GROUP BY 1),
+         |p AS (SELECT c.doc_id AS cid, e.doc_id AS eid, COUNT(*) AS n_shared
+         |      FROM csh c JOIN esh e ON c.s = e.s GROUP BY 1, 2)
+         |SELECT cid, eid, n_shared, CAST(n_eval AS BIGINT) AS n_eval,
+         |       round(n_shared / CAST(n_eval AS DOUBLE), 6) AS containment
+         |FROM p JOIN ez USING (eid)
+         |ORDER BY cid, eid""".stripMargin,
+
+    "q130_prefix_dups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text, 1, length(text) // 2)
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(length(a.text) AS BIGINT) AS a_len,
+        |       CAST(length(b.text) AS BIGINT) AS b_len
+        |FROM corpus a JOIN corpus b
+        |  ON length(a.text) < length(b.text)
+        | AND substr(b.text, 1, CAST(length(a.text) AS INT)) = a.text
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q127_probe_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -67,4 +67,46 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Per-(corpus, eval) pair asymmetric containment: the fraction of an
+    * eval item's distinct `n`-gram shingles that appear verbatim in the
+    * corpus document — `|shingles(eval) ∩ shingles(corpus)| /
+    * |shingles(eval)|`. [[flagContaminated]] answers "is this training
+    * doc suspect at all"; this answers "WHICH benchmark item leaked into
+    * it, and how completely" (containment 1.0 = the eval item is fully
+    * embedded), which is what a decontamination report has to show per
+    * eval task.
+    *
+    * Shape: both sides explode to distinct (doc, shingle) rows, the eval
+    * side (tiny: a benchmark) broadcasts into one hash join, and the
+    * pair counts partial-aggregate before the single (cid, eid) shuffle.
+    * The corpus side never shuffles its text — only matched shingle hits
+    * move. If the eval set ever outgrew broadcast, drop the two
+    * `broadcast` hints and the same plan runs as shuffle joins keyed on
+    * the shingle — no logic change.
+    *
+    * Output: `(cid, eid, n_shared, n_eval, containment)`, one row per
+    * pair with containment ≥ `minContainment`.
+    */
+  def containmentPairs(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minContainment: Double = 0.0): DataFrame = {
+    val evalSh = Dedup.shingleRows(evalDocs, idCol, textCol, n, strict = true)
+      .select(col(idCol).as("eid"), col("__sh"))
+    val evalSizes = evalSh.groupBy("eid").agg(count(lit(1)).as("n_eval"))
+    val corpusSh = Dedup.shingleRows(corpus, idCol, textCol, n, strict = true)
+      .select(col(idCol).as("cid"), col("__sh"))
+    corpusSh.join(broadcast(evalSh), "__sh")
+      .groupBy("cid", "eid")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(evalSizes), "eid")
+      .withColumn("containment",
+        round(col("n_shared") / col("n_eval").cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .select("cid", "eid", "n_shared", "n_eval", "containment")
+  }
 }

@@ -838,4 +838,47 @@ object Dedup {
        |       COUNT(*) AS n_windows
        |FROM isl GROUP BY $idCol, g
        |ORDER BY $idCol, span_start""".stripMargin
+
+  /** Truncation duplicates: pairs `(a, b)` where document `a`'s full
+    * text is a STRICT character prefix of document `b`'s (`len(a) <
+    * len(b)`). The common corpus pathology this catches is re-crawled /
+    * re-ingested documents cut at different byte limits — exact dedup
+    * (same hash) misses them, and near-dup passes see them only when
+    * the truncation is small.
+    *
+    * Shape: a prefix relation implies the first `blockChars` characters
+    * agree, so the main path is an equi self-join on that fixed-width
+    * block key (hash join, AQE-skewed if a boilerplate prefix is hot),
+    * verified by one `substr` comparison — never an all-pairs product.
+    * Documents shorter than `blockChars` can't carry the block key of a
+    * longer continuation, so they take a separate pass: broadcast the
+    * (by construction tiny: shorter than the block) short side against
+    * the corpus with the direct prefix predicate.
+    *
+    * Output: `(a_id, b_id, a_len, b_len)`.
+    */
+  def prefixDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockChars: Int = 16): DataFrame = {
+    val d = docs.select(
+      col(idCol).as("__id"), col(textCol).as("__t"),
+      length(col(textCol)).cast("long").as("__len"))
+    def side(p: String, df: DataFrame) = df.select(
+      col("__id").as(s"${p}_id"), col("__t").as(s"${p}_t"),
+      col("__len").as(s"${p}_len"))
+    val long = d.filter(col("__len") >= blockChars)
+    val isPrefix =
+      col("a_len") < col("b_len") &&
+        col("b_t").substr(lit(1), col("a_len")) === col("a_t")
+    val main = side("a", long).withColumn("__blk", substring(col("a_t"), 1, blockChars))
+      .join(side("b", long).withColumn("__blk", substring(col("b_t"), 1, blockChars)),
+        Seq("__blk"))
+      .filter(isPrefix)
+    val shortSide = broadcast(side("a", d.filter(col("__len") < blockChars)))
+      .join(side("b", d), isPrefix)
+    main.select("a_id", "b_id", "a_len", "b_len")
+      .unionByName(shortSide.select("a_id", "b_id", "a_len", "b_len"))
+  }
 }
