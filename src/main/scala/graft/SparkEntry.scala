@@ -638,6 +638,32 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // ---- extension: join-size pre-flight (exact output cardinality) ----
+    // what WOULD lineitem self-joined on l_partkey produce? Computed
+    // from the per-key count table (counts join counts), never the
+    // join itself — the broadcast/salt/abort decision before a 100 TB
+    // join is launched
+    "q131_join_size" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      // the persisted count-table handle is scrubbed by the harness's
+      // inter-query unpersist sweep (Bench/Probe/Verify)
+      operators.Profiler.joinSizeEstimate(l, l, "l_partkey", "l_partkey").df
+    }),
+
+    // ---- extension: cleaning-funnel attrition report ----
+    // sequential filter cascade with per-stage accounting: each doc is
+    // charged to the FIRST stage it fails, so n_out of stage i chains
+    // exactly into n_in of stage i+1; one scan, one tiny groupBy
+    "q132_clean_funnel" -> ((s, dir) => {
+      operators.DocPipeline.attritionReport(
+          T(s, dir, "documents"),
+          Seq(
+            "min_tokens" -> (TextAnalysis.tokenCount(col("text")) >= 20),
+            "max_chars" -> (col("n_chars") <= 400),
+            "english" -> (col("lang") === "en")))
+        .orderBy("stage_idx")
+    }),
+
     // ---- extension: MinHash-LSH candidate pairs ----
     "q22_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(T(s, dir, "documents"), "doc_id", "text", k = 9)
@@ -2360,6 +2386,43 @@ object SparkEntry {
     "q125_fd_discovery" ->
       operators.Profiler.functionalDependenciesSql("customer",
         Seq("c_custkey", "c_nationkey", "c_mktsegment")),
+
+    "q131_join_size" ->
+      """WITH c AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |j AS (SELECT k, c * c AS o FROM c),
+        |top AS (SELECT CAST(SUM(o) AS BIGINT) AS topk_out_rows
+        |        FROM (SELECT o FROM j ORDER BY o DESC, k LIMIT 10)),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys FROM c),
+        |s AS (SELECT COUNT(*) AS n_common_keys, CAST(SUM(o) AS BIGINT) AS out_rows,
+        |        CAST(MAX(o) AS BIGINT) AS max_key_out FROM j)
+        |SELECT t.n_rows AS n_left_rows, t.n_rows AS n_right_rows,
+        |       t.n_keys AS n_left_keys, t.n_keys AS n_right_keys,
+        |       s.n_common_keys, s.out_rows, s.max_key_out, top.topk_out_rows,
+        |       round(CAST(topk_out_rows AS DOUBLE) / out_rows, 6) AS topk_out_share,
+        |       round(CAST(out_rows AS DOUBLE) / t.n_rows, 6) AS amplification
+        |FROM t, s, top""".stripMargin,
+
+    "q132_clean_funnel" ->
+      s"""WITH d AS (SELECT CASE
+         |    WHEN NOT (len(${TextAnalysis.tokensSql("text")}) >= 20) THEN CAST(0 AS BIGINT)
+         |    WHEN NOT (n_chars <= 400) THEN 1
+         |    WHEN NOT (lang = 'en') THEN 2 END AS ff
+         |  FROM documents),
+         |f AS (SELECT ff, COUNT(*) AS n FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM f),
+         |spine(stage_idx, stage) AS (
+         |  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'min_tokens'),
+         |                        (1, 'max_chars'), (2, 'english'))),
+         |s AS (SELECT stage_idx, stage, CAST(COALESCE(f.n, 0) AS BIGINT) AS n_dropped
+         |      FROM spine LEFT JOIN f ON f.ff = spine.stage_idx),
+         |r AS (SELECT stage_idx, stage, n_dropped, total,
+         |        total - CAST(COALESCE(SUM(n_dropped) OVER (ORDER BY stage_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in
+         |      FROM s, tot)
+         |SELECT stage_idx, stage, n_in, n_dropped, n_in - n_dropped AS n_out,
+         |  CASE WHEN n_in > 0 THEN round(CAST(n_dropped AS DOUBLE) / n_in, 6) END AS drop_rate,
+         |  CASE WHEN total > 0 THEN round(CAST(n_in - n_dropped AS DOUBLE) / total, 6) END AS cum_kept_rate
+         |FROM r ORDER BY stage_idx""".stripMargin,
 
     "q129_containment" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 5, "c", strict = true)},

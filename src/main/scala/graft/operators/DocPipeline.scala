@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus cleaning: the composition layer a training-data
@@ -68,5 +69,57 @@ object DocPipeline {
     val nearDupLosers = nearDup.df.select(col("d2").as(idCol)).distinct()
     val kept = exact.join(nearDupLosers, Seq(idCol), "left_anti")
     Dedup.CachedDF(kept, nearDup.handles)
+  }
+
+  /** Per-stage attrition accounting for a sequential filter cascade —
+    * the report every curation run publishes: how many documents each
+    * stage saw, dropped, and passed on, with per-stage and cumulative
+    * rates. Stages apply IN ORDER: a document is charged to the FIRST
+    * stage whose predicate it fails (later stages never see it), so the
+    * per-stage numbers chain exactly (`n_out` of stage i = `n_in` of
+    * stage i+1).
+    *
+    * One scan: each row maps to its first-failing stage index, one
+    * partial-aggregated groupBy over ≤ stages+1 groups, and the funnel
+    * arithmetic (a running sum) runs on that stage-count table — rows
+    * never shuffle, whatever the corpus size.
+    *
+    * Output: `(stage_idx, stage, n_in, n_dropped, n_out, drop_rate,
+    * cum_kept_rate)`, one row per stage.
+    */
+  def attritionReport(
+      docs: DataFrame,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val firstFail = stages.zipWithIndex.foldRight(lit(null).cast("long")) {
+      case (((_, cond), i), acc) => when(!cond, lit(i.toLong)).otherwise(acc)
+    }
+    val byFail = docs.select(firstFail.as("__ff"))
+      .groupBy("__ff").agg(count(lit(1)).as("__n"))
+    val total = byFail.agg(coalesce(sum(col("__n")), lit(0L)).as("__total"))
+    val spine = stages.zipWithIndex
+      .map { case ((name, _), i) => (i.toLong, name) }
+      .toDF("stage_idx", "stage")
+    val w = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    broadcast(spine)
+      .join(byFail, col("stage_idx") === col("__ff"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("__n"), lit(0L)).as("n_dropped"), col("__total"))
+      .withColumn("n_in",
+        col("__total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .withColumn("n_out", col("n_in") - col("n_dropped"))
+      .select(
+        col("stage_idx"), col("stage"), col("n_in"), col("n_dropped"),
+        col("n_out"),
+        when(col("n_in") > 0,
+          round(col("n_dropped").cast("double") / col("n_in"), 6))
+          .as("drop_rate"),
+        when(col("__total") > 0,
+          round(col("n_out").cast("double") / col("__total"), 6))
+          .as("cum_kept_rate"))
   }
 }

@@ -218,4 +218,69 @@ object Profiler {
           (col("n_rows").cast("double") / col("n_keys")), 6).as("max_over_avg"),
         round(col("__top_rows").cast("double") / col("n_rows"), 6).as("topk_share"))
   }
+
+  /** Exact inner-join output cardinality pre-flight: BEFORE launching a
+    * join that might explode, compute what it will produce —
+    * `out_rows = Σ_k count_left(k) · count_right(k)` — from the two
+    * per-key count tables, never the join itself. The companion to
+    * [[skewReport]]: that one looks at one key's distribution, this one
+    * at the pair. `amplification` (out rows per left row) ≈ 1 means a
+    * well-behaved FK join; `topk_out_share` near 1 means a handful of
+    * keys produce the whole output — salt those or pre-aggregate.
+    *
+    * Cost: exactly one scan + partial-aggregated groupBy per side
+    * (counts, not rows); the joined count table is persisted (it feeds
+    * both the global aggregate and the TakeOrdered top-K) and handed
+    * back as a [[Dedup.CachedDF]] — call `.unpersist()` after the
+    * terminal action. Ties at the top-K boundary carry equal
+    * contributions, so the reported mass is tie-invariant.
+    */
+  def joinSizeEstimate(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      topK: Int = 10): Dedup.CachedDF = {
+    require(topK > 0, "topK must be positive")
+    // ONE pass per input builds its per-key count table; their full
+    // outer join `m` is the only materialized intermediate (|keys|
+    // rows, persisted because both the global aggregate and the top-K
+    // read it — Spark's exchange reuse does NOT dedup the two
+    // consumers, so without the persist each input would be scanned
+    // once per consumer).
+    val m = left.groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__cl"))
+      .join(
+        right.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cr")),
+        Seq("__k"), "full_outer")
+      .select(col("__k"), col("__cl"), col("__cr"),
+        (col("__cl") * col("__cr")).as("__out"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = m.filter(col("__out").isNotNull)
+      .orderBy(col("__out").desc, col("__k"))
+      .limit(topK)
+      .agg(sum(col("__out")).as("__topk_out"))
+    val report = m
+      .agg(
+        coalesce(sum(col("__cl")), lit(0L)).as("n_left_rows"),
+        coalesce(sum(col("__cr")), lit(0L)).as("n_right_rows"),
+        count(col("__cl")).as("n_left_keys"),
+        count(col("__cr")).as("n_right_keys"),
+        count(col("__out")).as("n_common_keys"),
+        coalesce(sum(col("__out")), lit(0L)).as("out_rows"),
+        coalesce(max(col("__out")), lit(0L)).as("max_key_out"))
+      .crossJoin(broadcast(top))
+      .select(
+        col("n_left_rows"), col("n_right_rows"),
+        col("n_left_keys"), col("n_right_keys"),
+        col("n_common_keys"), col("out_rows"), col("max_key_out"),
+        coalesce(col("__topk_out"), lit(0L)).as("topk_out_rows"),
+        when(col("out_rows") > 0,
+          round(coalesce(col("__topk_out"), lit(0L)).cast("double") /
+            col("out_rows"), 6)).as("topk_out_share"),
+        when(col("n_left_rows") > 0,
+          round(col("out_rows").cast("double") / col("n_left_rows"), 6))
+          .as("amplification"))
+    Dedup.CachedDF(report, Seq(m))
+  }
 }

@@ -45,6 +45,14 @@ object Probe {
       }
       if (sys.env.contains("PROBE_EXPLAIN"))
         fn(spark, sfDir).explain("formatted")
+      // AQE rewrites (ReusedExchange, broadcast/SMJ switches, skew
+      // splits) only show on an EXECUTED Dataset instance — the
+      // initial plan above double-counts any exchange AQE later dedups
+      if (sys.env.contains("PROBE_EXPLAIN_EXECUTED")) {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        df.explain("formatted")
+      }
       // same inter-query isolation as Bench: drop cache entries and any
       // checkpoint/persist blocks the query pinned
       spark.catalog.clearCache()
