@@ -664,6 +664,18 @@ object SparkEntry {
         .orderBy("stage_idx")
     }),
 
+    // ---- extension: shard-export manifest ----
+    // the bookkeeping of a sharded corpus dump: deterministic
+    // hash(salt:id) mod N placement (re-derivable by any engine, so
+    // incremental re-exports keep unchanged docs on unchanged shards)
+    // with per-shard doc/token/byte totals and a balance factor; one
+    // scan, map-side partials into N groups, window only over the
+    // N-row aggregate
+    "q133_shard_manifest" -> ((s, dir) => {
+      operators.Sharding.shardManifest(
+        T(s, dir, "documents"), "doc_id", "text", nShards = 8)
+    }),
+
     // ---- extension: MinHash-LSH candidate pairs ----
     "q22_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(T(s, dir, "documents"), "doc_id", "text", k = 9)
@@ -2423,6 +2435,9 @@ object SparkEntry {
          |  CASE WHEN n_in > 0 THEN round(CAST(n_dropped AS DOUBLE) / n_in, 6) END AS drop_rate,
          |  CASE WHEN total > 0 THEN round(CAST(n_in - n_dropped AS DOUBLE) / total, 6) END AS cum_kept_rate
          |FROM r ORDER BY stage_idx""".stripMargin,
+
+    "q133_shard_manifest" ->
+      operators.Sharding.shardManifestSql("documents", "doc_id", "text", nShards = 8),
 
     "q129_containment" ->
       s"""WITH ${ngramCtes("documents WHERE doc_id >= 10", 5, "c", strict = true)},
