@@ -226,7 +226,15 @@ object Dedup {
 
   /** Candidate near-duplicate pairs (id1 < id2) sharing at least one
     * LSH band bucket. The self-join keys on (band, bucket), so only
-    * rows in the same bucket ever meet — no quadratic blowup. The
+    * rows in the same bucket ever meet; a bucket with more than
+    * `maxPerBucket` members (boilerplate that hashes everything
+    * together — empty pages, license headers) switches from all-vs-all
+    * to star edges against the bucket's minimum id, keeping the pair
+    * output linear in bucket size. Connected components are unchanged
+    * (every member still reaches the min), which is the only property
+    * the cluster consumers rely on; exhaustive pair listing inside a
+    * degenerate bucket is deliberately given up — the same trade the
+    * streaming twin makes ([[graft.streaming.StreamingDedup]]). The
     * signature table is persisted: it is tiny (k hashes/doc) and both
     * join sides read it, which would otherwise recompute the whole
     * shingle+hash pipeline twice.
@@ -235,8 +243,9 @@ object Dedup {
       sigs: DataFrame,
       idCol: String,
       k: Int,
-      bands: Int): DataFrame =
-    lshCandidatePairsCached(sigs, idCol, k, bands).df
+      bands: Int,
+      maxPerBucket: Int = 64): DataFrame =
+    lshCandidatePairsCached(sigs, idCol, k, bands, maxPerBucket).df
 
   /** [[lshCandidatePairs]] plus the persisted signature table, so a
     * long-lived caller can release it after its action (one-shot jobs
@@ -246,15 +255,30 @@ object Dedup {
       sigs: DataFrame,
       idCol: String,
       k: Int,
-      bands: Int): CachedDF = {
+      bands: Int,
+      maxPerBucket: Int = 64): CachedDF = {
+    require(maxPerBucket > 1, "maxPerBucket must allow at least one pair")
     val s = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     val b = lshBuckets(s, idCol, k, bands)
-    val l = b.select(col("band"), col("bucket"), col(idCol).as("d1"))
-    val r = b.select(col("band"), col("bucket"), col(idCol).as("d2"))
-    val pairs = l.join(r, Seq("band", "bucket"))
+    // Per-bucket size + min id, shuffled on the same (band, bucket) key
+    // the self-join uses. m·(m−1)/2 pairs only below the cap; a hot
+    // bucket of m members emits m−1 star edges instead of up to 10^12
+    // pairs for a 10^6-member boilerplate bucket.
+    val stats = b.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__m"), min(col(idCol)).as("__minid"))
+    val bs = b.join(stats, Seq("band", "bucket"))
+    val small = bs.filter(col("__m") <= maxPerBucket)
+    val smallPairs = small.select(col("band"), col("bucket"), col(idCol).as("d1"))
+      .join(small.select(col("band"), col("bucket"), col(idCol).as("d2")),
+        Seq("band", "bucket"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2")
-      .distinct()
+    // __minid is the bucket minimum, so __minid < id holds for every
+    // non-min member — the d1 < d2 invariant comes for free.
+    val hotPairs = bs
+      .filter(col("__m") > maxPerBucket && col(idCol) > col("__minid"))
+      .select(col("__minid").as("d1"), col(idCol).as("d2"))
+    val pairs = smallPairs.union(hotPairs).distinct()
     CachedDF(pairs, Seq(s))
   }
 
