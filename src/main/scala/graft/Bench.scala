@@ -28,6 +28,17 @@ import org.apache.spark.sql.SparkSession
   * /root/repo/bench_full.json), rewritten after EVERY query so even a
   * hard kill leaves complete partial numbers on disk.
   *
+  * Resume: SPARK_GRAFT_BENCH_RESUME=<path-to-prior-bench_full.json>
+  * (or "1" for the SPARK_GRAFT_BENCH_OUT path itself) carries the prior
+  * run's measured per-query timings forward and re-runs ONLY queries
+  * that prior artifact did not measure (its skipped + failed lists, and
+  * anything new). A budget-truncated run is then completed by a second
+  * invocation instead of being re-measured from scratch; the merged
+  * artifact records the carried names under "carried" so provenance is
+  * explicit. Carried timings are dropped when the prior run used a
+  * different SF dir — merging timings across scale factors would
+  * fabricate a number no single run produced.
+  *
   * Methodology: AQE on; a warm-up action first so JIT/codegen/session
   * startup don't land in the first measured query; results are fully
   * materialized through the noop sink (count() would let Spark prune
@@ -102,13 +113,50 @@ object Bench {
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
     val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
 
+    // Prior-run timings carried into this artifact (resume mode); their
+    // queries are not re-run. Sorted into `results` at dump time so the
+    // merged artifact is indistinguishable in shape from a single run.
+    val carried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    sys.env.get("SPARK_GRAFT_BENCH_RESUME").foreach { rp =>
+      val path = if (rp == "1" || rp.equalsIgnoreCase("auto")) outPath else rp
+      try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+        val sameSf = (j \ "sf") match {
+          case JString(s) => s == sfDir
+          case _ => false
+        }
+        if (sameSf) (j \ "queries") match {
+          case JObject(fields) => fields.foreach {
+            case (k, JDouble(v)) => carried += k -> v
+            case (k, JDecimal(v)) => carried += k -> v.toDouble
+            case (k, JInt(v)) => carried += k -> v.toDouble
+            case _ => ()
+          }
+          case _ => ()
+        } else System.err.println(
+          s"[bench] resume: ignoring $path (sf mismatch, carried nothing)")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] resume: unreadable $path: ${e.getMessage}")
+      }
+      if (carried.nonEmpty)
+        System.err.println(s"[bench] resume: carrying ${carried.size} measured queries from $path")
+    }
+
+    def merged: Seq[(String, Double)] =
+      (carried.toSeq ++ results.toSeq).sortBy(_._1)
+
     def writeFullFile(): Unit = try {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
+      val m = merged
+      val qs = m.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
         .mkString("{", ",", "}")
       val f = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val s = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val c = carried.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-        s"""{"metric":"total","value":${fmt3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"carried":$c,"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
     } catch { case _: Throwable => () } // bench must not die on a dump
 
     // On a pathological-VM day the wall budget truncates the run — in
@@ -129,6 +177,7 @@ object Bench {
       "q118_editdist_neardup", "q120_threshold_sweep",
       "q122_interval_overlap", "q126_leakage_split")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => carried.contains(q._1))
     val ordered = priority.flatMap(n => all.find(_._1 == n)) ++
       all.filterNot(q => priority.contains(q._1))
     val timer = new java.util.Timer("bench-watchdog", true)
@@ -195,11 +244,12 @@ object Bench {
 
     // Compact final line: short names + centiseconds keep ~111 queries
     // near 1400 chars — inside the harness's ~2000-char parse tail.
-    val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt2(v) }
+    val finalResults = merged
+    val qs = finalResults.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = finalResults.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir"}"""
     // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to

@@ -259,14 +259,17 @@ object Dedup {
       maxPerBucket: Int = 64): CachedDF = {
     require(maxPerBucket > 1, "maxPerBucket must allow at least one pair")
     val s = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    val b = lshBuckets(s, idCol, k, bands)
-    // Per-bucket size + min id, shuffled on the same (band, bucket) key
-    // the self-join uses. m·(m−1)/2 pairs only below the cap; a hot
-    // bucket of m members emits m−1 star edges instead of up to 10^12
-    // pairs for a 10^6-member boilerplate bucket.
-    val stats = b.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__m"), min(col(idCol)).as("__minid"))
-    val bs = b.join(stats, Seq("band", "bucket"))
+    // Per-bucket size + min id in ONE shuffle (window over the same
+    // (band, bucket) key the self-join uses), persisted because three
+    // consumers read it (small-bucket self-join ×2, hot-bucket stars).
+    // m·(m−1)/2 pairs only below the cap; a hot bucket of m members
+    // emits m−1 star edges instead of up to 10^12 pairs for a
+    // 10^6-member boilerplate bucket.
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val bs = lshBuckets(s, idCol, k, bands)
+      .withColumn("__m", count(lit(1)).over(w))
+      .withColumn("__minid", min(col(idCol)).over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val small = bs.filter(col("__m") <= maxPerBucket)
     val smallPairs = small.select(col("band"), col("bucket"), col(idCol).as("d1"))
       .join(small.select(col("band"), col("bucket"), col(idCol).as("d2")),
@@ -279,7 +282,7 @@ object Dedup {
       .filter(col("__m") > maxPerBucket && col(idCol) > col("__minid"))
       .select(col("__minid").as("d1"), col(idCol).as("d2"))
     val pairs = smallPairs.union(hotPairs).distinct()
-    CachedDF(pairs, Seq(s))
+    CachedDF(pairs, Seq(s, bs))
   }
 
   /** Exact n-gram Jaccard similarity on LSH candidate pairs only.
