@@ -936,6 +936,19 @@ object SparkEntry {
         .orderBy("cid")
     }),
 
+    // ---- extension: SRP-blocked semantic decontamination ----
+    // the large-eval-set variant of q119: no broadcast, both sides
+    // bucketed by the q106 SRP hyperplanes and equi-joined on the
+    // bucket — the plan that survives a 10M-row eval split
+    "q135_semantic_decon_blocked" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.semanticContamination(
+          e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+          "vec_id", "embedding", threshold = 0.4,
+          evalBroadcast = false, srpBits = 3)
+        .orderBy("cid")
+    }),
+
     // ---- extension: edit-distance-verified near-dup pairs ----
     // exact Levenshtein confirmation of the q22 LSH candidates: the
     // blocker proposes, the O(len^2) measure disposes — capped text,
@@ -2614,6 +2627,18 @@ object SparkEntry {
         |SELECT cid, COUNT(*) AS n_eval_hits, round(MAX(sim), 5) AS max_sim,
         |       MIN(eid) AS first_eval_id
         |FROM p WHERE sim >= 0.4 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "q135_semantic_decon_blocked" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS eid, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |        ${Similarity.srpBucketSqlExpr("v", 3)} AS bucket FROM e WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |        ${Similarity.srpBucketSqlExpr("v", 3)} AS bucket FROM e WHERE vec_id >= 20),
+         |p AS (SELECT cid, eid, list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS sim
+         |      FROM c JOIN q USING (bucket))
+         |SELECT cid, COUNT(*) AS n_eval_hits, round(MAX(sim), 5) AS max_sim,
+         |       MIN(eid) AS first_eval_id
+         |FROM p WHERE sim >= 0.4 GROUP BY cid ORDER BY cid""".stripMargin,
 
     "q118_editdist_neardup" ->
       s"""WITH ${sigsCte("documents")},

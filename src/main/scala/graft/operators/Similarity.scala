@@ -660,32 +660,67 @@ object Similarity {
     * flagged corpus id: how many eval vectors it matched, the best
     * (rounded) similarity, and the lowest matching eval id.
     *
-    * Plan shape = [[bruteForceTopK]]'s: the eval side broadcasts
-    * (benchmarks are small by definition), the corpus streams through
-    * one codegen'd dot-product projection and ONE partial-aggregated
-    * groupBy — no corpus shuffle before the aggregate's own. For an
-    * eval set too big to broadcast, block both sides with
-    * [[srpBuckets]] first (q106's shape) and apply the same threshold
-    * to the bucket-joined pairs.
+    * Plan shape with `evalBroadcast = true` (the default) =
+    * [[bruteForceTopK]]'s: the eval side broadcasts (benchmarks are
+    * small by definition), the corpus streams through one codegen'd
+    * dot-product projection and ONE partial-aggregated groupBy — no
+    * corpus shuffle before the aggregate's own, and comparison is
+    * EXHAUSTIVE (every corpus×eval pair scored).
+    *
+    * `evalBroadcast = false` is the scale path for an eval set too big
+    * to broadcast (a 10M-row held-out split): both sides are blocked
+    * with the same deterministic [[srpBuckets]] hyperplanes (`srpBits`
+    * planes over `dims` dimensions — q106's shape) and joined on the
+    * bucket key, an ordinary shuffled equi-join with NO broadcast and
+    * NO nested-loop product. The threshold then applies to the
+    * bucket-joined pairs exactly as in the broadcast path. The trade
+    * is the standard SRP one: a pair split by any hyperplane never
+    * meets, so near-threshold contamination can be missed — raise
+    * recall by lowering `srpBits` (fewer, bigger buckets) or running
+    * multiple rotated sign families and unioning, both corpus-linear.
     */
   def semanticContamination(
       evalSet: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val q = broadcast(
-      evalSet.select(col(idCol).as("eid"), toDoubleArray(col(vecCol)).as("__qv"))
-        .withColumn("__qn", l2Norm(col("__qv"))))
+      threshold: Double,
+      evalBroadcast: Boolean = true,
+      srpBits: Int = 8,
+      dims: Int = 64): DataFrame = {
     // eval set and corpus are SEPARATE datasets: every corpus row is
     // compared against every eval row. (An id-equality exclusion here
     // would silently skip real comparisons whenever the two id spaces
     // overlap by coincidence — if the corpus still contains the eval
     // rows themselves, filter them out upstream, as q119 does.)
-    corpus
-      .select(col(idCol).as("cid"), toDoubleArray(col(vecCol)).as("__cv"))
-      .withColumn("__cn", l2Norm(col("__cv")))
-      .crossJoin(q)
+    val pairs =
+      if (evalBroadcast) {
+        val q = broadcast(
+          evalSet.select(col(idCol).as("eid"), toDoubleArray(col(vecCol)).as("__qv"))
+            .withColumn("__qn", l2Norm(col("__qv"))))
+        corpus
+          .select(col(idCol).as("cid"), toDoubleArray(col(vecCol)).as("__cv"))
+          .withColumn("__cn", l2Norm(col("__cv")))
+          .crossJoin(q)
+      } else {
+        // (id, vec, norm, bucket) per side — one stateless projection
+        // each, no explode: a vector belongs to exactly one bucket, so
+        // a surviving pair is scored exactly once
+        def annotated(df: DataFrame, id: String, v: String, n: String): DataFrame = {
+          val signs = srpSigns(srpBits, dims)
+          val projs = array(signs.map(s => dot(col(v), typedLit(s))): _*)
+          val bits = (0 until srpBits).map(i =>
+            when(element_at(col("__projs"), i + 1) >= 0, lit("1")).otherwise(lit("0")))
+          df.select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(v))
+            .withColumn(n, l2Norm(col(v)))
+            .withColumn("__projs", projs)
+            .withColumn("__bkt", concat(bits: _*))
+            .drop("__projs")
+        }
+        annotated(corpus, "cid", "__cv", "__cn")
+          .join(annotated(evalSet, "eid", "__qv", "__qn"), "__bkt")
+      }
+    pairs
       .withColumn("sim", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
       .filter(col("sim") >= threshold)
       .groupBy(col("cid"))

@@ -30,4 +30,38 @@ class SemanticDeconSpec extends AnyFunSuite {
       (10L, 1L, 1.0, 1L),
       (11L, 2L, 0.70711, 1L)))
   }
+
+  test("blocked path: SRP equi-join, no broadcast/nested-loop, subset semantics") {
+    val dims = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dims)(d => math.sin(seed * 31 + d * 7).toFloat)
+    val evalSet = (0L until 6L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val corpus = (100L until 160L).map { i =>
+      // half the corpus copies an eval vector (guaranteed same bucket,
+      // cos = 1); the rest is pseudo-random
+      val v = if (i % 2 == 0) vec(((i / 2) % 6).toInt) else vec(i.toInt)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+
+    val blocked = Similarity.semanticContamination(
+      evalSet, corpus, "vec_id", "embedding", threshold = 0.9,
+      evalBroadcast = false, srpBits = 3, dims = dims)
+    val exact = Similarity.semanticContamination(
+      evalSet, corpus, "vec_id", "embedding", threshold = 0.9)
+
+    // plan: an equi-join on the bucket, never a broadcast product
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+
+    val b = blocked.select("cid", "n_eval_hits").as[(Long, Long)].collect().toMap
+    val x = exact.select("cid", "n_eval_hits").as[(Long, Long)].collect().toMap
+    // SRP blocking can only MISS pairs, never invent them
+    assert(b.keySet.subsetOf(x.keySet))
+    b.foreach { case (cid, hits) => assert(hits <= x(cid)) }
+    // exact copies share every projection sign with their source eval
+    // vector, so all 30 copied corpus ids must be flagged even blocked
+    val copies = (100L until 160L by 2).toSet
+    assert(copies.subsetOf(b.keySet))
+  }
 }
