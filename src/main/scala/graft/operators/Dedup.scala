@@ -341,6 +341,22 @@ object Dedup {
     jaccardNearDupPairsWithSigs(docs, idCol, textCol, k, bands, shingleSize,
       threshold)._1
 
+  /** The near-dup pipeline's named intermediates: verified pairs plus
+    * the persisted shingle and signature frames they were derived
+    * from. The point of naming them is REUSE — a curation pipeline
+    * ([[DocPipeline.curate]]) consumes `pairs` for clustering,
+    * `shingles` again for n-gram decontamination, and releases
+    * everything once, instead of re-running the shingle+hash pipeline
+    * per consumer (the dominant cost at corpus scale).
+    */
+  final case class NearDupArtifacts(
+      pairs: DataFrame,
+      shingles: DataFrame,
+      sigs: DataFrame,
+      handles: Seq[DataFrame]) {
+    def unpersist(): Unit = handles.foreach(_.unpersist(false))
+  }
+
   /** [[jaccardNearDupPairsCached]] plus the persisted signature frame
     * the pairs were LSH-blocked with — for consumers that need both
     * (e.g. the sketch-accuracy check) without paying the dominant
@@ -354,6 +370,23 @@ object Dedup {
       bands: Int = 3,
       shingleSize: Int = 3,
       threshold: Double = 0.5): (CachedDF, DataFrame) = {
+    val a = nearDupArtifacts(docs, idCol, textCol, k, bands, shingleSize, threshold)
+    (CachedDF(a.pairs, a.handles), a.sigs)
+  }
+
+  /** [[jaccardNearDupPairsWithSigs]] with every persisted intermediate
+    * returned BY NAME, so multi-consumer pipelines can reuse the
+    * shingle table (decontamination) and signature table (sketch
+    * checks) the pair generation already paid for.
+    */
+  def nearDupArtifacts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 9,
+      bands: Int = 3,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): NearDupArtifacts = {
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candCached =
@@ -390,8 +423,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
     // candCached.handles.head IS the persisted signature frame
-    (CachedDF(pairs, Seq(sh, cand, shc) ++ candCached.handles),
-      candCached.handles.head)
+    NearDupArtifacts(pairs, sh, candCached.handles.head,
+      Seq(sh, cand, shc) ++ candCached.handles)
   }
 
   /** Connected components over near-duplicate pairs: every document

@@ -71,6 +71,105 @@ object DocPipeline {
     Dedup.CachedDF(kept, nearDup.handles)
   }
 
+  /** The COMPOSED curation pipeline: quality gate → exact dedup →
+    * near-dup clusters → best-quality representative per cluster →
+    * n-gram decontamination against an eval set → leakage-safe
+    * train/valid/test split → deterministic shard manifest, as ONE
+    * job with shared intermediates.
+    *
+    * Why one operator instead of chaining the stage queries: the
+    * shingle+MinHash pipeline is the dominant cost of curation at
+    * corpus scale, and the naive composition pays it once PER CONSUMER
+    * (clusters, representatives, decontamination, split each re-derive
+    * it — running q121 and q126 separately computes every signature
+    * twice). Here [[Dedup.nearDupArtifacts]] computes shingles and
+    * signatures ONCE, persists them, and every downstream stage —
+    * cluster edges, the decontamination join (which reuses the SAME
+    * persisted shingle table), the split, the manifest — reads the
+    * cached frames. Raw corpus text is scanned once into the persisted
+    * cleaned frame; nothing downstream touches the source again.
+    *
+    * Output: one row per (split, shard): document count, token total,
+    * and the smallest surviving doc id — the manifest a trainer reads.
+    */
+  def curate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config(),
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      nShards: Int = 4,
+      contaminationThreshold: Double = 0.5): DataFrame =
+    curateCached(docs, evalDocs, idCol, textCol, cfg, splits, nShards,
+      contaminationThreshold).df
+
+  /** [[curate]] plus its persisted intermediates for caller release. */
+  def curateCached(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config(),
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      nShards: Int = 4,
+      contaminationThreshold: Double = 0.5): Dedup.CachedDF = {
+    import org.apache.spark.storage.StorageLevel
+    val nTokens = TextAnalysis.tokenCount(col(textCol))
+    // 1-2. quality gate + exact dedup, persisted: the ONE scan of raw
+    // corpus text — every later stage reads this cached frame
+    val cleaned = Dedup.exact(
+      docs.filter(nTokens >= cfg.minTokens && nTokens <= cfg.maxTokens)
+        .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+        .withColumn("n_tokens", nTokens),
+      Seq("__fp"), idCol)
+      .drop("__fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // 3. near-dup pairs: shingles + MinHash computed ONCE here
+    val nd = Dedup.nearDupArtifacts(cleaned, idCol, textCol,
+      threshold = cfg.jaccardThreshold)
+    // 4. connected components over the verified pairs
+    val cl = Dedup.dupClustersCached(
+      cleaned.select(col(idCol)), nd.pairs.select("d1", "d2"), idCol)
+    val clusters = cl.df
+    // 5. one representative per cluster (singletons keep themselves):
+    // most tokens wins, ties to the smallest id — q121's policy
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col(idCol))
+    val reps = clusters
+      .join(cleaned.select(col(idCol), col("n_tokens")), idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cluster_id"), col("n_tokens"))
+    // 6. decontamination REUSING the near-dup shingle table: a corpus
+    // doc is dropped when it contains >= threshold of any eval doc's
+    // distinct shingles (q129's containment, on the shared shingles)
+    val eSh = Dedup.shingleRows(evalDocs, idCol, textCol)
+      .select(col(idCol).as("__eid"), col("__sh"))
+    val eSz = eSh.groupBy(col("__eid")).agg(count(lit(1)).as("__ne"))
+    val contaminated = nd.shingles
+      .join(eSh, "__sh")
+      .groupBy(col(idCol), col("__eid"))
+      .agg(count(lit(1)).as("__shared"))
+      .join(eSz, "__eid")
+      .filter(col("__shared").cast("double") / col("__ne") >= contaminationThreshold)
+      .select(col(idCol))
+      .distinct()
+    val surviving = reps.join(contaminated, Seq(idCol), "left_anti")
+    // 7-8. leakage-safe split (hash of CLUSTER id, so near-dups land
+    // together) + deterministic shard, then the (split, shard) manifest
+    val assigned = Sampling.assignSplit(surviving, "cluster_id", splits)
+    Dedup.CachedDF(
+      Sharding.shardAssign(assigned, idCol, nShards)
+        .groupBy(col("split"), col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col(idCol)).as("first_doc"))
+        .orderBy("split", "shard"),
+      Seq(cleaned) ++ nd.handles ++ cl.handles, cl.cleanups)
+  }
+
   /** Per-stage attrition accounting for a sequential filter cascade —
     * the report every curation run publishes: how many documents each
     * stage saw, dropped, and passed on, with per-stage and cumulative

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DocPipeline
+
+/** The composed curation pipeline (q134): quality gate → exact dedup →
+  * near-dup clusters → representatives → decontamination → leakage-safe
+  * split → shard manifest, with shared intermediates.
+  */
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("funnel drops short, exact-dup, near-dup, and contaminated docs") {
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (10L, good),                                  // survives
+      (11L, "too short"),                           // quality gate (2 tokens)
+      (12L, good),                                  // exact dup of 10 -> dropped
+      (13L, good + " lambda"),                      // near-dup of 10 -> same cluster
+      (14L, "the quick brown fox jumps over the lazy dog today"), // eval copy
+      (15L, "completely different words about trains planes and automobiles entirely")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+
+    val cached = DocPipeline.curateCached(
+      corpus, evalDocs, "doc_id", "text", nShards = 2)
+    try {
+      val rows = cached.df.collect()
+      val total = rows.map(_.getLong(2)).sum
+      // survivors: one rep of cluster {10,12(exact-dropped),13} and 15;
+      // 11 fails quality, 14 is contaminated
+      assert(total == 2, rows.mkString("; "))
+      val firstDocs = rows.map(_.getLong(4)).toSet
+      assert(!firstDocs.contains(11L) && !firstDocs.contains(14L))
+      // the cluster rep is 13 (11 tokens beats 10's ten)
+      assert(firstDocs.subsetOf(Set(13L, 15L)), rows.mkString("; "))
+      // schema contract for the oracle compare
+      assert(cached.df.columns.toSeq ==
+        Seq("split", "shard", "n_docs", "n_tokens", "first_doc"))
+    } finally cached.unpersist()
+  }
+
+  test("near-dups never straddle a split (leakage-safe by cluster)") {
+    // 40 pairs of near-identical docs with disjoint per-pair
+    // vocabularies; every pair must land in ONE split
+    def words(i: Long) = (0 until 12).map(j => s"g${i}w$j").mkString(" ")
+    val docs = (0L until 40L).flatMap { i =>
+      Seq((100 + 2 * i, words(i)), (101 + 2 * i, words(i) + s" extra$i"))
+    }.toDF("doc_id", "text")
+    val evalDocs = Seq((1L, "zzz yyy xxx www vvv uuu")).toDF("doc_id", "text")
+    val cached = DocPipeline.curateCached(docs, evalDocs, "doc_id", "text")
+    try {
+      // reps collapse each pair to one doc; totals must count 40 docs
+      assert(cached.df.agg(sum("n_docs")).as[Long].head() == 40L)
+    } finally cached.unpersist()
+  }
+}
