@@ -111,4 +111,70 @@ class NewOpsPropertySpec extends AnyFunSuite {
         report.map(_._4).sum == rows.size.toLong - survivors
     })
   }
+
+  // ---- round-6 skew stress: the block/bucket dials under hot keys ----
+
+  test("prefixDupPairs: hot boilerplate block stays correct; blockChars splits it") {
+    import spark.implicits._
+    // 400 docs sharing a 30-char boilerplate prefix then diverging,
+    // plus 20 true truncation pairs (id >= 1000 is the truncation)
+    val boiler = "x" * 30
+    val longs = (0 until 400).map(i => (i.toLong, boiler + s" unique tail $i padpadpad"))
+    val truncs = (0 until 20).map { i =>
+      val full = longs(i)._2
+      (1000L + i, full.substring(0, full.length - 5))
+    }
+    val docs = (longs ++ truncs).toDF("doc_id", "text")
+    val expected = (0 until 20).map(i => (1000L + i, i.toLong)).toSet
+
+    def run(blockChars: Int) = Dedup.prefixDupPairs(docs, "doc_id", "text", blockChars)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val hot = run(16)   // every doc in ONE 16-char block (all boilerplate)
+    val split = run(48) // block key reaches the divergent region
+    assert(hot == expected, s"hot-block output wrong: ${hot.take(5)}")
+    // result is invariant under the dial — blockChars is plan shape only
+    assert(split == hot)
+    // and the dial genuinely splits the hot block: candidate meets per
+    // block (the operator's internal join size) collapse from one
+    // 420-doc block to per-pair blocks
+    def meets(blockChars: Int): Long = docs
+      .filter(length(col("text")) >= blockChars)
+      .groupBy(substring(col("text"), 1, blockChars)).count()
+      .agg(sum(col("count") * col("count"))).as[Long].head()
+    assert(meets(16) >= 420L * 420L * 9 / 10)
+    assert(meets(48) <= 4L * 420L)
+  }
+
+  test("intervalOverlapJoin: emit-once under a hot fully-overlapping key") {
+    import spark.implicits._
+    // 120 intervals on one key, all spanning [0, 100]: every pair
+    // overlaps and shares all 11 buckets at width 10 — each pair must
+    // still surface exactly once (first-overlap-bucket rule)
+    val iv = (0L until 120L).map(i => (i, 1L, 0L, 100L))
+      .toDF("id", "k", "s", "e")
+    val got = operators.RangeJoin.intervalOverlapJoin(
+        iv, iv, "id", "k", "s", "e", bucketWidth = 10L)
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(got.length == 120 * 119 / 2, s"expected C(120,2), got ${got.length}")
+    assert(got.distinct.length == got.length)
+  }
+
+  test("intervalOverlapJoin: maxBucketsPerInterval fails loudly, not quadratically") {
+    import spark.implicits._
+    val iv = Seq((1L, 1L, 0L, 10_000_000L), (2L, 1L, 5L, 20L))
+      .toDF("id", "k", "s", "e")
+    val ex = intercept[Exception] {
+      operators.RangeJoin.intervalOverlapJoin(
+          iv, iv, "id", "k", "s", "e",
+          bucketWidth = 10L, maxBucketsPerInterval = 64L)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    assert(messages(ex).exists(_.contains("spans more than 64 buckets")),
+      messages(ex).mkString(" | "))
+  }
 }
