@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{graftbridge => bridge}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -34,6 +35,36 @@ object GraftFunctions {
         exprs(0),
         intLit(exprs(1), "topk_freq k"),
         intLit(exprs(2), "topk_freq capacity")).toAggregateExpression()
+    }),
+    // The stable scalar helpers the oracle twins are written against,
+    // exposed to spark.sql callers. These are Column compositions, not
+    // single Catalyst nodes — the graftbridge converters lift the
+    // argument Expressions into Columns and back (ResolveFunctions only
+    // invokes a builder once the children are resolved, so dataType is
+    // available where needed).
+    // hex_prefix(md5_hex) — first 8 hex digits as an exact long
+    "hex_prefix" -> (exprs => {
+      if (exprs.size != 1)
+        throw new IllegalArgumentException(
+          s"hex_prefix(hash) takes 1 argument, got ${exprs.size}")
+      bridge.sessionExpression(
+        graft.operators.Sampling.hexPrefixValue(bridge.column(exprs(0))))
+    }),
+    // sign_bucket(vec, dims) — leading-dimension sign pattern, e.g. "1010"
+    "sign_bucket" -> (exprs => {
+      if (exprs.size != 2)
+        throw new IllegalArgumentException(
+          s"sign_bucket(vec, dims) takes 2 arguments, got ${exprs.size}")
+      bridge.sessionExpression(graft.operators.Similarity.signBucket(
+        bridge.column(exprs(0)), intLit(exprs(1), "sign_bucket dims")))
+    }),
+    // canonical(col) — the diff engine's cross-type canonical rendering
+    "canonical" -> (exprs => {
+      if (exprs.size != 1)
+        throw new IllegalArgumentException(
+          s"canonical(col) takes 1 argument, got ${exprs.size}")
+      bridge.sessionExpression(
+        graft.core.Canonical.canonical(bridge.column(exprs(0)), exprs(0).dataType))
     }))
 
   def register(spark: SparkSession): Unit =

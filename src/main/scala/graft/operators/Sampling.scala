@@ -106,10 +106,16 @@ object Sampling {
     * not exist everywhere). Shared by priority sampling, MinHash, and
     * the partition-fingerprint queries.
     */
-  def hexPrefixValue(hashCol: String): Column =
+  def hexPrefixValue(hashCol: String): Column = hexPrefixValue(col(hashCol))
+
+  /** Column-expression form of [[hexPrefixValue]] — same locate/substr
+    * tree (via `call_function`, no SQL-string parsing), so it is also
+    * registrable as a session SQL function.
+    */
+  def hexPrefixValue(hashCol: Column): Column =
     (0 until 8).map { i =>
-      expr(s"(locate(substring($hashCol, ${i + 1}, 1), '0123456789abcdef') - 1)")
-        .cast("long") * (1L << (4 * (7 - i)))
+      (call_function("locate", substring(hashCol, i + 1, 1),
+        lit("0123456789abcdef")).cast("long") - 1) * (1L << (4 * (7 - i)))
     }.reduce(_ + _)
 
   /** ANSI-SQL twin of [[hexPrefixValue]] over hex column `hashCol`. */

@@ -13,6 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 package object graftbridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column -> Expression conversion through the active
+    * session's ColumnNode converter. [[expression]] wraps the node
+    * lazily (ColumnNodeExpression, Unevaluable) — fine inside Dataset
+    * API calls, which convert on use, but a FunctionRegistry builder
+    * must hand the analyzer a real Catalyst tree (inner catalyst
+    * UnresolvedFunctions are then resolved by the normal fixpoint).
+    */
+  def sessionExpression(c: Column): Expression =
+    SparkSession.active.asInstanceOf[classic.SparkSession].expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
