@@ -105,6 +105,22 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    // VM-health calibration: a fixed in-memory agg+shuffle, identical
+    // every run and independent of the SF dir. Per-query times divided
+    // by this separate a code regression from a degraded VM (the r05
+    // artifact's 2.9x "slowdown" on byte-identical code) — ~0.5-2 s on
+    // a healthy day here, 10x+ when the VM is pathological.
+    val vmHealthS = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .select((org.apache.spark.sql.functions.col("id") % 97).as("k"),
+          org.apache.spark.sql.functions.col("id").as("v"))
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // "q63_dup_clusters" → "q63": unique across all queries, keeps the
     // final JSON line inside the parse tail at 111+ queries.
     def shortName(name: String): String = name.takeWhile(_ != '_')
@@ -156,7 +172,7 @@ object Bench {
       val s = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val c = carried.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"carried":$c,"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"carried":$c,"vm_health":${fmt3(vmHealthS)},"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
     } catch { case _: Throwable => () } // bench must not die on a dump
 
     // On a pathological-VM day the wall budget truncates the run — in
@@ -251,7 +267,7 @@ object Bench {
     val skippedJson = skipped.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val total = finalResults.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"vh":${fmt2(vmHealthS)},"sf":"$sfDir"}"""
     // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to
     // stderr, and anything after the JSON line pushes it out of the
     // parse tail. Force logging off, stop Spark, then print last.

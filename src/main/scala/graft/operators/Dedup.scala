@@ -299,9 +299,10 @@ object Dedup {
       k: Int = 9,
       bands: Int = 3,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5,
+      maxPerBucket: Int = 64): DataFrame =
     jaccardNearDupPairsCached(docs, idCol, textCol, k, bands, shingleSize,
-      threshold).df
+      threshold, maxPerBucket).df
 
   /** Per-document n-gram novelty: the fraction of a document's
     * distinct shingles that appear NOWHERE else in the corpus — the
@@ -337,9 +338,10 @@ object Dedup {
       k: Int = 9,
       bands: Int = 3,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): CachedDF =
+      threshold: Double = 0.5,
+      maxPerBucket: Int = 64): CachedDF =
     jaccardNearDupPairsWithSigs(docs, idCol, textCol, k, bands, shingleSize,
-      threshold)._1
+      threshold, maxPerBucket)._1
 
   /** The near-dup pipeline's named intermediates: verified pairs plus
     * the persisted shingle and signature frames they were derived
@@ -369,8 +371,10 @@ object Dedup {
       k: Int = 9,
       bands: Int = 3,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): (CachedDF, DataFrame) = {
-    val a = nearDupArtifacts(docs, idCol, textCol, k, bands, shingleSize, threshold)
+      threshold: Double = 0.5,
+      maxPerBucket: Int = 64): (CachedDF, DataFrame) = {
+    val a = nearDupArtifacts(docs, idCol, textCol, k, bands, shingleSize,
+      threshold, maxPerBucket)
     (CachedDF(a.pairs, a.handles), a.sigs)
   }
 
@@ -386,11 +390,13 @@ object Dedup {
       k: Int = 9,
       bands: Int = 3,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): NearDupArtifacts = {
+      threshold: Double = 0.5,
+      maxPerBucket: Int = 64): NearDupArtifacts = {
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candCached =
-      lshCandidatePairsCached(minhashFromShingles(sh, idCol, k), idCol, k, bands)
+      lshCandidatePairsCached(minhashFromShingles(sh, idCol, k), idCol, k,
+        bands, maxPerBucket)
     // LSH prunes hard: candidate docs are a small fraction of the
     // corpus, so everything downstream should touch only them. Persist
     // the pair list (it feeds three consumers), semi-filter the (huge)
