@@ -99,6 +99,14 @@ object Bench {
         .filter(col("rn") <= 2).count()
       r.select(explode(split(concat_ws(" ", col("k"), col("v"), lit("x")), " "))).count()
       r.select(md5(concat(lit("s:"), col("id").cast("string")))).count()
+      // the shingle -> md5 -> minhash -> LSH-bucket self-join path:
+      // without this, q22's FIRST execution pays ~8x its steady state
+      // in codegen/JIT (26 s vs 3 s warm at sf0.1) and the near-dup
+      // family's measurements reflect compilation, not the operators
+      val docsWarm = Tables.load(spark, sfDir, "documents").limit(300)
+      operators.Dedup.lshCandidatePairs(
+        operators.Dedup.minhashSignatures(docsWarm, "doc_id", "text", 9),
+        "doc_id", 9, 3).count()
     }
 
     def fmt3(v: Double): String =
