@@ -526,11 +526,20 @@ object Similarity {
     * side of all k hyperplanes land in the same bucket, and
     * P[same bit] = 1 - angle/pi per plane.
     */
-  def srpSigns(k: Int, dims: Int): Seq[Seq[Double]] = {
+  def srpSigns(k: Int, dims: Int): Seq[Seq[Double]] = srpSigns(k, dims, 0)
+
+  /** [[srpSigns]] for rotation `family` — family 0 is the original
+    * q105/q106 plane set (seed strings unchanged); higher families are
+    * independent draws, for multi-probe recall boosting: a near pair
+    * split by one family's hyperplane meets under another with
+    * probability 1 - (1 - (1 - θ/π)^k)^families.
+    */
+  def srpSigns(k: Int, dims: Int, family: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val tag = if (family == 0) "srp" else s"srp$family"
     (0 until k).map { i =>
       (0 until dims).map { d =>
-        val h = md.digest(s"srp:$i:$d".getBytes("UTF-8"))
+        val h = md.digest(s"$tag:$i:$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) 1.0 else -1.0
       }
     }
@@ -676,8 +685,12 @@ object Similarity {
     * bucket-joined pairs exactly as in the broadcast path. The trade
     * is the standard SRP one: a pair split by any hyperplane never
     * meets, so near-threshold contamination can be missed — raise
-    * recall by lowering `srpBits` (fewer, bigger buckets) or running
-    * multiple rotated sign families and unioning, both corpus-linear.
+    * recall by lowering `srpBits` (fewer, bigger buckets) or raising
+    * `srpFamilies` (independent rotated plane sets whose candidates
+    * union, multi-probe style), both corpus-linear: families cost one
+    * extra corpus projection + bucket join each, never a cross
+    * product, and a pair surviving several families is deduplicated
+    * before the aggregate so hit counts match the broadcast path's.
     */
   def semanticContamination(
       evalSet: DataFrame,
@@ -687,27 +700,35 @@ object Similarity {
       threshold: Double,
       evalBroadcast: Boolean = true,
       srpBits: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      srpFamilies: Int = 1): DataFrame = {
+    require(srpFamilies >= 1, "srpFamilies must be >= 1")
     // eval set and corpus are SEPARATE datasets: every corpus row is
     // compared against every eval row. (An id-equality exclusion here
     // would silently skip real comparisons whenever the two id spaces
     // overlap by coincidence — if the corpus still contains the eval
     // rows themselves, filter them out upstream, as q119 does.)
-    val pairs =
+    def score(pairs: DataFrame): DataFrame = pairs
+      .withColumn("sim", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .filter(col("sim") >= threshold)
+      .select(col("cid"), col("eid"), col("sim"))
+    val scored =
       if (evalBroadcast) {
         val q = broadcast(
           evalSet.select(col(idCol).as("eid"), toDoubleArray(col(vecCol)).as("__qv"))
             .withColumn("__qn", l2Norm(col("__qv"))))
-        corpus
+        score(corpus
           .select(col(idCol).as("cid"), toDoubleArray(col(vecCol)).as("__cv"))
           .withColumn("__cn", l2Norm(col("__cv")))
-          .crossJoin(q)
+          .crossJoin(q))
       } else {
-        // (id, vec, norm, bucket) per side — one stateless projection
-        // each, no explode: a vector belongs to exactly one bucket, so
-        // a surviving pair is scored exactly once
-        def annotated(df: DataFrame, id: String, v: String, n: String): DataFrame = {
-          val signs = srpSigns(srpBits, dims)
+        // (id, vec, norm, bucket) per side and family — one stateless
+        // projection each, no explode: within a family a vector
+        // belongs to exactly one bucket, so a pair is scored once per
+        // family it survives, and the cross-family union dedupes
+        def annotated(df: DataFrame, id: String, v: String, n: String,
+            family: Int): DataFrame = {
+          val signs = srpSigns(srpBits, dims, family)
           val projs = array(signs.map(s => dot(col(v), typedLit(s))): _*)
           val bits = (0 until srpBits).map(i =>
             when(element_at(col("__projs"), i + 1) >= 0, lit("1")).otherwise(lit("0")))
@@ -717,12 +738,14 @@ object Similarity {
             .withColumn("__bkt", concat(bits: _*))
             .drop("__projs")
         }
-        annotated(corpus, "cid", "__cv", "__cn")
-          .join(annotated(evalSet, "eid", "__qv", "__qn"), "__bkt")
+        val perFamily = (0 until srpFamilies).map { f =>
+          score(annotated(corpus, "cid", "__cv", "__cn", f)
+            .join(annotated(evalSet, "eid", "__qv", "__qn", f), "__bkt"))
+        }
+        if (srpFamilies == 1) perFamily.head
+        else perFamily.reduce(_ unionByName _).distinct()
       }
-    pairs
-      .withColumn("sim", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
-      .filter(col("sim") >= threshold)
+    scored
       .groupBy(col("cid"))
       .agg(
         count(lit(1)).as("n_eval_hits"),

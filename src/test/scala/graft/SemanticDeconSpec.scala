@@ -64,4 +64,41 @@ class SemanticDeconSpec extends AnyFunSuite {
     val copies = (100L until 160L by 2).toSet
     assert(copies.subsetOf(b.keySet))
   }
+
+  test("multi-family SRP only ADDS recall, never pairs the exact path lacks") {
+    val dims = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dims)(d => math.sin(seed * 17 + d * 13).toFloat)
+    val evalSet = (0L until 8L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val corpus = (200L until 280L).map { i =>
+      // perturbed eval copies: close in angle but sign flips possible
+      val base = vec(((i - 200) % 8).toInt)
+      val v = base.zipWithIndex.map { case (x, d) =>
+        x + (if ((i + d) % 11 == 0) 0.4f else 0.02f) }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+
+    def flagged(families: Int): Set[Long] = Similarity.semanticContamination(
+        evalSet, corpus, "vec_id", "embedding", threshold = 0.8,
+        evalBroadcast = false, srpBits = 4, dims = dims, srpFamilies = families)
+      .select("cid").as[Long].collect().toSet
+
+    val one = flagged(1)
+    val four = flagged(4)
+    val exact = Similarity.semanticContamination(
+        evalSet, corpus, "vec_id", "embedding", threshold = 0.8)
+      .select("cid").as[Long].collect().toSet
+    assert(one.subsetOf(four), "more families must never lose candidates")
+    assert(four.subsetOf(exact), "blocking must never invent pairs")
+    // per-cid hit counts agree with the exact path on flagged ids
+    // (the cross-family distinct dedupes pairs surviving two families)
+    val exactHits = Similarity.semanticContamination(
+        evalSet, corpus, "vec_id", "embedding", threshold = 0.8)
+      .select("cid", "n_eval_hits").as[(Long, Long)].collect().toMap
+    Similarity.semanticContamination(
+        evalSet, corpus, "vec_id", "embedding", threshold = 0.8,
+        evalBroadcast = false, srpBits = 4, dims = dims, srpFamilies = 4)
+      .select("cid", "n_eval_hits").as[(Long, Long)].collect()
+      .foreach { case (cid, hits) => assert(hits <= exactHits(cid)) }
+  }
 }
