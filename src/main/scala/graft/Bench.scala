@@ -107,6 +107,12 @@ object Bench {
       operators.Dedup.lshCandidatePairs(
         operators.Dedup.minhashSignatures(docsWarm, "doc_id", "text", 9),
         "doc_id", 9, 3).count()
+      // ... and the cluster step behind q63/q121/q126: the bounded
+      // limit+collect probe, driver union-find, and label-frame join
+      import spark.implicits._
+      operators.Dedup.dupClusters(
+        docsWarm.select(col("doc_id")),
+        Seq((0L, 1L), (1L, 2L)).toDF("d1", "d2"), "doc_id").count()
     }
 
     def fmt3(v: Double): String =
