@@ -1833,10 +1833,22 @@ object SparkEntry {
     s"""shh AS (SELECT doc_id, md5(s) AS h FROM $shCte),
        |sx AS (SELECT doc_id, (${operators.Sampling.hexPrefixSql("h")}) AS x FROM shh)""".stripMargin
 
-  /** MinHash signatures + LSH bands + candidate pairs over `src`. */
+  /** MinHash signatures + LSH bands + candidate pairs over `src`.
+    *
+    * The candidate join mirrors [[graft.operators.Dedup.lshCandidatePairs]]
+    * INCLUDING its hot-bucket cap (the interpolated
+    * [[graft.operators.Dedup.DefaultMaxPerBucket]], so the two cannot
+    * drift): a (band, bucket) group at or under the cap self-joins
+    * all-vs-all; a hotter one emits star edges from the bucket-minimum
+    * doc_id only. Without this the oracle would silently diverge from
+    * the engine the first time a bucket crosses the cap at a larger
+    * scale factor (the capped semantics ARE the contract, not an
+    * approximation of the uncapped join).
+    */
   private def sigsCte(src: String): String = {
     def bucket(is: Range) =
       is.map(i => s"CAST(sig$i AS VARCHAR)").mkString(" || ':' || ")
+    val cap = Dedup.DefaultMaxPerBucket
     s"""${shingleCtes(src)},
        |${shingleHashCte("sh")},
        |sigs AS (SELECT doc_id, ${minhashSigExprsSql(9)} FROM sx GROUP BY doc_id),
@@ -1844,9 +1856,20 @@ object SparkEntry {
        |  SELECT doc_id, 0 AS band, ${bucket(0 until 3)} AS bucket FROM sigs
        |  UNION ALL SELECT doc_id, 1, ${bucket(3 until 6)} FROM sigs
        |  UNION ALL SELECT doc_id, 2, ${bucket(6 until 9)} FROM sigs),
+       |bstat AS (
+       |  SELECT doc_id, band, bucket,
+       |    COUNT(*) OVER (PARTITION BY band, bucket) AS m,
+       |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS minid
+       |  FROM bands),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+       |  SELECT DISTINCT d1, d2 FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2
+       |    FROM bstat a JOIN bstat b
+       |      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |    WHERE a.m <= $cap
+       |    UNION ALL
+       |    SELECT minid AS d1, doc_id AS d2 FROM bstat
+       |    WHERE m > $cap AND doc_id > minid) u)""".stripMargin
   }
 
   private val pkValidateSql: String = {

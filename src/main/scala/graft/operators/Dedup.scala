@@ -224,27 +224,46 @@ object Dedup {
       .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
   }
 
+  /** Default hot-bucket cap for [[lshCandidatePairs]]. The DuckDB
+    * oracle twin (`SparkEntry.sigsCte`) interpolates THIS constant into
+    * its SQL so the capped semantics cannot drift between the engine
+    * and the oracle — change it here and both sides move together.
+    */
+  val DefaultMaxPerBucket: Int = 64
+
   /** Candidate near-duplicate pairs (id1 < id2) sharing at least one
     * LSH band bucket. The self-join keys on (band, bucket), so only
     * rows in the same bucket ever meet; a bucket with more than
     * `maxPerBucket` members (boilerplate that hashes everything
     * together — empty pages, license headers) switches from all-vs-all
     * to star edges against the bucket's minimum id, keeping the pair
-    * output linear in bucket size. Connected components are unchanged
-    * (every member still reaches the min), which is the only property
-    * the cluster consumers rely on; exhaustive pair listing inside a
-    * degenerate bucket is deliberately given up — the same trade the
-    * streaming twin makes ([[graft.streaming.StreamingDedup]]). The
-    * signature table is persisted: it is tiny (k hashes/doc) and both
-    * join sides read it, which would otherwise recompute the whole
-    * shingle+hash pipeline twice.
+    * output linear in bucket size.
+    *
+    * What the cap preserves, precisely: connected components of the
+    * RAW candidate graph are unchanged (every member still reaches the
+    * bucket min through a star edge). Components of the VERIFIED graph
+    * are not guaranteed: a downstream verifier (e.g.
+    * [[jaccardNearDupPairs]]'s exact-Jaccard filter) sees only the
+    * star edges inside a hot bucket, and (min, X) and (min, Y) can
+    * both fail the similarity threshold while the suppressed pair
+    * (X, Y) would have passed — genuinely-similar documents in a hot
+    * bucket may then land in separate clusters (under-merge) relative
+    * to uncapped semantics. That recall loss inside degenerate
+    * boilerplate buckets is the deliberate trade for linear output —
+    * the same trade the streaming twin makes
+    * ([[graft.streaming.StreamingDedup]]); pass
+    * `maxPerBucket = Int.MaxValue` to recover exhaustive listing when
+    * a corpus is known to have no degenerate buckets. The signature
+    * table is persisted: it is tiny (k hashes/doc) and both join sides
+    * read it, which would otherwise recompute the whole shingle+hash
+    * pipeline twice.
     */
   def lshCandidatePairs(
       sigs: DataFrame,
       idCol: String,
       k: Int,
       bands: Int,
-      maxPerBucket: Int = 64): DataFrame =
+      maxPerBucket: Int = DefaultMaxPerBucket): DataFrame =
     lshCandidatePairsCached(sigs, idCol, k, bands, maxPerBucket).df
 
   /** [[lshCandidatePairs]] plus the persisted signature table, so a
@@ -256,7 +275,7 @@ object Dedup {
       idCol: String,
       k: Int,
       bands: Int,
-      maxPerBucket: Int = 64): CachedDF = {
+      maxPerBucket: Int = DefaultMaxPerBucket): CachedDF = {
     require(maxPerBucket > 1, "maxPerBucket must allow at least one pair")
     val s = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     // Per-bucket size + min id in ONE shuffle (window over the same
@@ -300,7 +319,7 @@ object Dedup {
       bands: Int = 3,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxPerBucket: Int = 64): DataFrame =
+      maxPerBucket: Int = DefaultMaxPerBucket): DataFrame =
     jaccardNearDupPairsCached(docs, idCol, textCol, k, bands, shingleSize,
       threshold, maxPerBucket).df
 
@@ -339,7 +358,7 @@ object Dedup {
       bands: Int = 3,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxPerBucket: Int = 64): CachedDF =
+      maxPerBucket: Int = DefaultMaxPerBucket): CachedDF =
     jaccardNearDupPairsWithSigs(docs, idCol, textCol, k, bands, shingleSize,
       threshold, maxPerBucket)._1
 
@@ -372,7 +391,7 @@ object Dedup {
       bands: Int = 3,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxPerBucket: Int = 64): (CachedDF, DataFrame) = {
+      maxPerBucket: Int = DefaultMaxPerBucket): (CachedDF, DataFrame) = {
     val a = nearDupArtifacts(docs, idCol, textCol, k, bands, shingleSize,
       threshold, maxPerBucket)
     (CachedDF(a.pairs, a.handles), a.sigs)
@@ -391,7 +410,7 @@ object Dedup {
       bands: Int = 3,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxPerBucket: Int = 64): NearDupArtifacts = {
+      maxPerBucket: Int = DefaultMaxPerBucket): NearDupArtifacts = {
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candCached =
