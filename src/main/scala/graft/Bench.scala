@@ -125,7 +125,20 @@ object Bench {
     // by this separate a code regression from a degraded VM (the r05
     // artifact's 2.9x "slowdown" on byte-identical code) — ~0.5-2 s on
     // a healthy day here, 10x+ when the VM is pathological.
-    val vmHealthS = {
+    //
+    // One probe at startup cannot attribute MID-run degradation (the
+    // r06 artifact: vm_health 1.04 yet a contiguous 4-10x inflation
+    // band later in the run), so the SAME probe re-runs every
+    // `ProbeEvery` measured queries; `vmSeries` records (queries
+    // measured so far, probe seconds) and the dump emits a per-query
+    // normalization against the NEAREST probe. On a pathological-VM
+    // day (session init alone blew the 120 s warmup cutoff) the probes
+    // are skipped entirely — they'd be 10x+ slow exactly when budget
+    // is scarcest — and vm_health carries the -1 sentinel.
+    val ProbeEvery = 10
+    val probesEnabled = elapsedS <= 120
+    val vmSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    def runProbeJob(): Double = {
       val t0 = System.nanoTime()
       spark.range(20000000L)
         .select((org.apache.spark.sql.functions.col("id") % 97).as("k"),
@@ -135,6 +148,16 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def vmProbe(afterN: Int): Unit = if (probesEnabled)
+      vmSeries += afterN -> runProbeJob()
+    // warm the probe's OWN codegen/JIT untimed first: without this the
+    // first recorded probes run ~2x slow (observed 0.48 -> 0.25 s decay
+    // over the first probes of a healthy run) and the normalization
+    // mistakes probe warm-up for VM degradation, over-deflating early
+    // queries
+    if (probesEnabled) runProbeJob()
+    vmProbe(0)
+    val vmHealthS = vmSeries.headOption.map(_._2).getOrElse(-1.0)
     // "q63_dup_clusters" → "q63": unique across all queries, keeps the
     // final JSON line inside the parse tail at 111+ queries.
     def shortName(name: String): String = name.takeWhile(_ != '_')
@@ -146,7 +169,13 @@ object Bench {
     // Prior-run timings carried into this artifact (resume mode); their
     // queries are not re-run. Sorted into `results` at dump time so the
     // merged artifact is indistinguishable in shape from a single run.
+    // Only names still present in SparkEntry.queries are carried — a
+    // renamed or deleted query's stale timing would otherwise be merged
+    // into `value` indefinitely. The prior run's vm_health rides along
+    // as `carried_vm_health`: carried timings were measured under THAT
+    // VM state, not this run's, so the two must stay distinguishable.
     val carried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var carriedVmHealth: Option[Double] = None
     sys.env.get("SPARK_GRAFT_BENCH_RESUME").foreach { rp =>
       val path = if (rp == "1" || rp.equalsIgnoreCase("auto")) outPath else rp
       try {
@@ -157,14 +186,28 @@ object Bench {
           case JString(s) => s == sfDir
           case _ => false
         }
-        if (sameSf) (j \ "queries") match {
-          case JObject(fields) => fields.foreach {
-            case (k, JDouble(v)) => carried += k -> v
-            case (k, JDecimal(v)) => carried += k -> v.toDouble
-            case (k, JInt(v)) => carried += k -> v.toDouble
+        if (sameSf) {
+          val known = SparkEntry.queries.keySet
+          (j \ "queries") match {
+            case JObject(fields) =>
+              val dropped = scala.collection.mutable.ArrayBuffer[String]()
+              fields.foreach {
+                case (k, _) if !known.contains(k) => dropped += k
+                case (k, JDouble(v)) => carried += k -> v
+                case (k, JDecimal(v)) => carried += k -> v.toDouble
+                case (k, JInt(v)) => carried += k -> v.toDouble
+                case _ => ()
+              }
+              if (dropped.nonEmpty) System.err.println(
+                s"[bench] resume: dropped ${dropped.size} stale names not in SparkEntry.queries: ${dropped.mkString(",")}")
             case _ => ()
           }
-          case _ => ()
+          (j \ "vm_health") match {
+            case JDouble(v) => carriedVmHealth = Some(v)
+            case JDecimal(v) => carriedVmHealth = Some(v.toDouble)
+            case JInt(v) => carriedVmHealth = Some(v.toDouble)
+            case _ => ()
+          }
         } else System.err.println(
           s"[bench] resume: ignoring $path (sf mismatch, carried nothing)")
       } catch {
@@ -178,6 +221,25 @@ object Bench {
     def merged: Seq[(String, Double)] =
       (carried.toSeq ++ results.toSeq).sortBy(_._1)
 
+    // Per-query normalization against the NEAREST probe: query i
+    // (position in measurement order) is scaled by median/nearest when
+    // its nearest probe ran over 1.5x the run's median probe —
+    // deflating queries inside a genuinely degraded window back to
+    // typical-health terms. The dead-band matters: probe times jitter
+    // ~1.5x on a healthy VM here, and normalizing against the MINIMUM
+    // probe would "correct" that noise into a fictitious 20%+ speedup
+    // (observed on a healthy sf0.001 run). Carried queries are NOT
+    // normalized (measured under a different VM state, recorded via
+    // carried_vm_health); with fewer than two probes every factor is 1.
+    def probeFactor(i: Int): Double =
+      if (vmSeries.size < 2) 1.0
+      else {
+        val sorted = vmSeries.map(_._2).sorted
+        val ref = sorted(sorted.size / 2)
+        val nearest = vmSeries.minBy { case (n, _) => math.abs(n - i) }._2
+        if (nearest > 1.5 * ref) ref / nearest else 1.0
+      }
+
     def writeFullFile(): Unit = try {
       val m = merged
       val qs = m.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
@@ -185,8 +247,18 @@ object Bench {
       val f = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val s = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val c = carried.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val series = vmSeries
+        .map { case (n, t) => s"""{"after_n":$n,"t":${fmt3(t)}}""" }
+        .mkString("[", ",", "]")
+      val normByName = results.zipWithIndex
+        .map { case ((k, v), i) => k -> v * probeFactor(i) }.toMap
+      val qsNorm = m
+        .map { case (k, v) => "\"" + k + "\":" + fmt3(normByName.getOrElse(k, v)) }
+        .mkString("{", ",", "}")
+      val totalNorm = m.map { case (k, v) => normByName.getOrElse(k, v) }.sum
+      val cvh = carriedVmHealth.map(v => s""","carried_vm_health":${fmt3(v)}""").getOrElse("")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"carried":$c,"vm_health":${fmt3(vmHealthS)},"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"carried":$c$cvh,"vm_health":${fmt3(vmHealthS)},"vm_health_series":$series,"queries_normalized":$qsNorm,"value_normalized":${fmt3(totalNorm)},"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
     } catch { case _: Throwable => () } // bench must not die on a dump
 
     // On a pathological-VM day the wall budget truncates the run — in
@@ -266,10 +338,21 @@ object Bench {
         // those explicitly too.
         spark.catalog.clearCache()
         sc.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // interleaved health probe: same fixed job as the startup one,
+        // every ProbeEvery measured queries, so a mid-run degradation
+        // window lands BETWEEN two probes and the normalization can
+        // attribute it. Guarded by remaining budget — a probe must
+        // never displace a measurable query.
+        if (results.size % ProbeEvery == 0 && results.nonEmpty &&
+            budgetS - elapsedS > 30) vmProbe(results.size)
         writeFullFile()
       }
     }
     timer.cancel()
+    // closing probe: bounds the last window so end-of-run degradation
+    // is attributable too
+    if (probesEnabled && vmSeries.lastOption.exists(_._1 < results.size))
+      vmProbe(results.size)
     writeFullFile()
 
     // Compact final line: short names + centiseconds keep ~111 queries
@@ -280,8 +363,14 @@ object Bench {
     val failedJson = failed.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val total = finalResults.map(_._2).sum
+    // vh = first probe, vhx = worst probe (vh << vhx flags mid-run
+    // degradation), vn = nearest-probe-normalized total; full series
+    // and per-query normalization live in bench_full.json
+    val vhx = if (vmSeries.isEmpty) -1.0 else vmSeries.map(_._2).max
+    val normTotal = carried.values.sum +
+      results.zipWithIndex.map { case ((_, v), i) => v * probeFactor(i) }.sum
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"vh":${fmt2(vmHealthS)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"vh":${fmt2(vmHealthS)},"vhx":${fmt2(vhx)},"vn":${fmt2(normTotal)},"sf":"$sfDir"}"""
     // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to
     // stderr, and anything after the JSON line pushes it out of the
     // parse tail. Force logging off, stop Spark, then print last.
