@@ -965,6 +965,20 @@ object SparkEntry {
         .orderBy("cid")
     }),
 
+    // ---- extension: REAL image decode (javax.imageio round-trip) ----
+    // deterministic two-band PNG/BMP fixture images are ENCODED and
+    // DECODED with the pure-JVM codec; features are all-integer so the
+    // oracle can reproduce them analytically from the fixture spec —
+    // the only way a SQL engine can check a codec round-trip it cannot
+    // perform itself
+    "q136_image_decode" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").filter(col("doc_id") < 60)
+        .select("doc_id")
+      graft.multimodal.Multimodal.decodeImageFeatures(
+          graft.multimodal.Multimodal.fixtureImages(ids, "doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: edit-distance-verified near-dup pairs ----
     // exact Levenshtein confirmation of the q22 LSH candidates: the
     // blocker proposes, the O(len^2) measure disposes — capped text,
@@ -2727,6 +2741,25 @@ object SparkEntry {
          |SELECT cid, COUNT(*) AS n_eval_hits, round(MAX(sim), 5) AS max_sim,
          |       MIN(eid) AS first_eval_id
          |FROM p WHERE sim >= 0.3 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // analytic twin of the ImageIO round-trip: the engine decodes real
+    // PNG/BMP bytes; the oracle computes what a correct decode MUST
+    // yield from the deterministic fixture spec (two solid bands =>
+    // closed-form channel sums and vertical-edge energy)
+    "q136_image_decode" ->
+      """WITH s AS (SELECT doc_id,
+        |    8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |    (8 + doc_id % 3) // 2 AS top,
+        |    (doc_id*37)%256 AS ar, (doc_id*59)%256 AS ag, (doc_id*83)%256 AS ab,
+        |    (doc_id*97)%256 AS br, (doc_id*101)%256 AS bg, (doc_id*103)%256 AS bb
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w*(top*ar + (h-top)*br) AS BIGINT) AS sum_r,
+        |  CAST(w*(top*ag + (h-top)*bg) AS BIGINT) AS sum_g,
+        |  CAST(w*(top*ab + (h-top)*bb) AS BIGINT) AS sum_b,
+        |  CAST(w*(abs(ar-br)+abs(ag-bg)+abs(ab-bb)) AS BIGINT) AS edge_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q118_editdist_neardup" ->
       s"""WITH ${sigsCte("documents")},

@@ -1,20 +1,22 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: images/audio/video ride through the
   * engine as opaque `binary` columns with a typed metadata struct.
   *
-  * The Spark-side contract — schema, partition sizing, batch shape,
-  * deterministic ids — is real and tested. The actual media DECODE step
-  * is a STUB (this container has no image/audio codecs):
-  * [[decodeFeaturesStub]] derives a deterministic fake feature vector
-  * from the bytes via md5, with the same signature/shape a real
-  * decoder (mapPartitions over a native codec, or a vectorized Python
-  * worker in PySpark) would produce. Swap the stub for the codec call;
-  * nothing else changes.
+  * The image path is REAL end-to-end: [[fixtureImages]] encodes
+  * deterministic two-band PNG/BMP images with `javax.imageio` (pure
+  * JVM, no native codecs) and [[decodeImageFeatures]] decodes arbitrary
+  * PNG/BMP/JPEG bytes back to per-image integer features (dimensions,
+  * per-channel sums, vertical-edge energy) in a `mapPartitions` — the
+  * legitimate black-box-decode shape: the codec call cannot be a
+  * Catalyst expression, so it runs once per row inside the partition
+  * iterator with zero shuffle, and everything downstream operates on
+  * the compact features. Audio/video decoders would slot into the same
+  * shape (bytes in, fixed-width features out).
   *
   * Scale notes: media blobs make wide rows — keep
   * `spark.sql.files.maxPartitionBytes` small enough that a partition of
@@ -59,15 +61,123 @@ object Multimodal {
     df.withColumn("n_bytes", octet_length(col(bytesCol)).cast(LongType))
       .withColumn("chunk_fp", md5(col(bytesCol)))
 
-  /** STUB decode: deterministic fake `dim`-dimensional feature vector
-    * in [0, 1), derived from md5(bytes, index). A real implementation
-    * decodes the media and runs a feature extractor; signature and
-    * output shape are identical.
+  /** The deterministic fixture-image spec for `id`: a `w x h` two-band
+    * image — the top `h/2` rows solid colour A, the rest solid colour
+    * B, colours and dimensions pure integer functions of the id. Every
+    * derived quantity (channel sums, edge energy) is therefore
+    * computable analytically by any engine, which is what lets a
+    * SQL-only oracle check a codec round-trip it cannot perform
+    * itself.
     */
-  def decodeFeaturesStub(bytesCol: Column, dim: Int): Column =
-    transform(sequence(lit(1), lit(dim)), i =>
-      conv(substring(md5(concat(bytesCol, i.cast(StringType).cast(BinaryType))), 1, 8), 16, 10)
-        .cast(LongType).cast(DoubleType) / lit(4294967296.0))
+  final case class FixtureSpec(
+      id: Long, fmt: String, w: Int, h: Int, top: Int,
+      ar: Int, ag: Int, ab: Int, br: Int, bg: Int, bb: Int)
+
+  def fixtureSpec(id: Long): FixtureSpec = FixtureSpec(
+    id = id,
+    fmt = if (id % 2 == 0) "png" else "bmp",
+    w = (8 + id % 5).toInt,
+    h = (8 + id % 3).toInt,
+    top = ((8 + id % 3) / 2).toInt,
+    ar = ((id * 37) % 256).toInt, ag = ((id * 59) % 256).toInt,
+    ab = ((id * 83) % 256).toInt, br = ((id * 97) % 256).toInt,
+    bg = ((id * 101) % 256).toInt, bb = ((id * 103) % 256).toInt)
+
+  /** Encode the fixture image for `id` as real PNG or BMP bytes via
+    * `javax.imageio` (both formats are lossless for 24-bit RGB, so the
+    * decode side recovers exact pixel values).
+    */
+  def encodeFixture(id: Long): Array[Byte] = {
+    val s = fixtureSpec(id)
+    val img = new java.awt.image.BufferedImage(
+      s.w, s.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < s.h) {
+      val rgb =
+        if (y < s.top) (s.ar << 16) | (s.ag << 8) | s.ab
+        else (s.br << 16) | (s.bg << 8) | s.bb
+      var x = 0
+      while (x < s.w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, s.fmt, bos)
+    bos.toByteArray
+  }
+
+  /** One row per input id with REAL encoded image bytes:
+    * (id, fmt, bytes). Encoding is a per-row black box (ImageIO has no
+    * expression form), so it runs as a deterministic UDF — the one
+    * place in this engine where a UDF is the right tool rather than a
+    * codegen regression.
+    */
+  def fixtureImages(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => encodeFixture(id))
+    val fmt = udf((id: Long) => fixtureSpec(id).fmt)
+    ids.select(col(idCol),
+      fmt(col(idCol).cast(LongType)).as("fmt"),
+      enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
+  /** Feature row a decoded image reduces to. All-integer so an
+    * analytic oracle can match it exactly: per-channel pixel sums and
+    * the vertical-edge energy (sum over vertically-adjacent pixel
+    * pairs of the L1 colour distance).
+    */
+  final case class ImageFeatures(
+      media_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, edge_sum: Long)
+
+  /** REAL image decode: PNG/BMP/JPEG bytes -> [[ImageFeatures]], one
+    * output row per decodable input row (undecodable bytes are
+    * dropped; production would route them to a quarantine sink).
+    *
+    * `mapPartitions`, not an expression: the codec is a per-row black
+    * box, and the partition iterator amortizes codec setup while
+    * keeping the work fully distributed — no shuffle, blobs never
+    * leave their partition, only the fixed-width features flow on.
+    */
+  def decodeImageFeatures(
+      df: DataFrame, idCol: String, bytesCol: String = "bytes"): DataFrame = {
+    val input = df.select(col(idCol).cast(LongType), col(bytesCol))
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else {
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L; var edge = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+                sr += pr; sg += pg; sb += pb
+                if (y + 1 < h) {
+                  val q = img.getRGB(x, y + 1)
+                  edge += math.abs(pr - ((q >> 16) & 0xff)) +
+                    math.abs(pg - ((q >> 8) & 0xff)) +
+                    math.abs(pb - (q & 0xff))
+                }
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImageFeatures(id, w.toLong, h.toLong, sr, sg, sb, edge))
+          }
+        }
+      }
+    }(Encoders.product[ImageFeatures])
+      .toDF()
+      .withColumnRenamed("media_id", idCol)
+  }
 
   /** Frame-sampling plumbing for video rows: one output row per sampled
     * frame offset (every `everyMs` within `meta.duration_ms`). The
@@ -78,9 +188,14 @@ object Multimodal {
         explode(sequence(lit(0L), coalesce(col("meta.duration_ms"), lit(0L)),
           lit(everyMs))))
 
-  /** Full stub pipeline: media rows -> per-row feature vectors. */
-  def featurize(df: DataFrame, dim: Int = 16): DataFrame =
-    byteStats(df)
-      .withColumn("features", decodeFeaturesStub(col("bytes"), dim))
-      .drop("bytes")
+  /** Full real pipeline: id rows -> encoded image bytes -> byte stats
+    * -> decoded per-image features (joined on the id, so the feature
+    * extraction and the byte-level stats each see the blobs exactly
+    * once).
+    */
+  def featurize(ids: DataFrame, idCol: String): DataFrame = {
+    val imgs = fixtureImages(ids, idCol)
+    byteStats(imgs).drop("bytes")
+      .join(decodeImageFeatures(imgs, idCol), idCol)
+  }
 }

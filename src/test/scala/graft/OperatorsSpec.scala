@@ -453,19 +453,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("s") == ((3L, 1L, 2L, "a", "c")))
   }
 
-  test("multimodal: stub featurize is deterministic with stable shape") {
+  test("multimodal: real ImageIO encode/decode round-trips the fixture spec") {
+    val ids = Seq(0L, 1L, 2L, 7L, 12L).toDF("id")
+    val got = Multimodal
+      .decodeImageFeatures(Multimodal.fixtureImages(ids, "id"), "id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got.size == 5)
+    Seq(0L, 1L, 2L, 7L, 12L).foreach { id =>
+      val s = Multimodal.fixtureSpec(id)
+      val bot = s.h - s.top
+      val expected = (
+        s.w.toLong, s.h.toLong,
+        s.w.toLong * (s.top * s.ar + bot * s.br),
+        s.w.toLong * (s.top * s.ag + bot * s.bg),
+        s.w.toLong * (s.top * s.ab + bot * s.bb),
+        s.w.toLong * (math.abs(s.ar - s.br) + math.abs(s.ag - s.bg) +
+          math.abs(s.ab - s.bb)))
+      assert(got(id) == expected, s"id=$id spec=$s")
+    }
+    // both codecs exercised: even ids PNG, odd ids BMP — magic bytes
+    val magic = Multimodal.fixtureImages(ids, "id")
+      .select("id", "bytes").as[(Long, Array[Byte])].collect().toMap
+    assert(magic(0L).take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    assert(magic(7L).take(2).toSeq == Seq[Byte]('B', 'M'))
+    // decode is robust to junk: undecodable rows are dropped, not fatal
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("id", "bytes")
+    assert(Multimodal.decodeImageFeatures(junk, "id").count() == 0)
+  }
+
+  test("multimodal: frame sampling plumbing") {
     val media = Multimodal.fromText(
-      Seq((1L, "hello world"), (2L, "hello world"), (3L, "other bytes"))
-        .toDF("id", "text"), "id", "text")
+      Seq((1L, "hello world")).toDF("id", "text"), "id", "text")
     assert(media.schema("bytes").dataType.typeName == "binary")
-    val feats = Multimodal.featurize(media, dim = 8)
-      .select("media_id", "features").as[(Long, Seq[Double])].collect()
-      .map(t => t._1 -> t._2).toMap
-    assert(feats(1L).size == 8)
-    assert(feats(1L) == feats(2L), "same bytes -> same features")
-    assert(feats(1L) != feats(3L))
-    assert(feats.values.flatten.forall(v => v >= 0.0 && v < 1.0))
-    // frame sampling plumbing: duration 11 bytes, every 5 -> offsets 0,5,10
+    // duration 11 bytes, every 5 -> offsets 0,5,10
     val frames = Multimodal.frameSample(media.filter(col("media_id") === 1), 5)
     assert(frames.select("frame_ms").as[Long].collect().toSeq == Seq(0L, 5L, 10L))
   }
