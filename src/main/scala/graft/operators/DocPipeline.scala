@@ -100,11 +100,41 @@ object DocPipeline {
       cfg: Config = Config(),
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
       nShards: Int = 4,
-      contaminationThreshold: Double = 0.5): DataFrame =
+      contaminationThreshold: Double = 0.5,
+      strictShingles: Boolean = false): DataFrame =
     curateCached(docs, evalDocs, idCol, textCol, cfg, splits, nShards,
-      contaminationThreshold).df
+      contaminationThreshold, strictShingles).df
 
-  /** [[curate]] plus its persisted intermediates for caller release. */
+  /** [[curate]] plus its persisted intermediates for caller release.
+    *
+    * `strictShingles` picks the shingle convention of the
+    * decontamination join (stage 6):
+    *
+    *   - `false` (default): [[Dedup.shingleRows]]'s non-strict rule —
+    *     a document shorter than the shingle width contributes ONE
+    *     whole-text shingle. This matches the near-dup pipeline's
+    *     convention, so the persisted shingle table is reused as-is,
+    *     and a short eval doc can still flag an equally-short corpus
+    *     doc that (quality gate permitting) survived to the join.
+    *   - `true`: sub-width documents contribute NOTHING — the strict
+    *     semantics [[Dedup.shingleRows]]'s scaladoc recommends when
+    *     shingles must be comparable across documents: a whole-text
+    *     "shingle" of 2 tokens is not commensurable with true 3-gram
+    *     shingles, so under the default a short eval doc can only ever
+    *     match an exactly-equal short corpus doc, and its
+    *     `contaminationThreshold` fraction silently means "the one
+    *     whole-text shingle matched", not "this fraction of n-grams
+    *     leaked". Strict mode refuses that pun and drops sub-width
+    *     docs from BOTH sides of the join.
+    *
+    * Cost: the eval side always recomputes under the chosen rule (it
+    * is small). The corpus side reuses the near-dup pipeline's
+    * persisted non-strict table whenever it is PROVABLY identical to
+    * the strict one — every doc at the join has `>= cfg.minTokens`
+    * tokens, so `minTokens >= shingle width` makes the two conventions
+    * agree on every surviving corpus doc — and recomputes strictly
+    * only when `minTokens` lets sub-width docs through the gate.
+    */
   def curateCached(
       docs: DataFrame,
       evalDocs: DataFrame,
@@ -113,7 +143,8 @@ object DocPipeline {
       cfg: Config = Config(),
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
       nShards: Int = 4,
-      contaminationThreshold: Double = 0.5): Dedup.CachedDF = {
+      contaminationThreshold: Double = 0.5,
+      strictShingles: Boolean = false): Dedup.CachedDF = {
     import org.apache.spark.storage.StorageLevel
     val nTokens = TextAnalysis.tokenCount(col(textCol))
     // 1-2. quality gate + exact dedup, persisted: the ONE scan of raw
@@ -143,11 +174,19 @@ object DocPipeline {
       .select(col(idCol), col("cluster_id"), col("n_tokens"))
     // 6. decontamination REUSING the near-dup shingle table: a corpus
     // doc is dropped when it contains >= threshold of any eval doc's
-    // distinct shingles (q129's containment, on the shared shingles)
-    val eSh = Dedup.shingleRows(evalDocs, idCol, textCol)
+    // distinct shingles (q129's containment, on the shared shingles).
+    // Shingle-width default in shingleRows and nearDupArtifacts is 3 —
+    // the reuse-compatibility test below is against that width.
+    val shingleWidth = 3
+    val corpusSh =
+      if (!strictShingles || cfg.minTokens >= shingleWidth) nd.shingles
+      else Dedup.shingleRows(cleaned, idCol, textCol, shingleWidth,
+        strict = true)
+    val eSh = Dedup.shingleRows(evalDocs, idCol, textCol, shingleWidth,
+        strict = strictShingles)
       .select(col(idCol).as("__eid"), col("__sh"))
     val eSz = eSh.groupBy(col("__eid")).agg(count(lit(1)).as("__ne"))
-    val contaminated = nd.shingles
+    val contaminated = corpusSh
       .join(eSh, "__sh")
       .groupBy(col(idCol), col("__eid"))
       .agg(count(lit(1)).as("__shared"))

@@ -45,6 +45,52 @@ class CurateSpec extends AnyFunSuite {
     } finally cached.unpersist()
   }
 
+  test("strictShingles drops sub-width docs from the decon join") {
+    // corpus doc 20 is TWO tokens; with minTokens=1 it survives the
+    // quality gate and under the default (non-strict) convention its
+    // whole-text shingle equals eval doc 1's whole-text shingle ->
+    // contaminated. Strict mode refuses the whole-text pun: a 2-token
+    // doc contributes no 3-gram shingles on either side, so 20
+    // survives.
+    val corpus = Seq(
+      (20L, "secret benchmark"),
+      (21L, "completely unrelated words about trains planes and automobiles"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((1L, "secret benchmark")).toDF("doc_id", "text")
+    val cfg = DocPipeline.Config(minTokens = 1)
+
+    def survivors(strict: Boolean): Set[Long] = {
+      val cached = DocPipeline.curateCached(
+        corpus, evalDocs, "doc_id", "text", cfg, nShards = 1,
+        strictShingles = strict)
+      try cached.df.collect().map(_.getLong(4)).toSet
+      finally cached.unpersist()
+    }
+    assert(survivors(strict = false) == Set(21L),
+      "non-strict: whole-text shingle match flags doc 20")
+    assert(survivors(strict = true) == Set(20L, 21L),
+      "strict: sub-width docs contribute no shingles, 20 survives")
+
+    // with minTokens >= shingle width the two conventions agree on
+    // every surviving corpus doc (the persisted-table reuse proof):
+    // an eval doc of >= 3 tokens contaminates identically either way
+    val corpus2 = Seq(
+      (30L, "the quick brown fox jumps over the lazy dog today"),
+      (31L, "other content entirely about different things and matters"))
+      .toDF("doc_id", "text")
+    val eval2 = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    def survivors2(strict: Boolean): Set[Long] = {
+      val cached = DocPipeline.curateCached(
+        corpus2, eval2, "doc_id", "text", nShards = 1,
+        strictShingles = strict)
+      try cached.df.collect().map(_.getLong(4)).toSet
+      finally cached.unpersist()
+    }
+    assert(survivors2(strict = false) == survivors2(strict = true))
+    assert(survivors2(strict = true) == Set(31L))
+  }
+
   test("near-dups never straddle a split (leakage-safe by cluster)") {
     // 40 pairs of near-identical docs with disjoint per-pair
     // vocabularies; every pair must land in ONE split
