@@ -572,6 +572,18 @@ object Similarity {
     * the exact cosine computed only within buckets — same scale shape
     * as [[signBucketNearDupPairs]] but with rotation-invariant SRP
     * hyperplanes instead of leading-dimension signs.
+    *
+    * `families` is the same recall dial [[semanticContamination]]'s
+    * blocked path carries: each extra family is an INDEPENDENT
+    * [[srpSigns]] hyperplane draw whose bucket-blocked pairs union in
+    * (multi-probe style) — a near pair split by one family's planes
+    * meets under another with probability
+    * 1 - (1 - (1 - θ/π)^k)^families. Cost is corpus-linear per family
+    * (one extra projection + one bucket self-join), never a cross
+    * product; a pair surviving several families computes the SAME
+    * exact cosine in each, so the cross-family `distinct` dedupes it
+    * losslessly. `families = 1` (the default) is byte-identical to the
+    * pre-dial operator — q106's oracle pins that.
     */
   def srpCandidatePairs(
       df: DataFrame,
@@ -579,19 +591,32 @@ object Similarity {
       vecCol: String,
       k: Int,
       threshold: Double,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      families: Int = 1): DataFrame = {
+    require(families >= 1, "families must be >= 1")
     val e = df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
       .withColumn("__n", l2Norm(col("__v")))
-      .join(srpBuckets(df, idCol, vecCol, k, dims), idCol)
-    val a = e.select(col("bucket"), col(idCol).as("d1"),
-      col("__v").as("__v1"), col("__n").as("__n1"))
-    val b = e.select(col("bucket"), col(idCol).as("d2"),
-      col("__v").as("__v2"), col("__n").as("__n2"))
-    a.join(b, Seq("bucket"))
-      .filter(col("d1") < col("d2"))
-      .withColumn("sim", dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
-      .filter(col("sim") >= threshold)
-      .select(col("d1"), col("d2"), col("sim"))
+    def pairsForFamily(family: Int): DataFrame = {
+      val signs = srpSigns(k, dims, family)
+      val projs = array(signs.map(s => dot(col("__v"), typedLit(s))): _*)
+      val bits = (0 until k).map(i =>
+        when(element_at(col("__projs"), i + 1) >= 0, lit("1")).otherwise(lit("0")))
+      val ann = e.withColumn("__projs", projs)
+        .withColumn("bucket", concat(bits: _*))
+        .drop("__projs")
+      val a = ann.select(col("bucket"), col(idCol).as("d1"),
+        col("__v").as("__v1"), col("__n").as("__n1"))
+      val b = ann.select(col("bucket"), col(idCol).as("d2"),
+        col("__v").as("__v2"), col("__n").as("__n2"))
+      a.join(b, Seq("bucket"))
+        .filter(col("d1") < col("d2"))
+        .withColumn("sim", dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
+        .filter(col("sim") >= threshold)
+        .select(col("d1"), col("d2"), col("sim"))
+    }
+    val perFamily = (0 until families).map(pairsForFamily)
+    if (families == 1) perFamily.head
+    else perFamily.reduce(_ unionByName _).distinct()
   }
 
   /** DuckDB bucket expression matching [[srpBuckets]]: a `||` concat of

