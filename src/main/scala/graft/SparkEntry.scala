@@ -979,6 +979,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: INCREMENTAL curation (batch-over-batches) ----
+    // the new batch (doc_id % 3 == 0, plus planted rows that exercise
+    // every cascade label) is labeled against the persisted curateState
+    // of the already-ingested base (% 3 != 0) — exact + SimHash
+    // near-dup checks run against STATE fingerprints, never base text;
+    // decisions are first-fail labels per batch doc. maxHamming = 0
+    // because the synthetic corpus is template-heavy: 16-bit SimHash
+    // saturates it (hamming <= 3 matches ~99% of the batch), and the
+    // exact-collision bar keeps every stage population non-trivial.
+    "q137_curate_increment" -> ((s, dir) => {
+      import s.implicits._
+      val d = T(s, dir, "documents")
+      val base = d.filter(col("doc_id") >= 10 && col("doc_id") % 3 =!= 0)
+      def planted(src: Long, newId: Long, suffix: String) =
+        d.filter(col("doc_id") === src).select(
+          lit(newId).as("doc_id"),
+          (if (suffix.isEmpty) col("text")
+           else concat(col("text"), lit(suffix))).as("text"))
+      val batch = d.filter(col("doc_id") >= 10 && col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted(11L, 100000L, ""))                     // exact_dup_base
+        .unionByName(planted(12L, 100001L, " planted twin marker")) // shields 100002
+        .unionByName(planted(12L, 100002L, " planted twin marker")) // exact_dup_batch
+        .unionByName(Seq((100003L, "tiny doc")).toDF("doc_id", "text")) // quality
+        .unionByName(planted(3L, 100004L, " zq"))                   // contaminated
+      operators.DocPipeline.curateIncrement(
+        operators.DocPipeline.curateState(base, "doc_id", "text"),
+        batch, d.filter(col("doc_id") < 10), "doc_id", "text",
+        maxHamming = 0)
+    }),
+
     // ---- extension: edit-distance-verified near-dup pairs ----
     // exact Levenshtein confirmation of the q22 LSH candidates: the
     // blocker proposes, the O(len^2) measure disposes — capped text,
@@ -2760,6 +2791,70 @@ object SparkEntry {
         |  CAST(w*(top*ab + (h-top)*bb) AS BIGINT) AS sum_b,
         |  CAST(w*(abs(ar-br)+abs(ag-bg)+abs(ab-bb)) AS BIGINT) AS edge_sum
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // incremental-curation twin: the same first-fail cascade, with the
+    // base side reduced to fingerprints exactly as curateState does and
+    // the same planted batch rows
+    "q137_curate_increment" -> {
+      val dims = (0 until 16).map(j =>
+        s"avg(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) AS d$j")
+        .mkString(", ")
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN d$j >= 7.5 THEN '1' ELSE '0' END").mkString(" || ")
+      val ham = (1 to 16).map(j =>
+        s"(CASE WHEN substring(n.s, $j, 1) <> substring(o.s, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH st AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 10 AND doc_id % 3 <> 0),
+         |bt0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 10 AND doc_id % 3 = 0
+         |  UNION ALL SELECT 100000, text FROM documents WHERE doc_id = 11
+         |  UNION ALL SELECT 100001, text || ' planted twin marker' FROM documents WHERE doc_id = 12
+         |  UNION ALL SELECT 100002, text || ' planted twin marker' FROM documents WHERE doc_id = 12
+         |  UNION ALL SELECT 100003, 'tiny doc'
+         |  UNION ALL SELECT 100004, text || ' zq' FROM documents WHERE doc_id = 3),
+         |bt AS (SELECT doc_id, text,
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM bt0),
+         |stf AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM st),
+         |alld AS (SELECT doc_id, text, TRUE AS isb FROM bt0
+         |  UNION ALL SELECT doc_id, text, FALSE AS isb FROM st),
+         |toksx AS (SELECT doc_id, isb,
+         |    md5(unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS h
+         |  FROM alld),
+         |dm AS (SELECT doc_id, isb, $dims FROM toksx GROUP BY doc_id, isb),
+         |shs AS (SELECT doc_id, isb, $bits AS s FROM dm),
+         |okq AS (SELECT doc_id, fp FROM bt WHERE n_tokens BETWEEN 5 AND 100000),
+         |exb AS (SELECT DISTINCT b.doc_id FROM bt b JOIN stf ON b.fp = stf.fp),
+         |keeper AS (SELECT fp, MIN(doc_id) AS kid FROM okq GROUP BY fp),
+         |exn AS (SELECT o.doc_id FROM okq o JOIN keeper k ON o.fp = k.fp AND o.doc_id <> k.kid),
+         |s13 AS (SELECT doc_id FROM okq
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM exb)
+         |    AND doc_id NOT IN (SELECT doc_id FROM exn)),
+         |nb AS (SELECT DISTINCT n.doc_id FROM shs n JOIN shs o
+         |  ON n.isb AND NOT o.isb AND ($ham) <= 0),
+         |nn AS (SELECT DISTINCT n.doc_id FROM shs n JOIN shs o
+         |  ON n.isb AND o.isb AND o.doc_id < n.doc_id AND ($ham) <= 0
+         |  WHERE n.doc_id IN (SELECT doc_id FROM s13)
+         |    AND o.doc_id IN (SELECT doc_id FROM s13)),
+         |${ngramCtes("bt0", 3, "c")},
+         |${ngramCtes("(SELECT doc_id, text FROM documents WHERE doc_id < 10)", 3, "e")},
+         |ez AS (SELECT doc_id AS eid, COUNT(*) AS ne FROM esh GROUP BY 1),
+         |shr AS (SELECT c.doc_id AS cid, e.doc_id AS eid, COUNT(*) AS ns
+         |  FROM csh c JOIN esh e ON c.s = e.s GROUP BY 1, 2),
+         |contam AS (SELECT DISTINCT cid AS doc_id FROM shr JOIN ez USING (eid)
+         |  WHERE CAST(ns AS DOUBLE) / ne >= 0.5)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens NOT BETWEEN 5 AND 100000 THEN 'quality'
+         |       WHEN doc_id IN (SELECT doc_id FROM exb) THEN 'exact_dup_base'
+         |       WHEN doc_id IN (SELECT doc_id FROM exn) THEN 'exact_dup_batch'
+         |       WHEN doc_id IN (SELECT doc_id FROM nb) THEN 'near_dup_base'
+         |       WHEN doc_id IN (SELECT doc_id FROM nn) THEN 'near_dup_batch'
+         |       WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+         |       ELSE 'kept' END AS decision
+         |FROM bt ORDER BY doc_id""".stripMargin
+    },
 
     "q118_editdist_neardup" ->
       s"""WITH ${sigsCte("documents")},

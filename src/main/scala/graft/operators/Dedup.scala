@@ -654,17 +654,34 @@ object Dedup {
       incoming: DataFrame,
       idCol: String,
       textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashIncrementalPairsFromSigs(
+      simhash16(base, idCol, textCol),
+      simhash16(incoming, idCol, textCol), idCol, maxHamming)
+
+  /** [[simhashIncrementalPairs]] over PRECOMPUTED `(idCol, simhash)`
+    * frames — the shape an incremental curation run needs: the base
+    * side's fingerprints are persisted state from a prior run, so the
+    * base corpus text is never re-scanned. Null signatures (docs with
+    * no tokens) are dropped from both sides.
+    */
+  def simhashIncrementalPairsFromSigs(
+      baseSigs: DataFrame,
+      incomingSigs: DataFrame,
+      idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-band blocking is only lossless for maxHamming <= 3, got $maxHamming")
     def bands(sig: Column): Column =
       array((0 until 4).map(i =>
         struct(lit(i).as("band"), substring(sig, 1 + 4 * i, 4).as("chunk"))): _*)
-    val b = simhash16(base, idCol, textCol)
+    val b = baseSigs
       .select(col(idCol).as("old_id"), col("simhash").as("__sb"))
+      .filter(col("__sb").isNotNull)
       .select(col("old_id"), col("__sb"), explode(bands(col("__sb"))).as("__b"))
-    val n = simhash16(incoming, idCol, textCol)
+    val n = incomingSigs
       .select(col(idCol).as("new_id"), col("simhash").as("__sn"))
+      .filter(col("__sn").isNotNull)
       .select(col("new_id"), col("__sn"), explode(bands(col("__sn"))).as("__b"))
     val hamming = (1 to 16).map(j =>
       when(substring(col("__sb"), j, 1) =!= substring(col("__sn"), j, 1), 1)

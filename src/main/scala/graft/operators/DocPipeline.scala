@@ -209,6 +209,139 @@ object DocPipeline {
       Seq(cleaned) ++ nd.handles ++ cl.handles, cl.cleanups)
   }
 
+  /** The per-document ingest STATE a curation run persists so future
+    * batches can be curated WITHOUT re-scanning the base corpus text:
+    * `(idCol, fp, simhash)` — the exact-dup fingerprint
+    * ([[TextAnalysis.fingerprint]]) and the 16-bit SimHash
+    * ([[Dedup.simhash16]]). One scan of the corpus, one id-keyed join
+    * of the two per-doc reductions; a production pipeline writes this
+    * frame to a parquet state table and appends each curated batch's
+    * rows to it. Docs with no tokens keep a null simhash (they can
+    * still exact-dup-match by fingerprint).
+    */
+  def curateState(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .join(Dedup.simhash16(docs, idCol, textCol), Seq(idCol), "left")
+
+  /** Incremental curation: label every document of a NEW batch against
+    * the persisted [[curateState]] of the already-ingested corpus —
+    * the batch-over-batches shape of production curation, where the
+    * base corpus is curated once and each arriving batch is judged
+    * against its state without re-reading base text.
+    *
+    * Output: `(idCol, n_tokens, decision)`, one row per batch doc,
+    * where `decision` is the FIRST failing stage in priority order
+    * (so the per-label counts chain like [[attritionReport]]'s):
+    *
+    *   1. `quality` — token count outside `[minTokens, maxTokens]`
+    *   2. `exact_dup_base` — fingerprint already in the state
+    *   3. `exact_dup_batch` — a smaller-id quality-passing batch doc
+    *      has the same fingerprint (min-id-wins, and the keeper must
+    *      itself pass quality: a gate-failed doc shields nothing)
+    *   4. `near_dup_base` — SimHash within `maxHamming` of any state
+    *      row ([[Dedup.simhashIncrementalPairsFromSigs]] — the
+    *      4-band pigeonhole join, lossless for `maxHamming <= 3`)
+    *   5. `near_dup_batch` — SimHash within `maxHamming` of a
+    *      smaller-id batch doc that survived stages 1-3. The smaller
+    *      doc shields even when IT is dropped as `near_dup_base`:
+    *      conservative over-dropping, but deterministic and
+    *      order-independent — the alternative (chain through dropped
+    *      docs) would make a doc's fate depend on resolution order
+    *      inside the batch.
+    *   6. `contaminated` — n-gram containment vs `evalDocs` reaches
+    *      `contaminationThreshold` (q129's measure, non-strict
+    *      shingles — [[curateCached]]'s default convention)
+    *   7. `kept` — append to the corpus and add its state row.
+    *
+    * Scale shape: every comparison against the (unbounded) state is a
+    * blocked equi-join — fingerprints by hash, SimHash by the 4-band
+    * pigeonhole — and the decision assembly is id-keyed left joins of
+    * small flag frames onto the batch; nothing is quadratic in either
+    * the state or the batch, and base text is never touched.
+    *
+    * Replay-idempotent: append the kept docs' [[curateState]] rows to
+    * the state and re-run the same batch — every previously-kept doc
+    * now labels `exact_dup_base`, so a crashed-and-restarted ingest
+    * that already committed its appends admits nothing twice
+    * (asserted in CurateSpec).
+    */
+  def curateIncrement(
+      state: DataFrame,
+      batch: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config(),
+      maxHamming: Int = 3,
+      contaminationThreshold: Double = 0.5): DataFrame = {
+    val nTokens = TextAnalysis.tokenCount(col(textCol))
+    val b = batch
+      .select(col(idCol), col(textCol))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val qualityOk =
+      col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens
+    val okq = b.filter(qualityOk)
+
+    // 2. exact vs base: hash equi-join on the fingerprint
+    val exBase = b.join(state.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
+      .select(col(idCol))
+    // 3. exact within batch: min quality-passing id per fingerprint
+    // keeps; everyone else with that fingerprint drops
+    val keeper = okq.groupBy(col("__fp")).agg(min(col(idCol)).as("__kid"))
+    val exBatch = okq.join(keeper, "__fp")
+      .filter(col(idCol) =!= col("__kid"))
+      .select(col(idCol))
+    // stages 1-3 survivors (the docs that can shield stage-5 dups)
+    val surv13 = okq.select(col(idCol))
+      .join(exBase.select(col(idCol).as("__x1")), col(idCol) === col("__x1"), "left_anti")
+      .join(exBatch.select(col(idCol).as("__x2")), col(idCol) === col("__x2"), "left_anti")
+
+    // 4-5. SimHash blocking: batch signatures computed once, state
+    // signatures read from the persisted frame
+    val bSigs = Dedup.simhash16(batch, idCol, textCol)
+    val nearBase = Dedup.simhashIncrementalPairsFromSigs(
+        state.select(col(idCol), col("simhash")), bSigs, idCol, maxHamming)
+      .select(col("new_id").as(idCol)).distinct()
+    val survSigs = bSigs.join(surv13, Seq(idCol), "left_semi")
+    val nearBatch = Dedup.simhashIncrementalPairsFromSigs(
+        survSigs, survSigs, idCol, maxHamming)
+      .filter(col("old_id") < col("new_id"))
+      .select(col("new_id").as(idCol)).distinct()
+
+    // 6. eval contamination (q129's containment on batch vs eval)
+    val bSh = Dedup.shingleRows(batch, idCol, textCol)
+    val eSh = Dedup.shingleRows(evalDocs, idCol, textCol)
+      .select(col(idCol).as("__eid"), col("__sh"))
+    val eSz = eSh.groupBy(col("__eid")).agg(count(lit(1)).as("__ne"))
+    val contaminated = bSh
+      .join(eSh, "__sh")
+      .groupBy(col(idCol), col("__eid"))
+      .agg(count(lit(1)).as("__shared"))
+      .join(eSz, "__eid")
+      .filter(col("__shared").cast("double") / col("__ne") >= contaminationThreshold)
+      .select(col(idCol))
+      .distinct()
+
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.select(col(idCol)).withColumn(name, lit(true))
+    b.join(flag(exBase, "__exb"), Seq(idCol), "left")
+      .join(flag(exBatch, "__exn"), Seq(idCol), "left")
+      .join(flag(nearBase, "__nb"), Seq(idCol), "left")
+      .join(flag(nearBatch, "__nn"), Seq(idCol), "left")
+      .join(flag(contaminated, "__ct"), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        when(!qualityOk, "quality")
+          .when(coalesce(col("__exb"), lit(false)), "exact_dup_base")
+          .when(coalesce(col("__exn"), lit(false)), "exact_dup_batch")
+          .when(coalesce(col("__nb"), lit(false)), "near_dup_base")
+          .when(coalesce(col("__nn"), lit(false)), "near_dup_batch")
+          .when(coalesce(col("__ct"), lit(false)), "contaminated")
+          .otherwise("kept").as("decision"))
+      .orderBy(idCol)
+  }
+
   /** Per-stage attrition accounting for a sequential filter cascade —
     * the report every curation run publishes: how many documents each
     * stage saw, dropped, and passed on, with per-stage and cumulative

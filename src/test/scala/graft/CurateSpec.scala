@@ -91,6 +91,49 @@ class CurateSpec extends AnyFunSuite {
     assert(survivors2(strict = true) == Set(31L))
   }
 
+  test("curateIncrement: decision cascade + committed replay admits nothing twice") {
+    val base = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "uno dos tres cuatro cinco seis siete ocho nueve")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),   // exact_dup_base
+      (21L, "novel document covering seven distinct unrelated topics entirely"), // kept
+      (22L, "novel document covering seven distinct unrelated topics entirely"), // exact_dup_batch
+      (23L, "xx"),                                              // quality
+      (24L, "the quick brown fox jumps over the lazy dog today")) // contaminated
+      .toDF("doc_id", "text")
+    val evals = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+
+    val state1 = DocPipeline.curateState(base, "doc_id", "text")
+    def run(state: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      DocPipeline.curateIncrement(state, batch, evals, "doc_id", "text",
+          maxHamming = 0)
+        .select("doc_id", "decision").as[(Long, String)].collect().toMap
+
+    val dec1 = run(state1)
+    assert(dec1 == Map(
+      20L -> "exact_dup_base", 21L -> "kept", 22L -> "exact_dup_batch",
+      23L -> "quality", 24L -> "contaminated"), dec1.toString)
+
+    // deterministic: same state + same batch -> same decisions
+    assert(run(state1) == dec1)
+
+    // commit the kept docs' state rows (what a real ingest appends),
+    // then REPLAY the same batch: nothing is admitted twice — the
+    // previously-kept doc now exact-dups the state
+    val keptIds = dec1.collect { case (id, "kept") => id }.toSet
+    val keptDocs = batch.filter(col("doc_id").isin(keptIds.toSeq: _*))
+    val state2 = state1.unionByName(
+      DocPipeline.curateState(keptDocs, "doc_id", "text"))
+    val dec2 = run(state2)
+    assert(!dec2.values.exists(_ == "kept"), dec2.toString)
+    assert(dec2(21L) == "exact_dup_base")
+    assert(dec2(22L) == "exact_dup_base", "its twin's fingerprint is now state")
+    assert(dec2(23L) == "quality" && dec2(24L) == "contaminated",
+      "non-admitted labels are stable under replay")
+  }
+
   test("near-dups never straddle a split (leakage-safe by cluster)") {
     // 40 pairs of near-identical docs with disjoint per-pair
     // vocabularies; every pair must land in ONE split
