@@ -196,6 +196,77 @@ class JdbcSyncSpec extends AnyFunSuite {
       Seq(Seq(1, "new", 1.5), Seq(2, "b", 2.25)))
   }
 
+  test("type-conversion matrix round-trips through Derby (e2e data types shape)") {
+    // the reference's strongest E2E (main_test.go:453-513 +
+    // testdata/e2e_data_types.json): a 13-column matrix of
+    // BOOLEAN/INT/BIGINT/DOUBLE/VARCHAR/TIMESTAMP with extreme values
+    // (max double, int min/max, +/-2^53-ish bigints, empty string,
+    // all-null column) and RFC3339 times with a +09:00 zone offset and
+    // the epoch — synced here via the JSON reader into embedded Derby
+    dropIfExists("dt_table")
+    exec(
+      "CREATE TABLE dt_table (id INT PRIMARY KEY, string_col VARCHAR(255), " +
+        "bool_true_col BOOLEAN, bool_false_col BOOLEAN, int_col INT, " +
+        "float_col DOUBLE, large_int_col BIGINT, zero_col INT, " +
+        "negative_int_col INT, negative_float_col DOUBLE, " +
+        "whole_number_float DOUBLE, null_col VARCHAR(50), " +
+        "rfc3339_time TIMESTAMP, created_at TIMESTAMP, updated_at TIMESTAMP)")
+    val dir = Files.createTempDirectory("graft-dt")
+    val f = dir.resolve("dt.json")
+    Files.writeString(f,
+      """[{"id": 1, "string_col": "Hello World", "bool_true_col": true,
+        |  "bool_false_col": false, "int_col": 42, "float_col": 3.14159,
+        |  "large_int_col": 9007199254740000, "zero_col": 0,
+        |  "negative_int_col": -123, "negative_float_col": -99.99,
+        |  "whole_number_float": 100.0, "null_col": null,
+        |  "rfc3339_time": "2023-12-25T15:30:45+09:00"},
+        | {"id": 2, "string_col": "JSON Test", "bool_true_col": false,
+        |  "bool_false_col": true, "int_col": 0, "float_col": 0.001,
+        |  "large_int_col": 1, "zero_col": 999, "negative_int_col": -1,
+        |  "negative_float_col": -0.5, "whole_number_float": 42.0,
+        |  "null_col": null, "rfc3339_time": "2024-01-01T00:00:00Z"},
+        | {"id": 3, "string_col": "", "bool_true_col": true,
+        |  "bool_false_col": false, "int_col": 2147483647,
+        |  "float_col": 1.7976931348623157e+308,
+        |  "large_int_col": -9007199254740000, "zero_col": 0,
+        |  "negative_int_col": -2147483648,
+        |  "negative_float_col": -1.7976931348623157e+308,
+        |  "whole_number_float": 0.0, "null_col": null,
+        |  "rfc3339_time": "1970-01-01T00:00:00Z"}]""".stripMargin)
+    SyncRunner.run(spark, SyncConfig(db, Seq(TableSyncConfig(
+      name = "dt_table", filePath = f.toString, mode = "overwrite",
+      primaryKey = "id",
+      timestampColumns = Seq("created_at", "updated_at"),
+      immutableColumns = Seq("created_at")))))
+
+    val rows = query(
+      "SELECT id, string_col, bool_true_col, bool_false_col, int_col, " +
+        "float_col, large_int_col, zero_col, negative_int_col, " +
+        "negative_float_col, whole_number_float, null_col, rfc3339_time, " +
+        "created_at, updated_at FROM dt_table ORDER BY id")
+    assert(rows.size == 3)
+    def ts(r: Seq[Any], i: Int): java.time.Instant =
+      r(i).asInstanceOf[java.sql.Timestamp].toInstant
+    val r1 = rows(0)
+    assert(r1.take(12) == Seq(1, "Hello World", true, false, 42, 3.14159,
+      9007199254740000L, 0, -123, -99.99, 100.0, null))
+    // +09:00 offset normalizes to the UTC instant
+    assert(ts(r1, 12) == java.time.Instant.parse("2023-12-25T06:30:45Z"))
+    val r2 = rows(1)
+    assert(r2.take(12) == Seq(2, "JSON Test", false, true, 0, 0.001, 1L,
+      999, -1, -0.5, 42.0, null))
+    assert(ts(r2, 12) == java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val r3 = rows(2)
+    assert(r3.take(12) == Seq(3, "", true, false, 2147483647,
+      1.7976931348623157e308, -9007199254740000L, 0, -2147483648,
+      -1.7976931348623157e308, 0.0, null))
+    assert(ts(r3, 12) == java.time.Instant.parse("1970-01-01T00:00:00Z"),
+      "the zero epoch must survive, not collapse to null/now")
+    rows.foreach { r =>
+      assert(r(13) != null && r(14) != null, "ts injection on insert")
+    }
+  }
+
   test("multi-table dry run plans all tables and writes nothing") {
     dropIfExists("mdr_child")
     dropIfExists("mdr_parent")
