@@ -99,20 +99,20 @@ object Bench {
         .filter(col("rn") <= 2).count()
       r.select(explode(split(concat_ws(" ", col("k"), col("v"), lit("x")), " "))).count()
       r.select(md5(concat(lit("s:"), col("id").cast("string")))).count()
-      // the shingle -> md5 -> minhash -> LSH-bucket self-join path:
-      // without this, q22's FIRST execution pays ~8x its steady state
-      // in codegen/JIT (26 s vs 3 s warm at sf0.1) and the near-dup
-      // family's measurements reflect compilation, not the operators
+      // the FULL verified near-dup path: shingle -> md5 -> minhash ->
+      // LSH-bucket self-join -> jaccard-verify joins -> cluster probe.
+      // Without this, the family's FIRST execution pays ~5-8x its
+      // steady state in codegen/JIT (q22 26 s vs 3 s warm at sf0.1),
+      // and the verify-join stages specifically bill to q63, which
+      // priority-runs BEFORE q23 would warm them (measured by
+      // tools.ClusterTiming: q63 cold/warm 7x with no warmup, 2.2x
+      // with this one)
       val docsWarm = Tables.load(spark, sfDir, "documents").limit(300)
-      operators.Dedup.lshCandidatePairs(
-        operators.Dedup.minhashSignatures(docsWarm, "doc_id", "text", 9),
-        "doc_id", 9, 3).count()
-      // ... and the cluster step behind q63/q121/q126: the bounded
-      // limit+collect probe, driver union-find, and label-frame join
-      import spark.implicits._
+      val pairsWarm = operators.Dedup.jaccardNearDupPairsCached(
+        docsWarm, "doc_id", "text", 9, 3, threshold = 0.5)
       operators.Dedup.dupClusters(
-        docsWarm.select(col("doc_id")),
-        Seq((0L, 1L), (1L, 2L)).toDF("d1", "d2"), "doc_id").count()
+        docsWarm.select(col("doc_id")), pairsWarm.df, "doc_id").count()
+      pairsWarm.unpersist()
     }
 
     def fmt3(v: Double): String =
@@ -277,7 +277,8 @@ object Bench {
       "q107_token_budget", "q111_template_detect",
       "q114_segment_dedup", "q115_domain_mix", "q117_repeated_spans",
       "q118_editdist_neardup", "q120_threshold_sweep",
-      "q122_interval_overlap", "q126_leakage_split")
+      "q122_interval_overlap", "q126_leakage_split",
+      "q136_image_decode", "q137_curate_increment")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => carried.contains(q._1))
     val ordered = priority.flatMap(n => all.find(_._1 == n)) ++

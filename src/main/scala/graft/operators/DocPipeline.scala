@@ -274,12 +274,34 @@ object DocPipeline {
       textCol: String,
       cfg: Config = Config(),
       maxHamming: Int = 3,
-      contaminationThreshold: Double = 0.5): DataFrame = {
+      contaminationThreshold: Double = 0.5): DataFrame =
+    curateIncrementCached(state, batch, evalDocs, idCol, textCol, cfg,
+      maxHamming, contaminationThreshold).df
+
+  /** [[curateIncrement]] plus its persisted batch frame for caller
+    * release. The annotated batch `(id, text, n_tokens, fp)` is read
+    * by SEVEN consumers (quality gate, both exact-dup joins, the
+    * stage-1-3 survivor set, both SimHash sides, the shingle join, and
+    * the final assembly); without the persist each one re-derives it
+    * from the raw input — at sf0.001 that plan has ~780 physical
+    * nodes and its first execution spends ~35 s in codegen alone.
+    */
+  def curateIncrementCached(
+      state: DataFrame,
+      batch: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config(),
+      maxHamming: Int = 3,
+      contaminationThreshold: Double = 0.5): Dedup.CachedDF = {
+    import org.apache.spark.storage.StorageLevel
     val nTokens = TextAnalysis.tokenCount(col(textCol))
     val b = batch
       .select(col(idCol), col(textCol))
       .withColumn("n_tokens", nTokens)
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val qualityOk =
       col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens
     val okq = b.filter(qualityOk)
@@ -298,9 +320,10 @@ object DocPipeline {
       .join(exBase.select(col(idCol).as("__x1")), col(idCol) === col("__x1"), "left_anti")
       .join(exBatch.select(col(idCol).as("__x2")), col(idCol) === col("__x2"), "left_anti")
 
-    // 4-5. SimHash blocking: batch signatures computed once, state
-    // signatures read from the persisted frame
-    val bSigs = Dedup.simhash16(batch, idCol, textCol)
+    // 4-5. SimHash blocking: batch signatures computed once (from the
+    // persisted batch frame), state signatures read from the state
+    val bSigs = Dedup.simhash16(b, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nearBase = Dedup.simhashIncrementalPairsFromSigs(
         state.select(col(idCol), col("simhash")), bSigs, idCol, maxHamming)
       .select(col("new_id").as(idCol)).distinct()
@@ -311,7 +334,7 @@ object DocPipeline {
       .select(col("new_id").as(idCol)).distinct()
 
     // 6. eval contamination (q129's containment on batch vs eval)
-    val bSh = Dedup.shingleRows(batch, idCol, textCol)
+    val bSh = Dedup.shingleRows(b, idCol, textCol)
     val eSh = Dedup.shingleRows(evalDocs, idCol, textCol)
       .select(col(idCol).as("__eid"), col("__sh"))
     val eSz = eSh.groupBy(col("__eid")).agg(count(lit(1)).as("__ne"))
@@ -326,7 +349,7 @@ object DocPipeline {
 
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.select(col(idCol)).withColumn(name, lit(true))
-    b.join(flag(exBase, "__exb"), Seq(idCol), "left")
+    val decisions = b.join(flag(exBase, "__exb"), Seq(idCol), "left")
       .join(flag(exBatch, "__exn"), Seq(idCol), "left")
       .join(flag(nearBase, "__nb"), Seq(idCol), "left")
       .join(flag(nearBatch, "__nn"), Seq(idCol), "left")
@@ -340,6 +363,7 @@ object DocPipeline {
           .when(coalesce(col("__ct"), lit(false)), "contaminated")
           .otherwise("kept").as("decision"))
       .orderBy(idCol)
+    Dedup.CachedDF(decisions, Seq(b, bSigs))
   }
 
   /** Per-stage attrition accounting for a sequential filter cascade —
