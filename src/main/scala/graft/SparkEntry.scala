@@ -1010,6 +1010,19 @@ object SparkEntry {
         maxHamming = 0)
     }),
 
+    // ---- extension: 64-bit SimHash incremental ingest ----
+    // q109's shape on the corpus-scale fingerprint: 4 bands of 16 bits
+    // = 65536 buckets per band, so the blocked join stays linear where
+    // the 16-bit variant saturates (its 4-bit bands have 16 buckets)
+    "q138_simhash64_ingest" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.simhash64IncrementalPairs(
+          d.filter(col("doc_id") < 150),
+          d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy("new_id", "old_id")
+    }),
+
     // ---- extension: edit-distance-verified near-dup pairs ----
     // exact Levenshtein confirmation of the q22 LSH candidates: the
     // blocker proposes, the O(len^2) measure disposes — capped text,
@@ -2854,6 +2867,29 @@ object SparkEntry {
          |       WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
          |       ELSE 'kept' END AS decision
          |FROM bt ORDER BY doc_id""".stripMargin
+    },
+
+    // 64-bit twin of the q109 oracle: dimension j = bit j%4 of md5 hex
+    // digit j/4+1, sign-of-mean at 0.5; exhaustive hamming join (the
+    // engine's banded join is lossless for <= 3, so the two agree)
+    "q138_simhash64_ingest" -> {
+      val dims = (0 until 64).map(j =>
+        s"avg(((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) // ${1 << (j % 4)}) % 2) AS d$j")
+        .mkString(", ")
+      val bits = (0 until 64).map(j =>
+        s"CASE WHEN d$j >= 0.5 THEN '1' ELSE '0' END").mkString(" || ")
+      val ham = (1 to 64).map(j =>
+        s"(CASE WHEN substring(n.s, $j, 1) <> substring(b.s, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS h
+         |  FROM documents WHERE doc_id < 250),
+         |d AS (SELECT doc_id, $dims FROM toks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $bits AS s FROM d),
+         |p AS (SELECT n.doc_id AS new_id, b.doc_id AS old_id,
+         |        CAST($ham AS BIGINT) AS hamming
+         |      FROM sh n JOIN sh b ON n.doc_id >= 150 AND b.doc_id < 150)
+         |SELECT new_id, old_id, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin
     },
 
     "q118_editdist_neardup" ->

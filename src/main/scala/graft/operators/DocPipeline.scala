@@ -296,6 +296,11 @@ object DocPipeline {
       maxHamming: Int = 3,
       contaminationThreshold: Double = 0.5): Dedup.CachedDF = {
     import org.apache.spark.storage.StorageLevel
+    // the state is read twice (fingerprint semi-join + signature
+    // join); persisting it here costs one pass over (id, fp, simhash)
+    // rows and halves the caller's state-derivation work when the
+    // state is computed rather than read from a parquet state table
+    val st = state.persist(StorageLevel.MEMORY_AND_DISK)
     val nTokens = TextAnalysis.tokenCount(col(textCol))
     val b = batch
       .select(col(idCol), col(textCol))
@@ -307,7 +312,7 @@ object DocPipeline {
     val okq = b.filter(qualityOk)
 
     // 2. exact vs base: hash equi-join on the fingerprint
-    val exBase = b.join(state.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
+    val exBase = b.join(st.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
       .select(col(idCol))
     // 3. exact within batch: min quality-passing id per fingerprint
     // keeps; everyone else with that fingerprint drops
@@ -325,7 +330,7 @@ object DocPipeline {
     val bSigs = Dedup.simhash16(b, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nearBase = Dedup.simhashIncrementalPairsFromSigs(
-        state.select(col(idCol), col("simhash")), bSigs, idCol, maxHamming)
+        st.select(col(idCol), col("simhash")), bSigs, idCol, maxHamming)
       .select(col("new_id").as(idCol)).distinct()
     val survSigs = bSigs.join(surv13, Seq(idCol), "left_semi")
     val nearBatch = Dedup.simhashIncrementalPairsFromSigs(
@@ -363,7 +368,7 @@ object DocPipeline {
           .when(coalesce(col("__ct"), lit(false)), "contaminated")
           .otherwise("kept").as("decision"))
       .orderBy(idCol)
-    Dedup.CachedDF(decisions, Seq(b, bSigs))
+    Dedup.CachedDF(decisions, Seq(st, b, bSigs))
   }
 
   /** Per-stage attrition accounting for a sequential filter cascade —

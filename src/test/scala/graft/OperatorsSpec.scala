@@ -414,6 +414,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSet == brute.toSet)
   }
 
+  test("simhash64: banded incremental probe is lossless and discriminative") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of 1
+      (11L, "totally different words that share nothing at all here"),
+      (12L, "one two three four five six seven eight nine ten")  // copy of 2
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup
+      .simhash64IncrementalPairs(base, incoming, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // banding (4x16-bit bands) must agree with the unblocked check
+    val sh = operators.Dedup.simhash64(base.unionByName(incoming), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh.values.forall(_.length == 64))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      n <- Seq(10L, 11L, 12L); b <- Seq(1L, 2L, 3L)
+      h = hamming(sh(n), sh(b)) if h <= 3
+    } yield (n, b, h.toLong)).toSet
+    assert(got == brute, s"got $got brute $brute")
+    // copies collide at 0; UNRELATED docs must be far apart on 64 bits
+    // (the 16-bit fingerprint puts most of this fixture within 3)
+    assert(got.contains((10L, 1L, 0L)) && got.contains((12L, 2L, 0L)))
+    assert(!got.exists(p => p._1 == 11L), s"unrelated doc must not match: $got")
+  }
+
   test("duplicate-5-gram char fraction: repeated text high, unique text zero") {
     val looped = Seq.fill(4)("one two three four five").mkString(" ")
     val unique = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
