@@ -219,10 +219,24 @@ object DocPipeline {
     * rows to it. Docs with no tokens keep a null simhash (they can
     * still exact-dup-match by fingerprint).
     */
-  def curateState(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def curateState(docs: DataFrame, idCol: String, textCol: String,
+      sigChars: Int = 16): DataFrame =
     docs
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .join(Dedup.simhash16(docs, idCol, textCol), Seq(idCol), "left")
+      .join(simhashOfWidth(docs, idCol, textCol, sigChars), Seq(idCol), "left")
+
+  /** The SimHash of the requested width — 16 (reference-parity
+    * compact) or 64 ([[Dedup.simhash64]], the corpus-scale fingerprint
+    * whose 16-bit bands keep the blocked join linear; see PLANS.md
+    * "SimHash width at corpus scale").
+    */
+  private def simhashOfWidth(docs: DataFrame, idCol: String,
+      textCol: String, sigChars: Int): DataFrame = sigChars match {
+    case 16 => Dedup.simhash16(docs, idCol, textCol)
+    case 64 => Dedup.simhash64(docs, idCol, textCol)
+    case w => throw new IllegalArgumentException(
+      s"sigChars must be 16 or 64, got $w")
+  }
 
   /** Incremental curation: label every document of a NEW batch against
     * the persisted [[curateState]] of the already-ingested corpus —
@@ -274,9 +288,10 @@ object DocPipeline {
       textCol: String,
       cfg: Config = Config(),
       maxHamming: Int = 3,
-      contaminationThreshold: Double = 0.5): DataFrame =
+      contaminationThreshold: Double = 0.5,
+      sigChars: Int = 16): DataFrame =
     curateIncrementCached(state, batch, evalDocs, idCol, textCol, cfg,
-      maxHamming, contaminationThreshold).df
+      maxHamming, contaminationThreshold, sigChars).df
 
   /** [[curateIncrement]] plus its persisted batch frame for caller
     * release. The annotated batch `(id, text, n_tokens, fp)` is read
@@ -294,7 +309,8 @@ object DocPipeline {
       textCol: String,
       cfg: Config = Config(),
       maxHamming: Int = 3,
-      contaminationThreshold: Double = 0.5): Dedup.CachedDF = {
+      contaminationThreshold: Double = 0.5,
+      sigChars: Int = 16): Dedup.CachedDF = {
     import org.apache.spark.storage.StorageLevel
     // the state is read twice (fingerprint semi-join + signature
     // join); persisting it here costs one pass over (id, fp, simhash)
@@ -327,14 +343,15 @@ object DocPipeline {
 
     // 4-5. SimHash blocking: batch signatures computed once (from the
     // persisted batch frame), state signatures read from the state
-    val bSigs = Dedup.simhash16(b, idCol, textCol)
+    val bSigs = simhashOfWidth(b, idCol, textCol, sigChars)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nearBase = Dedup.simhashIncrementalPairsFromSigs(
-        st.select(col(idCol), col("simhash")), bSigs, idCol, maxHamming)
+        st.select(col(idCol), col("simhash")), bSigs, idCol, maxHamming,
+        sigChars)
       .select(col("new_id").as(idCol)).distinct()
     val survSigs = bSigs.join(surv13, Seq(idCol), "left_semi")
     val nearBatch = Dedup.simhashIncrementalPairsFromSigs(
-        survSigs, survSigs, idCol, maxHamming)
+        survSigs, survSigs, idCol, maxHamming, sigChars)
       .filter(col("old_id") < col("new_id"))
       .select(col("new_id").as(idCol)).distinct()
 

@@ -132,6 +132,15 @@ class CurateSpec extends AnyFunSuite {
     assert(dec2(22L) == "exact_dup_base", "its twin's fingerprint is now state")
     assert(dec2(23L) == "quality" && dec2(24L) == "contaminated",
       "non-admitted labels are stable under replay")
+
+    // the 64-bit fingerprint path (state + batch at sigChars = 64)
+    // reaches the same decisions on this fixture — near-dup detection
+    // plays no role here, so only the plumbing is under test
+    val state64 = DocPipeline.curateState(base, "doc_id", "text", sigChars = 64)
+    val dec64 = DocPipeline.curateIncrement(state64, batch, evals,
+        "doc_id", "text", maxHamming = 0, sigChars = 64)
+      .select("doc_id", "decision").as[(Long, String)].collect().toMap
+    assert(dec64 == dec1, dec64.toString)
   }
 
   test("near-dups never straddle a split (leakage-safe by cluster)") {
