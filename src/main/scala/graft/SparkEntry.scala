@@ -72,6 +72,24 @@ object SparkEntry {
   private val StrataFractions: Map[String, Double] =
     Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
 
+  /** q141 classifier vocabulary: integer MILLI-unit weights over the
+    * fixture's actual vocabulary (positive = content-bearing terms,
+    * negative = filler/quality-negative), shared by the Spark query
+    * and the oracle SQL (rendered as a VALUES list) so the model
+    * cannot drift between engines. Stands in for a trained linear
+    * model's learned vocabulary, loaded as data.
+    */
+  private val ClassifierWeights: Seq[(String, Long)] = Seq(
+    "spark" -> 800L, "query" -> 600L, "data" -> 500L, "join" -> 400L,
+    "agg" -> 350L, "window" -> 300L, "column" -> 250L, "stream" -> 200L,
+    "table" -> 150L, "hash" -> 100L,
+    "a" -> -150L, "the" -> -150L, "slow" -> -700L, "big" -> -250L,
+    "small" -> -250L)
+
+  /** DuckDB VALUES rendering of [[ClassifierWeights]]. */
+  private def classifierWeightsSql: String =
+    ClassifierWeights.map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
+
   /** Dirty synthetic PK column exercising every validation rule. */
   private def dirtyPk: Column = {
     val k = col("c_custkey")
@@ -1021,6 +1039,48 @@ object SparkEntry {
           d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
           "doc_id", "text", maxHamming = 3)
         .orderBy("new_id", "old_id")
+    }),
+
+    // ---- extension: sparse all-pairs cosine (Bayardo WWW'07) ----
+    // inverted-index self-join over 3-gram tf vectors with a df-cut:
+    // terms in > maxDf docs (and hapaxes) never enter the index, so
+    // per-term fan-out is bounded and pair output stays linear in the
+    // postings at any corpus size
+    "q139_sparse_allpairs" -> ((s, dir) => {
+      operators.SparseSimilarity.allPairsCosine(
+          T(s, dir, "documents"), "doc_id", "text",
+          n = 3, maxDf = 20, minCosine = 0.5)
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- extension: blocked weighted-Jaccard near-dups ----
+    // multiset token Jaccard (sees repetition the shingle-set measure
+    // is blind to), verified only on pairs sharing a rare 3-gram
+    "q140_weighted_jaccard" -> ((s, dir) => {
+      operators.SparseSimilarity.weightedJaccardNearDup(
+          T(s, dir, "documents"), "doc_id", "text",
+          blockN = 3, maxDf = 20, threshold = 0.7)
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- extension: linear quality-classifier scoring ----
+    // the model-based filter stage (CCNet/DCLM-style): explicit
+    // per-term milli-weights broadcast against the corpus tokens
+    "q141_quality_classifier" -> ((s, dir) => {
+      operators.QualityClassifier.scoreLinear(
+          T(s, dir, "documents"), "doc_id", "text",
+          weightsMilli = ClassifierWeights, biasMilli = 100L, threshold = 0.1)
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: hashing-trick classifier scoring ----
+    // same runtime path a multi-million-feature learned model ships
+    // in: hash -> bucket -> weight lookup -> integer accumulate
+    "q142_quality_hashed" -> ((s, dir) => {
+      operators.QualityClassifier.scoreHashed(
+          T(s, dir, "documents"), "doc_id", "text",
+          buckets = 4096, seed = "qchash:", biasMilli = 0L, threshold = 0.0)
+        .orderBy("doc_id")
     }),
 
     // ---- extension: edit-distance-verified near-dup pairs ----
@@ -2890,6 +2950,70 @@ object SparkEntry {
          |        CAST($ham AS BIGINT) AS hamming
          |      FROM sh n JOIN sh b ON n.doc_id >= 150 AND b.doc_id < 150)
          |SELECT new_id, old_id, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q139_sparse_allpairs" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS term
+        |      FROM t WHERE len(w) >= 3),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+        |dfq AS (SELECT term FROM tf GROUP BY term HAVING COUNT(*) BETWEEN 2 AND 20),
+        |kept AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN dfq USING (term)),
+        |nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM kept GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(SUM(a.tf*b.tf) AS BIGINT) AS dot
+        |         FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |c AS (SELECT d1, d2, dot,
+        |        round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
+        |      FROM dots JOIN nrm na ON na.doc_id = d1 JOIN nrm nb ON nb.doc_id = d2)
+        |SELECT d1, d2, dot, cosine FROM c WHERE cosine >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    "q140_weighted_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS term
+        |      FROM t WHERE len(w) >= 3),
+        |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+        |dfq AS (SELECT term FROM btf GROUP BY term HAVING COUNT(*) BETWEEN 2 AND 20),
+        |ki AS (SELECT btf.doc_id, btf.term FROM btf JOIN dfq USING (term)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM ki a JOIN ki b ON a.term = b.term AND a.doc_id < b.doc_id),
+        |ut AS (SELECT doc_id, unnest(w) AS term FROM t),
+        |utf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ut GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM utf GROUP BY 1),
+        |ov AS (SELECT c.d1, c.d2, CAST(SUM(least(x.tf, y.tf)) AS BIGINT) AS overlap
+        |       FROM cand c JOIN utf x ON x.doc_id = c.d1
+        |                   JOIN utf y ON y.doc_id = c.d2 AND y.term = x.term
+        |       GROUP BY 1, 2),
+        |j AS (SELECT d1, d2, overlap,
+        |        round(CAST(overlap AS DOUBLE) / CAST(la.dl + lb.dl - overlap AS DOUBLE), 6) AS wjaccard
+        |      FROM ov JOIN dl la ON la.doc_id = d1 JOIN dl lb ON lb.doc_id = d2)
+        |SELECT d1, d2, overlap, wjaccard FROM j WHERE wjaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+
+    "q141_quality_classifier" ->
+      s"""WITH wt(term, milli) AS (VALUES $classifierWeightsSql),
+         |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+         |ut AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |sc AS (SELECT ut.doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+         |         CAST(SUM(COALESCE(wt.milli, 0)) AS BIGINT) AS raw
+         |       FROM ut LEFT JOIN wt ON wt.term = ut.term GROUP BY 1),
+         |r AS (SELECT d.doc_id, COALESCE(sc.dl, 0) AS dl,
+         |        round(CAST(100 + COALESCE(sc.raw, 0) AS DOUBLE) /
+         |              (1000.0 * greatest(COALESCE(sc.dl, 0), 1)), 6) AS score
+         |      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+         |SELECT doc_id, dl, score, (score >= 0.1) AS keep FROM r ORDER BY doc_id""".stripMargin,
+
+    "q142_quality_hashed" -> {
+      val w = operators.QualityClassifier.hashedWeightSql("term", 4096, "qchash:")
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+         |ut AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+         |         CAST(SUM($w) AS BIGINT) AS raw
+         |       FROM ut GROUP BY 1),
+         |r AS (SELECT d.doc_id, COALESCE(sc.dl, 0) AS dl,
+         |        round(CAST(COALESCE(sc.raw, 0) AS DOUBLE) /
+         |              (1000.0 * greatest(COALESCE(sc.dl, 0), 1)), 6) AS score
+         |      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+         |SELECT doc_id, dl, score, (score >= 0.0) AS keep FROM r ORDER BY doc_id""".stripMargin
     },
 
     "q118_editdist_neardup" ->
