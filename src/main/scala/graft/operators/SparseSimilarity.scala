@@ -48,9 +48,17 @@ object SparseSimilarity {
     * (`n = 1` → plain tokens): one explode + one partial-aggregated
     * (id, term) shuffle.
     */
-  def termFrequencies(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    tfFromToks(tokenArrays(docs, idCol, textCol), idCol, n)
+
+  /** (id, __toks) token-array frame — the one tokenization pass both
+    * term spaces of [[weightedJaccardNearDup]] derive from.
+    */
+  private def tokenArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+
+  private def tfFromToks(withToks: DataFrame, idCol: String, n: Int): DataFrame = {
     require(n >= 1, "n-gram width must be >= 1")
-    val withToks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
     val terms =
       if (n == 1) withToks.select(col(idCol), explode(col("__toks")).as("term"))
       else withToks.select(col(idCol),
@@ -131,7 +139,12 @@ object SparseSimilarity {
       maxDf: Int,
       threshold: Double): DataFrame = {
     require(maxDf >= 2, "maxDf < 2 prunes every pair-witnessing term")
-    val block = termFrequencies(docs, idCol, textCol, blockN)
+    // one tokenization pass feeds BOTH term spaces (blockN-gram index
+    // and unigram verify) — without the persist each derives its own
+    // scan + split of the full corpus
+    val toks = tokenArrays(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val block = tfFromToks(toks, idCol, blockN)
     val dfq = block.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
@@ -141,7 +154,7 @@ object SparseSimilarity {
       .join(keptIdx.select(col("term"), col(idCol).as("d2")), "term")
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val tf = termFrequencies(docs, idCol, textCol, n = 1)
+    val tf = tfFromToks(toks, idCol, n = 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val overlap = cand
