@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DocPipeline
+import graft.streaming.StreamingCuration
+
+/** Streaming ingest-time curation: micro-batches labeled against the
+  * durable parquet state table, kept rows admitted exactly once.
+  */
+class StreamingCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // three pairwise-distant vocabularies: 16-bit SimHash at
+  // maxHamming = 0 must not cross-match them
+  private val textA = "first unique document alpha beta gamma delta epsilon zeta eta theta one"
+  private val textB = "second entry wholly different words about rivers mountains valleys oceans deserts two"
+  private val textC = "third treatise concerning musical harmony rhythm melody counterpoint cadence tempo three"
+
+  test("two micro-batches: cross-batch dups caught via the state table; replay admits nothing twice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-curate").toString
+    val (stateDir, decDir, ckDir) = (s"$dir/state", s"$dir/decisions", s"$dir/ck")
+    val eval = Seq(Doc(9000L, "held out benchmark sentence nobody may train on ever"))
+      .toDF()
+
+    val stream = MemoryStream[Doc]
+    val q = StreamingCuration.start(stream.toDF(), eval, "doc_id", "text",
+      stateDir, decDir, ckDir, cfg = DocPipeline.Config(minTokens = 5),
+      maxHamming = 0)
+    try {
+      stream.addData(
+        Doc(1L, textA),
+        Doc(2L, textB),
+        Doc(3L, "tiny"))                    // quality fail
+      q.processAllAvailable()
+      stream.addData(
+        Doc(4L, textA),          // dup of batch-1 doc 1
+        Doc(5L, textC),
+        Doc(6L, textC))          // in-batch dup of 5
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(decDir)
+      .select("doc_id", "decision", "batch_id").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dec(1L)._1 == "kept" && dec(2L)._1 == "kept")
+    assert(dec(3L)._1 == "quality")
+    assert(dec(4L) == (("exact_dup_base", 1L)), "batch-2 doc must hit batch-1 state")
+    assert(dec(5L)._1 == "kept")
+    assert(dec(6L)._1 == "exact_dup_batch")
+    // state admits exactly the kept docs
+    val state = spark.read.parquet(stateDir)
+    assert(state.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+
+    // replay the committed batch directly (the crash-after-state-append
+    // case): every formerly-kept doc now labels exact_dup_base and the
+    // state grows by nothing
+    StreamingCuration.curateBatch(
+      Seq(Doc(5L, textC)).toDF(), eval,
+      "doc_id", "text", stateDir, decDir, batchId = 99L,
+      cfg = DocPipeline.Config(minTokens = 5), maxHamming = 0)
+    val replay = spark.read.parquet(decDir)
+      .filter($"batch_id" === 99L).select("decision").as[String].collect()
+    assert(replay.toSeq == Seq("exact_dup_base"))
+    assert(spark.read.parquet(stateDir).count() == 3, "replay admits nothing twice")
+  }
+}
