@@ -695,6 +695,20 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- extension: curation with the model-based filter stage ----
+    // q134's composed pipeline plus a linear-classifier gate riding
+    // inside the corpus scan (scoreExpr: map literal + aggregate over
+    // the token array — no explode, no shuffle, no join)
+    "q143_curate_model" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      operators.DocPipeline.curate(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+        "doc_id", "text",
+        cfg = operators.DocPipeline.Config(
+          model = Some(operators.QualityClassifier.LinearModel(
+            ClassifierWeights, biasMilli = 100L, threshold = 0.05))))
+    }),
+
     // ---- extension: shard-export manifest ----
     // the bookkeeping of a sharded corpus dump: deterministic
     // hash(salt:id) mod N placement (re-derivable by any engine, so
@@ -2630,6 +2644,58 @@ object SparkEntry {
          |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
          |  FROM documents WHERE doc_id >= 10),
          |q0 AS (SELECT * FROM k0 WHERE n_tokens BETWEEN 5 AND 100000),
+         |ex AS (SELECT doc_id, text, n_tokens FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nrm ORDER BY doc_id) AS rn
+         |    FROM q0) WHERE rn = 1),
+         |${sigsCte("ex")},
+         |$jaccardCte,
+         |p AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |reach(a, lbl) AS (
+         |  SELECT doc_id, doc_id FROM ex
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a),
+         |cl AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |m AS (SELECT cl.cluster_id, cl.doc_id, e.n_tokens,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                           ORDER BY n_tokens DESC, doc_id) AS rn
+         |      FROM cl JOIN ex e USING (doc_id)),
+         |reps AS (SELECT doc_id, cluster_id, n_tokens FROM m WHERE rn = 1),
+         |${ngramCtes("documents WHERE doc_id < 10", 3, "e")},
+         |ez AS (SELECT doc_id AS eid, COUNT(*) AS ne FROM esh GROUP BY 1),
+         |shr AS (SELECT sh.doc_id AS cid, esh.doc_id AS eid, COUNT(*) AS ns
+         |        FROM sh JOIN esh ON sh.s = esh.s GROUP BY 1, 2),
+         |cont AS (SELECT DISTINCT cid AS doc_id FROM shr JOIN ez USING (eid)
+         |         WHERE CAST(ns AS DOUBLE) / ne >= 0.5),
+         |surv AS (SELECT * FROM reps
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |asgn AS (SELECT doc_id, n_tokens, $splitCase AS split FROM surv),
+         |shv AS (SELECT doc_id, n_tokens, split,
+         |          md5('shard:' || CAST(doc_id AS VARCHAR)) AS hh FROM asgn)
+         |SELECT split, CAST((${operators.Sampling.hexPrefixSql("hh")}) % 4 AS BIGINT) AS shard,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM shv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+"q143_curate_model" -> {
+      val splitCase = operators.Sampling.splitCaseSql("cluster_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      s"""WITH RECURSIVE k0 AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+         |  FROM documents WHERE doc_id >= 10),
+         |wt(term, milli) AS (VALUES $classifierWeightsSql),
+         |tkn AS (SELECT doc_id, unnest(${TextAnalysis.tokensSql("text")}) AS term FROM k0),
+         |rw AS (SELECT t.doc_id, CAST(SUM(COALESCE(wt.milli, 0)) AS BIGINT) AS r
+         |       FROM tkn t LEFT JOIN wt ON wt.term = t.term GROUP BY 1),
+         |scs AS (SELECT k0.doc_id,
+         |          round(CAST(100 + COALESCE(rw.r, 0) AS DOUBLE) /
+         |                (1000.0 * greatest(k0.n_tokens, 1)), 6) AS score
+         |        FROM k0 LEFT JOIN rw USING (doc_id)),
+         |q0 AS (SELECT k0.* FROM k0 JOIN scs USING (doc_id)
+         |       WHERE n_tokens BETWEEN 5 AND 100000 AND scs.score >= 0.05),
          |ex AS (SELECT doc_id, text, n_tokens FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nrm ORDER BY doc_id) AS rn
          |    FROM q0) WHERE rn = 1),

@@ -20,11 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object DocPipeline {
 
+  /** `model`: an optional linear quality classifier applied AFTER the
+    * heuristic gates — the model-based filter stage of a production
+    * pipeline (CCNet/DCLM-style). Applied as
+    * [[QualityClassifier.scoreExpr]], a pure per-row expression, so
+    * the gate rides inside the corpus scan the pipeline already pays:
+    * no extra shuffle, no join, whatever the corpus size.
+    */
   final case class Config(
       minTokens: Long = 5,
       maxTokens: Long = 100000,
       minStopRatio: Double = 0.0,
-      jaccardThreshold: Double = 0.5)
+      jaccardThreshold: Double = 0.5,
+      model: Option[QualityClassifier.LinearModel] = None)
+
+  /** The model gate of `cfg` as a per-row predicate (`true` when no
+    * model is configured).
+    */
+  private def modelOk(cfg: Config, textCol: String): Column =
+    cfg.model match {
+      case Some(m) =>
+        QualityClassifier.scoreExpr(col(textCol), m) >= m.threshold
+      case None => lit(true)
+    }
 
   /** PII-style redaction: emails and long digit runs are masked. The
     * pattern set is deployment-specific; these two are the
@@ -60,7 +78,7 @@ object DocPipeline {
     val stopR = TextAnalysis.stopwordRatio(col(textCol))
     val quality = docs
       .filter(nTokens >= cfg.minTokens && nTokens <= cfg.maxTokens &&
-        stopR >= cfg.minStopRatio)
+        stopR >= cfg.minStopRatio && modelOk(cfg, textCol))
     val exact = Dedup.exact(
       quality.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
       Seq("__fp"), idCol).drop("__fp")
@@ -150,7 +168,8 @@ object DocPipeline {
     // 1-2. quality gate + exact dedup, persisted: the ONE scan of raw
     // corpus text — every later stage reads this cached frame
     val cleaned = Dedup.exact(
-      docs.filter(nTokens >= cfg.minTokens && nTokens <= cfg.maxTokens)
+      docs.filter(nTokens >= cfg.minTokens && nTokens <= cfg.maxTokens &&
+          modelOk(cfg, textCol))
         .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
         .withColumn("n_tokens", nTokens),
       Seq("__fp"), idCol)
@@ -249,6 +268,9 @@ object DocPipeline {
     * (so the per-label counts chain like [[attritionReport]]'s):
     *
     *   1. `quality` — token count outside `[minTokens, maxTokens]`
+    *   1b. `model_filtered` — the optional [[Config.model]] classifier
+    *      scores below its threshold ([[QualityClassifier.scoreExpr]],
+    *      per-row, no extra shuffle); absent model, never fires
     *   2. `exact_dup_base` — fingerprint already in the state
     *   3. `exact_dup_batch` — a smaller-id quality-passing batch doc
     *      has the same fingerprint (min-id-wins, and the keeper must
@@ -325,7 +347,11 @@ object DocPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qualityOk =
       col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens
-    val okq = b.filter(qualityOk)
+    // optional model gate (label `model_filtered`): a per-row
+    // expression over the persisted batch frame — failing docs shield
+    // nothing downstream, same as heuristic-quality failures
+    val mOk = modelOk(cfg, textCol)
+    val okq = b.filter(qualityOk && mOk)
 
     // 2. exact vs base: hash equi-join on the fingerprint
     val exBase = b.join(st.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
@@ -378,6 +404,7 @@ object DocPipeline {
       .join(flag(contaminated, "__ct"), Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         when(!qualityOk, "quality")
+          .when(!mOk, "model_filtered")
           .when(coalesce(col("__exb"), lit(false)), "exact_dup_base")
           .when(coalesce(col("__exn"), lit(false)), "exact_dup_batch")
           .when(coalesce(col("__nb"), lit(false)), "near_dup_base")

@@ -34,6 +34,41 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
+  /** A linear model as DATA: term → milli-weight vocabulary, bias,
+    * and the keep threshold on the length-normalized score.
+    */
+  final case class LinearModel(
+      weightsMilli: Seq[(String, Long)],
+      biasMilli: Long,
+      threshold: Double)
+
+  /** [[scoreLinear]]'s score as a SINGLE per-row expression: a map
+    * literal + `aggregate` over the token array — pure codegen, no
+    * explode, no shuffle, no join. This is the form a FILTER stage
+    * wants (see [[DocPipeline]]'s model gate): it rides inside the
+    * corpus scan that the pipeline already pays, whereas the
+    * [[scoreLinear]] shape (explode → groupBy → join back) exists for
+    * the standalone scoring query that must RETURN dl and score per
+    * document. Identical arithmetic: integer milli accumulation in
+    * token order, one final rounded division.
+    *
+    * The map literal bounds this to vocabularies that fit a codegen'd
+    * expression (thousands of terms). A multi-million-term model uses
+    * [[scoreHashed]]'s bucket form instead — the lookup becomes
+    * arithmetic on the hash, with no literal at all.
+    */
+  def scoreExpr(textCol: Column, model: LinearModel): Column = {
+    require(model.weightsMilli.nonEmpty, "empty weight vocabulary")
+    val m = map(model.weightsMilli.flatMap {
+      case (t, w) => Seq(lit(t), lit(w))
+    }: _*)
+    val toks = TextAnalysis.tokens(textCol)
+    val raw = aggregate(toks, lit(model.biasMilli),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+    round(raw.cast("double") /
+      (lit(1000.0) * greatest(size(toks).cast("long"), lit(1L))), 6)
+  }
+
   /** Score = `(bias + Σ_t tf(t)·w(t)) / (1000 · max(dl, 1))` with
     * explicit milli-unit weights: `(id, dl, score, keep)`, one row per
     * input document (zero-token docs score `bias/1000`).

@@ -74,6 +74,45 @@ class SparseSimSpec extends AnyFunSuite {
     assert(m(3L) == ((0L, 0.1, true)), "empty doc scores bias/1000 against dl=1")
   }
 
+  test("scoreExpr matches scoreLinear cell-for-cell") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      (1L, "good good bad neutral words"),
+      (2L, "entirely out of vocabulary text"),
+      (3L, ""))
+    val w = Seq("good" -> 500L, "bad" -> -700L)
+    val model = QualityClassifier.LinearModel(w, biasMilli = 100L, threshold = 0.1)
+    val viaAgg = QualityClassifier.scoreLinear(d, "doc_id", "text", w, 100L, 0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val viaExpr = d.select(col("doc_id"),
+        QualityClassifier.scoreExpr(col("text"), model).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaExpr == viaAgg)
+  }
+
+  test("curateIncrement model gate: model_filtered label, failing docs shield nothing") {
+    import graft.operators.DocPipeline
+    val model = QualityClassifier.LinearModel(
+      Seq("junk" -> -900L), biasMilli = 0L, threshold = -0.1)
+    val cfg = DocPipeline.Config(minTokens = 2, model = Some(model))
+    val base = docs((1L, "clean base document body here"))
+    val batch = docs(
+      (10L, "junk junk junk junk junk"),       // model_filtered
+      (11L, "junk junk junk junk junk"),       // ALSO model_filtered: 10 shields nothing
+      (12L, "clean novel content entirely new"),
+      (13L, "x"))                              // quality fires before model
+    val out = DocPipeline.curateIncrement(
+      DocPipeline.curateState(base, "doc_id", "text"), batch,
+      docs((90L, "held out eval sentence")), "doc_id", "text", cfg,
+      maxHamming = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(10L) == "model_filtered")
+    assert(out(11L) == "model_filtered",
+      "a model-failed doc must not become exact_dup_batch of another failed doc")
+    assert(out(12L) == "kept")
+    assert(out(13L) == "quality", "heuristic gate outranks the model gate")
+  }
+
   test("scoreHashed is deterministic and length-normalized into [-1, 1]") {
     val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"))
     val out1 = QualityClassifier.scoreHashed(d, "doc_id", "text",
