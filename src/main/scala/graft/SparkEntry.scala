@@ -815,6 +815,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: PQ-ADC approximate top-k + exact rescore ----
+    // the memory-bound end of the ANN family (Jegou et al. 2011): the
+    // corpus collapses to m=4 codebook codes per vector; the coarse
+    // pass is m LUT lookups per corpus row against the broadcast
+    // query-side table, never a dot product; exact rescore on the
+    // surfaced k*refine candidates only
+    "q144_pq_adc" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.pqTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          dims = 64, m = 4, ks = 16, iters = 3, k = 3, refine = 3)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- extension: segment-level (CCNet-style) boilerplate dedup ----
     // the sub-document twin of q20 exact dedup: 8-token segments that
     // repeat across >1 documents (headers, nav text, license blocks)
@@ -1901,6 +1915,91 @@ object SparkEntry {
        |SELECT qid, rank, nbr, round(sim, 5) AS sim FROM r WHERE rank <= $topK
        |ORDER BY qid, rank""".stripMargin
 
+  /** [[kmeansCtesSql]] generalized to a PQ SUBSPACE: CTE names carry
+    * prefix `p`, and the vector is the `sub`-wide slice of the
+    * embedding starting at 0-based offset `off` — the training that
+    * [[operators.Similarity.pqCodebooks]] runs per subspace, with the
+    * same exact micro-unit Lloyd updates.
+    */
+  private def pqKmeansCtesSql(
+      ks: Int, iters: Int, sub: Int, off: Int, p: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${p}nn AS (SELECT vec_id, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${off + 1}, ${off + sub}) AS v FROM embeddings),
+              |${p}n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ${p}nn),
+              |${p}c0 AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM ${p}nn WHERE vec_id < $ks),
+              |""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s"""${p}a$i AS (SELECT vec_id, v, cid FROM (
+                |  SELECT n2.vec_id, n2.v, c.cid,
+                |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+                |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+                |  FROM ${p}n2 n2 CROSS JOIN ${p}c${i - 1} c) t WHERE rn = 1),
+                |${p}m$i AS (SELECT cid, dim,
+                |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) * CAST((2 * abs(s) + cnt) // (2 * cnt) AS BIGINT) AS cm
+                |  FROM (SELECT cid, CAST(d.dim AS BIGINT) AS dim,
+                |      CAST(SUM(CAST(round(round(v[d.dim + 1], 6) * 1000000) AS BIGINT)) AS BIGINT) AS s,
+                |      COUNT(*) AS cnt
+                |    FROM ${p}a$i CROSS JOIN (SELECT unnest(range($sub)) AS dim) d
+                |    WHERE d.dim < len(v) GROUP BY 1, 2) t),
+                |${p}c$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+                |  SELECT cid, list_transform(list(cm ORDER BY dim), m -> CAST(m AS DOUBLE) / 1000000) AS cv
+                |  FROM ${p}m$i GROUP BY cid) t),
+                |""".stripMargin
+    }
+    sb.delete(sb.length - 2, sb.length)
+    sb.toString
+  }
+
+  /** q144: PQ-ADC — per-subspace trained codebooks, corpus encoded to
+    * its nearest code per subspace (same cosine assignment + tie rule
+    * as training), ADC coarse ranking from the code-matched centroid
+    * dots, exact rescore of the top k·refine. Sum orders mirror the
+    * Scala side exactly (left-assoc adds over subspaces; centroid
+    * norm² as `list_dot_product(cv, cv)`, never `cn·cn`).
+    */
+  private def pqAdcOracle(
+      m: Int, ks: Int, iters: Int, sub: Int, nQueries: Int, k: Int,
+      refine: Int): String = {
+    val books = (0 until m)
+      .map(mi => pqKmeansCtesSql(ks, iters, sub, mi * sub, s"p$mi"))
+      .mkString(",\n")
+    val encs = (0 until m).map { mi =>
+      s"""enc$mi AS (SELECT vec_id, cid AS code, cnn FROM (
+         |  SELECT n.vec_id, c.cid, list_dot_product(c.cv, c.cv) AS cnn,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
+         |  FROM p${mi}n2 n CROSS JOIN p${mi}c$iters c) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val adExpr = (0 until m).map(mi =>
+      s"list_dot_product(list_slice(q.v, ${mi * sub + 1}, ${mi * sub + sub}), c$mi.cv)")
+      .mkString(" + ")
+    val cnnExpr = (0 until m).map(mi => s"e$mi.cnn").mkString(" + ")
+    val encJoins = (0 until m).map(mi =>
+      s"  JOIN enc$mi e$mi ON e$mi.vec_id = x.vec_id JOIN p${mi}c$iters c$mi ON c$mi.cid = e$mi.code")
+      .mkString("\n")
+    s"""WITH $books,
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM ev),
+       |$encs,
+       |cand AS (SELECT qid, nbr, CAST(rn AS BIGINT) AS coarse_rank FROM (
+       |  SELECT q.vec_id AS qid, x.vec_id AS nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ($adExpr) / (q.vn * sqrt($cnnExpr)) DESC, x.vec_id) AS rn
+       |  FROM en q
+       |  JOIN en x ON x.vec_id <> q.vec_id
+       |$encJoins
+       |  WHERE q.vec_id < $nQueries) t WHERE rn <= ${k * refine}),
+       |ex AS (SELECT cand.qid, cand.nbr, cand.coarse_rank,
+       |         list_dot_product(q.v, x.v) / (q.vn * x.vn) AS sim
+       |       FROM cand JOIN en q ON q.vec_id = cand.qid
+       |                 JOIN en x ON x.vec_id = cand.nbr),
+       |r AS (SELECT qid, nbr, sim, coarse_rank,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+       |      FROM ex)
+       |SELECT qid, rank, nbr, round(sim, 5) AS sim, coarse_rank
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   private val fileCte =
     """WITH file AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2541,6 +2640,10 @@ object SparkEntry {
 
     "q113_ivf_kmeans" ->
       ivfKmeansOracle(k = 8, iters = 6, dims = 64, nProbe = 2, topK = 3),
+
+    "q144_pq_adc" ->
+      pqAdcOracle(m = 4, ks = 16, iters = 3, sub = 16, nQueries = 20,
+        k = 3, refine = 3),
 
     "q114_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

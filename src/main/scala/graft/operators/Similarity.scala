@@ -777,4 +777,144 @@ object Similarity {
         round(max(col("sim")), 5).as("max_sim"),
         min(col("eid")).as("first_eval_id"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) + asymmetric-distance (ADC) search
+  // ------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks (Jégou, Douze & Schmid, TPAMI 2011
+    * "Product quantization for nearest neighbor search"):
+    * [[kmeansCentroids]] trained independently on each of the `m`
+    * contiguous `dims/m`-wide slices of the corpus vectors, each book
+    * sorted by centroid id. Same exact micro-unit Lloyd updates as the
+    * full-width path, so every centroid coordinate is reproducible by
+    * the SQL oracle bit-for-bit.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int,
+      ks: Int,
+      iters: Int): Seq[Seq[(Long, Array[Double])]] = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    (0 until m).map { mi =>
+      kmeansCentroids(
+        corpus.select(col(idCol),
+          slice(toDoubleArray(col(vecCol)), mi * sub + 1, sub).as("__sv")),
+        idCol, "__sv", ks, iters)
+    }
+  }
+
+  /** The PQ code of a sub-vector: index (position in the cid-sorted
+    * book) of the centroid maximizing `dot(sv, c) / (||sv||·||c||)`,
+    * ties to the lower centroid id — the SAME assignment rule (and tie
+    * order) the k-means training used, so a training vector encodes to
+    * the cell it trained in.
+    */
+  private def pqCode(subVec: Column, book: Seq[(Long, Array[Double])]): Column = {
+    val svn = l2Norm(subVec)
+    val entries = book.zipWithIndex.map { case ((_, v), j) =>
+      val cn = math.sqrt(v.map(x => x * x).sum)
+      struct((dot(subVec, typedLit(v.toSeq)) / (svn * lit(cn)) * -1.0).as("n"),
+        lit(j).as("j"))
+    }
+    array_min(array(entries: _*)).getField("j")
+  }
+
+  /** PQ-ADC approximate top-k with exact rescoring — the
+    * memory-bound end of the ANN family (brute q26 → IVF q32/q113 →
+    * int8 rescore q116 → THIS): the corpus collapses to `m` small
+    * integer codes per vector (64 float dims → 4 bytes at
+    * m=4/ks=256), so a 100 TB embedding corpus's search structure
+    * fits in cluster RAM and the coarse pass never touches a float
+    * vector.
+    *
+    * Shape per ADC (asymmetric distance computation): the QUERY side —
+    * tiny, broadcast — precomputes its lookup table of `m × ks`
+    * query-sub-vector·centroid dots ONCE per query; the corpus-side
+    * coarse pass is then `m` array lookups + adds per row
+    * (`element_at` into the broadcast LUT by code), no dot products at
+    * all. Approx cosine uses the reconstruction norm
+    * `||x̂||² = Σ_m ||c_{m,code}||²` from a codebook-norm literal —
+    * both factors exact doubles reproducible by the oracle. Coarse
+    * top `k·refine` per query via the heap-bounded
+    * [[graft.plans.TopKPerKey]], then exact-cosine rescore of just
+    * those candidates (the int8-rescore pattern).
+    *
+    * Output: `(qid, rank, nbr, sim, coarse_rank)` — `sim` is the
+    * EXACT cosine of the reranked top `k`, `coarse_rank` the ADC
+    * position that surfaced the candidate.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int,
+      ks: Int,
+      iters: Int,
+      k: Int,
+      refine: Int = 3): DataFrame = {
+    require(k > 0 && refine > 0, "k and refine must be positive")
+    val sub = dims / m
+    val books = pqCodebooks(corpus, idCol, vecCol, dims, m, ks, iters)
+
+    // corpus → m small codes (the ONLY per-corpus-row state the coarse
+    // pass reads; vectors are not carried)
+    val cv = toDoubleArray(col(vecCol))
+    val codes = corpus.select(
+      col(idCol).as("nbr") +:
+        (0 until m).map(mi =>
+          pqCode(slice(cv, mi * sub + 1, sub), books(mi)).as(s"__code_$mi")): _*)
+
+    // query → LUT of sub-dots + its own norm. The flat layout offsets
+    // by ACTUAL book sizes, not ks: Lloyd drops cells that go empty,
+    // so a book can come back smaller than ks (both engines shrink it
+    // identically — the micro update groups by surviving cid only)
+    val offs = books.map(_.size).scanLeft(0)(_ + _)
+    val lutEntries = for (mi <- 0 until m; (_, v) <- books(mi))
+      yield dot(slice(col("__qv"), mi * sub + 1, sub), typedLit(v.toSeq))
+    val cn2 = typedLit(
+      (for (mi <- 0 until m; (_, v) <- books(mi))
+        yield v.map(x => x * x).sum).toSeq)
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv")))
+      .withColumn("__lut", array(lutEntries: _*))
+      .drop("__qv"))
+
+    def idx(mi: Int): Column = lit(offs(mi)) + col(s"__code_$mi") + 1
+    val approxDot = (0 until m).map(mi => element_at(col("__lut"), idx(mi)))
+      .reduce(_ + _)
+    val reconN = sqrt((0 until m).map(mi => element_at(cn2, idx(mi)))
+      .reduce(_ + _))
+    val coarse = q.join(codes, col("qid") =!= col("nbr"))
+      .withColumn("__asim", approxDot / (col("__qn") * reconN))
+      .select(col("qid"), col("nbr"), col("__asim"))
+    val cands = graft.plans.TopKPerKey.topk(coarse, Seq("qid"),
+        Seq(graft.plans.TopKPerKey.Desc("__asim"),
+          graft.plans.TopKPerKey.Asc("nbr")), k * refine)
+      .withColumnRenamed("rank", "coarse_rank")
+      .select(col("qid"), col("nbr"), col("coarse_rank"))
+
+    // exact rescore of the surfaced candidates only
+    val qv = broadcast(queries
+      .select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv"))))
+    val cExact = corpus
+      .select(col(idCol).as("nbr"), toDoubleArray(col(vecCol)).as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv")))
+    val exact = cExact
+      .join(broadcast(cands.join(qv, "qid")), "nbr")
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"), col("coarse_rank"))
+  }
 }
