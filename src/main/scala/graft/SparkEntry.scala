@@ -1117,6 +1117,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: winnowing fingerprints (MOSS, SIGMOD'03) ----
+    // bounded-gap k-gram fingerprint selection: every w-hash window
+    // contributes its rightmost-minimal hash — one doc-keyed bounded
+    // ROWS frame, no joins, ~2/(w+1) of the full k-gram set
+    "q145_winnowing" -> ((s, dir) => {
+      operators.TextAnalysis.winnowing(
+          T(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy("doc_id", "pos")
+    }),
+
     // ---- extension: edit-distance-verified near-dup pairs ----
     // exact Levenshtein confirmation of the q22 LSH candidates: the
     // blocker proposes, the O(len^2) measure disposes — capped text,
@@ -3126,6 +3137,11 @@ object SparkEntry {
          |      FROM sh n JOIN sh b ON n.doc_id >= 150 AND b.doc_id < 150)
          |SELECT new_id, old_id, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin
     },
+
+    "q145_winnowing" ->
+      s"""WITH ${operators.TextAnalysis.winnowingSql(
+        "documents WHERE doc_id < 50", "text", 3, 4)}
+         |SELECT doc_id, pos, fp FROM ws ORDER BY doc_id, pos""".stripMargin,
 
     "q139_sparse_allpairs" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),

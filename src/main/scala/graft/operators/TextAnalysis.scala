@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis scalar operators for document pipelines: token
@@ -460,4 +461,76 @@ object TextAnalysis {
        |JOIN sizes s1 ON inter.g1 = s1.g
        |JOIN sizes s2 ON inter.g2 = s2.g
        |ORDER BY 1, 2""".stripMargin
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every token `k`-gram, slide
+    * a `w`-hash window, and select each window's MINIMUM hash, ties to
+    * the RIGHTMOST position (robust winnowing). Guarantees: at least
+    * one selection in every `w` consecutive hashes (bounded gap), and
+    * any token run of `w + k - 1` shared between two documents yields
+    * a shared fingerprint — the matching guarantee copy detectors rely
+    * on, at ~2/(w+1) the storage of the full k-gram set.
+    *
+    * Output: `(id, pos, fp)` — 0-based gram position and 32-bit gram
+    * hash of each selected fingerprint, one distinct row each.
+    *
+    * Scale shape: one explode to (doc, pos, hash), ONE doc-keyed
+    * window pass with a bounded ROWS frame (`w - 1` following), one
+    * distinct — no joins, nothing quadratic. The (hash,
+    * rightmost-pos) argmin packs into a single BIGINT
+    * (`hash·2²⁰ + (2²⁰−1 − pos)`) so the frame aggregate is a plain
+    * MIN — portable integer arithmetic, no struct-ordering semantics.
+    * Documents with fewer than `w` grams select from their one short
+    * window; documents under `k` tokens contribute nothing (strict
+    * gram semantics). Positions are capped at 2²⁰ grams per document
+    * — split longer documents before fingerprinting.
+    */
+  def winnowing(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val grams = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(Dedup.shingleArray(col("__toks"), k, strict = true))
+          .as(Seq("pos0", "__sh")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos0"))
+    val packed = grams
+      .withColumn("__x", Sampling.hexPrefixValue(md5(col("__sh"))))
+      .withColumn("__c",
+        col("__x") * lit(1048576L) + (lit(1048575L) - col("pos0")))
+      .withColumn("__nh", count(lit(1)).over(win.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__mc", min(col("__c")).over(win.rowsBetween(0, w - 1)))
+    packed
+      .filter(col("pos0") <= greatest(col("__nh") - w, lit(0)))
+      .select(col(idCol),
+        (lit(1048575L) - (col("__mc") % 1048576L)).as("pos"),
+        (col("__mc") / 1048576L).cast("long").as("fp"))
+      .distinct()
+  }
+
+  /** ANSI-SQL twin of [[winnowing]] over `src` (doc_id, textCol). */
+  def winnowingSql(src: String, textCol: String, k: Int, w: Int): String = {
+    val parts = (0 until k).map(j => s"wt[i+$j]").mkString(", ")
+    s"""wt0 AS (SELECT doc_id, ${tokensSql(textCol)} AS wt FROM $src),
+       |wg AS (SELECT doc_id, i - 1 AS pos0, concat_ws(' ', $parts) AS sh
+       |       FROM wt0, unnest(generate_series(1, len(wt) - ${k - 1})) AS u(i)
+       |       WHERE len(wt) >= $k),
+       |wh AS (SELECT doc_id, pos0,
+       |         (${graft.operators.Sampling.hexPrefixSql("md5(sh)")}) AS x FROM wg),
+       |wc AS (SELECT doc_id, pos0, x * 1048576 + (1048575 - pos0) AS cc,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS nh FROM wh),
+       |wm AS (SELECT doc_id, pos0, nh,
+       |         MIN(cc) OVER (PARTITION BY doc_id ORDER BY pos0
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mc
+       |       FROM wc),
+       |ws AS (SELECT DISTINCT doc_id,
+       |         CAST(1048575 - (mc % 1048576) AS BIGINT) AS pos,
+       |         CAST(mc // 1048576 AS BIGINT) AS fp
+       |       FROM wm WHERE pos0 <= greatest(nh - $w, 0))""".stripMargin
+  }
 }
