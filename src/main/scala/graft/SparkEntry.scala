@@ -377,6 +377,16 @@ object SparkEntry {
       TextAnalysis.vocabOverlap(T(s, dir, "documents"), "source", "text")
     }),
 
+    // ---- extension: KMV-sketch vocabulary overlap (Beyer SIGMOD'07) ----
+    // q98's sketch twin: each source reduces to its k smallest gram
+    // hashes (mergeable, fixed size), pairwise comparison runs on
+    // |sources|*k rows however large the corpus; exact Jaccard rides
+    // along as the per-pair error check
+    "q146_kmv_overlap" -> ((s, dir) => {
+      operators.TextAnalysis.vocabOverlapKmv(
+        T(s, dir, "documents"), "source", "text", n = 3, k = 64)
+    }),
+
     // ---- extension: PageRank over the co-purchase adjacency ----
     "q96_pagerank" -> ((s, dir) => {
       // edges: parts adjacent by line number within an order — a
@@ -2323,6 +2333,9 @@ object SparkEntry {
 
     "q98_vocab_overlap" ->
       TextAnalysis.vocabOverlapSql("documents", "source", "text"),
+
+    "q146_kmv_overlap" ->
+      TextAnalysis.vocabOverlapKmvSql("documents", "source", "text", n = 3, k = 64),
 
     "q96_pagerank" ->
       operators.Graph.pageRankMicroSql(

@@ -533,4 +533,140 @@ object TextAnalysis {
        |         CAST(mc // 1048576 AS BIGINT) AS fp
        |       FROM wm WHERE pos0 <= greatest(nh - $w, 0))""".stripMargin
   }
+
+  /** Cross-source vocabulary overlap from KMV (k-minimum-values)
+    * sketches (Beyer et al., SIGMOD'07), error-checked against the
+    * exact n-gram Jaccard on the same corpus — [[vocabOverlap]]'s
+    * sketch twin, and the shape that SURVIVES when the per-source
+    * vocabularies stop fitting anywhere: each source reduces to its k
+    * smallest 32-bit gram hashes (a mergeable, fixed-size summary; a
+    * union of sketches is the sketch of the union), so the pairwise
+    * comparison runs on `|sources| · k` rows however large the corpus
+    * — the exact path's `(source, term)` self-join carries the whole
+    * vocabulary instead.
+    *
+    * Estimators on the merged pair sketch (the k smallest of the
+    * union, `nU = min(k, |union sketch|)` rows): Jaccard ≈ ρ/nU where
+    * ρ counts members present in BOTH source sketches, and distinct
+    * union ≈ `(nU−1)·2³² / h_(nU)` from the largest kept hash. All
+    * integer inputs (hash ranks, ρ, nU) — the only doubles are the
+    * final rounded ratios, so the DuckDB oracle matches exactly.
+    *
+    * Output per source pair `g1 < g2`:
+    * `(g1, g2, kmv_jaccard, exact_jaccard, jaccard_abs_err,
+    * est_union, exact_union)`.
+    */
+  def vocabOverlapKmv(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "a KMV sketch needs k >= 2")
+    val terms = docs
+      .select(col(groupCol).as("g"), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col("g"),
+        explode(Dedup.shingleArray(col("__toks"), n, strict = true)).as("term"))
+      .distinct()
+    val gh = terms
+      .select(col("g"), Sampling.hexPrefixValue(md5(col("term"))).as("h"))
+      .distinct()
+    // k smallest hashes per source via the heap-bounded operator —
+    // the sketch never materializes the vocabulary past the heaps
+    val sk = graft.plans.TopKPerKey.topk(gh, Seq("g"),
+      Seq(graft.plans.TopKPerKey.Asc("h")), k).select("g", "h")
+
+    val groups = gh.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g1"))
+      .crossJoin(groups.select(col("g").as("g2")))
+      .filter(col("g1") < col("g2"))
+    val pa = pairs.join(sk.select(col("g").as("g1"), col("h")), "g1")
+      .select(col("g1"), col("g2"), col("h"),
+        lit(1L).as("inA"), lit(0L).as("inB"))
+    val pb = pairs.join(sk.select(col("g").as("g2"), col("h")), "g2")
+      .select(col("g1"), col("g2"), col("h"),
+        lit(0L).as("inA"), lit(1L).as("inB"))
+    val merged = pa.unionByName(pb)
+      .groupBy(col("g1"), col("g2"), col("h"))
+      .agg(max(col("inA")).as("inA"), max(col("inB")).as("inB"))
+    val w = Window.partitionBy(col("g1"), col("g2")).orderBy(col("h"))
+    val kept = merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    val est = kept.groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("__nu"), max(col("h")).as("__kth"),
+        sum(col("inA") * col("inB")).as("__rho"))
+
+    val sizes = terms.groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    val inter = terms.as("a").join(terms.as("b"),
+        col("a.term") === col("b.term") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("__ni"))
+    val exact = inter
+      .join(sizes.withColumnsRenamed(Map("g" -> "g1", "nv" -> "__v1")), "g1")
+      .join(sizes.withColumnsRenamed(Map("g" -> "g2", "nv" -> "__v2")), "g2")
+      .select(col("g1"), col("g2"),
+        round(col("__ni").cast("double") /
+          (col("__v1") + col("__v2") - col("__ni")), 6).as("exact_jaccard"),
+        (col("__v1") + col("__v2") - col("__ni")).as("exact_union"))
+
+    est.join(exact, Seq("g1", "g2"))
+      .select(col("g1"), col("g2"),
+        round(col("__rho").cast("double") / col("__nu"), 6).as("kmv_jaccard"),
+        col("exact_jaccard"),
+        col("__rho"), col("__nu"), col("__kth"), col("exact_union"))
+      .select(col("g1"), col("g2"), col("kmv_jaccard"), col("exact_jaccard"),
+        round(abs(col("kmv_jaccard") - col("exact_jaccard")), 6)
+          .as("jaccard_abs_err"),
+        round((col("__nu") - 1).cast("double") * lit(4294967296.0) /
+          col("__kth"), 6).as("est_union"),
+        col("exact_union"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
+  /** DuckDB SQL equivalent of [[vocabOverlapKmv]]. */
+  def vocabOverlapKmvSql(
+      src: String, groupCol: String, textCol: String, n: Int, k: Int): String = {
+    val parts = (0 until n).map(j => s"wt[i+$j]").mkString(", ")
+    s"""WITH wt0 AS (SELECT $groupCol AS g, ${tokensSql(textCol)} AS wt FROM $src),
+       |tv AS (SELECT DISTINCT g, concat_ws(' ', $parts) AS term
+       |       FROM wt0, unnest(generate_series(1, len(wt) - ${n - 1})) AS u(i)
+       |       WHERE len(wt) >= $n),
+       |gh AS (SELECT DISTINCT g,
+       |         (${graft.operators.Sampling.hexPrefixSql("md5(term)")}) AS h FROM tv),
+       |sk AS (SELECT g, h FROM (
+       |  SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM gh)
+       |  WHERE rn <= $k),
+       |gp AS (SELECT a.g AS g1, b.g AS g2
+       |       FROM (SELECT DISTINCT g FROM gh) a, (SELECT DISTINCT g FROM gh) b
+       |       WHERE a.g < b.g),
+       |mg AS (SELECT g1, g2, h, MAX(inA) AS inA, MAX(inB) AS inB FROM (
+       |  SELECT gp.g1, gp.g2, s.h, 1 AS inA, 0 AS inB FROM gp JOIN sk s ON s.g = gp.g1
+       |  UNION ALL
+       |  SELECT gp.g1, gp.g2, s.h, 0, 1 FROM gp JOIN sk s ON s.g = gp.g2)
+       |  GROUP BY 1, 2, 3),
+       |kept AS (SELECT * FROM (
+       |  SELECT g1, g2, h, inA, inB,
+       |    ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn FROM mg)
+       |  WHERE rn <= $k),
+       |est AS (SELECT g1, g2, COUNT(*) AS nu, MAX(h) AS kth,
+       |          CAST(SUM(inA * inB) AS BIGINT) AS rho
+       |        FROM kept GROUP BY 1, 2),
+       |sz AS (SELECT g, COUNT(*) AS nv FROM tv GROUP BY 1),
+       |iv AS (SELECT a.g AS g1, b.g AS g2, COUNT(*) AS ni
+       |       FROM tv a JOIN tv b ON a.term = b.term AND a.g < b.g GROUP BY 1, 2),
+       |ex AS (SELECT g1, g2,
+       |         round(CAST(ni AS DOUBLE) / (s1.nv + s2.nv - ni), 6) AS exact_jaccard,
+       |         CAST(s1.nv + s2.nv - ni AS BIGINT) AS exact_union
+       |       FROM iv JOIN sz s1 ON iv.g1 = s1.g JOIN sz s2 ON iv.g2 = s2.g),
+       |fin AS (SELECT est.g1, est.g2,
+       |          round(CAST(rho AS DOUBLE) / nu, 6) AS kmv_jaccard,
+       |          ex.exact_jaccard,
+       |          CAST(nu AS BIGINT) AS nu, kth, ex.exact_union
+       |        FROM est JOIN ex ON est.g1 = ex.g1 AND est.g2 = ex.g2)
+       |SELECT g1, g2, kmv_jaccard, exact_jaccard,
+       |  round(abs(kmv_jaccard - exact_jaccard), 6) AS jaccard_abs_err,
+       |  round((nu - 1) * 4294967296.0 / kth, 6) AS est_union,
+       |  exact_union
+       |FROM fin ORDER BY g1, g2""".stripMargin
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** KMV sketch vocabulary overlap: exactness when k covers the union,
+  * bounded-error estimation when the vocabulary dwarfs k.
+  */
+class KmvSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** One 3-gram per row: source s carries grams [lo, hi]. */
+  private def src(s: String, lo: Int, hi: Int) =
+    (lo to hi).map(i => (s, s"w${i}a w${i}b w${i}c"))
+
+  test("k >= |union|: the sketch IS the vocabulary, jaccard exact") {
+    val d = (src("a", 1, 30) ++ src("b", 21, 50)).toDF("source", "text")
+    val out = TextAnalysis.vocabOverlapKmv(d, "source", "text", n = 3, k = 64)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(2) == r.getDouble(3), "kmv == exact when nothing is dropped")
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getLong(6) == 50L, "exact union")
+  }
+
+  test("vocab >> k: estimate within KMV error bounds, fixed-size sketch") {
+    // J = 100 shared / 300 union = 1/3; k = 64 -> sigma ~ 0.06
+    val d = (src("a", 1, 200) ++ src("b", 101, 300)).toDF("source", "text")
+    val out = TextAnalysis.vocabOverlapKmv(d, "source", "text", n = 3, k = 64)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(3) == math.rint(100.0 / 300.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) < 0.25, s"|kmv - exact| = ${r.getDouble(4)} too large")
+    val estUnion = r.getDouble(5)
+    assert(estUnion > 120 && estUnion < 700,
+      s"union estimate $estUnion implausible for true 300")
+  }
+}
