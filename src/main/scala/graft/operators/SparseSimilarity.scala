@@ -157,7 +157,18 @@ object SparseSimilarity {
     val tf = tfFromToks(toks, idCol, n = 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val overlap = cand
+    // length prune (Bayardo's size filter): Σmin <= min(dl1, dl2) and
+    // Σmax >= max(dl1, dl2), so J_w <= min(dl)/max(dl) — a pair whose
+    // length ratio is under the threshold CANNOT pass verification.
+    // Exact, so the oracle twin (which filters the unpruned pair set
+    // by the same final threshold) is unaffected; it just keeps the
+    // token-level verify join off provably-hopeless candidates.
+    val sized = cand
+      .join(dl.select(col(idCol).as("d1"), col("dl").as("__l1")), "d1")
+      .join(dl.select(col(idCol).as("d2"), col("dl").as("__l2")), "d2")
+      .filter(least(col("__l1"), col("__l2")).cast("double") >=
+        greatest(col("__l1"), col("__l2")) * threshold)
+    val overlap = sized.select("d1", "d2")
       .join(tf.select(col(idCol).as("d1"), col("term"), col("tf").as("tf1")), "d1")
       .join(tf.select(col(idCol).as("d2"), col("term"), col("tf").as("tf2")),
         Seq("d2", "term"))
