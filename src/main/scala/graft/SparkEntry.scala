@@ -1127,6 +1127,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: rendezvous-hash shard rebalance (HRW 1998) ----
+    // the minimal-movement resize mod-N placement cannot give: growing
+    // 4 -> 6 shards moves only docs whose new global winner is an
+    // ADDED shard (~1/3 expected), nothing migrates between survivors
+    "q147_rebalance" -> ((s, dir) => {
+      operators.Sharding.rebalanceReport(
+        T(s, dir, "documents"), "doc_id", fromShards = 4, toShards = 6)
+    }),
+
     // ---- extension: winnowing fingerprints (MOSS, SIGMOD'03) ----
     // bounded-gap k-gram fingerprint selection: every w-hash window
     // contributes its rightmost-minimal hash — one doc-keyed bounded
@@ -3155,6 +3164,10 @@ object SparkEntry {
       s"""WITH ${operators.TextAnalysis.winnowingSql(
         "documents WHERE doc_id < 50", "text", 3, 4)}
          |SELECT doc_id, pos, fp FROM ws ORDER BY doc_id, pos""".stripMargin,
+
+    "q147_rebalance" ->
+      operators.Sharding.rebalanceReportSql("documents", "doc_id",
+        fromShards = 4, toShards = 6),
 
     "q139_sparse_allpairs" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),

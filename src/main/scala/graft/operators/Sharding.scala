@@ -99,6 +99,86 @@ object Sharding {
        |FROM a ORDER BY shard""".stripMargin
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar, IEEE ToN 1998): every document goes to the shard
+    * maximizing `hexPrefix(md5(salt:shard:id))`, ties to the lower
+    * shard id. Mod-N placement ([[shardAssign]]) reshuffles almost the
+    * whole corpus when the shard count changes; HRW moves EXACTLY the
+    * docs whose new global winner is an added shard — expected
+    * `(M−N)/M` of the corpus on a grow from N to M, and every moved
+    * doc lands on a NEW shard (nothing migrates between surviving
+    * shards). At 100 TB that is the difference between shipping 1/3 of
+    * the corpus and shipping all of it when the fleet grows.
+    *
+    * Cost: `nShards` md5s per row (the standard HRW trade — per-row,
+    * no shuffle; the argmax folds in one `array_max` over
+    * `(score, −shard)` structs). For hundreds of shards, move to a
+    * two-level scheme (HRW over shard GROUPS, mod within); the salt
+    * keeps placements reproducible by any engine either way.
+    */
+  def rendezvousAssign(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = "hrw",
+      outCol: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val entries = (0 until nShards).map { s =>
+      struct(
+        Sampling.hexPrefixValue(md5(concat_ws(":",
+          lit(salt), lit(s.toString), col(idCol).cast("string")))).as("sc"),
+        lit(-s).as("ns"))
+    }
+    df.withColumn(outCol,
+      (array_max(array(entries: _*)).getField("ns") * -1).cast("long"))
+  }
+
+  /** Movement matrix for an HRW resize from `fromShards` to
+    * `toShards`: one row per observed `(old_shard, new_shard)` with
+    * doc count and a moved flag. The minimal-movement law makes this
+    * auditable at a glance: every `moved` row's `new_shard` must be
+    * one of the added shards (grow) — anything else means the salt or
+    * the hash drifted between runs.
+    */
+  def rebalanceReport(
+      df: DataFrame,
+      idCol: String,
+      fromShards: Int,
+      toShards: Int,
+      salt: String = "hrw"): DataFrame =
+    rendezvousAssign(
+        rendezvousAssign(df, idCol, fromShards, salt, "old_shard"),
+        idCol, toShards, salt, "new_shard")
+      .groupBy(col("old_shard"), col("new_shard"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("moved", col("old_shard") =!= col("new_shard"))
+      .orderBy("old_shard", "new_shard")
+
+  /** ANSI-SQL twin of [[rebalanceReport]] (DuckDB-runnable). */
+  def rebalanceReportSql(
+      table: String,
+      idCol: String,
+      fromShards: Int,
+      toShards: Int,
+      salt: String = "hrw"): String = {
+    val sc = Sampling.hexPrefixSql("hh")
+    s"""WITH sl AS (SELECT unnest(range($toShards)) AS s),
+       |hx AS (SELECT t.$idCol AS did, sl.s,
+       |         md5('$salt:' || CAST(sl.s AS VARCHAR) || ':' || CAST(t.$idCol AS VARCHAR)) AS hh
+       |       FROM $table t CROSS JOIN sl),
+       |sv AS (SELECT did, s, ($sc) AS sc FROM hx),
+       |os AS (SELECT did, CAST(s AS BIGINT) AS old_shard FROM (
+       |  SELECT did, s, ROW_NUMBER() OVER (PARTITION BY did ORDER BY sc DESC, s) AS rn
+       |  FROM sv WHERE s < $fromShards) t WHERE rn = 1),
+       |ns AS (SELECT did, CAST(s AS BIGINT) AS new_shard FROM (
+       |  SELECT did, s, ROW_NUMBER() OVER (PARTITION BY did ORDER BY sc DESC, s) AS rn
+       |  FROM sv) t WHERE rn = 1)
+       |SELECT old_shard, new_shard, COUNT(*) AS n_docs,
+       |  old_shard <> new_shard AS moved
+       |FROM os JOIN ns USING (did)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Physical export: one directory per shard
     * (`.../shard=<k>/part-*.parquet`), each shard's rows co-located
     * into its own write task by the shard-keyed repartition. Returns

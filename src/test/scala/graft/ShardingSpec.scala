@@ -56,4 +56,23 @@ class ShardingSpec extends AnyFunSuite {
     val got = back.select(col("doc_id"), col("shard").cast("long").as("shard"))
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
+
+  test("rendezvous rebalance: minimal movement — moved docs land only on added shards") {
+    val per = Sharding.rendezvousAssign(
+        Sharding.rendezvousAssign(docs, "doc_id", 4, outCol = "old_shard"),
+        "doc_id", 6, outCol = "new_shard")
+      .select("doc_id", "old_shard", "new_shard").collect()
+    assert(per.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 4))
+    assert(per.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 6))
+    val moved = per.filter(r => r.getLong(1) != r.getLong(2))
+    assert(moved.nonEmpty, "a 4 -> 6 grow must move an expected third of docs")
+    assert(moved.forall(_.getLong(2) >= 4),
+      "HRW minimal-movement law: moved docs go to ADDED shards only")
+    // expected moved fraction (M-N)/M = 1/3 of 200 docs; allow wide slack
+    assert(moved.length > 30 && moved.length < 110, s"moved ${moved.length}/200")
+    // the report aggregates the same assignment
+    val rep = Sharding.rebalanceReport(docs, "doc_id", 4, 6).collect()
+    assert(rep.map(_.getLong(2)).sum == 200L)
+    assert(rep.filter(_.getBoolean(3)).map(_.getLong(2)).sum == moved.length.toLong)
+  }
 }
