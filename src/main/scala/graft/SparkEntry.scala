@@ -1127,6 +1127,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: KMV distinct sketch as a mergeable aggregate ----
+    // the custom TypedImperativeAggregate path: every map task reduces
+    // its partition to <= k longs BEFORE the shuffle (the property a
+    // distinct-count over 100 TB needs); estimate arithmetic is exact
+    // integers + one final division, checked per source against the
+    // true distinct count
+    "q148_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val tf = operators.SparseSimilarity.termFrequencies(
+        T(s, dir, "documents"), "source", "text", n = 3)
+      tf.select(col("source"),
+          operators.Sampling.hexPrefixValue(md5(col("term"))).as("h"))
+        .groupBy("source")
+        .agg(functions.KmvSketch.kmvHashes(col("h"), k).as("arr"),
+          count(lit(1)).as("exact_distinct"))
+        .select(col("source"),
+          size(col("arr")).cast("long").as("n_sketch"),
+          when(size(col("arr")) < k, size(col("arr")).cast("double"))
+            .otherwise(round(
+              lit((k - 1).toLong * 4294967296L).cast("double") /
+                element_at(col("arr"), k), 6)).as("est_distinct"),
+          col("exact_distinct"))
+        .withColumn("rel_err", round(
+          abs(col("est_distinct") - col("exact_distinct")) /
+            col("exact_distinct"), 6))
+        .orderBy("source")
+    }),
+
     // ---- extension: rendezvous-hash shard rebalance (HRW 1998) ----
     // the minimal-movement resize mod-N placement cannot give: growing
     // 4 -> 6 shards moves only docs whose new global winner is an
@@ -3168,6 +3196,28 @@ object SparkEntry {
     "q147_rebalance" ->
       operators.Sharding.rebalanceReportSql("documents", "doc_id",
         fromShards = 4, toShards = 6),
+
+    "q148_kmv_distinct" -> {
+      val k = 64
+      val c = (k - 1).toLong * 4294967296L
+      s"""WITH wt0 AS (SELECT source AS g, ${TextAnalysis.tokensSql("text")} AS wt FROM documents),
+         |tv AS (SELECT DISTINCT g, concat_ws(' ', wt[i], wt[i+1], wt[i+2]) AS term
+         |       FROM wt0, unnest(generate_series(1, len(wt) - 2)) AS u(i)
+         |       WHERE len(wt) >= 3),
+         |hv AS (SELECT DISTINCT g,
+         |         (${operators.Sampling.hexPrefixSql("md5(term)")}) AS h FROM tv),
+         |ex AS (SELECT g, COUNT(*) AS exact_distinct FROM tv GROUP BY 1),
+         |rk AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hv),
+         |sk AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS kth
+         |       FROM rk WHERE rn <= $k GROUP BY 1),
+         |est AS (SELECT g, n_sketch,
+         |          CASE WHEN n_sketch < $k THEN CAST(n_sketch AS DOUBLE)
+         |               ELSE round(CAST($c AS DOUBLE) / kth, 6) END AS est_distinct
+         |        FROM sk)
+         |SELECT est.g AS source, n_sketch, est_distinct, ex.exact_distinct,
+         |  round(abs(est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+         |FROM est JOIN ex ON est.g = ex.g ORDER BY source""".stripMargin
+    },
 
     "q139_sparse_allpairs" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),

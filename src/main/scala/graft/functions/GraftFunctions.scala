@@ -36,6 +36,14 @@ object GraftFunctions {
         intLit(exprs(1), "topk_freq k"),
         intLit(exprs(2), "topk_freq capacity")).toAggregateExpression()
     }),
+    // kmv_hashes(hashCol, k) — k smallest distinct hashes (KMV sketch)
+    "kmv_hashes" -> (exprs => {
+      if (exprs.size != 2)
+        throw new IllegalArgumentException(
+          s"kmv_hashes(hash, k) takes 2 arguments, got ${exprs.size}")
+      KmvSketch(exprs(0), intLit(exprs(1), "kmv_hashes k"))
+        .toAggregateExpression()
+    }),
     // The stable scalar helpers the oracle twins are written against,
     // exposed to spark.sql callers. These are Column compositions, not
     // single Catalyst nodes — the graftbridge converters lift the

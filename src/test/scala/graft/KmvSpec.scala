@@ -26,6 +26,28 @@ class KmvSpec extends AnyFunSuite {
     assert(r.getLong(6) == 50L, "exact union")
   }
 
+  test("KmvSketch aggregate: partition-invariant (mergeable), sorted, bounded") {
+    import org.apache.spark.sql.functions.col
+    val hashes = (1L to 500L).map(i => (i * 2654435761L) % 4294967296L)
+    def agg(parts: Int) = hashes.toDF("h").repartition(parts)
+      .agg(graft.functions.KmvSketch.kmvHashes(col("h"), 32).as("arr"))
+      .collect().head.getSeq[Long](0)
+    val one = agg(1)
+    assert(one == agg(13), "merge path must equal single-partition path")
+    assert(one.length == 32 && one == one.sorted)
+    assert(one == hashes.distinct.sorted.take(32),
+      "the sketch IS the k smallest distinct hashes")
+  }
+
+  test("kmv_hashes is callable from SQL") {
+    val spark0 = spark
+    graft.functions.GraftFunctions.register(spark0)
+    (1L to 100L).toDF("h").createOrReplaceTempView("kmv_in")
+    val arr = spark0.sql("SELECT kmv_hashes(h, 5) AS a FROM kmv_in")
+      .collect().head.getSeq[Long](0)
+    assert(arr == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("vocab >> k: estimate within KMV error bounds, fixed-size sketch") {
     // J = 100 shared / 300 union = 1/3; k = 64 -> sigma ~ 0.06
     val d = (src("a", 1, 200) ++ src("b", 101, 300)).toDF("source", "text")
