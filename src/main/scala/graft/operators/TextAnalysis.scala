@@ -571,10 +571,14 @@ object TextAnalysis {
     val gh = terms
       .select(col("g"), Sampling.hexPrefixValue(md5(col("term"))).as("h"))
       .distinct()
-    // k smallest hashes per source via the heap-bounded operator —
-    // the sketch never materializes the vocabulary past the heaps
-    val sk = graft.plans.TopKPerKey.topk(gh, Seq("g"),
-      Seq(graft.plans.TopKPerKey.Asc("h")), k).select("g", "h")
+    // k smallest hashes per source via the KMV aggregate
+    // ([[graft.functions.KmvSketch]]): every map task reduces its
+    // partition to <= k longs BEFORE the shuffle, so the exchange
+    // carries one bounded sketch per (task, source) instead of the
+    // per-source hash rows a top-k operator would still move
+    val sk = gh.groupBy(col("g"))
+      .agg(graft.functions.KmvSketch.kmvHashes(col("h"), k).as("__arr"))
+      .select(col("g"), explode(col("__arr")).as("h"))
 
     val groups = gh.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("g1"))
