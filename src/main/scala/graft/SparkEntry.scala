@@ -839,6 +839,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: IVF-PQ (cell-probed ADC, FAISS composition) ----
+    // the coarse IVF probe confines the ADC scan to nProbe/nCells of
+    // the corpus, and the query x corpus crossing becomes an equi-join
+    // on the cell id; PQ codes + exact rescore as in q144
+    "q149_ivfpq" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          dims = 64, m = 4, ks = 16, pqIters = 3,
+          nCells = 8, ivfIters = 3, nProbe = 2, k = 3, refine = 3)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- extension: segment-level (CCNet-style) boilerplate dedup ----
     // the sub-document twin of q20 exact dedup: 8-token segments that
     // repeat across >1 documents (headers, nav text, license blocks)
@@ -2058,6 +2071,62 @@ object SparkEntry {
        |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** q149: IVF-PQ — the q113 cell layer (full-width trained k-means
+    * probe) composed with the q144 code layer (per-subspace books,
+    * ADC), candidates restricted to probed cells by an equi-join on
+    * the cell id, exact rescore of the top k·refine.
+    */
+  private def ivfPqOracle(
+      m: Int, ks: Int, pqIters: Int, sub: Int, nCells: Int, ivfIters: Int,
+      nProbe: Int, nQueries: Int, k: Int, refine: Int): String = {
+    val books = (0 until m)
+      .map(mi => pqKmeansCtesSql(ks, pqIters, sub, mi * sub, s"p$mi"))
+      .mkString(",\n")
+    val encs = (0 until m).map { mi =>
+      s"""enc$mi AS (SELECT vec_id, cid AS code, cnn FROM (
+         |  SELECT n.vec_id, c.cid, list_dot_product(c.cv, c.cv) AS cnn,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
+         |  FROM p${mi}n2 n CROSS JOIN p${mi}c$pqIters c) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val adExpr = (0 until m).map(mi =>
+      s"list_dot_product(list_slice(q.qv, ${mi * sub + 1}, ${mi * sub + sub}), c$mi.cv)")
+      .mkString(" + ")
+    val cnnExpr = (0 until m).map(mi => s"e$mi.cnn").mkString(" + ")
+    val encJoins = (0 until m).map(mi =>
+      s"  JOIN enc$mi e$mi ON e$mi.vec_id = x.nbr JOIN p${mi}c$pqIters c$mi ON c$mi.cid = e$mi.code")
+      .mkString("\n")
+    s"""WITH ${kmeansCtesSql(nCells, ivfIters, 64)},
+       |$books,
+       |$encs,
+       |ca AS (SELECT vec_id AS nbr, cid AS cell FROM (
+       |  SELECT n2.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+       |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+       |  FROM n2 CROSS JOIN c$ivfIters c) t WHERE rn = 1),
+       |qa AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell FROM (
+       |  SELECT n2.vec_id, n2.v, n2.nrm, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+       |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+       |  FROM n2 CROSS JOIN c$ivfIters c WHERE n2.vec_id < $nQueries) t WHERE rn <= $nProbe),
+       |cand AS (SELECT qid, nbr, CAST(rn AS BIGINT) AS coarse_rank FROM (
+       |  SELECT q.qid, x.nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY ($adExpr) / (q.qn * sqrt($cnnExpr)) DESC, x.nbr) AS rn
+       |  FROM qa q
+       |  JOIN ca x ON x.cell = q.cell AND x.nbr <> q.qid
+       |$encJoins) t WHERE rn <= ${k * refine}),
+       |ex AS (SELECT cand.qid, cand.nbr, cand.coarse_rank,
+       |         list_dot_product(q2.v, x2.v) / (q2.nrm * x2.nrm) AS sim
+       |       FROM cand JOIN n2 q2 ON q2.vec_id = cand.qid
+       |                 JOIN n2 x2 ON x2.vec_id = cand.nbr),
+       |r AS (SELECT qid, nbr, sim, coarse_rank,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+       |      FROM ex)
+       |SELECT qid, rank, nbr, round(sim, 5) AS sim, coarse_rank
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   private val fileCte =
     """WITH file AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2705,6 +2774,10 @@ object SparkEntry {
     "q144_pq_adc" ->
       pqAdcOracle(m = 4, ks = 16, iters = 3, sub = 16, nQueries = 20,
         k = 3, refine = 3),
+
+    "q149_ivfpq" ->
+      ivfPqOracle(m = 4, ks = 16, pqIters = 3, sub = 16, nCells = 8,
+        ivfIters = 3, nProbe = 2, nQueries = 20, k = 3, refine = 3),
 
     "q114_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

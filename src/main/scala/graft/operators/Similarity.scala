@@ -87,6 +87,48 @@ object Similarity {
     *
     * Output: (qid, rank 1..k, nbr, sim).
     */
+  /** Cell assignment against a literal centroid table: `(outId,
+    * vecOut, normOut, __cell)` rows, one per (row, probed cell).
+    * Each centroid similarity is computed ONCE into a bound array
+    * column in its own projection; the (negsim, cid) ranking structs
+    * reference array elements, not copies of the dot expression —
+    * inlining the dots into the structs would replicate every
+    * 64-literal dot ~3x per centroid and blow the generated code up
+    * by two orders of magnitude. Comparator structs order by
+    * similarity DESC with ties to the lower centroid id; NaN (a
+    * zero-norm vector) maps to -Infinity so it ranks first, matching
+    * NaN's DESC sort position in the oracle.
+    */
+  private def cellAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])],
+      outId: String,
+      vecOut: String,
+      normOut: String,
+      probes: Int): DataFrame = {
+    val e = df.select(col(idCol).as(outId), toDoubleArray(col(vecCol)).as(vecOut))
+      .withColumn(normOut, l2Norm(col(vecOut)))
+    if (cents.isEmpty) return e.withColumn("__cell", lit(null).cast("long")).limit(0)
+    val sims = array(cents.map { case (_, v) =>
+      val cn = math.sqrt(v.map(x => x * x).sum)
+      dot(col(vecOut), typedLit(v.toSeq)) / (col(normOut) * lit(cn))
+    }: _*)
+    val entries = cents.zipWithIndex.map { case ((cid, _), i) =>
+      val s = element_at(col("__sims"), i + 1)
+      struct(
+        when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s).as("negsim"),
+        lit(cid).as("cid"))
+    }
+    val cell =
+      if (probes == 1) array_min(array(entries: _*)).getField("cid")
+      else explode(transform(
+        slice(array_sort(array(entries: _*)), 1, probes), s => s.getField("cid")))
+    e.withColumn("__sims", sims)
+      .select(col(outId), col(vecOut), col(normOut), cell.as("__cell"))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -110,40 +152,10 @@ object Similarity {
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1).toSeq)
 
-    // Each centroid similarity is computed ONCE into a bound array
-    // column in its own projection; the (negsim, cid) ranking structs
-    // then reference array elements, not copies of the dot-product
-    // expression. Inlining the dots into the structs would replicate
-    // every 64-literal dot ~3x per centroid (once per when-branch) and
-    // blow the generated code up by two orders of magnitude — the
-    // comparator structs order by similarity DESC with ties to the
-    // lower centroid id, and a NaN similarity (zero-norm vector) maps
-    // to -Infinity so it ranks first, matching NaN's DESC sort position.
-    def assign(df: DataFrame, outId: String, vecOut: String, normOut: String,
-        probes: Int): DataFrame = {
-      val e = df.select(col(idCol).as(outId), toDoubleArray(col(vecCol)).as(vecOut))
-        .withColumn(normOut, l2Norm(col(vecOut)))
-      if (cents.isEmpty) return e.withColumn("__cell", lit(null).cast("long")).limit(0)
-      val sims = array(cents.map { case (_, v) =>
-        val cn = math.sqrt(v.map(x => x * x).sum)
-        dot(col(vecOut), typedLit(v.toSeq)) / (col(normOut) * lit(cn))
-      }: _*)
-      val entries = cents.zipWithIndex.map { case ((cid, _), i) =>
-        val s = element_at(col("__sims"), i + 1)
-        struct(
-          when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s).as("negsim"),
-          lit(cid).as("cid"))
-      }
-      val cell =
-        if (probes == 1) array_min(array(entries: _*)).getField("cid")
-        else explode(transform(
-          slice(array_sort(array(entries: _*)), 1, probes), s => s.getField("cid")))
-      e.withColumn("__sims", sims)
-        .select(col(outId), col(vecOut), col(normOut), cell.as("__cell"))
-    }
-
-    val corpusCells = assign(corpus, "nbr", "__cv2", "__cn2", probes = 1)
-    val queryCells = assign(queries, "qid", "__qv", "__qn", probes = nProbe)
+    val corpusCells = cellAssign(corpus, idCol, vecCol, cents,
+      "nbr", "__cv2", "__cn2", probes = 1)
+    val queryCells = cellAssign(queries, idCol, vecCol, cents,
+      "qid", "__qv", "__qn", probes = nProbe)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
     queryCells.join(corpusCells, Seq("__cell"))
       .filter(col("qid") =!= col("nbr"))
@@ -902,6 +914,98 @@ object Similarity {
       .select(col("qid"), col("nbr"), col("coarse_rank"))
 
     // exact rescore of the surfaced candidates only
+    val qv = broadcast(queries
+      .select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv"))))
+    val cExact = corpus
+      .select(col(idCol).as("nbr"), toDoubleArray(col(vecCol)).as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv")))
+    val exact = cExact
+      .join(broadcast(cands.join(qv, "qid")), "nbr")
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"), col("coarse_rank"))
+  }
+
+  /** IVF-PQ: the FAISS-style composition of the two index layers —
+    * a coarse IVF cell probe confines the search to `nProbe` of
+    * `nCells` inverted lists, and WITHIN the probed cells the ranking
+    * is PQ-ADC (LUT lookups against the corpus codes), never a
+    * full-width dot, with an exact rescore of the surfaced
+    * `k·refine` candidates.
+    *
+    * Why the composition matters at 100 TB: flat PQ ([[pqTopK]])
+    * still streams EVERY code — linear per query. The cell probe cuts
+    * the coarse pass to an expected `nProbe/nCells` of the corpus,
+    * and in Spark terms turns the query×corpus crossing into an
+    * EQUI-JOIN on the cell id (broadcast-hash on the tiny probe
+    * side), so the corpus codes frame is filtered by join key, not
+    * scanned per query. Both index layers train with the exact
+    * micro-unit Lloyd, so the DuckDB oracle reproduces cells, codes,
+    * and ADC ranks bit-for-bit. PQ books are trained on the RAW
+    * vectors (not cell residuals) — the residual refinement is a
+    * recall optimization, not a semantic requirement, and raw-vector
+    * books keep the codes independent of the cell layer.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int,
+      ks: Int,
+      pqIters: Int,
+      nCells: Int,
+      ivfIters: Int,
+      nProbe: Int,
+      k: Int,
+      refine: Int = 3): DataFrame = {
+    require(k > 0 && refine > 0 && nProbe > 0, "k, refine, nProbe must be positive")
+    val sub = dims / m
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, ivfIters)
+    val books = pqCodebooks(corpus, idCol, vecCol, dims, m, ks, pqIters)
+    val offs = books.map(_.size).scanLeft(0)(_ + _)
+
+    // corpus → (id, cell, m codes); the assigned frame's vector column
+    // feeds the code computation, then drops
+    val corpusSide = cellAssign(corpus, idCol, vecCol, cents,
+        "nbr", "__cv0", "__cn0", probes = 1)
+      .select(col("nbr") +: col("__cell") +:
+        (0 until m).map(mi =>
+          pqCode(slice(col("__cv0"), mi * sub + 1, sub), books(mi))
+            .as(s"__code_$mi")): _*)
+
+    val lutEntries = for (mi <- 0 until m; (_, v) <- books(mi))
+      yield dot(slice(col("__qv"), mi * sub + 1, sub), typedLit(v.toSeq))
+    val cn2 = typedLit(
+      (for (mi <- 0 until m; (_, v) <- books(mi))
+        yield v.map(x => x * x).sum).toSeq)
+    val q = broadcast(cellAssign(queries, idCol, vecCol, cents,
+        "qid", "__qv", "__qn", probes = nProbe)
+      .withColumn("__lut", array(lutEntries: _*))
+      .select(col("qid"), col("__qn"), col("__lut"), col("__cell")))
+
+    def idx(mi: Int): Column = lit(offs(mi)) + col(s"__code_$mi") + 1
+    val approxDot = (0 until m).map(mi => element_at(col("__lut"), idx(mi)))
+      .reduce(_ + _)
+    val reconN = sqrt((0 until m).map(mi => element_at(cn2, idx(mi)))
+      .reduce(_ + _))
+    // equi-join on the probed cell: only nProbe/nCells of the code
+    // frame ever meets a query
+    val coarse = q.join(corpusSide, Seq("__cell"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("__asim", approxDot / (col("__qn") * reconN))
+      .select(col("qid"), col("nbr"), col("__asim"))
+    val cands = graft.plans.TopKPerKey.topk(coarse, Seq("qid"),
+        Seq(graft.plans.TopKPerKey.Desc("__asim"),
+          graft.plans.TopKPerKey.Asc("nbr")), k * refine)
+      .withColumnRenamed("rank", "coarse_rank")
+      .select(col("qid"), col("nbr"), col("coarse_rank"))
+
     val qv = broadcast(queries
       .select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("__qv"))
       .withColumn("__qn", l2Norm(col("__qv"))))

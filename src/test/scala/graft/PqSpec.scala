@@ -39,6 +39,24 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: cell probe + ADC returns same-cluster neighbors with exact rescored sims") {
+    val q = corpus.filter(col("vec_id") < 4)
+    val out = Similarity.ivfPqTopK(q, corpus, "vec_id", "embedding",
+        dims = 8, m = 2, ks = 4, pqIters = 2,
+        nCells = 4, ivfIters = 2, nProbe = 2, k = 3, refine = 3)
+      .collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.values.foreach(rs => assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L)))
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      assert(math.abs(brute((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-12)
+      assert(r.getLong(2) / 10 == r.getLong(0) / 10,
+        s"query ${r.getLong(0)} pulled cross-cluster neighbor ${r.getLong(2)}")
+    }
+  }
+
   test("ADC top-k: exact sims match brute force; high recall on clustered data") {
     val q = corpus.filter(col("vec_id") < 4)
     val pq = Similarity.pqTopK(q, corpus, "vec_id", "embedding",
