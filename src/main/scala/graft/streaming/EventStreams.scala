@@ -21,6 +21,8 @@ final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_event
 final case class HHItem(key: String, item: String)
 final case class HHState(capacity: Int, counts: Map[String, (Long, Long)])
 final case class HHOut(key: String, item: String, cnt: Long, err: Long)
+final case class KmvState(k: Int, hashes: Seq[Long])
+final case class KmvOut(key: String, n_sketch: Long, est_distinct: Double)
 
 object EventStreams {
 
@@ -205,6 +207,50 @@ object EventStreams {
       state.update(HHState(cap, buf.counts.toMap))
       buf.counts.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k)
         .map { case (i, (c, e)) => HHOut(key, i, c, e) }.iterator
+    }
+    items
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** Streaming per-key distinct-count estimation — the
+    * [[graft.functions.KmvSketch]] aggregate's ingest-time twin: each
+    * key's state is its KMV sketch (the k smallest distinct item
+    * hashes, ≤ k longs per key FOREVER, however many items stream
+    * through), updated per micro-batch and re-emitted as
+    * `(key, n_sketch, est_distinct)` in Update mode. Items hash with
+    * the engine's shared convention (32-bit md5 prefix), so a batch
+    * [[graft.operators.TextAnalysis.vocabOverlapKmv]]-style job over
+    * the same items reproduces the stream's estimates exactly.
+    *
+    * The estimate rule matches the batch aggregate: under k distinct
+    * hashes seen → exact count; at/over → `(k−1)·2³² / h_(k)`.
+    */
+  def distinctEstimateStream(
+      items: Dataset[HHItem],
+      k: Int): Dataset[KmvOut] = {
+    import items.sparkSession.implicits._
+    def fold(
+        key: String,
+        it: Iterator[HHItem],
+        state: GroupState[KmvState]): Iterator[KmvOut] = {
+      val kk = state.getOption.map(_.k).getOrElse(k)
+      val buf = new graft.functions.KmvBuffer(kk)
+      state.getOption.foreach(_.hashes.foreach(buf.set.add))
+      it.foreach { x =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 8 hex digits = first 4 bytes, big-endian unsigned —
+        // identical to Sampling.hexPrefixValue(md5(item))
+        buf.add(((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+          ((md(2) & 0xffL) << 8) | (md(3) & 0xffL))
+      }
+      state.update(KmvState(kk, buf.set.toSeq))
+      val n = buf.set.size
+      val est =
+        if (n < kk) n.toDouble
+        else (kk - 1).toLong * 4294967296L / buf.set.last.toDouble
+      Iterator(KmvOut(key, n.toLong, est))
     }
     items
       .groupByKey(_.key)

@@ -48,6 +48,43 @@ class KmvSpec extends AnyFunSuite {
     assert(arr == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("distinctEstimateStream: exact below k, state accumulates across batches, hash matches engine convention") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.streaming.{EventStreams, HHItem}
+    implicit val sqlCtx = spark.sqlContext
+
+    // JVM-side hashing in the stream must equal the relational path
+    val items = (1 to 40).map(i => s"item$i")
+    val viaSql = items.toDF("x")
+      .select(graft.operators.Sampling.hexPrefixValue(md5(col("x"))))
+      .collect().map(_.getLong(0)).sorted.take(8)
+
+    val stream = MemoryStream[HHItem]
+    val out = EventStreams.distinctEstimateStream(stream.toDS(), k = 8)
+    val q = out.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      stream.addData(items.take(5).map(HHItem("a", _)): _*)
+      q.processAllAvailable()
+      val first = spark.table("kmv_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(first.toSeq == Seq(("a", 5L, 5.0)), "below k: exact count")
+      stream.addData(items.drop(5).map(HHItem("a", _)) ++
+        items.take(3).map(HHItem("b", _)): _*)
+      q.processAllAvailable()
+      val last = spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k0, rs) => k0 -> rs.last }
+      assert(last("b") == (("b", 3L, 3.0)))
+      val (_, n, est) = last("a")
+      assert(n == 8L, "sketch saturates at k")
+      assert(est == 7L * 4294967296L / viaSql.last.toDouble,
+        "estimate derives from the SAME kth hash the relational path computes")
+      assert(est > 10 && est < 400, s"estimate $est implausible for true 40")
+    } finally q.stop()
+  }
+
   test("vocab >> k: estimate within KMV error bounds, fixed-size sketch") {
     // J = 100 shared / 300 union = 1/3; k = 64 -> sigma ~ 0.06
     val d = (src("a", 1, 200) ++ src("b", 101, 300)).toDF("source", "text")
