@@ -1177,6 +1177,16 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", fromShards = 4, toShards = 6)
     }),
 
+    // ---- extension: sorted-neighborhood near-dup (SNM, SIGMOD'95) ----
+    // the third blocking geometry next to hash buckets and equality
+    // blocks: per-bucket sort + rank-band self-join, candidate count
+    // exactly `window` per doc by construction
+    "q150_snm_neardup" -> ((s, dir) => {
+      operators.Linkage.sortedNeighborhoodNearDup(
+        T(s, dir, "documents"), "doc_id", "text",
+        bucketLen = 4, sortLen = 40, window = 5, maxChars = 200, maxDist = 60)
+    }),
+
     // ---- extension: winnowing fingerprints (MOSS, SIGMOD'03) ----
     // bounded-gap k-gram fingerprint selection: every w-hash window
     // contributes its rightmost-minimal hash — one doc-keyed bounded
@@ -3269,6 +3279,18 @@ object SparkEntry {
     "q147_rebalance" ->
       operators.Sharding.rebalanceReportSql("documents", "doc_id",
         fromShards = 4, toShards = 6),
+
+    "q150_snm_neardup" ->
+      """WITH bb AS (SELECT doc_id, lower(text) AS lt, substr(text, 1, 200) AS t FROM documents),
+        |r AS (SELECT doc_id, substr(lt, 1, 4) AS bk, t,
+        |        ROW_NUMBER() OVER (PARTITION BY substr(lt, 1, 4)
+        |          ORDER BY substr(lt, 1, 40), doc_id) AS rn
+        |      FROM bb),
+        |p AS (SELECT least(a.doc_id, c.doc_id) AS d1,
+        |        greatest(a.doc_id, c.doc_id) AS d2,
+        |        CAST(levenshtein(a.t, c.t) AS BIGINT) AS edit_dist
+        |      FROM r a JOIN r c ON a.bk = c.bk AND c.rn > a.rn AND c.rn <= a.rn + 5)
+        |SELECT d1, d2, edit_dist FROM p WHERE edit_dist <= 60 ORDER BY d1, d2""".stripMargin,
 
     "q148_kmv_distinct" -> {
       val k = 64

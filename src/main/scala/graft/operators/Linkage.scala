@@ -35,6 +35,61 @@ object Linkage {
       lower(element_at(split(c, "\\s+"), 1)),
       (length(c) / 8).cast("long").cast("string"))
 
+  /** Sorted-neighborhood near-duplicates (Hernández & Stolfo,
+    * SIGMOD'95): sort documents by a normalized prefix key WITHIN
+    * coarse prefix buckets, compare each document only against the
+    * next `window` documents in sort order, and keep pairs whose
+    * capped texts are within `maxDist` edits —
+    * `(d1, d2, edit_dist)` with `d1 < d2`.
+    *
+    * The third blocking geometry in the dedup family, orthogonal to
+    * hash buckets (LSH q22, SimHash q109) and equality blocks (prefix
+    * q130): SNM catches pairs that are CLOSE IN ORDER without being
+    * equal on any derived key — trailing edits, small insertions —
+    * and its candidate count is exactly `window` per document by
+    * construction, the strongest output bound any blocker here gives.
+    *
+    * Scale shape: the sort is per-BUCKET (a keyed window over the
+    * `bucketLen`-char prefix — one shuffle, no global sort, no single
+    * reducer); the rank self-join is an equi-join on the bucket with
+    * a rank-band filter, so Catalyst plans a plain shuffled hash join.
+    * Pairs straddling a bucket boundary are missed — the standard SNM
+    * trade, recovered in practice by a second pass under a different
+    * key (call again with another normalization and union).
+    */
+  def sortedNeighborhoodNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketLen: Int = 4,
+      sortLen: Int = 40,
+      window: Int = 5,
+      maxChars: Int = 200,
+      maxDist: Int = 60): DataFrame = {
+    require(window >= 1 && bucketLen >= 1 && sortLen >= bucketLen,
+      "window/bucketLen positive, sortLen >= bucketLen")
+    val norm = lower(col(textCol))
+    val ranked = docs.select(col(idCol),
+        substring(norm, 1, bucketLen).as("__bk"),
+        substring(norm, 1, sortLen).as("__sk"),
+        substring(col(textCol), 1, maxChars).as("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__bk")).orderBy(col("__sk"), col(idCol))))
+    val a = ranked.select(col("__bk"), col("__rn").as("__ra"),
+      col(idCol).as("__ida"), col("__t").as("__ta"))
+    val b = ranked.select(col("__bk"), col("__rn").as("__rb"),
+      col(idCol).as("__idb"), col("__t").as("__tb"))
+    a.join(b, Seq("__bk"))
+      .filter(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + window)
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(
+        least(col("__ida"), col("__idb")).as("d1"),
+        greatest(col("__ida"), col("__idb")).as("d2"),
+        col("edit_dist"))
+      .orderBy("d1", "d2")
+  }
+
   /** Candidate pairs within one block whose `nameCol` values are
     * within `maxDist` edits. Emits `(id_a, id_b, name_a, name_b,
     * dist)` with `id_a < id_b` (each unordered pair once).

@@ -90,4 +90,25 @@ class LinkageSpec extends AnyFunSuite {
     // row 7 is normal but its window contains the spike -> small |z|
     assert(got(7L).exists(z => math.abs(z) < 2))
   }
+
+  test("sortedNeighborhood: adjacent-in-order near-dups found, window bound respected") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zets"),   // 1 edit from doc 1
+      (3L, "alpha beta gamma wholly different tail content here"),
+      (4L, "omega psi chi phi upsilon tau"),
+      (5L, "zzzz unrelated bucket entirely")).toDF("doc_id", "text")
+    val out = graft.operators.Linkage.sortedNeighborhoodNearDup(
+        d, "doc_id", "text", bucketLen = 4, sortLen = 40, window = 2,
+        maxChars = 200, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L)),
+      "only the 1-edit neighbors survive maxDist; cross-bucket docs never pair")
+    // window bound: with maxDist huge, candidates per doc <= window
+    val all = graft.operators.Linkage.sortedNeighborhoodNearDup(
+        d, "doc_id", "text", bucketLen = 1, sortLen = 40, window = 1,
+        maxChars = 200, maxDist = 1000).collect()
+    assert(all.length <= 4, "window=1 in one bucket: at most n-1 adjacent pairs")
+  }
 }
