@@ -1177,6 +1177,17 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", fromShards = 4, toShards = 6)
     }),
 
+    // ---- extension: BPE merge training (Sennrich ACL'16) ----
+    // tokenizer TRAINING from corpus statistics: one corpus pass into
+    // a persisted (word, freq) table, then nMerges rounds of one
+    // partial-agg pair count + a 1-row argmax collect each — the
+    // Lloyd-style bounded driver loop
+    "q151_bpe_merges" -> ((s, dir) => {
+      operators.BpeTrainer.trainMerges(
+          T(s, dir, "documents"), "text", nMerges = 8)
+        .orderBy("merge_rank")
+    }),
+
     // ---- extension: sorted-neighborhood near-dup (SNM, SIGMOD'95) ----
     // the third blocking geometry next to hash buckets and equality
     // blocks: per-bucket sort + rank-band self-join, candidate count
@@ -3279,6 +3290,29 @@ object SparkEntry {
     "q147_rebalance" ->
       operators.Sharding.rebalanceReportSql("documents", "doc_id",
         fromShards = 4, toShards = 6),
+
+    "q151_bpe_merges" -> {
+      val n = 8
+      val iters = (1 to n).map { i =>
+        s"""p$i AS (SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |  SELECT f.freq, f.p[i] || ' ' || f.p[i + 1] AS pr
+           |  FROM (SELECT string_split(trim(s), ' ') AS p, freq FROM s${i - 1}) f,
+           |       unnest(generate_series(1, len(f.p) - 1)) AS u(i)) GROUP BY 1),
+           |t$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
+           |s$i AS (SELECT replace(s${i - 1}.s, ' ' || t$i.pr || ' ',
+           |                 ' ' || replace(t$i.pr, ' ', '') || ' ') AS s, freq
+           |        FROM s${i - 1}, t$i)""".stripMargin
+      }.mkString(",\n")
+      val fin = (1 to n).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, string_split(pr, ' ')[1] AS lhs, string_split(pr, ' ')[2] AS rhs, cnt FROM t$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH wf AS (SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest(${TextAnalysis.tokensSql("text")}) AS word FROM documents) GROUP BY 1),
+         |s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '_ ' AS s, freq FROM wf),
+         |$iters
+         |$fin
+         |ORDER BY merge_rank""".stripMargin
+    },
 
     "q150_snm_neardup" ->
       """WITH bb AS (SELECT doc_id, lower(text) AS lt, substr(text, 1, 200) AS t FROM documents),
