@@ -1177,6 +1177,15 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", fromShards = 4, toShards = 6)
     }),
 
+    // ---- extension: blocker-ensemble near-dup with provenance ----
+    // three independent blocking geometries (LSH bands, SimHash
+    // pigeonhole, SNM rank bands) unioned under a bit_or provenance
+    // mask, verified once with exact shingle Jaccard — the recall
+    // audit table of the dedup family
+    "q152_ensemble_neardup" -> ((s, dir) => {
+      Dedup.ensembleNearDup(T(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // ---- extension: BPE merge training (Sennrich ACL'16) ----
     // tokenizer TRAINING from corpus statistics: one corpus pass into
     // a persisted (word, freq) table, then nMerges rounds of one
@@ -3290,6 +3299,42 @@ object SparkEntry {
     "q147_rebalance" ->
       operators.Sharding.rebalanceReportSql("documents", "doc_id",
         fromShards = 4, toShards = 6),
+
+    "q152_ensemble_neardup" -> {
+      val dims = (0 until 16).map(j =>
+        s"avg(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) AS d$j")
+        .mkString(", ")
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN d$j >= 7.5 THEN '1' ELSE '0' END").mkString(" || ")
+      val ham = (1 to 16).map(j =>
+        s"(CASE WHEN substring(a.s, $j, 1) <> substring(b.s, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ${sigsCte("documents")},
+         |smtk AS (SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS h
+         |         FROM documents),
+         |smd AS (SELECT doc_id, $dims FROM smtk GROUP BY doc_id),
+         |sms AS (SELECT doc_id, $bits AS s FROM smd),
+         |smp AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sms a JOIN sms b
+         |        ON a.doc_id < b.doc_id AND ($ham) <= 3),
+         |snr AS (SELECT doc_id, substr(lower(text), 1, 4) AS bk,
+         |          ROW_NUMBER() OVER (PARTITION BY substr(lower(text), 1, 4)
+         |            ORDER BY substr(lower(text), 1, 40), doc_id) AS rn
+         |        FROM documents),
+         |snp AS (SELECT DISTINCT least(a.doc_id, c.doc_id) AS d1,
+         |          greatest(a.doc_id, c.doc_id) AS d2
+         |        FROM snr a JOIN snr c ON a.bk = c.bk AND c.rn > a.rn AND c.rn <= a.rn + 5),
+         |uc AS (SELECT d1, d2, bit_or(src) AS mask FROM (
+         |  SELECT DISTINCT d1, d2, 1 AS src FROM cand
+         |  UNION ALL SELECT d1, d2, 2 FROM smp
+         |  UNION ALL SELECT d1, d2, 4 FROM snp) GROUP BY 1, 2),
+         |jv AS (SELECT u.d1, u.d2, u.mask,
+         |         round(CAST(len(list_distinct(list_intersect(sa.shl, sb.shl))) AS DOUBLE) /
+         |           len(list_distinct(list_concat(sa.shl, sb.shl))), 6) AS jaccard
+         |       FROM uc u JOIN shd sa ON sa.doc_id = u.d1 JOIN shd sb ON sb.doc_id = u.d2)
+         |SELECT d1, d2, jaccard,
+         |  (mask & 1) > 0 AS by_lsh, (mask & 2) > 0 AS by_simhash, (mask & 4) > 0 AS by_snm
+         |FROM jv WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
+    },
 
     "q151_bpe_merges" -> {
       val n = 8

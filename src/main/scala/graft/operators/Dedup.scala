@@ -1042,4 +1042,85 @@ object Dedup {
     main.select("a_id", "b_id", "a_len", "b_len")
       .unionByName(shortSide.select("a_id", "b_id", "a_len", "b_len"))
   }
+
+  /** Blocker-ensemble near-duplicate detection: candidates from THREE
+    * independent blocking geometries — MinHash-LSH band buckets
+    * (set-similarity), 16-bit SimHash pigeonhole bands (Hamming), and
+    * sorted-neighborhood rank bands (order-proximity) — unioned with
+    * per-blocker provenance, then verified ONCE with the exact
+    * shingle-set Jaccard.
+    *
+    * Output: `(d1, d2, jaccard, by_lsh, by_simhash, by_snm)` for
+    * verified pairs (`jaccard >= threshold`, `d1 < d2`) — the recall
+    * audit table: which geometry surfaced which verified pair. No
+    * single blocker is complete (LSH misses below its similarity
+    * S-curve, SimHash past its Hamming radius, SNM across bucket
+    * boundaries); the union's recall is what a production dedup
+    * actually runs, and the provenance columns quantify each
+    * geometry's marginal contribution on a real corpus.
+    *
+    * Scale: each blocker is its existing bounded pipeline (LSH
+    * hot-bucket cap, lossless 4-band pigeonhole, exactly-`window`
+    * SNM candidates per doc); the union dedups on (d1, d2) with a
+    * `bit_or` mask; verification joins the candidate set — not the
+    * corpus square — against the shared shingle table.
+    */
+  def ensembleNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 9,
+      bands: Int = 3,
+      maxHamming: Int = 3,
+      snmBucketLen: Int = 4,
+      snmSortLen: Int = 40,
+      snmWindow: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val lshC = lshCandidatePairs(
+        minhashSignatures(docs, idCol, textCol, k), idCol, k, bands)
+      .select(col("d1"), col("d2")).distinct()
+      .withColumn("__src", lit(1))
+    val sigs16 = simhash16(docs, idCol, textCol)
+    val shC = simhashIncrementalPairsFromSigs(sigs16, sigs16, idCol,
+        maxHamming, sigChars = 16)
+      .filter(col("old_id") < col("new_id"))
+      .select(col("old_id").as("d1"), col("new_id").as("d2")).distinct()
+      .withColumn("__src", lit(2))
+    val norm = lower(col(textCol))
+    val ranked = docs.select(col(idCol),
+        substring(norm, 1, snmBucketLen).as("__bk"),
+        substring(norm, 1, snmSortLen).as("__sk"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__bk")).orderBy(col("__sk"), col(idCol))))
+    val snmC = ranked.select(col("__bk"), col("__rn").as("__ra"), col(idCol).as("__ida"))
+      .join(ranked.select(col("__bk"), col("__rn").as("__rb"), col(idCol).as("__idb")),
+        Seq("__bk"))
+      .filter(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + snmWindow)
+      .select(least(col("__ida"), col("__idb")).as("d1"),
+        greatest(col("__ida"), col("__idb")).as("d2"))
+      .distinct()
+      .withColumn("__src", lit(4))
+    val cand = lshC.unionByName(shC).unionByName(snmC)
+      .groupBy(col("d1"), col("d2"))
+      .agg(expr("bit_or(__src)").as("__mask"))
+
+    val sh = shingleRows(docs, idCol, textCol)
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val shared = cand.select(col("d1"), col("d2"))
+      .join(sh.select(col(idCol).as("d1"), col("__sh")), "d1")
+      .join(sh.select(col(idCol).as("d2"), col("__sh")), Seq("d2", "__sh"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("__s"))
+    cand.join(shared, Seq("d1", "d2"))
+      .join(cnt.select(col(idCol).as("d1"), col("__n").as("__n1")), "d1")
+      .join(cnt.select(col(idCol).as("d2"), col("__n").as("__n2")), "d2")
+      .withColumn("jaccard", round(
+        col("__s").cast("double") / (col("__n1") + col("__n2") - col("__s")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"),
+        (col("__mask").bitwiseAND(lit(1)) > 0).as("by_lsh"),
+        (col("__mask").bitwiseAND(lit(2)) > 0).as("by_simhash"),
+        (col("__mask").bitwiseAND(lit(4)) > 0).as("by_snm"))
+      .orderBy("d1", "d2")
+  }
 }
