@@ -81,11 +81,6 @@ object Linkage {
       col(idCol).as("__idb"), col("__t").as("__tb"))
     a.join(b, Seq("__bk"))
       .filter(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + window)
-      // length prune: |len1 - len2| <= levenshtein(t1, t2), so a pair
-      // whose capped lengths differ by more than maxDist cannot pass —
-      // the O(len^2) DP never runs on it. Exact (the oracle filters
-      // the unpruned set by the same final threshold and still matches)
-      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
       .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .filter(col("edit_dist") <= maxDist)
       .select(
