@@ -3301,12 +3301,13 @@ object SparkEntry {
         fromShards = 4, toShards = 6),
 
     "q152_ensemble_neardup" -> {
-      val dims = (0 until 16).map(j =>
-        s"avg(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) AS d$j")
+      // 64-bit SimHash construction, mirroring q138's oracle
+      val dims = (0 until 64).map(j =>
+        s"avg(((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) // ${1 << (j % 4)}) % 2) AS d$j")
         .mkString(", ")
-      val bits = (0 until 16).map(j =>
-        s"CASE WHEN d$j >= 7.5 THEN '1' ELSE '0' END").mkString(" || ")
-      val ham = (1 to 16).map(j =>
+      val bits = (0 until 64).map(j =>
+        s"CASE WHEN d$j >= 0.5 THEN '1' ELSE '0' END").mkString(" || ")
+      val ham = (1 to 64).map(j =>
         s"(CASE WHEN substring(a.s, $j, 1) <> substring(b.s, $j, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH ${sigsCte("documents")},

@@ -1080,9 +1080,13 @@ object Dedup {
         minhashSignatures(docs, idCol, textCol, k), idCol, k, bands)
       .select(col("d1"), col("d2")).distinct()
       .withColumn("__src", lit(1))
-    val sigs16 = simhash16(docs, idCol, textCol)
-    val shC = simhashIncrementalPairsFromSigs(sigs16, sigs16, idCol,
-        maxHamming, sigChars = 16)
+    // 64-bit SimHash is the corpus-scale fingerprint here: the 16-bit
+    // variant's 16-bucket bands saturate at a few thousand docs and
+    // its pigeonhole join goes quasi-quadratic (measured 135 s at
+    // sf0.1 inside this ensemble; see PLANS "SimHash width")
+    val sigs64 = simhash64(docs, idCol, textCol)
+    val shC = simhashIncrementalPairsFromSigs(sigs64, sigs64, idCol,
+        maxHamming, sigChars = 64)
       .filter(col("old_id") < col("new_id"))
       .select(col("old_id").as("d1"), col("new_id").as("d2")).distinct()
       .withColumn("__src", lit(2))
