@@ -1061,9 +1061,15 @@ object Dedup {
     *
     * Scale: each blocker is its existing bounded pipeline (LSH
     * hot-bucket cap, lossless 4-band pigeonhole, exactly-`window`
-    * SNM candidates per doc); the union dedups on (d1, d2) with a
-    * `bit_or` mask; verification joins the candidate set — not the
-    * corpus square — against the shared shingle table.
+    * SNM candidates per doc via the (bucket, rank-band) equi-key —
+    * see [[Linkage.sortedNeighborhoodNearDup]]); the union dedups on
+    * (d1, d2) with a `bit_or` mask; verification joins the candidate
+    * set — not the corpus square — against the shared shingle table.
+    * ONE tokenization+shingle pass feeds both the MinHash signatures
+    * (LSH leg) and the exact-Jaccard verify: the shingle table is
+    * persisted and read by both, instead of re-running the dominant
+    * corpus-scan+md5 pipeline twice. One-shot semantics (the persist
+    * is released on JVM exit, like [[lshCandidatePairs]]).
     */
   def ensembleNearDup(
       docs: DataFrame,
@@ -1076,8 +1082,10 @@ object Dedup {
       snmSortLen: Int = 40,
       snmWindow: Int = 5,
       threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val lshC = lshCandidatePairs(
-        minhashSignatures(docs, idCol, textCol, k), idCol, k, bands)
+        minhashFromShingles(sh, idCol, k), idCol, k, bands)
       .select(col("d1"), col("d2")).distinct()
       .withColumn("__src", lit(1))
     // 64-bit SimHash is the corpus-scale fingerprint here: the 16-bit
@@ -1096,9 +1104,15 @@ object Dedup {
         substring(norm, 1, snmSortLen).as("__sk"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__bk")).orderBy(col("__sk"), col(idCol))))
-    val snmC = ranked.select(col("__bk"), col("__rn").as("__ra"), col(idCol).as("__ida"))
-      .join(ranked.select(col("__bk"), col("__rn").as("__rb"), col(idCol).as("__idb")),
-        Seq("__bk"))
+    // (bucket, rank-band) equi-key: O(window) candidates per doc under
+    // any bucket skew (see Linkage.sortedNeighborhoodNearDup)
+    val snmBand = floor((col("__rn") - 1) / snmWindow).cast("long")
+    val snmC = ranked.select(col("__bk"), col("__rn").as("__ra"),
+        col(idCol).as("__ida"), snmBand.as("__ba"))
+      .withColumn("__band", explode(array(col("__ba"), col("__ba") + 1)))
+      .join(ranked.select(col("__bk"), col("__rn").as("__rb"),
+          col(idCol).as("__idb"), snmBand.as("__band")),
+        Seq("__bk", "__band"))
       .filter(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + snmWindow)
       .select(least(col("__ida"), col("__idb")).as("d1"),
         greatest(col("__ida"), col("__idb")).as("d2"))
@@ -1108,7 +1122,6 @@ object Dedup {
       .groupBy(col("d1"), col("d2"))
       .agg(expr("bit_or(__src)").as("__mask"))
 
-    val sh = shingleRows(docs, idCol, textCol)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val shared = cand.select(col("d1"), col("d2"))
       .join(sh.select(col(idCol).as("d1"), col("__sh")), "d1")

@@ -51,8 +51,27 @@ object Linkage {
     *
     * Scale shape: the sort is per-BUCKET (a keyed window over the
     * `bucketLen`-char prefix — one shuffle, no global sort, no single
-    * reducer); the rank self-join is an equi-join on the bucket with
-    * a rank-band filter, so Catalyst plans a plain shuffled hash join.
+    * reducer). The rank self-join is a PURE equi-join on
+    * `(bucket, rank)`: the left side explodes each row to its `window`
+    * expected partner ranks (ra+1 .. ra+window) and joins them against
+    * the right side's actual rank, so the join emits EXACTLY the SNM
+    * candidate set — `window` pairs per document under any bucket
+    * skew, with no residual rank predicate at all. That matters twice
+    * over: a bucket-only key enumerates O(|bucket|^2) pairs on a
+    * template-heavy corpus (skewed prefix buckets), and any residual
+    * predicate ordering is not a contract Catalyst keeps — pushed
+    * filter conjuncts land AHEAD of the original join condition, so a
+    * residual rank band cannot be relied on to gate the O(len*maxDist)
+    * edit-distance DP (measured: the reordered conjunction doubled the
+    * DP count). With the exact-candidate join the DP runs once per
+    * candidate by construction: the threshold form of `levenshtein`
+    * (banded DP, early bail, -1 past `maxDist`) under a SINGLE
+    * conjunct (`>= 0` — `between` would split into two conjuncts and
+    * evaluate the DP twice), behind a cheap length prune
+    * (|len1-len2| lower-bounds edit distance). The explode multiplies
+    * the left side's shuffle by `window`, but only the `maxChars`-capped
+    * compare text rides it — linear, and the DP it bounds is the
+    * operator's entire cost.
     * Pairs straddling a bucket boundary are missed — the standard SNM
     * trade, recovered in practice by a second pass under a different
     * key (call again with another normalization and union).
@@ -76,13 +95,17 @@ object Linkage {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__bk")).orderBy(col("__sk"), col(idCol))))
     val a = ranked.select(col("__bk"), col("__rn").as("__ra"),
-      col(idCol).as("__ida"), col("__t").as("__ta"))
+        col(idCol).as("__ida"), col("__t").as("__ta"))
+      .withColumn("__rb", explode(sequence(col("__ra") + 1, col("__ra") + window)))
     val b = ranked.select(col("__bk"), col("__rn").as("__rb"),
       col(idCol).as("__idb"), col("__t").as("__tb"))
-    a.join(b, Seq("__bk"))
-      .filter(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + window)
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+    // edit_dist is exact for every kept pair: the thresholded DP
+    // returns the true distance whenever it is <= maxDist, so the
+    // oracle's plain-levenshtein filter selects the same pairs.
+    a.join(b, Seq("__bk", "__rb"))
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0)
       .select(
         least(col("__ida"), col("__idb")).as("d1"),
         greatest(col("__ida"), col("__idb")).as("d2"),
@@ -109,8 +132,9 @@ object Linkage {
       // cheap length pre-filter: |len(a)-len(b)| is a lower bound on
       // edit distance, so most in-block pairs skip the DP entirely
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // thresholded banded DP: -1 past maxDist, exact distance within
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist").between(0, maxDist))
       .drop("__blk")
   }
 
