@@ -685,26 +685,43 @@ object Dedup {
       s"4-band blocking is only lossless for maxHamming <= 3, got $maxHamming")
     require(sigChars % 4 == 0, s"sigChars must be divisible by 4, got $sigChars")
     val chunk = sigChars / 4
+    // The bit-string signature is decoded ONCE per side into 32-bit
+    // integer words (and integer band chunks): the band join then
+    // shuffles 8-byte longs instead of 64-char strings, and Hamming
+    // distance is `bit_count(xor)` per word — two codegen-friendly
+    // integer ops — instead of a 64-term substring-comparison
+    // expression tree (which blew past codegen limits and ran
+    // interpreted: measured 16 s for 400k candidate rows at sf0.1,
+    // vs <1 s with bit_count). The Hamming filter runs BEFORE the
+    // pair distinct, so only qualifying pairs (not every multi-band
+    // candidate, strings in tow) pay the dedup shuffle.
+    val nWords = (sigChars + 31) / 32
+    def words(sig: Column, prefix: String): Seq[Column] =
+      (0 until nWords).map { i =>
+        val len = math.min(32, sigChars - 32 * i)
+        conv(substring(sig, 1 + 32 * i, len), 2, 10).cast("long").as(s"$prefix$i")
+      }
     def bands(sig: Column): Column =
       array((0 until 4).map(i =>
-        struct(lit(i).as("band"), substring(sig, 1 + chunk * i, chunk).as("chunk"))): _*)
+        struct(lit(i).as("band"),
+          conv(substring(sig, 1 + chunk * i, chunk), 2, 10).cast("long").as("chunk"))): _*)
     val b = baseSigs
       .select(col(idCol).as("old_id"), col("simhash").as("__sb"))
       .filter(col("__sb").isNotNull)
-      .select(col("old_id"), col("__sb"), explode(bands(col("__sb"))).as("__b"))
+      .select(col("old_id") +: words(col("__sb"), "__wb") :+
+        explode(bands(col("__sb"))).as("__b"): _*)
     val n = incomingSigs
       .select(col(idCol).as("new_id"), col("simhash").as("__sn"))
       .filter(col("__sn").isNotNull)
-      .select(col("new_id"), col("__sn"), explode(bands(col("__sn"))).as("__b"))
-    val hamming = (1 to sigChars).map(j =>
-      when(substring(col("__sb"), j, 1) =!= substring(col("__sn"), j, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+      .select(col("new_id") +: words(col("__sn"), "__wn") :+
+        explode(bands(col("__sn"))).as("__b"): _*)
+    val hamming = (0 until nWords).map(i =>
+      bit_count(col(s"__wb$i").bitwiseXOR(col(s"__wn$i"))).cast("long")).reduce(_ + _)
     n.join(b, "__b")
-      .select(col("new_id"), col("old_id"), col("__sn"), col("__sb"))
-      .distinct()
-      .withColumn("hamming", hamming.cast("long"))
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("new_id"), col("old_id"), col("hamming"))
+      .distinct()
   }
 
   /** Segment-level (CCNet-style paragraph) dedup: split each document
