@@ -46,6 +46,29 @@ import org.apache.spark.sql.SparkSession
   * min-of-2 hedge from r02 cost more wall than the noise it removed.
   */
 object Bench {
+
+  /** How a query that threw should be recorded. Pure so the bench
+    * artifact's failure taxonomy is unit-testable:
+    *   - `skipped`: the watchdog cancelled it because the round's WALL
+    *     budget ran out mid-query — rerun next time, not a code bug;
+    *   - `capped`: the watchdog cancelled it because it exceeded its
+    *     own per-query cap while wall budget remained — slow, maybe
+    *     environment, maybe a regression, but NOT a thrown error
+    *     (r07 recorded exactly this case as "failed" for q61, which
+    *     passed standalone minutes later: a cap-kill on a degraded VM
+    *     is not an exception and must not land in the list the next
+    *     round triages for real breakage);
+    *   - `failed`: a genuine exception out of the query itself.
+    */
+  def classifyFailure(e: Throwable, budgetLimited: Boolean): String = {
+    val cancelled = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage).exists(_.toLowerCase.contains("cancel")))
+    if (cancelled && budgetLimited) "skipped"
+    else if (cancelled) "capped"
+    else "failed"
+  }
+
   def main(args: Array[String]): Unit = {
     val jvmStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,6 +187,9 @@ object Bench {
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    // watchdog cap-kills with wall budget remaining: (name, seconds it
+    // ran before the cancel landed) — its own artifact category
+    val capped = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
 
     // Prior-run timings carried into this artifact (resume mode); their
@@ -246,6 +272,9 @@ object Bench {
         .mkString("{", ",", "}")
       val f = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val s = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val cap = capped
+        .map { case (n, t) => s"""{"name":"$n","ran_s":${fmt3(t)}}""" }
+        .mkString("[", ",", "]")
       val c = carried.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
       val series = vmSeries
         .map { case (n, t) => s"""{"after_n":$n,"t":${fmt3(t)}}""" }
@@ -258,8 +287,27 @@ object Bench {
       val totalNorm = m.map { case (k, v) => normByName.getOrElse(k, v) }.sum
       val cvh = carriedVmHealth.map(v => s""","carried_vm_health":${fmt3(v)}""").getOrElse("")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"carried":$c$cvh,"vm_health":${fmt3(vmHealthS)},"vm_health_series":$series,"queries_normalized":$qsNorm,"value_normalized":${fmt3(totalNorm)},"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"capped":$cap,"carried":$c$cvh,"vm_health":${fmt3(vmHealthS)},"vm_health_series":$series,"queries_normalized":$qsNorm,"value_normalized":${fmt3(totalNorm)},"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
     } catch { case _: Throwable => () } // bench must not die on a dump
+
+    // Prior-run per-query seconds, read from the LAST committed
+    // artifact at outPath BEFORE this run overwrites it — used ONLY to
+    // order this run, never merged into results (that's resume's job,
+    // with its sf guard). Ordering tolerates an sf mismatch: relative
+    // query cost is what matters.
+    val priorTimes: Map[String, Double] = try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(outPath)))
+      (j \ "queries") match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty }
 
     // On a pathological-VM day the wall budget truncates the run — in
     // name order that times q01..q1x and skips whole operator families.
@@ -279,10 +327,18 @@ object Bench {
       "q118_editdist_neardup", "q120_threshold_sweep",
       "q122_interval_overlap", "q126_leakage_split",
       "q136_image_decode", "q137_curate_increment")
+    // After the priority block: queries with NO prior timing (new this
+    // round — must get measured), then known queries HEAVIEST FIRST.
+    // Two reasons the heavy end leads: a budget truncation then drops
+    // only the trivial tail (r07 in name order skipped 28 mid-band
+    // queries), and late-run VM/GC degradation inflates the cheap end
+    // least — the probe series brackets it either way.
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => carried.contains(q._1))
+    val rest = all.filterNot(q => priority.contains(q._1))
+    val (known, unknown) = rest.partition(q => priorTimes.contains(q._1))
     val ordered = priority.flatMap(n => all.find(_._1 == n)) ++
-      all.filterNot(q => priority.contains(q._1))
+      unknown ++ known.sortBy(q => (-priorTimes(q._1), q._1))
     val timer = new java.util.Timer("bench-watchdog", true)
     ordered.foreach { case (name, fn) =>
       val remaining = budgetS - elapsedS
@@ -315,18 +371,16 @@ object Bench {
         } catch {
           case e: Throwable =>
             val ranS = (System.nanoTime() - t0) / 1e9
-            // only an actual watchdog cancellation counts as a budget
-            // skip — a genuine failure that happens to land late must
-            // still reach the failed list the next round triages
-            val cancelled = Iterator.iterate(e: Throwable)(_.getCause)
-              .takeWhile(_ != null).take(8)
-              .exists(t => Option(t.getMessage).exists(_.toLowerCase.contains("cancel")))
-            if (budgetLimited && cancelled) {
-              skipped += name
-              System.err.println(s"[bench] $name SKIPPED (wall budget) after ${fmt2(ranS)}s")
-            } else {
-              failed += name
-              System.err.println(s"[bench] $name FAILED after ${fmt2(ranS)}s: ${e.getMessage}")
+            classifyFailure(e, budgetLimited) match {
+              case "skipped" =>
+                skipped += name
+                System.err.println(s"[bench] $name SKIPPED (wall budget) after ${fmt2(ranS)}s")
+              case "capped" =>
+                capped += name -> ranS
+                System.err.println(s"[bench] $name CAPPED (query cap) after ${fmt2(ranS)}s")
+              case _ =>
+                failed += name
+                System.err.println(s"[bench] $name FAILED after ${fmt2(ranS)}s: ${e.getMessage}")
             }
         } finally {
           task.cancel()
@@ -363,6 +417,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
+    val cappedJson = capped.map(c => "\"" + shortName(c._1) + "\"").mkString("[", ",", "]")
     val total = finalResults.map(_._2).sum
     // vh = first probe, vhx = worst probe (vh << vhx flags mid-run
     // degradation), vn = nearest-probe-normalized total; full series
@@ -371,7 +426,7 @@ object Bench {
     val normTotal = carried.values.sum +
       results.zipWithIndex.map { case ((_, v), i) => v * probeFactor(i) }.sum
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"vh":${fmt2(vmHealthS)},"vhx":${fmt2(vhx)},"vn":${fmt2(normTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"capped":$cappedJson,"vh":${fmt2(vmHealthS)},"vhx":${fmt2(vhx)},"vn":${fmt2(normTotal)},"sf":"$sfDir"}"""
     // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to
     // stderr, and anything after the JSON line pushes it out of the
     // parse tail. Force logging off, stop Spark, then print last.

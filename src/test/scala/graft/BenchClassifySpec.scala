@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's failure taxonomy. r07 recorded a watchdog
+  * cap-kill (q61, which passed standalone minutes later) as "failed" —
+  * the list the next round triages for real breakage. The taxonomy is
+  * a pure function so this can't silently regress again:
+  * cancellation + wall budget exhausted = skipped, cancellation with
+  * budget remaining = capped, anything else = failed.
+  */
+class BenchClassifySpec extends AnyFunSuite {
+
+  private def cancelEx = new org.apache.spark.SparkException(
+    "Job 42 cancelled part of cancelled job group q61_variant_get")
+
+  test("watchdog cancel with wall budget remaining is capped, not failed") {
+    assert(Bench.classifyFailure(cancelEx, budgetLimited = false) === "capped")
+  }
+
+  test("watchdog cancel when the wall budget bound the cap is skipped") {
+    assert(Bench.classifyFailure(cancelEx, budgetLimited = true) === "skipped")
+  }
+
+  test("cancellation buried in a cause chain is still recognized") {
+    val wrapped = new RuntimeException("outer",
+      new IllegalStateException("mid", cancelEx))
+    assert(Bench.classifyFailure(wrapped, budgetLimited = false) === "capped")
+  }
+
+  test("a genuine exception is failed regardless of budget state") {
+    val boom = new RuntimeException("column not found: nope")
+    assert(Bench.classifyFailure(boom, budgetLimited = false) === "failed")
+    assert(Bench.classifyFailure(boom, budgetLimited = true) === "failed")
+  }
+
+  test("a cause chain longer than the probe depth does not loop") {
+    val deep = (1 to 20).foldLeft(new RuntimeException("leaf"): Throwable) {
+      (c, i) => new RuntimeException(s"wrap$i", c)
+    }
+    assert(Bench.classifyFailure(deep, budgetLimited = false) === "failed")
+  }
+}
