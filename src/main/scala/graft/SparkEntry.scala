@@ -1053,10 +1053,13 @@ object SparkEntry {
     // every cascade label) is labeled against the persisted curateState
     // of the already-ingested base (% 3 != 0) — exact + SimHash
     // near-dup checks run against STATE fingerprints, never base text;
-    // decisions are first-fail labels per batch doc. maxHamming = 0
-    // because the synthetic corpus is template-heavy: 16-bit SimHash
-    // saturates it (hamming <= 3 matches ~99% of the batch), and the
-    // exact-collision bar keeps every stage population non-trivial.
+    // decisions are first-fail labels per batch doc. The fingerprint
+    // is the default 64-bit SimHash at maxHamming = 3 — an informative
+    // Hamming bar (the 16-bit width saturates on this template-heavy
+    // corpus: hamming <= 3 matched ~99% of cross pairs, which is why
+    // earlier rounds pinned maxHamming = 0); two planted suffix-edit
+    // rows guarantee the near_dup_base / near_dup_batch stages stay
+    // populated regardless of the corpus's own near-dup density.
     "q137_curate_increment" -> ((s, dir) => {
       import s.implicits._
       // base/batch/eval and the five planted frames all derive from
@@ -1079,10 +1082,12 @@ object SparkEntry {
         .unionByName(planted(12L, 100002L, " planted twin marker")) // exact_dup_batch
         .unionByName(Seq((100003L, "tiny doc")).toDF("doc_id", "text")) // quality
         .unionByName(planted(3L, 100004L, " zq"))                   // contaminated
+        .unionByName(planted(13L, 100005L, " nd"))                  // near_dup_base (13 is base)
+        .unionByName(planted(15L, 100006L, " nb"))                  // near_dup_batch (15 is batch)
       operators.DocPipeline.curateIncrement(
         operators.DocPipeline.curateState(base, "doc_id", "text"),
         batch, d.filter(col("doc_id") < 10), "doc_id", "text",
-        maxHamming = 0)
+        maxHamming = 3)
     }),
 
     // ---- extension: 64-bit SimHash incremental ingest ----
@@ -3208,12 +3213,13 @@ object SparkEntry {
     // base side reduced to fingerprints exactly as curateState does and
     // the same planted batch rows
     "q137_curate_increment" -> {
-      val dims = (0 until 16).map(j =>
-        s"avg(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) AS d$j")
+      // 64-bit SimHash construction, mirroring the q138/q152 oracles
+      val dims = (0 until 64).map(j =>
+        s"avg(((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) // ${1 << (j % 4)}) % 2) AS d$j")
         .mkString(", ")
-      val bits = (0 until 16).map(j =>
-        s"CASE WHEN d$j >= 7.5 THEN '1' ELSE '0' END").mkString(" || ")
-      val ham = (1 to 16).map(j =>
+      val bits = (0 until 64).map(j =>
+        s"CASE WHEN d$j >= 0.5 THEN '1' ELSE '0' END").mkString(" || ")
+      val ham = (1 to 64).map(j =>
         s"(CASE WHEN substring(n.s, $j, 1) <> substring(o.s, $j, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH st AS (SELECT doc_id, text FROM documents
@@ -3224,7 +3230,9 @@ object SparkEntry {
          |  UNION ALL SELECT 100001, text || ' planted twin marker' FROM documents WHERE doc_id = 12
          |  UNION ALL SELECT 100002, text || ' planted twin marker' FROM documents WHERE doc_id = 12
          |  UNION ALL SELECT 100003, 'tiny doc'
-         |  UNION ALL SELECT 100004, text || ' zq' FROM documents WHERE doc_id = 3),
+         |  UNION ALL SELECT 100004, text || ' zq' FROM documents WHERE doc_id = 3
+         |  UNION ALL SELECT 100005, text || ' nd' FROM documents WHERE doc_id = 13
+         |  UNION ALL SELECT 100006, text || ' nb' FROM documents WHERE doc_id = 15),
          |bt AS (SELECT doc_id, text,
          |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens,
          |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM bt0),
@@ -3245,9 +3253,9 @@ object SparkEntry {
          |  WHERE doc_id NOT IN (SELECT doc_id FROM exb)
          |    AND doc_id NOT IN (SELECT doc_id FROM exn)),
          |nb AS (SELECT DISTINCT n.doc_id FROM shs n JOIN shs o
-         |  ON n.isb AND NOT o.isb AND ($ham) <= 0),
+         |  ON n.isb AND NOT o.isb AND ($ham) <= 3),
          |nn AS (SELECT DISTINCT n.doc_id FROM shs n JOIN shs o
-         |  ON n.isb AND o.isb AND o.doc_id < n.doc_id AND ($ham) <= 0
+         |  ON n.isb AND o.isb AND o.doc_id < n.doc_id AND ($ham) <= 3
          |  WHERE n.doc_id IN (SELECT doc_id FROM s13)
          |    AND o.doc_id IN (SELECT doc_id FROM s13)),
          |${ngramCtes("bt0", 3, "c")},

@@ -231,23 +231,29 @@ object DocPipeline {
   /** The per-document ingest STATE a curation run persists so future
     * batches can be curated WITHOUT re-scanning the base corpus text:
     * `(idCol, fp, simhash)` — the exact-dup fingerprint
-    * ([[TextAnalysis.fingerprint]]) and the 16-bit SimHash
-    * ([[Dedup.simhash16]]). One scan of the corpus, one id-keyed join
+    * ([[TextAnalysis.fingerprint]]) and the SimHash (64-bit
+    * [[Dedup.simhash64]] by default — the corpus-scale width; the
+    * 16-bit variant saturates on a template-heavy corpus, where
+    * hamming <= 3 matches nearly every cross pair, and its 4-bit
+    * bands have only 16 buckets per band, so the blocked join goes
+    * quasi-quadratic once the corpus outgrows them). One scan of the
+    * corpus, one id-keyed join
     * of the two per-doc reductions; a production pipeline writes this
     * frame to a parquet state table and appends each curated batch's
     * rows to it. Docs with no tokens keep a null simhash (they can
     * still exact-dup-match by fingerprint).
     */
   def curateState(docs: DataFrame, idCol: String, textCol: String,
-      sigChars: Int = 16): DataFrame =
+      sigChars: Int = 64): DataFrame =
     docs
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .join(simhashOfWidth(docs, idCol, textCol, sigChars), Seq(idCol), "left")
 
-  /** The SimHash of the requested width — 16 (reference-parity
-    * compact) or 64 ([[Dedup.simhash64]], the corpus-scale fingerprint
-    * whose 16-bit bands keep the blocked join linear; see PLANS.md
-    * "SimHash width at corpus scale").
+  /** The SimHash of the requested width — 64 ([[Dedup.simhash64]],
+    * the default: its 16-bit bands keep the blocked join linear; see
+    * PLANS.md "SimHash width at corpus scale") or 16 (the compact
+    * legacy width, kept for state tables written before the default
+    * changed).
     */
   private def simhashOfWidth(docs: DataFrame, idCol: String,
       textCol: String, sigChars: Int): DataFrame = sigChars match {
@@ -311,7 +317,7 @@ object DocPipeline {
       cfg: Config = Config(),
       maxHamming: Int = 3,
       contaminationThreshold: Double = 0.5,
-      sigChars: Int = 16): DataFrame =
+      sigChars: Int = 64): DataFrame =
     curateIncrementCached(state, batch, evalDocs, idCol, textCol, cfg,
       maxHamming, contaminationThreshold, sigChars).df
 
@@ -332,7 +338,7 @@ object DocPipeline {
       cfg: Config = Config(),
       maxHamming: Int = 3,
       contaminationThreshold: Double = 0.5,
-      sigChars: Int = 16): Dedup.CachedDF = {
+      sigChars: Int = 64): Dedup.CachedDF = {
     import org.apache.spark.storage.StorageLevel
     // the state is read twice (fingerprint semi-join + signature
     // join); persisting it here costs one pass over (id, fp, simhash)

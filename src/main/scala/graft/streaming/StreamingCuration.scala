@@ -54,7 +54,7 @@ object StreamingCuration {
       cfg: DocPipeline.Config = DocPipeline.Config(),
       maxHamming: Int = 3,
       contaminationThreshold: Double = 0.5,
-      sigChars: Int = 16): Unit = {
+      sigChars: Int = 64): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     val fs = new Path(stateDir)
@@ -103,7 +103,7 @@ object StreamingCuration {
       cfg: DocPipeline.Config = DocPipeline.Config(),
       maxHamming: Int = 3,
       contaminationThreshold: Double = 0.5,
-      sigChars: Int = 16): StreamingQuery =
+      sigChars: Int = 64): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

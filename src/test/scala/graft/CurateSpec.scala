@@ -133,14 +133,15 @@ class CurateSpec extends AnyFunSuite {
     assert(dec2(23L) == "quality" && dec2(24L) == "contaminated",
       "non-admitted labels are stable under replay")
 
-    // the 64-bit fingerprint path (state + batch at sigChars = 64)
-    // reaches the same decisions on this fixture — near-dup detection
-    // plays no role here, so only the plumbing is under test
-    val state64 = DocPipeline.curateState(base, "doc_id", "text", sigChars = 64)
-    val dec64 = DocPipeline.curateIncrement(state64, batch, evals,
-        "doc_id", "text", maxHamming = 0, sigChars = 64)
+    // the legacy 16-bit fingerprint path (state + batch at
+    // sigChars = 16; the default is 64) reaches the same decisions on
+    // this fixture — near-dup detection plays no role here, so only
+    // the width plumbing is under test
+    val state16 = DocPipeline.curateState(base, "doc_id", "text", sigChars = 16)
+    val dec16 = DocPipeline.curateIncrement(state16, batch, evals,
+        "doc_id", "text", maxHamming = 0, sigChars = 16)
       .select("doc_id", "decision").as[(Long, String)].collect().toMap
-    assert(dec64 == dec1, dec64.toString)
+    assert(dec16 == dec1, dec16.toString)
   }
 
   test("near-dups never straddle a split (leakage-safe by cluster)") {
