@@ -1202,6 +1202,35 @@ object SparkEntry {
         .orderBy("merge_rank")
     }),
 
+    // ---- extension: BPE ENCODING — corpus vocabulary stats ----
+    // the other half of the tokenizer: replay the trained merge table
+    // over the distinct-word reduction and rank the resulting
+    // vocabulary by occurrence — (token, token_id, cnt). The global
+    // rank window is safe by construction: the output is at most
+    // |alphabet| + nMerges + 1 rows regardless of corpus size
+    "q153_bpe_encode" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val m = operators.BpeTrainer.trainMerges(d, "text", nMerges = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.BpeTrainer.encodeTokenCounts(d, "text", m)
+        .orderBy("token_id")
+    }),
+
+    // ---- extension: BPE per-document token budget ----
+    // encoded-token counts per document without materializing token
+    // arrays: merges run once over the distinct-word table, encoded
+    // word lengths join back to (doc, word) occurrences by hash
+    // equi-join, one doc-keyed sum finishes
+    "q154_bpe_doc_tokens" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val m = operators.BpeTrainer.trainMerges(d, "text", nMerges = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.BpeTrainer.encodeDocTokenCounts(d, "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: sorted-neighborhood near-dup (SNM, SIGMOD'95) ----
     // the third blocking geometry next to hash buckets and equality
     // blocks: per-bucket sort + rank-band self-join, candidate count
@@ -2217,6 +2246,32 @@ object SparkEntry {
     * per-permutation aggregate: the SAME affine constants
     * (interpolated from the Scala definitions, so they cannot drift).
     */
+  /** The BPE training replay as DuckDB CTEs: `wf` (word, freq), `s0`
+    * (padded symbols), then per round `pI` (pair counts), `tI` (argmax
+    * merge) and `sI` (table after applying merge I) — shared by the
+    * q151 (merge table), q153 (vocabulary encode) and q154 (per-doc
+    * budget) oracles so the replay cannot drift between them.
+    * `carryWord` threads the original word through the chain (q154
+    * needs word -> encoded-length).
+    */
+  private def bpeChainSql(table: String, n: Int, carryWord: Boolean): String = {
+    val w = if (carryWord) "word, " else ""
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT f.freq, f.p[i] || ' ' || f.p[i + 1] AS pr
+         |  FROM (SELECT string_split(trim(s), ' ') AS p, freq FROM s${i - 1}) f,
+         |       unnest(generate_series(1, len(f.p) - 1)) AS u(i)) GROUP BY 1),
+         |t$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
+         |s$i AS (SELECT ${w}replace(s${i - 1}.s, ' ' || t$i.pr || ' ',
+         |                 ' ' || replace(t$i.pr, ' ', '') || ' ') AS s, freq
+         |        FROM s${i - 1}, t$i)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS (SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(${TextAnalysis.tokensSql("text")}) AS word FROM $table) GROUP BY 1),
+       |s0 AS (SELECT ${w}' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '_ ' AS s, freq FROM wf),
+       |$iters""".stripMargin
+  }
+
   private def minhashSigExprsSql(k: Int): String = {
     val p = Dedup.MinhashPrime
     (0 until k).map { i =>
@@ -3347,26 +3402,28 @@ object SparkEntry {
 
     "q151_bpe_merges" -> {
       val n = 8
-      val iters = (1 to n).map { i =>
-        s"""p$i AS (SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |  SELECT f.freq, f.p[i] || ' ' || f.p[i + 1] AS pr
-           |  FROM (SELECT string_split(trim(s), ' ') AS p, freq FROM s${i - 1}) f,
-           |       unnest(generate_series(1, len(f.p) - 1)) AS u(i)) GROUP BY 1),
-           |t$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
-           |s$i AS (SELECT replace(s${i - 1}.s, ' ' || t$i.pr || ' ',
-           |                 ' ' || replace(t$i.pr, ' ', '') || ' ') AS s, freq
-           |        FROM s${i - 1}, t$i)""".stripMargin
-      }.mkString(",\n")
       val fin = (1 to n).map(i =>
         s"SELECT CAST($i AS BIGINT) AS merge_rank, string_split(pr, ' ')[1] AS lhs, string_split(pr, ' ')[2] AS rhs, cnt FROM t$i")
         .mkString("\nUNION ALL\n")
-      s"""WITH wf AS (SELECT word, COUNT(*) AS freq FROM (
-         |    SELECT unnest(${TextAnalysis.tokensSql("text")}) AS word FROM documents) GROUP BY 1),
-         |s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '_ ' AS s, freq FROM wf),
-         |$iters
+      s"""WITH ${bpeChainSql("documents", n, carryWord = false)}
          |$fin
          |ORDER BY merge_rank""".stripMargin
     },
+
+    "q153_bpe_encode" ->
+      s"""WITH ${bpeChainSql("documents", 8, carryWord = false)},
+         |enc AS (SELECT unnest(string_split(trim(s), ' ')) AS token, freq FROM s8),
+         |tc AS (SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM enc GROUP BY 1)
+         |SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id, cnt
+         |FROM tc ORDER BY token_id""".stripMargin,
+
+    "q154_bpe_doc_tokens" ->
+      s"""WITH ${bpeChainSql("documents", 8, carryWord = true)},
+         |wl AS (SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n FROM s8),
+         |oc AS (SELECT doc_id, unnest(${TextAnalysis.tokensSql("text")}) AS word FROM documents),
+         |dc AS (SELECT oc.doc_id, SUM(wl.n) AS n FROM oc JOIN wl USING (word) GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(dc.n, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN dc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q150_snm_neardup" ->
       """WITH bb AS (SELECT doc_id, lower(text) AS lt, substr(text, 1, 200) AS t FROM documents),

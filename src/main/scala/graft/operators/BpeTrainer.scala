@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -42,6 +42,14 @@ import org.apache.spark.storage.StorageLevel
   * suffixes.
   */
 object BpeTrainer {
+
+  /** Lineage/plan truncation cadence for the iterative replace chains
+    * (training rounds and [[applyMerges]]): small enough that neither
+    * the re-executed prefix nor the nested-expression plan ever grows
+    * past a few dozen replaces, large enough that an 8-merge call
+    * never pays a checkpoint.
+    */
+  val PersistEvery = 16
 
   def trainMerges(
       docs: DataFrame,
@@ -91,9 +99,105 @@ object BpeTrainer {
         cur = cur.select(
           replace(col("s"), lit(s" $pair "), lit(s" $lhs$rhs ")).as("s"),
           col("freq"))
+        // each round's action re-executes every prior round's replace
+        // over the word table and the logical plan grows one node per
+        // round — linear plan, quadratic total work/analysis once
+        // nMerges is large. localCheckpoint truncates both every
+        // PersistEvery rounds (eager: the cost is one materialization
+        // of a vocab-sized table; blocks are freed by the caller's
+        // session cleanup, same as any persisted intermediate).
+        if (rank % PersistEvery == 0 && rank < nMerges)
+          cur = cur.localCheckpoint(true)
       }
       spark.createDataFrame(merges.result())
         .toDF("merge_rank", "lhs", "rhs", "cnt")
     } finally wf.unpersist(false)
+  }
+
+  /** The space-padded symbol form every BPE stage operates on:
+    * `" h e l l o _ "` for word `hello` — shared by training and
+    * encoding so the two cannot drift.
+    */
+  private def padSymbols(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "), lit("_ "))
+
+  /** ENCODING — the other half of the tokenizer: apply a trained
+    * merge table to a frame carrying a padded symbol column `s`,
+    * replaying the merges in rank order with the same literal
+    * space-padded `replace` the trainer used (so training and
+    * encoding agree symbol-for-symbol; the round-trip is
+    * property-tested in BpeSpec). One projection per merge, collapsed
+    * by Catalyst into a single pass over the frame; the chain is
+    * lineage-truncated every [[PersistEvery]] merges so a
+    * production-sized merge table (tens of thousands) neither nests
+    * an unboundedly deep expression nor re-analyzes a growing plan.
+    */
+  def applyMerges(
+      wordSyms: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var cur = wordSyms
+    merges.zipWithIndex.foreach { case ((lhs, rhs), i) =>
+      cur = cur.withColumn("s",
+        replace(col("s"), lit(s" $lhs $rhs "), lit(s" $lhs$rhs ")))
+      if ((i + 1) % PersistEvery == 0 && i + 1 < merges.size)
+        cur = cur.localCheckpoint(true)
+    }
+    cur
+  }
+
+  /** Corpus-level BPE vocabulary statistics under a trained merge
+    * table: `(token, token_id, cnt)` where `cnt` is the token's total
+    * occurrence count across the corpus and `token_id` ranks by
+    * (cnt desc, token) — the id assignment a tokenizer ships.
+    *
+    * Scale shape: the corpus reduces to the distinct-word table
+    * (the same reduction training uses — merge work is proportional
+    * to VOCABULARY, not corpus); the final rank is a global window,
+    * which is safe here BY CONSTRUCTION: every output token is either
+    * a base character, the end-of-word marker, or one of the
+    * `nMerges` merged symbols, so the ranked table is at most
+    * |alphabet| + nMerges + 1 rows regardless of corpus size.
+    */
+  def encodeTokenCounts(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(padSymbols(col("word")).as("s"), col("freq"))
+    val enc = applyMerges(wf, merges)
+    enc.select(explode(split(trim(col("s")), " ")).as("token"), col("freq"))
+      .groupBy("token").agg(sum(col("freq")).as("cnt"))
+      .withColumn("token_id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .select(col("token"), col("token_id"), col("cnt"))
+  }
+
+  /** Per-document token counts under a trained merge table:
+    * `(idCol, n_bpe_tokens)` — the number every token-budget /
+    * packing stage needs, computed WITHOUT materializing per-document
+    * token arrays: merges run once over the distinct-word table, each
+    * word's encoded length joins back to the corpus's (doc, word)
+    * occurrences by hash equi-join, and a doc-keyed sum finishes.
+    * Documents with no tokens emit 0 (left join + coalesce).
+    */
+  def encodeDocTokenCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val occ = docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("word"))
+    val perWord = applyMerges(
+        occ.select(col("word")).distinct()
+          .select(col("word"), padSymbols(col("word")).as("s")), merges)
+      .select(col("word"),
+        size(split(trim(col("s")), " ")).cast("long").as("__n"))
+    val counts = occ.join(perWord, "word")
+      .groupBy(col(idCol)).agg(sum(col("__n")).as("__tok"))
+    docs.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__tok"), lit(0L)).as("n_bpe_tokens"))
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.BpeTrainer
 
 /** BPE merge training: frequency-weighted pair argmax, lexicographic
@@ -30,6 +32,57 @@ class BpeSpec extends AnyFunSuite {
     assert(out(0) == ((1L, "a", "b", 2L)), "both (a,b) occurrences counted")
     assert(out(1) == ((2L, "a", "b", 1L)),
       "the boundary-consumed occurrence survives to round 2 (documented replace semantics)")
+  }
+
+  test("round trip: train -> encode -> detokenize recovers every normalized word") {
+    val corpus = Seq(
+      Tuple1("lower lowest newer newest wider widest low new"),
+      Tuple1("the newer model is wider and the lowest is newest"),
+      Tuple1("low low lower lowest new newer newest")).toDF("text")
+    val m = BpeTrainer.trainMerges(corpus, "text", 12)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // every distinct corpus word, encoded then detokenized (symbols
+    // concatenated, end-of-word marker stripped), must equal itself —
+    // merges only regroup symbols, never lose or reorder characters
+    import org.apache.spark.sql.functions._
+    val words = corpus
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("word"))
+      .distinct()
+    val enc = BpeTrainer.applyMerges(
+      words.select(col("word"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "), lit("_ ")).as("s")),
+      m)
+    val bad = enc.filter(
+      regexp_replace(replace(col("s"), lit(" "), lit("")), "_$", "") =!= col("word"))
+    assert(bad.count() == 0, bad.collect().mkString(", "))
+    // and at least one real merge happened (the fixture's suffix
+    // family guarantees multi-char tokens exist)
+    val nSyms = enc.select(sum(size(split(trim(col("s")), " ")))).head.getLong(0)
+    val nChars = enc.select(sum(length(col("word")) + 1)).head.getLong(0)
+    assert(nSyms < nChars, "encoding must compress vs char-level")
+  }
+
+  test("per-doc token counts: join-back equals direct per-doc encode") {
+    val docs = Seq(
+      (1L, "low lower lowest"),
+      (2L, "new newer newest wider"),
+      (3L, ""),
+      (4L, "low low low")).toDF("doc_id", "text")
+    val m = BpeTrainer.trainMerges(docs, "text", 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = BpeTrainer.encodeDocTokenCounts(docs, "doc_id", "text", m)
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    // empty doc emits 0, repeated words count each occurrence
+    assert(out(3L) == 0L)
+    assert(out(4L) > 0 && out(4L) % 3 == 0,
+      "three identical words -> count divisible by 3")
+    // cross-check totals against the corpus-level encode
+    val vocabTotal = BpeTrainer.encodeTokenCounts(docs, "text", m)
+      .agg(sum(col("cnt"))).head.getLong(0)
+    assert(out.values.sum == vocabTotal,
+      "per-doc counts and vocabulary counts tally the same corpus")
   }
 
   test("merging exhausts: single-char words stop the loop early") {
