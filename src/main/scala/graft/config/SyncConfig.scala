@@ -58,7 +58,17 @@ final case class SyncConfig(
     dryRun: Boolean = false,
     // Whole-run wall-clock bound, reference `main.go:59-62`
     // (context.WithTimeout, 5 minutes). <= 0 disables the deadline.
-    timeoutSeconds: Long = 300) {
+    timeoutSeconds: Long = 300,
+    // Overwrite-mode scale gate: at or below this many file rows the
+    // overwrite reinserts through the driver's single transaction
+    // (strict reference parity — all-or-nothing with every other
+    // table's writes); above it the rows never collect to the driver
+    // and the reinsert runs through Spark's parallel JDBC writer
+    // AFTER the main transaction commits (documented relaxation: the
+    // cleared table fills in per-partition commits, so a mid-append
+    // failure leaves a partially loaded overwrite table rather than a
+    // rolled-back one). <= 0 forces the driver path for any size.
+    overwriteDistributedThreshold: Long = 500000) {
   def isMultiTable: Boolean = tables.size > 1
 
   /** Validation rules of the reference (`config.go:142-365`): required
@@ -167,7 +177,10 @@ object SyncConfig {
     }
     val timeout = r.get("timeoutSeconds")
       .map(v => String.valueOf(v).toLong).getOrElse(300L)
+    val owThr = r.get("overwriteDistributedThreshold")
+      .map(v => String.valueOf(v).toLong).getOrElse(500000L)
     SyncConfig(db, tables, dryRun = bool(r, "dryRun"),
-      timeoutSeconds = timeout)
+      timeoutSeconds = timeout,
+      overwriteDistributedThreshold = owThr)
   }
 }

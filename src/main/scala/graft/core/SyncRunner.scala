@@ -29,7 +29,12 @@ private final case class TableOps(
     updRows: Seq[Row],
     delRows: Seq[Row],
     overwriteRows: Seq[Row],
-    dbCount: Long)
+    dbCount: Long,
+    // set when the overwrite file exceeded the distributed threshold:
+    // the rows stay in this (un-collected) frame and reinsert through
+    // the parallel JDBC writer after the main transaction commits
+    overwriteDf: Option[DataFrame] = None,
+    overwriteCount: Long = 0L)
 
 /** Orchestration of file -> JDBC synchronization (reference
   * `RunApp`/`syncData`/`syncMultipleTablesData`, `main.go:59-134`,
@@ -161,10 +166,18 @@ object SyncRunner {
               case _ => None
             }
           }.toMap
-          // Phase 2: inserts/updates, parent -> child.
+          // Phase 2: inserts/updates, parent -> child. Distributed
+          // overwrites (file above the threshold) are DEFERRED: their
+          // deleteAll committed with the main transaction, but the
+          // reinsert runs through Spark's parallel JDBC writer after
+          // the commit — executors open their own connections, which
+          // would otherwise deadlock on (or not see) the driver
+          // transaction's uncommitted delete.
           insertOrder.map { n =>
             val o = ops(n)
             o.cfg.mode match {
+              case SyncConfig.ModeOverwrite if o.overwriteDf.isDefined =>
+                SyncResult(n, o.cfg.mode, 0, 0, 0)
               case SyncConfig.ModeOverwrite =>
                 val ins = JdbcSyncWriter.bulkInsert(
                   conn, n, o.cols, o.overwriteRows, o.cfg.timestampColumns)
@@ -180,7 +193,27 @@ object SyncRunner {
           }
         }
       if (config.dryRun) conn.rollback() else conn.commit()
-      results
+      // Post-commit distributed appends, parent -> child. Timestamp
+      // columns not in the sync set are injected as now(), mirroring
+      // bulkInsert. Per-partition commits: a failure here leaves the
+      // overwrite table partially loaded (documented relaxation) —
+      // re-running the sync restores it (deleteAll + reinsert).
+      if (config.dryRun) results
+      else {
+        val counts = insertOrder.flatMap { n =>
+          ops(n).overwriteDf.map { df =>
+            val o = ops(n)
+            val extraTs = o.cfg.timestampColumns.filterNot(o.cols.contains)
+            val withTs = extraTs.foldLeft(df)((d, c) =>
+              d.withColumn(c, org.apache.spark.sql.functions.current_timestamp()))
+            JdbcSyncWriter.appendDistributed(withTs, config.db, n)
+            n -> o.overwriteCount
+          }
+        }.toMap
+        if (counts.isEmpty) results
+        else results.map(r =>
+          counts.get(r.table).fold(r)(c => r.copy(inserts = c.toInt)))
+      }
     } catch {
       case e: Throwable =>
         // an interrupt-aborted connection is already dead (and rolled
@@ -237,8 +270,24 @@ object SyncRunner {
 
     t.mode match {
       case SyncConfig.ModeOverwrite =>
-        TableOps(t, cols, pk, Nil, Nil, Nil,
-          fileSel.collect().toSeq, if (config.dryRun) dbSel.count() else 0L)
+        // Scale gate: probe threshold+1 rows. At or below the
+        // threshold the probe IS the full row set and the strict
+        // single-transaction driver path runs (reference parity);
+        // above it the whole file never collects — the frame rides to
+        // the post-commit distributed append. <= 0 keeps the driver
+        // path unconditionally.
+        val thr = config.overwriteDistributedThreshold
+        val probe =
+          if (thr > 0 && thr < Int.MaxValue - 1)
+            fileSel.limit(thr.toInt + 1).collect()
+          else fileSel.collect()
+        val dbN = if (config.dryRun) dbSel.count() else 0L
+        if (thr > 0 && probe.length > thr)
+          TableOps(t, cols, pk, Nil, Nil, Nil, Nil, dbN,
+            overwriteDf = Some(fileSel), overwriteCount = fileSel.count())
+        else
+          TableOps(t, cols, pk, Nil, Nil, Nil, probe.toSeq, dbN,
+            overwriteCount = probe.length.toLong)
       case _ =>
         PrimaryKeyValidator.validateStrict(fileSel, pk)
         // Change detection deliberately includes immutable columns —
@@ -260,7 +309,7 @@ object SyncRunner {
   private def planOnly(o: TableOps): SyncResult = {
     val t = o.cfg
     if (t.mode == SyncConfig.ModeOverwrite) {
-      val plan = ExecutionPlan(t.name, o.overwriteRows.size.toLong, 0, o.dbCount,
+      val plan = ExecutionPlan(t.name, o.overwriteCount, 0, o.dbCount,
         Nil, Nil, Nil, t.timestampColumns, t.immutableColumns)
       return SyncResult(t.name, t.mode, 0, 0, 0, Some(plan))
     }

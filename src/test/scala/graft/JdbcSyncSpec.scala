@@ -115,6 +115,30 @@ class JdbcSyncSpec extends AnyFunSuite {
     assert(query("SELECT id FROM ow_table ORDER BY id") == Seq(Seq(1), Seq(2)))
   }
 
+  test("overwrite above the distributed threshold: same final state, count reported") {
+    // same workload, two paths: the strict driver transaction (high
+    // threshold) and the post-commit parallel JDBC append (threshold 1)
+    // must leave identical final table state
+    dropIfExists("owd_table")
+    exec(
+      "CREATE TABLE owd_table (id INT PRIMARY KEY, name VARCHAR(255))",
+      "INSERT INTO owd_table VALUES (9, 'stale'), (10, 'staler')")
+    val f = csvFile("id,name\n1,a\n2,b\n3,c\n4,d\n")
+    def cfg(thr: Long) = SyncConfig(db, Seq(TableSyncConfig(
+      name = "owd_table", filePath = f, mode = "overwrite")),
+      overwriteDistributedThreshold = thr)
+
+    val rDriver = SyncRunner.run(spark, cfg(1000L))
+    val driverState = query("SELECT id, name FROM owd_table ORDER BY id")
+    assert(rDriver.head.inserts == 4)
+
+    exec("INSERT INTO owd_table VALUES (9, 'stale-again')")
+    val rDist = SyncRunner.run(spark, cfg(1L))
+    assert(rDist.head.inserts == 4, "distributed path reports the row count")
+    assert(query("SELECT id, name FROM owd_table ORDER BY id") == driverState,
+      "distributed overwrite converges to the driver path's final state")
+  }
+
   test("timestamp injection: updated_at refreshes, immutable created_at survives") {
     dropIfExists("ts_table")
     exec(
