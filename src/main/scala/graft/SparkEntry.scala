@@ -1191,6 +1191,16 @@ object SparkEntry {
       Dedup.ensembleNearDup(T(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // ---- extension: ensemble blocker-recall audit ----
+    // the provenance mask as data: verified-pair counts per blocker
+    // combination + each combination's share — a geometry with no
+    // exclusive rows is redundant on this corpus, one with a large
+    // exclusive share is load-bearing; the 100 TB blocker choice
+    // becomes a measurement
+    "q155_ensemble_recall" -> ((s, dir) => {
+      Dedup.ensembleRecallReport(T(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // ---- extension: BPE merge training (Sennrich ACL'16) ----
     // tokenizer TRAINING from corpus statistics: one corpus pass into
     // a persisted (word, freq) table, then nMerges rounds of one
@@ -2246,6 +2256,46 @@ object SparkEntry {
     * per-permutation aggregate: the SAME affine constants
     * (interpolated from the Scala definitions, so they cannot drift).
     */
+  /** The blocker-ensemble replay as DuckDB CTEs, shared by the q152
+    * (verified pairs + provenance) and q155 (per-mask recall rollup)
+    * oracles: MinHash-LSH candidates (`cand`, via [[sigsCte]]), 64-bit
+    * SimHash pairs (`smp`, mirroring q138's construction), SNM rank
+    * bands (`snp`), the provenance union (`uc`) and the exact-Jaccard
+    * verify (`jv` — pre-threshold).
+    */
+  private def ensembleCtesSql(table: String): String = {
+    val dims = (0 until 64).map(j =>
+      s"avg(((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) // ${1 << (j % 4)}) % 2) AS d$j")
+      .mkString(", ")
+    val bits = (0 until 64).map(j =>
+      s"CASE WHEN d$j >= 0.5 THEN '1' ELSE '0' END").mkString(" || ")
+    val ham = (1 to 64).map(j =>
+      s"(CASE WHEN substring(a.s, $j, 1) <> substring(b.s, $j, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""${sigsCte(table)},
+       |smtk AS (SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS h
+       |         FROM $table),
+       |smd AS (SELECT doc_id, $dims FROM smtk GROUP BY doc_id),
+       |sms AS (SELECT doc_id, $bits AS s FROM smd),
+       |smp AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sms a JOIN sms b
+       |        ON a.doc_id < b.doc_id AND ($ham) <= 3),
+       |snr AS (SELECT doc_id, substr(lower(text), 1, 4) AS bk,
+       |          ROW_NUMBER() OVER (PARTITION BY substr(lower(text), 1, 4)
+       |            ORDER BY substr(lower(text), 1, 40), doc_id) AS rn
+       |        FROM $table),
+       |snp AS (SELECT DISTINCT least(a.doc_id, c.doc_id) AS d1,
+       |          greatest(a.doc_id, c.doc_id) AS d2
+       |        FROM snr a JOIN snr c ON a.bk = c.bk AND c.rn > a.rn AND c.rn <= a.rn + 5),
+       |uc AS (SELECT d1, d2, bit_or(src) AS mask FROM (
+       |  SELECT DISTINCT d1, d2, 1 AS src FROM cand
+       |  UNION ALL SELECT d1, d2, 2 FROM smp
+       |  UNION ALL SELECT d1, d2, 4 FROM snp) GROUP BY 1, 2),
+       |jv AS (SELECT u.d1, u.d2, u.mask,
+       |         round(CAST(len(list_distinct(list_intersect(sa.shl, sb.shl))) AS DOUBLE) /
+       |           len(list_distinct(list_concat(sa.shl, sb.shl))), 6) AS jaccard
+       |       FROM uc u JOIN shd sa ON sa.doc_id = u.d1 JOIN shd sb ON sb.doc_id = u.d2)""".stripMargin
+  }
+
   /** The BPE training replay as DuckDB CTEs: `wf` (word, freq), `s0`
     * (padded symbols), then per round `pI` (pair counts), `tI` (argmax
     * merge) and `sI` (table after applying merge I) — shared by the
@@ -3363,42 +3413,22 @@ object SparkEntry {
       operators.Sharding.rebalanceReportSql("documents", "doc_id",
         fromShards = 4, toShards = 6),
 
-    "q152_ensemble_neardup" -> {
-      // 64-bit SimHash construction, mirroring q138's oracle
-      val dims = (0 until 64).map(j =>
-        s"avg(((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) // ${1 << (j % 4)}) % 2) AS d$j")
-        .mkString(", ")
-      val bits = (0 until 64).map(j =>
-        s"CASE WHEN d$j >= 0.5 THEN '1' ELSE '0' END").mkString(" || ")
-      val ham = (1 to 64).map(j =>
-        s"(CASE WHEN substring(a.s, $j, 1) <> substring(b.s, $j, 1) THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH ${sigsCte("documents")},
-         |smtk AS (SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS h
-         |         FROM documents),
-         |smd AS (SELECT doc_id, $dims FROM smtk GROUP BY doc_id),
-         |sms AS (SELECT doc_id, $bits AS s FROM smd),
-         |smp AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sms a JOIN sms b
-         |        ON a.doc_id < b.doc_id AND ($ham) <= 3),
-         |snr AS (SELECT doc_id, substr(lower(text), 1, 4) AS bk,
-         |          ROW_NUMBER() OVER (PARTITION BY substr(lower(text), 1, 4)
-         |            ORDER BY substr(lower(text), 1, 40), doc_id) AS rn
-         |        FROM documents),
-         |snp AS (SELECT DISTINCT least(a.doc_id, c.doc_id) AS d1,
-         |          greatest(a.doc_id, c.doc_id) AS d2
-         |        FROM snr a JOIN snr c ON a.bk = c.bk AND c.rn > a.rn AND c.rn <= a.rn + 5),
-         |uc AS (SELECT d1, d2, bit_or(src) AS mask FROM (
-         |  SELECT DISTINCT d1, d2, 1 AS src FROM cand
-         |  UNION ALL SELECT d1, d2, 2 FROM smp
-         |  UNION ALL SELECT d1, d2, 4 FROM snp) GROUP BY 1, 2),
-         |jv AS (SELECT u.d1, u.d2, u.mask,
-         |         round(CAST(len(list_distinct(list_intersect(sa.shl, sb.shl))) AS DOUBLE) /
-         |           len(list_distinct(list_concat(sa.shl, sb.shl))), 6) AS jaccard
-         |       FROM uc u JOIN shd sa ON sa.doc_id = u.d1 JOIN shd sb ON sb.doc_id = u.d2)
+    "q152_ensemble_neardup" ->
+      s"""WITH ${ensembleCtesSql("documents")}
          |SELECT d1, d2, jaccard,
          |  (mask & 1) > 0 AS by_lsh, (mask & 2) > 0 AS by_simhash, (mask & 4) > 0 AS by_snm
-         |FROM jv WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
-    },
+         |FROM jv WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    "q155_ensemble_recall" ->
+      s"""WITH ${ensembleCtesSql("documents")},
+         |vp AS (SELECT (mask & 1) > 0 AS by_lsh, (mask & 2) > 0 AS by_simhash,
+         |         (mask & 4) > 0 AS by_snm
+         |       FROM jv WHERE jaccard >= 0.5),
+         |gm AS (SELECT by_lsh, by_simhash, by_snm, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM vp GROUP BY 1, 2, 3)
+         |SELECT by_lsh, by_simhash, by_snm, n_pairs,
+         |  round(CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER (), 6) AS share
+         |FROM gm ORDER BY by_lsh, by_simhash, by_snm""".stripMargin,
 
     "q151_bpe_merges" -> {
       val n = 8

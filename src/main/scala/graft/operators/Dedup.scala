@@ -1157,4 +1157,39 @@ object Dedup {
         (col("__mask").bitwiseAND(lit(4)) > 0).as("by_snm"))
       .orderBy("d1", "d2")
   }
+
+  /** The blocker-recall audit [[ensembleNearDup]]'s provenance mask
+    * exists for, as data: verified-pair counts per provenance
+    * combination, with each combination's share of the verified set —
+    * `(by_lsh, by_simhash, by_snm, n_pairs, share)`. Reading it:
+    * a geometry whose exclusive rows (`true` only there) are empty is
+    * redundant ON THIS CORPUS and can be dropped from the production
+    * ensemble; a geometry carrying a large exclusive share is load-
+    * bearing. That turns the 100 TB blocker choice into a measurement
+    * instead of a guess.
+    *
+    * The aggregate runs on the verified pair set (already bounded);
+    * the output is at most 7 rows, so the share window's single
+    * partition is safe by construction.
+    */
+  def ensembleRecallReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 9,
+      bands: Int = 3,
+      maxHamming: Int = 3,
+      snmBucketLen: Int = 4,
+      snmSortLen: Int = 40,
+      snmWindow: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = ensembleNearDup(docs, idCol, textCol, k, bands, maxHamming,
+      snmBucketLen, snmSortLen, snmWindow, threshold)
+    pairs.groupBy(col("by_lsh"), col("by_simhash"), col("by_snm"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share", round(
+        col("n_pairs").cast("double") /
+          sum(col("n_pairs")).over(Window.partitionBy()), 6))
+      .orderBy(col("by_lsh"), col("by_simhash"), col("by_snm"))
+  }
 }
