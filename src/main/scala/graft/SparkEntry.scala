@@ -2108,11 +2108,18 @@ object SparkEntry {
     val books = (0 until m)
       .map(mi => pqKmeansCtesSql(ks, iters, sub, mi * sub, s"p$mi"))
       .mkString(",\n")
+    // NaN maps to -Infinity before the DESC sort (never chosen),
+    // matching pqCode's +Infinity negated-sim guard: DuckDB would
+    // otherwise sort NaN FIRST under DESC while the Spark side sorts
+    // it last — a latent cross-engine encode divergence if Lloyd ever
+    // produced a zero-norm centroid
     val encs = (0 until m).map { mi =>
       s"""enc$mi AS (SELECT vec_id, cid AS code, cnn FROM (
          |  SELECT n.vec_id, c.cid, list_dot_product(c.cv, c.cv) AS cnn,
          |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
+         |      ORDER BY CASE WHEN isnan(list_dot_product(n.v, c.cv) / (n.nrm * c.cn))
+         |        THEN CAST('-Infinity' AS DOUBLE)
+         |        ELSE list_dot_product(n.v, c.cv) / (n.nrm * c.cn) END DESC, c.cid) AS rn
          |  FROM p${mi}n2 n CROSS JOIN p${mi}c$iters c) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val adExpr = (0 until m).map(mi =>
@@ -2156,11 +2163,14 @@ object SparkEntry {
     val books = (0 until m)
       .map(mi => pqKmeansCtesSql(ks, pqIters, sub, mi * sub, s"p$mi"))
       .mkString(",\n")
+    // same NaN-to--Infinity guard as pqAdcOracle's enc CTEs
     val encs = (0 until m).map { mi =>
       s"""enc$mi AS (SELECT vec_id, cid AS code, cnn FROM (
          |  SELECT n.vec_id, c.cid, list_dot_product(c.cv, c.cv) AS cnn,
          |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cid) AS rn
+         |      ORDER BY CASE WHEN isnan(list_dot_product(n.v, c.cv) / (n.nrm * c.cn))
+         |        THEN CAST('-Infinity' AS DOUBLE)
+         |        ELSE list_dot_product(n.v, c.cv) / (n.nrm * c.cn) END DESC, c.cid) AS rn
          |  FROM p${mi}n2 n CROSS JOIN p${mi}c$pqIters c) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val adExpr = (0 until m).map(mi =>

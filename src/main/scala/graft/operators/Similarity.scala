@@ -830,7 +830,15 @@ object Similarity {
     val svn = l2Norm(subVec)
     val entries = book.zipWithIndex.map { case ((_, v), j) =>
       val cn = math.sqrt(v.map(x => x * x).sum)
-      struct((dot(subVec, typedLit(v.toSeq)) / (svn * lit(cn)) * -1.0).as("n"),
+      val negsim = dot(subVec, typedLit(v.toSeq)) / (svn * lit(cn)) * -1.0
+      // NaN guard, mirroring cellAssign: a zero-norm sub-vector or a
+      // zero-norm centroid yields NaN cosine, and Spark's struct
+      // ordering sorts NaN LAST (never chosen) while DuckDB's ORDER BY
+      // DESC sorts NaN FIRST (always chosen) — map NaN to +Infinity
+      // (worst negated similarity) so both engines fall through to a
+      // finite-similarity centroid deterministically
+      struct(when(isnan(negsim), lit(Double.PositiveInfinity))
+          .otherwise(negsim).as("n"),
         lit(j).as("j"))
     }
     array_min(array(entries: _*)).getField("j")

@@ -621,8 +621,13 @@ object TextAnalysis {
       .select(col("g1"), col("g2"), col("kmv_jaccard"), col("exact_jaccard"),
         round(abs(col("kmv_jaccard") - col("exact_jaccard")), 6)
           .as("jaccard_abs_err"),
-        round((col("__nu") - 1).cast("double") * lit(4294967296.0) /
-          col("__kth"), 6).as("est_union"),
+        // KMV rule (same branch as q148 and the streaming twin): an
+        // UNSATURATED merged sketch (< k hashes) saw every distinct
+        // hash of the union, so its size IS the exact count — the
+        // (nU-1)*2^32/h_(nU) estimator only applies at saturation
+        round(when(col("__nu") < k, col("__nu").cast("double"))
+          .otherwise((col("__nu") - 1).cast("double") * lit(4294967296.0) /
+            col("__kth")), 6).as("est_union"),
         col("exact_union"))
       .orderBy(col("g1"), col("g2"))
   }
@@ -669,7 +674,8 @@ object TextAnalysis {
        |        FROM est JOIN ex ON est.g1 = ex.g1 AND est.g2 = ex.g2)
        |SELECT g1, g2, kmv_jaccard, exact_jaccard,
        |  round(abs(kmv_jaccard - exact_jaccard), 6) AS jaccard_abs_err,
-       |  round((nu - 1) * 4294967296.0 / kth, 6) AS est_union,
+       |  round(CASE WHEN nu < $k THEN CAST(nu AS DOUBLE)
+       |        ELSE (nu - 1) * 4294967296.0 / kth END, 6) AS est_union,
        |  exact_union
        |FROM fin ORDER BY g1, g2""".stripMargin
   }

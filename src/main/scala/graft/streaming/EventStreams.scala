@@ -247,9 +247,15 @@ object EventStreams {
       }
       state.update(KmvState(kk, buf.set.toSeq))
       val n = buf.set.size
+      // h_(k) = 0 is possible (k = 1 and an item whose 32-bit md5
+      // prefix is zero): the estimator would divide by zero — fall
+      // back to the exact size, which is what the sketch degenerates
+      // to there anyway. Rounded to 6 decimals so stream and batch
+      // (q148's aggregate rounds the same way) stay bit-identical.
       val est =
-        if (n < kk) n.toDouble
-        else (kk - 1).toLong * 4294967296L / buf.set.last.toDouble
+        if (n < kk || buf.set.last == 0L) n.toDouble
+        else BigDecimal((kk - 1).toLong * 4294967296L / buf.set.last.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       Iterator(KmvOut(key, n.toLong, est))
     }
     items

@@ -112,4 +112,43 @@ object StreamingCuration {
           sigChars)
       }
       .start()
+
+  /** State-table maintenance: rewrite `stateDir` as `numFiles` parquet
+    * files. Every [[curateBatch]] call appends one small file set to
+    * the state, and every SUBSEQUENT batch re-reads and re-plans over
+    * all of them — unbounded small-file accumulation is the
+    * long-running stream's throughput cliff. Call this periodically
+    * (e.g. from the driver between micro-batches, or a scheduled
+    * maintenance job when the stream is the only state writer and is
+    * paused/quiesced): the rewrite stages into a sibling directory and
+    * swaps by rename, so a crash mid-compaction leaves either the old
+    * or the new state — never a mix. NOT safe concurrently with an
+    * in-flight [[curateBatch]] state append (the append could land in
+    * the directory being replaced); quiesce first.
+    */
+  def compactState(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      numFiles: Int = 1): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    val dir = new Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val staged = new Path(stateDir + "__compacting")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    spark.read.parquet(stateDir)
+      .coalesce(numFiles)
+      .write.parquet(staged.toString)
+    val old = new Path(stateDir + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compactState: could not stage out $stateDir")
+    if (!fs.rename(staged, dir)) {
+      // restore the original state before failing — the swap is
+      // all-or-nothing from the reader's perspective
+      fs.rename(old, dir)
+      throw new java.io.IOException(s"compactState: could not swap in $staged")
+    }
+    fs.delete(old, true)
+  }
 }

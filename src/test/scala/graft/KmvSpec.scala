@@ -79,8 +79,12 @@ class KmvSpec extends AnyFunSuite {
       assert(last("b") == (("b", 3L, 3.0)))
       val (_, n, est) = last("a")
       assert(n == 8L, "sketch saturates at k")
-      assert(est == 7L * 4294967296L / viaSql.last.toDouble,
-        "estimate derives from the SAME kth hash the relational path computes")
+      // the stream rounds to 6 decimals, matching the q148 batch
+      // aggregate's round(est, 6) — bit-identical stream/batch output
+      val expected = BigDecimal(7L * 4294967296L / viaSql.last.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(est == expected,
+        "estimate derives from the SAME kth hash the relational path computes, rounded like the batch twin")
       assert(est > 10 && est < 400, s"estimate $est implausible for true 40")
     } finally q.stop()
   }

@@ -68,5 +68,29 @@ class StreamingCurationSpec extends AnyFunSuite {
       .filter($"batch_id" === 99L).select("decision").as[String].collect()
     assert(replay.toSeq == Seq("exact_dup_base"))
     assert(spark.read.parquet(stateDir).count() == 3, "replay admits nothing twice")
+
+    // compaction: the per-batch appends left multiple file sets;
+    // compactState rewrites to one file with identical rows, and a
+    // subsequent batch still reads/judges against the compacted state
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stateFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(stateDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stateFiles() > 1, "multiple appends should have left multiple files")
+    StreamingCuration.compactState(spark, stateDir, numFiles = 1)
+    assert(stateFiles() == 1, "compacted to one file")
+    assert(spark.read.parquet(stateDir)
+      .collect().map(_.toString).sorted.toSeq == before,
+      "compaction preserves every state row")
+    StreamingCuration.curateBatch(
+      Seq(Doc(7L, textA)).toDF(), eval,
+      "doc_id", "text", stateDir, decDir, batchId = 100L,
+      cfg = DocPipeline.Config(minTokens = 5), maxHamming = 0)
+    val afterCompact = spark.read.parquet(decDir)
+      .filter($"batch_id" === 100L).select("decision").as[String].collect()
+    assert(afterCompact.toSeq == Seq("exact_dup_base"),
+      "post-compaction batch still sees the admitted corpus")
   }
 }
