@@ -60,6 +60,27 @@ object Bench {
     *     round triages for real breakage);
     *   - `failed`: a genuine exception out of the query itself.
     */
+  /** Measurement order, pure for testing: the priority block first
+    * (one representative per operator family — even a truncated run
+    * yields a cross-family regression table), then queries with NO
+    * prior timing (new this round — they must get measured), then the
+    * rest HEAVIEST-first by the prior artifact's timings (ties by
+    * name). A wall-budget truncation then drops only the trivial
+    * tail, and late-run VM degradation inflates the cheap end least.
+    * Names absent from `names` fall out of the priority block (a
+    * rename degrades to the sorted tail, never lost).
+    */
+  def orderQueries(
+      names: Seq[String],
+      priority: Seq[String],
+      priorTimes: Map[String, Double]): Seq[String] = {
+    val nameSet = names.toSet
+    val rest = names.filterNot(priority.contains)
+    val (known, unknown) = rest.partition(priorTimes.contains)
+    priority.filter(nameSet.contains) ++ unknown ++
+      known.sortBy(n => (-priorTimes(n), n))
+  }
+
   def classifyFailure(e: Throwable, budgetLimited: Boolean): String = {
     val cancelled = Iterator.iterate(e)(_.getCause)
       .takeWhile(_ != null).take(8)
@@ -327,18 +348,11 @@ object Bench {
       "q118_editdist_neardup", "q120_threshold_sweep",
       "q122_interval_overlap", "q126_leakage_split",
       "q136_image_decode", "q137_curate_increment")
-    // After the priority block: queries with NO prior timing (new this
-    // round — must get measured), then known queries HEAVIEST FIRST.
-    // Two reasons the heavy end leads: a budget truncation then drops
-    // only the trivial tail (r07 in name order skipped 28 mid-band
-    // queries), and late-run VM/GC degradation inflates the cheap end
-    // least — the probe series brackets it either way.
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => carried.contains(q._1))
-    val rest = all.filterNot(q => priority.contains(q._1))
-    val (known, unknown) = rest.partition(q => priorTimes.contains(q._1))
-    val ordered = priority.flatMap(n => all.find(_._1 == n)) ++
-      unknown ++ known.sortBy(q => (-priorTimes(q._1), q._1))
+    val byName = all.toMap
+    val ordered = orderQueries(all.map(_._1), priority, priorTimes)
+      .map(n => n -> byName(n))
     val timer = new java.util.Timer("bench-watchdog", true)
     ordered.foreach { case (name, fn) =>
       val remaining = budgetS - elapsedS

@@ -40,4 +40,15 @@ class BenchClassifySpec extends AnyFunSuite {
     }
     assert(Bench.classifyFailure(deep, budgetLimited = false) === "failed")
   }
+
+  test("orderQueries: priority block, then unknown, then heaviest-first tail") {
+    val names = Seq("a", "b", "c", "d", "e", "f")
+    val priority = Seq("c", "zz_renamed_away", "a")
+    val prior = Map("b" -> 1.0, "d" -> 9.0, "e" -> 9.0, "a" -> 99.0)
+    val out = Bench.orderQueries(names, priority, prior)
+    // priority keeps its own order, dropping names not in this run;
+    // f has no prior timing -> right after priority; d/e tie on time
+    // -> name order; b is the cheap tail
+    assert(out === Seq("c", "a", "f", "d", "e", "b"))
+  }
 }

@@ -51,4 +51,28 @@ class EnsembleSpec extends AnyFunSuite {
       assert(ens.get(p).contains(true), s"LSH pair $p missing or unflagged in ensemble")
     }
   }
+
+  test("recall report: per-mask counts tally the verified set, shares sum to 1") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " nu"),
+      (3L, "x" + base),
+      (4L, "completely unrelated content about rivers and mountains and oceans"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ensembleNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+    val report = Dedup.ensembleRecallReport(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(report.values.map(_._1).sum == pairs.length,
+      "mask counts partition the verified pair set")
+    assert(math.abs(report.values.map(_._2).sum - 1.0) < 1e-5,
+      "shares sum to 1")
+    // the fixture's SNM-blind pair (1,3) must appear under a mask with
+    // by_snm = false — the audit's whole point
+    assert(report.keys.exists { case (_, _, snm) => !snm },
+      "the SNM-blind mask combination is reported")
+  }
 }
