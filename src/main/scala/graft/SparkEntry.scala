@@ -1048,6 +1048,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: image near-dup via perceptual grid hash ----
+    // the multimodal x dedup composition: real decode -> 64-bit grid
+    // average-hash (exact integer arithmetic, so the SQL oracle
+    // replays it analytically from the fixture spec) -> the SAME
+    // SimHash pigeonhole pair join text dedup uses, unchanged
+    "q156_image_neardup" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id")
+      def hashes(lo: Long, hi: Long) =
+        graft.multimodal.Multimodal.imageGridHash(
+          graft.multimodal.Multimodal.fixtureImages(
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi), "doc_id"),
+          "doc_id")
+      Dedup.simhashIncrementalPairsFromSigs(
+          hashes(0L, 120L), hashes(120L, 160L), "doc_id",
+          maxHamming = 3, sigChars = 64)
+        .orderBy("new_id", "old_id")
+    }),
+
     // ---- extension: INCREMENTAL curation (batch-over-batches) ----
     // the new batch (doc_id % 3 == 0, plus planted rows that exercise
     // every cascade label) is labeled against the persisted curateState
@@ -3323,6 +3341,42 @@ object SparkEntry {
         |  CAST(w*(top*ab + (h-top)*bb) AS BIGINT) AS sum_b,
         |  CAST(w*(abs(ar-br)+abs(ag-bg)+abs(ab-bb)) AS BIGINT) AS edge_sum
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // analytic replay of the grid average-hash from the fixture spec
+    // (two solid bands -> every cell mean is nTop*grayA + nBot*grayB in
+    // exact integers), then the q138-style Hamming join on the 64-char
+    // bit strings
+    "q156_image_neardup" -> {
+      val ham = (1 to 64).map(j =>
+        s"(CASE WHEN substring(n.s, $j, 1) <> substring(o.s, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sp AS (SELECT doc_id,
+         |    8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+         |    (8 + doc_id % 3) // 2 AS top,
+         |    (doc_id*37)%256 + (doc_id*59)%256 + (doc_id*83)%256 AS ga,
+         |    (doc_id*97)%256 + (doc_id*101)%256 + (doc_id*103)%256 AS gb
+         |  FROM documents WHERE doc_id < 160),
+         |cells AS (SELECT doc_id, i, j,
+         |    ((i+1)*h)//8 - (i*h)//8 AS n_rows,
+         |    ((j+1)*w)//8 - (j*w)//8 AS n_cols,
+         |    GREATEST(0, LEAST(top, ((i+1)*h)//8) - (i*h)//8) AS n_top,
+         |    w, h, top, ga, gb
+         |  FROM sp, unnest(generate_series(0, 7)) AS u(i),
+         |       unnest(generate_series(0, 7)) AS v(j)),
+         |bits AS (SELECT doc_id, i, j,
+         |    CASE WHEN n_rows*n_cols > 0 AND
+         |      (n_top*ga + (n_rows-n_top)*gb) * n_cols * (w*h) >=
+         |      w*(top*ga + (h-top)*gb) * (n_rows*n_cols)
+         |    THEN '1' ELSE '0' END AS b
+         |  FROM cells),
+         |sigs AS (SELECT doc_id, string_agg(b, '' ORDER BY i, j) AS s
+         |  FROM bits GROUP BY doc_id)
+         |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         |  CAST($ham AS BIGINT) AS hamming
+         |FROM sigs n JOIN sigs o
+         |  ON n.doc_id >= 120 AND o.doc_id < 120 AND ($ham) <= 3
+         |ORDER BY new_id, old_id""".stripMargin
+    },
 
     // incremental-curation twin: the same first-fail cascade, with the
     // base side reduced to fingerprints exactly as curateState does and

@@ -179,6 +179,95 @@ object Multimodal {
       .withColumnRenamed("media_id", idCol)
   }
 
+  /** Per-image 64-bit perceptual hash (grid average-hash): decode,
+    * partition the image into an 8x8 grid by INTEGER pixel coordinates
+    * (cell (i,j) covers rows [i*h/8, (i+1)*h/8) and the analogous
+    * column range — no resampling, so there is no interpolation
+    * convention to disagree on), and set bit (i,j) when the cell's
+    * mean gray meets the image's global mean gray. The comparison is
+    * CROSS-MULTIPLIED integer arithmetic (`cellSum * totalPx >=
+    * totalSum * cellPx`, gray = r+g+b unscaled) — zero floating point,
+    * so any engine that knows the pixel values derives the identical
+    * 64 bits, which is what lets the SQL oracle replay the hash
+    * analytically from the fixture-image spec it cannot decode.
+    *
+    * Output `(idCol, simhash)` uses the SAME 64-char bit-string
+    * convention as [[graft.operators.Dedup.simhash64]], so the
+    * pigeonhole Hamming pair join
+    * ([[graft.operators.Dedup.simhashIncrementalPairsFromSigs]]
+    * with `sigChars = 64`) consumes image hashes unchanged — image
+    * near-dup rides the exact text-dedup machinery: decode once per
+    * row inside the partition (blobs never shuffle), band-join the
+    * 16-bit chunks, `bit_count` the distance. Undecodable bytes drop,
+    * like [[decodeImageFeatures]].
+    */
+  def imageGridHash(
+      df: DataFrame, idCol: String, bytesCol: String = "bytes"): DataFrame = {
+    val input = df.select(col(idCol).cast(LongType), col(bytesCol))
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else {
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var totalSum = 0L
+            val cellSum = Array.ofDim[Long](8, 8)
+            val cellPx = Array.ofDim[Long](8, 8)
+            var i = 0
+            while (i < 8) {
+              val rLo = i * h / 8; val rHi = (i + 1) * h / 8
+              var j = 0
+              while (j < 8) {
+                val cLo = j * w / 8; val cHi = (j + 1) * w / 8
+                var s = 0L
+                var y = rLo
+                while (y < rHi) {
+                  var x = cLo
+                  while (x < cHi) {
+                    val p = img.getRGB(x, y)
+                    s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                cellSum(i)(j) = s
+                cellPx(i)(j) = (rHi - rLo).toLong * (cHi - cLo)
+                totalSum += s
+                j += 1
+              }
+              i += 1
+            }
+            val totalPx = w.toLong * h
+            val sb = new java.lang.StringBuilder(64)
+            i = 0
+            while (i < 8) {
+              var j = 0
+              while (j < 8) {
+                sb.append(
+                  if (cellPx(i)(j) > 0 &&
+                    cellSum(i)(j) * totalPx >= totalSum * cellPx(i)(j)) '1'
+                  else '0')
+                j += 1
+              }
+              i += 1
+            }
+            Some(GridHash(id, sb.toString))
+          }
+        }
+      }
+    }(Encoders.product[GridHash])
+      .toDF()
+      .withColumnRenamed("media_id", idCol)
+  }
+
+  /** Row shape of [[imageGridHash]]. */
+  final case class GridHash(media_id: Long, simhash: String)
+
   /** Frame-sampling plumbing for video rows: one output row per sampled
     * frame offset (every `everyMs` within `meta.duration_ms`). The
     * per-frame decode would plug into the exploded rows.

@@ -514,6 +514,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageFeatures(junk, "id").count() == 0)
   }
 
+  test("multimodal: grid hash matches the analytic fixture formula and a hand-built gradient") {
+    // fixture path: hash bits must equal the closed-form derivation
+    // from the two-band spec (the same arithmetic the oracle replays)
+    val ids = Seq(0L, 1L, 5L, 13L, 42L).toDF("id")
+    val got = Multimodal.imageGridHash(Multimodal.fixtureImages(ids, "id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(0L, 1L, 5L, 13L, 42L).foreach { id =>
+      val s = Multimodal.fixtureSpec(id)
+      val ga = s.ar + s.ag + s.ab; val gb = s.br + s.bg + s.bb
+      val totalSum = s.w.toLong * (s.top * ga + (s.h - s.top) * gb)
+      val totalPx = s.w.toLong * s.h
+      val bits = (for (i <- 0 until 8; j <- 0 until 8) yield {
+        val rLo = i * s.h / 8; val rHi = (i + 1) * s.h / 8
+        val nCols = ((j + 1) * s.w / 8 - j * s.w / 8).toLong
+        val nRows = (rHi - rLo).toLong
+        val nTop = math.max(0L, math.min(s.top, rHi).toLong - rLo)
+        val cellSum = (nTop * ga + (nRows - nTop) * gb) * nCols
+        if (nRows * nCols > 0 && cellSum * totalPx >= totalSum * (nRows * nCols)) '1'
+        else '0'
+      }).mkString
+      assert(got(id) == bits, s"id=$id spec=$s")
+    }
+    // non-band image: a vertical gradient must split top-dark /
+    // bottom-bright around the mean — top rows 0, bottom rows 1
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = y * 16 // 0..240, strictly increasing by row
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val gradHash = Multimodal.imageGridHash(
+        Seq((7L, bos.toByteArray)).toDF("id", "bytes"), "id")
+      .collect().head.getString(1)
+    // rows 0..15 have gray 3*16*y; mean row value = 7.5 -> grid rows
+    // 0..3 (pixel rows 0..7) below the mean, 4..7 at/above
+    assert(gradHash == "0" * 32 + "1" * 32, gradHash)
+  }
+
   test("multimodal: frame sampling plumbing") {
     val media = Multimodal.fromText(
       Seq((1L, "hello world")).toDF("id", "text"), "id", "text")
