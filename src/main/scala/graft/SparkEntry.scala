@@ -1066,6 +1066,18 @@ object SparkEntry {
         .orderBy("new_id", "old_id")
     }),
 
+    // ---- extension: concat-then-chunk packing plan (GPT loader) ----
+    // the split-across-boundaries packing discipline next to q73's
+    // budget selection and packBins' greedy bins: one distributed
+    // prefix sum places every document in the fixed-seqLen token
+    // stream — which training sequences it feeds, at what offset
+    "q157_chunk_plan" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      operators.PrefixSum.chunkPlan(toks, Seq(col("doc_id")), "n_tokens", 512L)
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: INCREMENTAL curation (batch-over-batches) ----
     // the new batch (doc_id % 3 == 0, plus planted rows that exercise
     // every cascade label) is labeled against the persisted curateState
@@ -3377,6 +3389,20 @@ object SparkEntry {
          |  ON n.doc_id >= 120 AND o.doc_id < 120 AND ($ham) <= 3
          |ORDER BY new_id, old_id""".stripMargin
     },
+
+    "q157_chunk_plan" ->
+      """WITH tk AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |nz AS (SELECT * FROM tk WHERE n_tokens > 0),
+        |c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM nz)
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_first,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS chunk_last,
+        |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_chunks,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_chunk
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // incremental-curation twin: the same first-fail cascade, with the
     // base side reduced to fingerprints exactly as curateState does and

@@ -131,4 +131,35 @@ object PrefixSum {
       .withColumn(binCol, expr(s"__first div ${capacity}L"))
       .drop("__cum", "__first")
   }
+
+  /** Concat-then-chunk packing plan — the OTHER pretraining packing
+    * discipline next to [[packBins]]'s greedy no-split bins: documents
+    * concatenate in `orderBy` order into one token stream that is cut
+    * into fixed `seqLen` windows, and a document SPLITS across window
+    * boundaries (the GPT-style loader: zero padding waste, every
+    * window exactly full). The plan gives a sharded loader each
+    * document's exact placement:
+    * `(…, chunk_first, chunk_last, n_chunks, offset_in_chunk)` —
+    * which training sequences the document feeds, and where in the
+    * first one its tokens start.
+    *
+    * One distributed prefix sum and a projection — no extra shuffle,
+    * and the same 2^53-safe `div` arithmetic as [[packBins]].
+    * Zero-token documents contribute nothing to the stream and are
+    * dropped from the plan.
+    */
+  def chunkPlan(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      tokenCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    runningSum(df.filter(col(tokenCol) > 0), orderBy, tokenCol, "__cum")
+      .withColumn("__start", col("__cum") - col(tokenCol))
+      .withColumn("chunk_first", expr(s"__start div ${seqLen}L"))
+      .withColumn("chunk_last", expr(s"(__cum - 1) div ${seqLen}L"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+      .withColumn("offset_in_chunk", expr(s"__start % ${seqLen}L"))
+      .drop("__cum", "__start")
+  }
 }

@@ -60,6 +60,37 @@ class Scd2PrefixSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 7L))
   }
 
+  test("chunk plan: split-across-boundaries placement, zero-token docs dropped") {
+    // stream (seqLen 10): doc1 [0,8), doc2 [8,23) spans chunks 0..2,
+    // doc4 [23,30) stays in chunk 2, doc5 [30,40) fills chunk 3 exactly
+    val df = Seq((1L, 8L), (2L, 15L), (3L, 0L), (4L, 7L), (5L, 10L))
+      .toDF("doc_id", "n")
+    val got = PrefixSum.chunkPlan(df, Seq(col("doc_id")), "n", 10L)
+      .select("doc_id", "chunk_first", "chunk_last", "n_chunks", "offset_in_chunk")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L, 1L, 0L)),
+      2L -> ((0L, 2L, 3L, 8L)),
+      4L -> ((2L, 2L, 1L, 3L)),
+      5L -> ((3L, 3L, 1L, 0L))), got.toString)
+    assert(!got.contains(3L), "zero-token doc contributes nothing")
+    // invariants on a larger random-ish stream: offsets bounded,
+    // consecutive docs abut (next start == prev cum)
+    val big = (1L to 300L).map(i => (i, (i * 7) % 23 + 1)).toDF("doc_id", "n")
+    val plan = PrefixSum.chunkPlan(big, Seq(col("doc_id")), "n", 50L)
+      .orderBy("doc_id")
+      .select("doc_id", "n", "chunk_first", "chunk_last", "offset_in_chunk")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    var cum = 0L
+    plan.foreach { case (_, n, cf, cl, off) =>
+      assert(cf * 50 + off == cum, "doc starts where the previous ended")
+      assert(off >= 0 && off < 50)
+      assert(cl == (cum + n - 1) / 50)
+      cum += n
+    }
+  }
+
   test("priority sample equals the naive JVM computation exactly") {
     import graft.operators.Sampling
     def md5hex(s: String): String =
