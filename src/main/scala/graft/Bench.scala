@@ -81,14 +81,45 @@ object Bench {
       known.sortBy(n => (-priorTimes(n), n))
   }
 
-  def classifyFailure(e: Throwable, budgetLimited: Boolean): String = {
+  def classifyFailure(
+      e: Throwable, budgetLimited: Boolean, watchdogFired: Boolean): String = {
+    // `watchdogFired` is whether OUR TimerTask actually cancelled the
+    // job group: a cancellation message alone is not proof the
+    // watchdog did it (a SparkContext shutdown after an executor OOM
+    // also surfaces as "cancelled"), and such genuine breakage must
+    // stay in `failed`, the list the next round triages.
     val cancelled = Iterator.iterate(e)(_.getCause)
       .takeWhile(_ != null).take(8)
       .exists(t => Option(t.getMessage).exists(_.toLowerCase.contains("cancel")))
-    if (cancelled && budgetLimited) "skipped"
-    else if (cancelled) "capped"
-    else "failed"
+    if (!(cancelled && watchdogFired)) "failed"
+    else if (budgetLimited) "skipped"
+    else "capped"
   }
+
+  /** Parse a bench artifact: (sf dir, per-query numeric timings,
+    * vm_health). None if unreadable or unparseable. One parser shared
+    * by resume (timing carry) and the heavy-first ordering read, so
+    * the two cannot drift on numeric shapes.
+    */
+  private[graft] def readArtifact(
+      path: String): Option[(String, Map[String, Double], Option[Double])] = try {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(x) => Some(x)
+      case JDecimal(x) => Some(x.toDouble)
+      case JInt(x) => Some(x.toDouble)
+      case _ => None
+    }
+    val sf = (j \ "sf") match { case JString(s) => s; case _ => "" }
+    val qs = (j \ "queries") match {
+      case JObject(fields) =>
+        fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    Some((sf, qs, num(j \ "vm_health")))
+  } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val jvmStart = System.nanoTime()
@@ -225,41 +256,19 @@ object Bench {
     var carriedVmHealth: Option[Double] = None
     sys.env.get("SPARK_GRAFT_BENCH_RESUME").foreach { rp =>
       val path = if (rp == "1" || rp.equalsIgnoreCase("auto")) outPath else rp
-      try {
-        import org.json4s._
-        val j = org.json4s.jackson.JsonMethods.parse(
-          java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-        val sameSf = (j \ "sf") match {
-          case JString(s) => s == sfDir
-          case _ => false
-        }
-        if (sameSf) {
+      readArtifact(path) match {
+        case None =>
+          System.err.println(s"[bench] resume: unreadable $path")
+        case Some((sf, _, _)) if sf != sfDir =>
+          System.err.println(
+            s"[bench] resume: ignoring $path (sf mismatch, carried nothing)")
+        case Some((_, qs, vh)) =>
           val known = SparkEntry.queries.keySet
-          (j \ "queries") match {
-            case JObject(fields) =>
-              val dropped = scala.collection.mutable.ArrayBuffer[String]()
-              fields.foreach {
-                case (k, _) if !known.contains(k) => dropped += k
-                case (k, JDouble(v)) => carried += k -> v
-                case (k, JDecimal(v)) => carried += k -> v.toDouble
-                case (k, JInt(v)) => carried += k -> v.toDouble
-                case _ => ()
-              }
-              if (dropped.nonEmpty) System.err.println(
-                s"[bench] resume: dropped ${dropped.size} stale names not in SparkEntry.queries: ${dropped.mkString(",")}")
-            case _ => ()
-          }
-          (j \ "vm_health") match {
-            case JDouble(v) => carriedVmHealth = Some(v)
-            case JDecimal(v) => carriedVmHealth = Some(v.toDouble)
-            case JInt(v) => carriedVmHealth = Some(v.toDouble)
-            case _ => ()
-          }
-        } else System.err.println(
-          s"[bench] resume: ignoring $path (sf mismatch, carried nothing)")
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] resume: unreadable $path: ${e.getMessage}")
+          val (keep, dropped) = qs.partition { case (k, _) => known.contains(k) }
+          keep.toSeq.sortBy(_._1).foreach { case (k, v) => carried += k -> v }
+          if (dropped.nonEmpty) System.err.println(
+            s"[bench] resume: dropped ${dropped.size} stale names not in SparkEntry.queries: ${dropped.keys.toSeq.sorted.mkString(",")}")
+          carriedVmHealth = vh
       }
       if (carried.nonEmpty)
         System.err.println(s"[bench] resume: carrying ${carried.size} measured queries from $path")
@@ -316,19 +325,8 @@ object Bench {
     // order this run, never merged into results (that's resume's job,
     // with its sf guard). Ordering tolerates an sf mismatch: relative
     // query cost is what matters.
-    val priorTimes: Map[String, Double] = try {
-      import org.json4s._
-      val j = org.json4s.jackson.JsonMethods.parse(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(outPath)))
-      (j \ "queries") match {
-        case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JDecimal(v)) => k -> v.toDouble
-          case (k, JInt(v)) => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty[String, Double]
-      }
-    } catch { case _: Throwable => Map.empty }
+    val priorTimes: Map[String, Double] =
+      readArtifact(outPath).map(_._2).getOrElse(Map.empty)
 
     // On a pathological-VM day the wall budget truncates the run — in
     // name order that times q01..q1x and skips whole operator families.
@@ -371,8 +369,9 @@ object Bench {
         // failed-list triage only chases real regressions
         val budgetLimited = remaining < queryCapS
         sc.setJobGroup(name, name, interruptOnCancel = true)
+        val watchdogFired = new java.util.concurrent.atomic.AtomicBoolean(false)
         val task = new java.util.TimerTask {
-          def run(): Unit = sc.cancelJobGroup(name)
+          def run(): Unit = { watchdogFired.set(true); sc.cancelJobGroup(name) }
         }
         timer.scheduleAtFixedRate(task, capMs, 2000L)
         val t0 = System.nanoTime()
@@ -385,7 +384,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             val ranS = (System.nanoTime() - t0) / 1e9
-            classifyFailure(e, budgetLimited) match {
+            classifyFailure(e, budgetLimited, watchdogFired.get()) match {
               case "skipped" =>
                 skipped += name
                 System.err.println(s"[bench] $name SKIPPED (wall budget) after ${fmt2(ranS)}s")

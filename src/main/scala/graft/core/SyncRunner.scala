@@ -212,7 +212,10 @@ object SyncRunner {
         }.toMap
         if (counts.isEmpty) results
         else results.map(r =>
-          counts.get(r.table).fold(r)(c => r.copy(inserts = c.toInt)))
+          counts.get(r.table).fold(r)(c =>
+            // SyncResult carries Int counts (reference parity);
+            // saturate rather than wrap for a >2^31-row overwrite
+            r.copy(inserts = math.min(c, Int.MaxValue.toLong).toInt)))
       }
     } catch {
       case e: Throwable =>
@@ -270,24 +273,34 @@ object SyncRunner {
 
     t.mode match {
       case SyncConfig.ModeOverwrite =>
-        // Scale gate: probe threshold+1 rows. At or below the
-        // threshold the probe IS the full row set and the strict
-        // single-transaction driver path runs (reference parity);
-        // above it the whole file never collects — the frame rides to
-        // the post-commit distributed append. <= 0 keeps the driver
-        // path unconditionally.
+        // Scale gate: count-probe threshold+1 rows (a count, not a
+        // collect — learning "too big" must not itself spike driver
+        // heap with threshold rows). At or below the threshold the
+        // file collects and the strict single-transaction driver path
+        // runs (reference parity); above it the whole file never
+        // collects — the frame rides to the post-commit distributed
+        // append. <= 0 keeps the driver path unconditionally.
+        //
+        // FK guard: the distributed reinsert lands AFTER the main
+        // transaction commits, but tables DEPENDING on this one insert
+        // their rows inside it — those inserts would reference parent
+        // keys not yet reinserted. A table with configured dependents
+        // therefore always takes the driver path, whatever its size.
+        val hasDependents = config.tables.exists(_.dependencies.contains(t.name))
         val thr = config.overwriteDistributedThreshold
-        val probe =
-          if (thr > 0 && thr < Int.MaxValue - 1)
-            fileSel.limit(thr.toInt + 1).collect()
-          else fileSel.collect()
+        val probeCount =
+          if (thr > 0 && thr < Int.MaxValue - 1 && !hasDependents)
+            fileSel.limit(thr.toInt + 1).count()
+          else -1L
         val dbN = if (config.dryRun) dbSel.count() else 0L
-        if (thr > 0 && probe.length > thr)
+        if (probeCount > thr && probeCount >= 0)
           TableOps(t, cols, pk, Nil, Nil, Nil, Nil, dbN,
             overwriteDf = Some(fileSel), overwriteCount = fileSel.count())
-        else
-          TableOps(t, cols, pk, Nil, Nil, Nil, probe.toSeq, dbN,
-            overwriteCount = probe.length.toLong)
+        else {
+          val rows = fileSel.collect()
+          TableOps(t, cols, pk, Nil, Nil, Nil, rows.toSeq, dbN,
+            overwriteCount = rows.length.toLong)
+        }
       case _ =>
         PrimaryKeyValidator.validateStrict(fileSel, pk)
         // Change detection deliberately includes immutable columns —

@@ -244,13 +244,20 @@ object Multimodal {
             }
             val totalPx = w.toLong * h
             val sb = new java.lang.StringBuilder(64)
+            // BigInt cross-multiplication: both products reach
+            // ~765*(w*h)^2, which overflows Long past ~110 megapixels
+            // — 64 BigInt comparisons per image is noise next to the
+            // decode, and the exact-integer contract holds at any size
+            val bigTotalSum = BigInt(totalSum)
+            val bigTotalPx = BigInt(totalPx)
             i = 0
             while (i < 8) {
               var j = 0
               while (j < 8) {
                 sb.append(
                   if (cellPx(i)(j) > 0 &&
-                    cellSum(i)(j) * totalPx >= totalSum * cellPx(i)(j)) '1'
+                    BigInt(cellSum(i)(j)) * bigTotalPx >=
+                      bigTotalSum * BigInt(cellPx(i)(j))) '1'
                   else '0')
                 j += 1
               }

@@ -345,6 +345,19 @@ object DocPipeline {
     // rows and halves the caller's state-derivation work when the
     // state is computed rather than read from a parquet state table
     val st = state.persist(StorageLevel.MEMORY_AND_DISK)
+    // Width guard: a state table written under a DIFFERENT SimHash
+    // width (e.g. 16-char rows from before the 64-bit default) would
+    // not error — the band decode of a too-short signature yields
+    // NULL words, every Hamming distance goes NULL, and near-dup
+    // detection against the whole pre-existing corpus silently
+    // disables. One limit(1) probe turns that into a loud failure.
+    st.select(col("simhash")).filter(
+        col("simhash").isNotNull && length(col("simhash")) =!= sigChars)
+      .limit(1).collect().headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"state simhash width ${r.getString(0).length} != sigChars $sigChars: " +
+            "pass sigChars matching the width the state table was written with")
+      }
     val nTokens = TextAnalysis.tokenCount(col(textCol))
     val b = batch
       .select(col(idCol), col(textCol))

@@ -132,9 +132,11 @@ object Linkage {
       // cheap length pre-filter: |len(a)-len(b)| is a lower bound on
       // edit distance, so most in-block pairs skip the DP entirely
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      // thresholded banded DP: -1 past maxDist, exact distance within
+      // thresholded banded DP: -1 past maxDist, exact distance within;
+      // single `>= 0` conjunct — `between` would split in two and
+      // evaluate the DP twice inside the pushed join condition
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
-      .filter(col("dist").between(0, maxDist))
+      .filter(col("dist") >= 0)
       .drop("__blk")
   }
 

@@ -134,12 +134,16 @@ object StreamingCuration {
     val dir = new Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
-    val staged = new Path(stateDir + "__compacting")
+    // siblings via (parent, name): a trailing slash on stateDir would
+    // otherwise make these CHILDREN of the directory being renamed
+    // and the swap would always fail
+    def sibling(suffix: String) = new Path(dir.getParent, dir.getName + suffix)
+    val staged = sibling("__compacting")
     if (fs.exists(staged)) fs.delete(staged, true)
     spark.read.parquet(stateDir)
       .coalesce(numFiles)
       .write.parquet(staged.toString)
-    val old = new Path(stateDir + "__old")
+    val old = sibling("__old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(dir, old))
       throw new java.io.IOException(s"compactState: could not stage out $stateDir")

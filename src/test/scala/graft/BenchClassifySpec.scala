@@ -15,30 +15,45 @@ class BenchClassifySpec extends AnyFunSuite {
     "Job 42 cancelled part of cancelled job group q61_variant_get")
 
   test("watchdog cancel with wall budget remaining is capped, not failed") {
-    assert(Bench.classifyFailure(cancelEx, budgetLimited = false) === "capped")
+    assert(Bench.classifyFailure(cancelEx,
+      budgetLimited = false, watchdogFired = true) === "capped")
   }
 
   test("watchdog cancel when the wall budget bound the cap is skipped") {
-    assert(Bench.classifyFailure(cancelEx, budgetLimited = true) === "skipped")
+    assert(Bench.classifyFailure(cancelEx,
+      budgetLimited = true, watchdogFired = true) === "skipped")
+  }
+
+  test("cancellation NOT caused by our watchdog stays failed") {
+    // a SparkContext shutdown (executor OOM) also says "cancelled" —
+    // genuine breakage must reach the failed triage list
+    assert(Bench.classifyFailure(cancelEx,
+      budgetLimited = false, watchdogFired = false) === "failed")
+    assert(Bench.classifyFailure(cancelEx,
+      budgetLimited = true, watchdogFired = false) === "failed")
   }
 
   test("cancellation buried in a cause chain is still recognized") {
     val wrapped = new RuntimeException("outer",
       new IllegalStateException("mid", cancelEx))
-    assert(Bench.classifyFailure(wrapped, budgetLimited = false) === "capped")
+    assert(Bench.classifyFailure(wrapped,
+      budgetLimited = false, watchdogFired = true) === "capped")
   }
 
   test("a genuine exception is failed regardless of budget state") {
     val boom = new RuntimeException("column not found: nope")
-    assert(Bench.classifyFailure(boom, budgetLimited = false) === "failed")
-    assert(Bench.classifyFailure(boom, budgetLimited = true) === "failed")
+    assert(Bench.classifyFailure(boom,
+      budgetLimited = false, watchdogFired = true) === "failed")
+    assert(Bench.classifyFailure(boom,
+      budgetLimited = true, watchdogFired = false) === "failed")
   }
 
   test("a cause chain longer than the probe depth does not loop") {
     val deep = (1 to 20).foldLeft(new RuntimeException("leaf"): Throwable) {
       (c, i) => new RuntimeException(s"wrap$i", c)
     }
-    assert(Bench.classifyFailure(deep, budgetLimited = false) === "failed")
+    assert(Bench.classifyFailure(deep,
+      budgetLimited = false, watchdogFired = true) === "failed")
   }
 
   test("orderQueries: priority block, then unknown, then heaviest-first tail") {

@@ -142,6 +142,16 @@ class CurateSpec extends AnyFunSuite {
         "doc_id", "text", maxHamming = 0, sigChars = 16)
       .select("doc_id", "decision").as[(Long, String)].collect().toMap
     assert(dec16 == dec1, dec16.toString)
+
+    // width guard: judging a batch under the 64-bit default against a
+    // 16-char legacy state must FAIL LOUDLY — a silent width mismatch
+    // would NULL every Hamming distance and admit every near-dup
+    val err = intercept[IllegalArgumentException] {
+      DocPipeline.curateIncrement(state16, batch, evals,
+        "doc_id", "text", maxHamming = 0)
+        .collect()
+    }
+    assert(err.getMessage.contains("simhash width"), err.getMessage)
   }
 
   test("near-dups never straddle a split (leakage-safe by cluster)") {

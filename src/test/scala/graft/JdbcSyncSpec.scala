@@ -346,6 +346,24 @@ class JdbcSyncSpec extends AnyFunSuite {
     SyncRunner.run(spark, cfg)
     assert(query("SELECT id FROM ow_parent") == Seq(Seq(2)))
     assert(query("SELECT id, pid FROM ow_child") == Seq(Seq(20, 2)))
+
+    // a parent file ABOVE the distributed threshold: the FK guard must
+    // force a parent WITH DEPENDENTS onto the driver path — the
+    // child's in-transaction insert references parent keys that a
+    // deferred post-commit reinsert would not yet have written
+    exec("DELETE FROM ow_child", "DELETE FROM ow_parent",
+      "INSERT INTO ow_parent VALUES (1, 'p1')",
+      "INSERT INTO ow_child VALUES (10, 1)")
+    val cfg2 = SyncConfig(db, Seq(
+      TableSyncConfig(name = "ow_parent",
+        filePath = csvFile("id,name\n2,p2\n3,p3\n4,p4\n"), mode = "overwrite"),
+      TableSyncConfig(name = "ow_child", filePath = csvFile("id,pid\n20,3\n"),
+        mode = "overwrite", dependencies = Seq("ow_parent"))),
+      overwriteDistributedThreshold = 1L)
+    SyncRunner.run(spark, cfg2)
+    assert(query("SELECT id FROM ow_parent ORDER BY id") ==
+      Seq(Seq(2), Seq(3), Seq(4)))
+    assert(query("SELECT id, pid FROM ow_child") == Seq(Seq(20, 3)))
   }
 
   test("zero-column file (JSON []) follows empty-file semantics") {
