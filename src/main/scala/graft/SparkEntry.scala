@@ -1049,16 +1049,20 @@ object SparkEntry {
     }),
 
     // ---- extension: image near-dup via perceptual grid hash ----
-    // the multimodal x dedup composition: real decode -> 64-bit grid
-    // average-hash (exact integer arithmetic, so the SQL oracle
-    // replays it analytically from the fixture spec) -> the SAME
-    // SimHash pigeonhole pair join text dedup uses, unchanged
+    // the multimodal x dedup composition: real PNG decode -> 64-bit
+    // grid average-hash (exact integer arithmetic, so the SQL oracle
+    // replays the bits analytically from the md5 fixture formula it
+    // cannot decode) -> the SAME SimHash pigeonhole pair join text
+    // dedup uses, unchanged. The fixtures PLANT the near-dup
+    // structure: incoming id 120+k is base id k's grid with ONE cell
+    // flipped (Hamming exactly 1); everything else sits ~32 bits away
     "q156_image_neardup" -> ((s, dir) => {
       val d = T(s, dir, "documents").select("doc_id")
       def hashes(lo: Long, hi: Long) =
         graft.multimodal.Multimodal.imageGridHash(
-          graft.multimodal.Multimodal.fixtureImages(
-            d.filter(col("doc_id") >= lo && col("doc_id") < hi), "doc_id"),
+          graft.multimodal.Multimodal.gridFixtureImages(
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi), "doc_id",
+            base = 120L),
           "doc_id")
       Dedup.simhashIncrementalPairsFromSigs(
           hashes(0L, 120L), hashes(120L, 160L), "doc_id",
@@ -3354,33 +3358,24 @@ object SparkEntry {
         |  CAST(w*(abs(ar-br)+abs(ag-bg)+abs(ab-bb)) AS BIGINT) AS edge_sum
         |FROM s ORDER BY doc_id""".stripMargin,
 
-    // analytic replay of the grid average-hash from the fixture spec
-    // (two solid bands -> every cell mean is nTop*grayA + nBot*grayB in
-    // exact integers), then the q138-style Hamming join on the 64-char
-    // bit strings
+    // analytic replay of the grid fixture + average-hash: cell (i,j)
+    // of seed = id % 120 is the parity of md5("seed:i:j")'s first hex
+    // digit, incoming ids flip cell seed % 64; with solid 0/765 cells
+    // the hash IS the bit pattern, then the q138-style Hamming join
     "q156_image_neardup" -> {
       val ham = (1 to 64).map(j =>
         s"(CASE WHEN substring(n.s, $j, 1) <> substring(o.s, $j, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH sp AS (SELECT doc_id,
-         |    8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
-         |    (8 + doc_id % 3) // 2 AS top,
-         |    (doc_id*37)%256 + (doc_id*59)%256 + (doc_id*83)%256 AS ga,
-         |    (doc_id*97)%256 + (doc_id*101)%256 + (doc_id*103)%256 AS gb
+      s"""WITH ids AS (SELECT doc_id, doc_id % 120 AS seed,
+         |    CASE WHEN doc_id >= 120 THEN (doc_id % 120) % 64 ELSE -1 END AS flip
          |  FROM documents WHERE doc_id < 160),
-         |cells AS (SELECT doc_id, i, j,
-         |    ((i+1)*h)//8 - (i*h)//8 AS n_rows,
-         |    ((j+1)*w)//8 - (j*w)//8 AS n_cols,
-         |    GREATEST(0, LEAST(top, ((i+1)*h)//8) - (i*h)//8) AS n_top,
-         |    w, h, top, ga, gb
-         |  FROM sp, unnest(generate_series(0, 7)) AS u(i),
-         |       unnest(generate_series(0, 7)) AS v(j)),
          |bits AS (SELECT doc_id, i, j,
-         |    CASE WHEN n_rows*n_cols > 0 AND
-         |      (n_top*ga + (n_rows-n_top)*gb) * n_cols * (w*h) >=
-         |      w*(top*ga + (h-top)*gb) * (n_rows*n_cols)
-         |    THEN '1' ELSE '0' END AS b
-         |  FROM cells),
+         |    CASE WHEN ((strpos('0123456789abcdef',
+         |          substring(md5(seed || ':' || i || ':' || j), 1, 1)) - 1) % 2
+         |        + CASE WHEN i*8 + j = flip THEN 1 ELSE 0 END) % 2 = 1
+         |      THEN '1' ELSE '0' END AS b
+         |  FROM ids, unnest(generate_series(0, 7)) AS u(i),
+         |       unnest(generate_series(0, 7)) AS v(j)),
          |sigs AS (SELECT doc_id, string_agg(b, '' ORDER BY i, j) AS s
          |  FROM bits GROUP BY doc_id)
          |SELECT n.doc_id AS new_id, o.doc_id AS old_id,

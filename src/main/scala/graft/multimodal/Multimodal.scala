@@ -275,6 +275,64 @@ object Multimodal {
   /** Row shape of [[imageGridHash]]. */
   final case class GridHash(media_id: Long, simhash: String)
 
+  /** Grid-fixture bit (i,j) for `seed`: parity of the first hex digit
+    * of `md5("seed:i:j")` — well-mixed across seeds (unlike any small
+    * linear congruence, whose pattern would collapse to `seed mod m`),
+    * and computable verbatim by a SQL engine's `md5`.
+    */
+  def gridFixtureBit(seed: Long, i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) >> 4) & 0xf) % 2
+  }
+
+  /** Deterministic 32x32 grid fixture image for `id`: an 8x8 grid of
+    * 4x4-pixel cells, cell (i,j) solid black or white by
+    * [[gridFixtureBit]] of `seed = id % base` — so ids `k` and
+    * `base + k` share a pattern — and ids `>= base` additionally flip
+    * the single cell `seed % 64`. Under [[imageGridHash]] (cell value
+    * is exactly 0 or 765, the global mean strictly between for any
+    * mixed pattern) the hash IS the bit pattern, so each incoming
+    * image sits at Hamming distance exactly 1 from its base twin and
+    * ~32 from everything else: the near-dup structure is PLANTED and
+    * the pair set is exact — unlike the two-band [[fixtureSpec]]
+    * images, whose hashes collapse to a handful of values. Always
+    * PNG (lossless).
+    */
+  def encodeGridFixture(id: Long, base: Long): Array[Byte] = {
+    val seed = id % base
+    val flip = if (id >= base) (seed % 64).toInt else -1
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        val bit = gridFixtureBit(seed, i, j) ^ (if (i * 8 + j == flip) 1 else 0)
+        val rgb = if (bit == 1) 0xffffff else 0x000000
+        var y = i * 4
+        while (y < i * 4 + 4) {
+          var x = j * 4
+          while (x < j * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One row per input id with real PNG bytes of its grid fixture
+    * (same per-row deterministic-UDF shape as [[fixtureImages]]).
+    */
+  def gridFixtureImages(ids: DataFrame, idCol: String, base: Long): DataFrame = {
+    val enc = udf((id: Long) => encodeGridFixture(id, base))
+    ids.select(col(idCol), enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
   /** Frame-sampling plumbing for video rows: one output row per sampled
     * frame offset (every `everyMs` within `meta.duration_ms`). The
     * per-frame decode would plug into the exploded rows.

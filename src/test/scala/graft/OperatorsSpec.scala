@@ -554,6 +554,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gradHash == "0" * 32 + "1" * 32, gradHash)
   }
 
+  test("multimodal: grid fixtures plant exact hamming-1 twins, others far") {
+    val ids = ((0L until 10L) ++ (120L until 125L)).toDF("id")
+    val hashes = Multimodal.imageGridHash(
+        Multimodal.gridFixtureImages(ids, "id", base = 120L), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    (120L until 125L).foreach { nid =>
+      assert(ham(hashes(nid), hashes(nid % 120)) == 1,
+        s"incoming $nid must be one flipped cell from base ${nid % 120}")
+      ((0L until 10L).filterNot(_ == nid % 120)).foreach { other =>
+        assert(ham(hashes(nid), hashes(other)) > 3,
+          s"$nid vs unrelated $other must be far")
+      }
+    }
+  }
+
   test("multimodal: frame sampling plumbing") {
     val media = Multimodal.fromText(
       Seq((1L, "hello world")).toDF("id", "text"), "id", "text")
