@@ -1070,6 +1070,23 @@ object SparkEntry {
         .orderBy("new_id", "old_id")
     }),
 
+    // ---- extension: image resize (nearest, integer mapping) ----
+    // the preprocessing step before feature extraction: decode ->
+    // nearest-neighbor resample by pure integer division (no Java2D
+    // interpolation — nothing an oracle couldn't replay) -> re-encode
+    // PNG -> decode features; 32x32 grid fixtures to 16x16, features
+    // derived analytically by the twin
+    "q158_image_resize" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").filter(col("doc_id") < 40)
+        .select("doc_id")
+      graft.multimodal.Multimodal.decodeImageFeatures(
+        graft.multimodal.Multimodal.resizeImages(
+          graft.multimodal.Multimodal.gridFixtureImages(ids, "doc_id", base = 120L),
+          "doc_id", targetW = 16, targetH = 16),
+        "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
     // the split-across-boundaries packing discipline next to q73's
     // budget selection and packBins' greedy bins: one distributed
@@ -3384,6 +3401,30 @@ object SparkEntry {
          |  ON n.doc_id >= 120 AND o.doc_id < 120 AND ($ham) <= 3
          |ORDER BY new_id, old_id""".stripMargin
     },
+
+    // resize twin: 32->16 nearest maps target (y,x) to source (2y,2x),
+    // so the resized image is an 8x8 grid of 2x2 cells of 0/255 — the
+    // features are closed-form in the md5 bit pattern: channel sums =
+    // 255*4*ones, edge = 3ch * 255 * 2cols * cross-cell-row bit diffs
+    "q158_image_resize" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |bits AS (SELECT doc_id, i, j,
+        |    (strpos('0123456789abcdef',
+        |       substring(md5(doc_id || ':' || i || ':' || j), 1, 1)) - 1) % 2 AS b
+        |  FROM ids, unnest(generate_series(0, 7)) AS u(i),
+        |       unnest(generate_series(0, 7)) AS v(j)),
+        |ag AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS ones FROM bits GROUP BY 1),
+        |ed AS (SELECT a.doc_id, CAST(SUM(abs(a.b - c.b)) AS BIGINT) AS d
+        |       FROM bits a JOIN bits c
+        |         ON a.doc_id = c.doc_id AND a.j = c.j AND c.i = a.i + 1
+        |       GROUP BY 1)
+        |SELECT ids.doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(255*4*ones AS BIGINT) AS sum_r,
+        |  CAST(255*4*ones AS BIGINT) AS sum_g,
+        |  CAST(255*4*ones AS BIGINT) AS sum_b,
+        |  CAST(1530*d AS BIGINT) AS edge_sum
+        |FROM ids JOIN ag USING (doc_id) JOIN ed USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q157_chunk_plan" ->
       """WITH tk AS (SELECT doc_id,

@@ -333,6 +333,60 @@ object Multimodal {
     ids.select(col(idCol), enc(col(idCol).cast(LongType)).as("bytes"))
   }
 
+  /** Nearest-neighbor image resize: decode, sample source pixel
+    * `(y*h div targetH, x*w div targetW)` for every target pixel, and
+    * re-encode as PNG (lossless) — `(idCol, bytes)` out, undecodable
+    * rows dropped. NEAREST by integer division is deliberate: Java2D's
+    * `drawImage` interpolation has no cross-engine replay, while this
+    * mapping is pure integer arithmetic any engine reproduces — the
+    * resize twin of [[imageGridHash]]'s no-resample rule, and the
+    * preprocessing step a vision-model pipeline runs before feature
+    * extraction. Same `mapPartitions` black-box-codec shape as
+    * [[decodeImageFeatures]]: blobs never shuffle, codec setup
+    * amortizes per partition.
+    */
+  def resizeImages(
+      df: DataFrame, idCol: String, targetW: Int, targetH: Int,
+      bytesCol: String = "bytes"): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val input = df.select(col(idCol).cast(LongType), col(bytesCol))
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else {
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < targetH) {
+              val sy = y * h / targetH
+              var x = 0
+              while (x < targetW) {
+                out.setRGB(x, y, img.getRGB(x * w / targetW, sy))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(ResizedImage(id, bos.toByteArray))
+          }
+        }
+      }
+    }(Encoders.product[ResizedImage])
+      .toDF()
+      .withColumnRenamed("media_id", idCol)
+  }
+
+  /** Row shape of [[resizeImages]]. */
+  final case class ResizedImage(media_id: Long, bytes: Array[Byte])
+
   /** Frame-sampling plumbing for video rows: one output row per sampled
     * frame offset (every `everyMs` within `meta.duration_ms`). The
     * per-frame decode would plug into the exploded rows.

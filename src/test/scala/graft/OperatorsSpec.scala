@@ -570,6 +570,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: nearest-neighbor resize samples exact source pixels") {
+    // 4x2 image with distinct pixel values; resize to 2x2 must pick
+    // source (x*4/2, y*2/2) = columns 0,2 of both rows — no blending
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val vals = Array(
+      Array(0x010101, 0x020202, 0x030303, 0x040404),
+      Array(0x050505, 0x060606, 0x070707, 0x080808))
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, vals(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val resized = Multimodal.resizeImages(
+        Seq((1L, bos.toByteArray)).toDF("id", "bytes"), "id", 2, 2)
+      .collect().head.getAs[Array[Byte]]("bytes")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    assert((back.getRGB(0, 0) & 0xffffff) == 0x010101)
+    assert((back.getRGB(1, 0) & 0xffffff) == 0x030303)
+    assert((back.getRGB(0, 1) & 0xffffff) == 0x050505)
+    assert((back.getRGB(1, 1) & 0xffffff) == 0x070707)
+    // junk bytes drop, not fatal
+    assert(Multimodal.resizeImages(
+      Seq((9L, Array[Byte](9, 9))).toDF("id", "bytes"), "id", 2, 2).count() == 0)
+  }
+
   test("multimodal: frame sampling plumbing") {
     val media = Multimodal.fromText(
       Seq((1L, "hello world")).toDF("id", "text"), "id", "text")
