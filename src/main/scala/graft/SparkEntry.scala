@@ -1087,6 +1087,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: REAL audio decode (javax.sound, WAV/RIFF) ----
+    // the audio leg of the multimodal set: deterministic PCM16
+    // sawtooth fixtures in a real WAV container, decoded through
+    // AudioSystem (RIFF parse + format validation) to integer
+    // features; the oracle derives them closed-form from the sample
+    // formula without touching a byte
+    "q159_audio_features" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").filter(col("doc_id") < 40)
+        .select("doc_id")
+      graft.multimodal.Multimodal.decodeAudioFeatures(
+        graft.multimodal.Multimodal.audioFixtures(ids, "doc_id"),
+        "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
     // the split-across-boundaries packing discipline next to q73's
     // budget selection and packBins' greedy bins: one distributed
@@ -3424,6 +3439,25 @@ object SparkEntry {
         |  CAST(255*4*ones AS BIGINT) AS sum_b,
         |  CAST(1530*d AS BIGINT) AS edge_sum
         |FROM ids JOIN ag USING (doc_id) JOIN ed USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // audio twin: sample t of doc d is ((d*37 + t*17) % 2048) - 1024;
+    // features aggregate the closed-form sample stream
+    "q159_audio_features" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |sm AS (SELECT doc_id, t, ((doc_id*37 + t*17) % 2048) - 1024 AS s
+        |  FROM ids, unnest(generate_series(0, 1999)) AS u(t)),
+        |ag AS (SELECT doc_id, CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        |         CAST(MAX(abs(s)) AS BIGINT) AS max_abs FROM sm GROUP BY 1),
+        |zc AS (SELECT a.doc_id,
+        |         CAST(SUM(CASE WHEN (a.s < 0 AND b.s >= 0)
+        |             OR (a.s >= 0 AND b.s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS z
+        |       FROM sm a JOIN sm b
+        |         ON a.doc_id = b.doc_id AND b.t = a.t + 1 GROUP BY 1)
+        |SELECT ids.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(2000 AS BIGINT) AS n_samples, sum_abs, max_abs,
+        |  z AS zero_crossings
+        |FROM ids JOIN ag USING (doc_id) JOIN zc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q157_chunk_plan" ->

@@ -387,6 +387,107 @@ object Multimodal {
   /** Row shape of [[resizeImages]]. */
   final case class ResizedImage(media_id: Long, bytes: Array[Byte])
 
+  /** Deterministic WAV fixture for `id`: PCM16LE mono at `rate` Hz,
+    * `n` samples, sample `t` = `((id*37 + t*17) mod 2048) - 1024` — a
+    * sawtooth whose every derived statistic is closed-form, so a SQL
+    * oracle replays the decoded features without parsing RIFF. The
+    * bytes are a REAL WAV container (44-byte RIFF header, hand-rolled
+    * so the encoding is bit-deterministic), decodable by any WAV
+    * reader including [[decodeAudioFeatures]]'s `javax.sound` path.
+    */
+  def encodeWavFixture(id: Long, n: Int = 2000, rate: Int = 8000): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var t = 0
+    while (t < n) {
+      bb.putShort((((id * 37 + t * 17) % 2048) - 1024).toShort)
+      t += 1
+    }
+    bb.array()
+  }
+
+  /** One row per input id with real WAV bytes (same deterministic-UDF
+    * shape as [[fixtureImages]]).
+    */
+  def audioFixtures(ids: DataFrame, idCol: String,
+      n: Int = 2000, rate: Int = 8000): DataFrame = {
+    val enc = udf((id: Long) => encodeWavFixture(id, n, rate))
+    ids.select(col(idCol), enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
+  /** Feature row a decoded audio clip reduces to — all-integer, like
+    * [[ImageFeatures]], so an analytic oracle matches exactly:
+    * `sum_abs` (total absolute amplitude), `max_abs` (peak), and
+    * `zero_crossings` (sign changes between consecutive samples, the
+    * classic cheap spectral proxy).
+    */
+  final case class AudioFeatures(
+      media_id: Long, sample_rate: Long, n_samples: Long,
+      sum_abs: Long, max_abs: Long, zero_crossings: Long)
+
+  /** REAL audio decode: WAV bytes -> [[AudioFeatures]] via
+    * `javax.sound.sampled.AudioSystem` (RIFF parse, format
+    * validation), one row per decodable input; non-audio bytes are
+    * dropped. Accepts PCM16 mono/stereo little-endian — stereo folds
+    * to per-frame sums channel-major. Same `mapPartitions` black-box
+    * shape as the image codec: the blob never shuffles, only the
+    * fixed-width features flow on.
+    */
+  def decodeAudioFeatures(
+      df: DataFrame, idCol: String, bytesCol: String = "bytes"): DataFrame = {
+    val input = df.select(col(idCol).cast(LongType), col(bytesCol))
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else try {
+          val id = r.getLong(0)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            None
+          else {
+            val data = in.readAllBytes()
+            val nCh = fmt.getChannels
+            val n = data.length / 2 / nCh
+            var sumAbs = 0L; var maxAbs = 0L; var zc = 0L
+            var prev = 0; var t = 0
+            while (t < n) {
+              // fold channels to one value per frame (mono passthrough)
+              var v = 0; var c = 0
+              while (c < nCh) {
+                val o = (t * nCh + c) * 2
+                v += ((data(o) & 0xff) | (data(o + 1) << 8))
+                c += 1
+              }
+              val a = math.abs(v.toLong)
+              sumAbs += a
+              if (a > maxAbs) maxAbs = a
+              if (t > 0 && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) zc += 1
+              prev = v
+              t += 1
+            }
+            Some(AudioFeatures(id, fmt.getSampleRate.toLong, n.toLong,
+              sumAbs, maxAbs, zc))
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      }
+    }(Encoders.product[AudioFeatures])
+      .toDF()
+      .withColumnRenamed("media_id", idCol)
+  }
+
   /** Frame-sampling plumbing for video rows: one output row per sampled
     * frame offset (every `everyMs` within `meta.duration_ms`). The
     * per-frame decode would plug into the exploded rows.

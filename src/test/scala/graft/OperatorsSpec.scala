@@ -596,6 +596,25 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((9L, Array[Byte](9, 9))).toDF("id", "bytes"), "id", 2, 2).count() == 0)
   }
 
+  test("multimodal: WAV decode matches hand-computed sample statistics") {
+    // fixture path: features must equal the closed-form sawtooth stats
+    val got = Multimodal.decodeAudioFeatures(
+        Multimodal.audioFixtures(Seq(3L, 7L).toDF("id"), "id", n = 500), "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    Seq(3L, 7L).foreach { id =>
+      val samples = (0 until 500).map(t => (((id * 37 + t * 17) % 2048) - 1024).toInt)
+      val zc = samples.sliding(2).count { case Seq(a, b) =>
+        (a < 0 && b >= 0) || (a >= 0 && b < 0) }
+      assert(got(id) == ((8000L, 500L, samples.map(v => math.abs(v).toLong).sum,
+        samples.map(v => math.abs(v).toLong).max, zc.toLong)), s"id=$id")
+    }
+    // junk bytes drop, not fatal
+    assert(Multimodal.decodeAudioFeatures(
+      Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("id", "bytes"), "id").count() == 0)
+  }
+
   test("multimodal: frame sampling plumbing") {
     val media = Multimodal.fromText(
       Seq((1L, "hello world")).toDF("id", "text"), "id", "text")
