@@ -1102,6 +1102,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- extension: per-frame video decode (sample -> decode) ----
+    // the video shape end-to-end: frame-sampling explode -> REAL
+    // per-frame PNG decode -> per-frame integer features. The frame
+    // key packs (id, frame_ms) into one long for the decoder (which
+    // keys on a single column) and unpacks after — frames of one
+    // video stay in their partition, blobs never shuffle
+    "q160_video_frames" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").filter(col("doc_id") < 40)
+        .select("doc_id")
+      val frames = graft.multimodal.Multimodal.videoFrameFixtures(
+        ids, "doc_id", nFrames = 8, everyMs = 250L)
+      graft.multimodal.Multimodal.decodeImageFeatures(
+          frames.select(
+            (col("doc_id") * 10000 + col("frame_ms")).as("fk"), col("bytes")),
+          "fk")
+        .select(expr("fk div 10000").as("doc_id"),
+          (col("fk") % 10000).as("frame_ms"),
+          col("sum_r"), col("edge_sum"))
+        .orderBy("doc_id", "frame_ms")
+    }),
+
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
     // the split-across-boundaries packing discipline next to q73's
     // budget selection and packBins' greedy bins: one distributed
@@ -3459,6 +3480,32 @@ object SparkEntry {
         |  z AS zero_crossings
         |FROM ids JOIN ag USING (doc_id) JOIN zc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // video twin: frame f's cell (i,j) = base md5 parity XOR
+    // (rel-position < f); sums/edges closed-form as in q158 but at
+    // the 32x32 geometry (16 px/cell, 4 columns per cell boundary)
+    "q160_video_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |fr AS (SELECT doc_id, f FROM ids, unnest(generate_series(0, 7)) AS uf(f)),
+        |cells AS (SELECT doc_id, f, i, j,
+        |    ((strpos('0123456789abcdef',
+        |        substring(md5(doc_id || ':' || i || ':' || j), 1, 1)) - 1) % 2
+        |      + CASE WHEN (((i*8 + j - doc_id % 64) % 64) + 64) % 64 < f
+        |        THEN 1 ELSE 0 END) % 2 AS b
+        |  FROM fr, unnest(generate_series(0, 7)) AS u(i),
+        |       unnest(generate_series(0, 7)) AS v(j)),
+        |ag AS (SELECT doc_id, f, CAST(SUM(b) AS BIGINT) AS ones
+        |       FROM cells GROUP BY 1, 2),
+        |ed AS (SELECT a.doc_id, a.f, CAST(SUM(abs(a.b - c.b)) AS BIGINT) AS d
+        |       FROM cells a JOIN cells c
+        |         ON a.doc_id = c.doc_id AND a.f = c.f AND a.j = c.j
+        |           AND c.i = a.i + 1
+        |       GROUP BY 1, 2)
+        |SELECT ag.doc_id, CAST(ag.f * 250 AS BIGINT) AS frame_ms,
+        |  CAST(255*16*ones AS BIGINT) AS sum_r,
+        |  CAST(3060*d AS BIGINT) AS edge_sum
+        |FROM ag JOIN ed ON ag.doc_id = ed.doc_id AND ag.f = ed.f
+        |ORDER BY ag.doc_id, frame_ms""".stripMargin,
 
     "q157_chunk_plan" ->
       """WITH tk AS (SELECT doc_id,

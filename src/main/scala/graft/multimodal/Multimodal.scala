@@ -387,6 +387,51 @@ object Multimodal {
   /** Row shape of [[resizeImages]]. */
   final case class ResizedImage(media_id: Long, bytes: Array[Byte])
 
+  /** Frame `f` of fixture video `id`: the id's base grid pattern
+    * ([[gridFixtureBit]]) with cells `(id%64 + k) mod 64` for `k < f`
+    * flipped — exactly one cell of "motion" per frame step, so every
+    * per-frame statistic is closed-form. Real PNG bytes, same cell
+    * geometry as [[encodeGridFixture]].
+    */
+  def encodeGridVideoFrame(id: Long, f: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        val rel = (((i * 8 + j - (id % 64)) % 64) + 64) % 64
+        val bit = gridFixtureBit(id, i, j) ^ (if (rel < f) 1 else 0)
+        val rgb = if (bit == 1) 0xffffff else 0x000000
+        var y = i * 4
+        while (y < i * 4 + 4) {
+          var x = j * 4
+          while (x < j * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One row per (video id, sampled frame): `(idCol, frame_ms,
+    * bytes)` — the frame-sampling explode composed with REAL per-frame
+    * encoding, i.e. what [[frameSample]]'s plumbing plugs into when a
+    * codec exists. `nFrames` frames every `everyMs`.
+    */
+  def videoFrameFixtures(ids: DataFrame, idCol: String,
+      nFrames: Int = 8, everyMs: Long = 250L): DataFrame = {
+    val enc = udf((id: Long, f: Int) => encodeGridVideoFrame(id, f))
+    ids.select(col(idCol), explode(sequence(
+        lit(0L), lit((nFrames - 1) * everyMs), lit(everyMs))).as("frame_ms"))
+      .withColumn("bytes",
+        enc(col(idCol).cast(LongType), (col("frame_ms") / everyMs).cast("int")))
+  }
+
   /** Deterministic WAV fixture for `id`: PCM16LE mono at `rate` Hz,
     * `n` samples, sample `t` = `((id*37 + t*17) mod 2048) - 1024` — a
     * sawtooth whose every derived statistic is closed-form, so a SQL

@@ -139,6 +139,19 @@ class JdbcSyncSpec extends AnyFunSuite {
       "distributed overwrite converges to the driver path's final state")
   }
 
+  test("distributed overwrite injects timestamp columns like the driver path") {
+    dropIfExists("owt_table")
+    exec("CREATE TABLE owt_table (id INT PRIMARY KEY, name VARCHAR(20), updated_at TIMESTAMP)")
+    val f = csvFile("id,name\n1,a\n2,b\n3,c\n")
+    SyncRunner.run(spark, SyncConfig(db, Seq(TableSyncConfig(
+        name = "owt_table", filePath = f, mode = "overwrite",
+        timestampColumns = Seq("updated_at"))),
+      overwriteDistributedThreshold = 1L))
+    val rows = query("SELECT id, updated_at FROM owt_table ORDER BY id")
+    assert(rows.map(_.head) == Seq(1, 2, 3))
+    assert(rows.forall(_(1) != null), "updated_at injected on the distributed path")
+  }
+
   test("timestamp injection: updated_at refreshes, immutable created_at survives") {
     dropIfExists("ts_table")
     exec(

@@ -615,6 +615,22 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("id", "bytes"), "id").count() == 0)
   }
 
+  test("multimodal: video frames carry one cell of motion per step") {
+    val frames = Multimodal.videoFrameFixtures(
+        Seq(5L).toDF("id"), "id", nFrames = 4, everyMs = 100L)
+      .select((col("id") * 10000 + col("frame_ms")).as("fk"), col("bytes"))
+    val feats = Multimodal.decodeImageFeatures(frames, "fk")
+      .collect()
+      .map(r => (r.getLong(0) % 10000) -> r.getLong(3)) // frame_ms -> sum_r
+      .sortBy(_._1)
+    assert(feats.map(_._1).toSeq == Seq(0L, 100L, 200L, 300L))
+    // one flipped black/white cell changes the channel sum by exactly
+    // 255 * 16 pixels between consecutive frames
+    feats.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(math.abs(a - b) == 255L * 16, s"$a -> $b")
+    }
+  }
+
   test("multimodal: frame sampling plumbing") {
     val media = Multimodal.fromText(
       Seq((1L, "hello world")).toDF("id", "text"), "id", "text")
