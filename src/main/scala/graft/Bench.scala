@@ -188,6 +188,20 @@ object Bench {
       operators.Dedup.dupClusters(
         docsWarm.select(col("doc_id")), pairsWarm.df, "doc_id").count()
       pairsWarm.unpersist()
+      // the incremental-curation cascade (q137's family): the widest
+      // plan in the suite (~800 physical nodes) — warm its codegen so
+      // the first in-bench execution doesn't pay compilation. Note
+      // q137's remaining in-bench cost at sf0.1 is per-stage overhead
+      // times the 32 shuffle partitions (measured 10.6s warm at
+      // local[32] vs 2.9s at local[16] on identical data): a
+      // toy-scale artifact — at production scale those partitions
+      // carry real data — so it is warmed, not re-partitioned
+      val curDocs = docsWarm.limit(40)
+      val curWarm = operators.DocPipeline.curateIncrementCached(
+        operators.DocPipeline.curateState(curDocs, "doc_id", "text"),
+        curDocs, docsWarm.limit(5), "doc_id", "text")
+      curWarm.df.count()
+      curWarm.unpersist()
     }
 
     def fmt3(v: Double): String =
