@@ -1111,14 +1111,19 @@ object SparkEntry {
     "q160_video_frames" -> ((s, dir) => {
       val ids = T(s, dir, "documents").filter(col("doc_id") < 40)
         .select("doc_id")
+      val (nFrames, everyMs) = (8, 250L)
+      // the pack divisor derives from the frame parameters so a
+      // parameter change can never silently corrupt unpacked ids
+      val span = nFrames * everyMs
+      require((nFrames - 1) * everyMs < span)
       val frames = graft.multimodal.Multimodal.videoFrameFixtures(
-        ids, "doc_id", nFrames = 8, everyMs = 250L)
+        ids, "doc_id", nFrames, everyMs)
       graft.multimodal.Multimodal.decodeImageFeatures(
           frames.select(
-            (col("doc_id") * 10000 + col("frame_ms")).as("fk"), col("bytes")),
+            (col("doc_id") * span + col("frame_ms")).as("fk"), col("bytes")),
           "fk")
-        .select(expr("fk div 10000").as("doc_id"),
-          (col("fk") % 10000).as("frame_ms"),
+        .select(expr(s"fk div ${span}L").as("doc_id"),
+          (col("fk") % span).as("frame_ms"),
           col("sum_r"), col("edge_sum"))
         .orderBy("doc_id", "frame_ms")
     }),

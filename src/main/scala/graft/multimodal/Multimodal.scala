@@ -119,6 +119,16 @@ object Multimodal {
       enc(col(idCol).cast(LongType)).as("bytes"))
   }
 
+  /** ImageIO decode honoring the drop-on-undecodable contract for
+    * CORRUPT bytes too: `ImageIO.read` returns null for bytes no
+    * registered reader recognizes, but THROWS `IIOException` for a
+    * recognized-but-truncated stream — both must drop, not kill the
+    * task (the audio decoder's existing convention).
+    */
+  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException => null }
+
   /** Feature row a decoded image reduces to. All-integer so an
     * analytic oracle can match it exactly: per-channel pixel sums and
     * the vertical-edge energy (sum over vertically-adjacent pixel
@@ -146,8 +156,7 @@ object Multimodal {
         else {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img = readImageOrNull(bytes)
           if (img == null) None
           else {
             val w = img.getWidth
@@ -209,8 +218,7 @@ object Multimodal {
         if (r.isNullAt(0) || r.isNullAt(1)) None
         else {
           val id = r.getLong(0)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImageOrNull(r.getAs[Array[Byte]](1))
           if (img == null) None
           else {
             val w = img.getWidth
@@ -299,17 +307,20 @@ object Multimodal {
     * images, whose hashes collapse to a handful of values. Always
     * PNG (lossless).
     */
-  def encodeGridFixture(id: Long, base: Long): Array[Byte] = {
-    val seed = id % base
-    val flip = if (id >= base) (seed % 64).toInt else -1
+  /** Render the shared 32x32 grid-fixture geometry — an 8x8 grid of
+    * 4x4-pixel solid cells, cell (i,j) white when `bitFn(i, j) == 1`,
+    * black otherwise — as PNG bytes. ONE painter for both the image
+    * fixtures and the video frames, so the geometry their analytic
+    * oracles assume cannot diverge between the two.
+    */
+  private def paintGrid(bitFn: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0
     while (i < 8) {
       var j = 0
       while (j < 8) {
-        val bit = gridFixtureBit(seed, i, j) ^ (if (i * 8 + j == flip) 1 else 0)
-        val rgb = if (bit == 1) 0xffffff else 0x000000
+        val rgb = if (bitFn(i, j) == 1) 0xffffff else 0x000000
         var y = i * 4
         while (y < i * 4 + 4) {
           var x = j * 4
@@ -323,6 +334,13 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  def encodeGridFixture(id: Long, base: Long): Array[Byte] = {
+    val seed = id % base
+    val flip = if (id >= base) (seed % 64).toInt else -1
+    paintGrid((i, j) =>
+      gridFixtureBit(seed, i, j) ^ (if (i * 8 + j == flip) 1 else 0))
   }
 
   /** One row per input id with real PNG bytes of its grid fixture
@@ -355,8 +373,7 @@ object Multimodal {
         if (r.isNullAt(0) || r.isNullAt(1)) None
         else {
           val id = r.getLong(0)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImageOrNull(r.getAs[Array[Byte]](1))
           if (img == null) None
           else {
             val w = img.getWidth
@@ -393,30 +410,11 @@ object Multimodal {
     * per-frame statistic is closed-form. Real PNG bytes, same cell
     * geometry as [[encodeGridFixture]].
     */
-  def encodeGridVideoFrame(id: Long, f: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var i = 0
-    while (i < 8) {
-      var j = 0
-      while (j < 8) {
-        val rel = (((i * 8 + j - (id % 64)) % 64) + 64) % 64
-        val bit = gridFixtureBit(id, i, j) ^ (if (rel < f) 1 else 0)
-        val rgb = if (bit == 1) 0xffffff else 0x000000
-        var y = i * 4
-        while (y < i * 4 + 4) {
-          var x = j * 4
-          while (x < j * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
-        j += 1
-      }
-      i += 1
+  def encodeGridVideoFrame(id: Long, f: Int): Array[Byte] =
+    paintGrid { (i, j) =>
+      val rel = (((i * 8 + j - (id % 64)) % 64) + 64) % 64
+      gridFixtureBit(id, i, j) ^ (if (rel < f) 1 else 0)
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
 
   /** One row per (video id, sampled frame): `(idCol, frame_ms,
     * bytes)` — the frame-sampling explode composed with REAL per-frame
@@ -496,7 +494,10 @@ object Multimodal {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           val fmt = in.getFormat
+          // channels <= 0: a malformed fmt chunk would otherwise
+          // divide by zero below — drop like any other bad container
           if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getChannels <= 0 ||
             fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
             None
           else {
