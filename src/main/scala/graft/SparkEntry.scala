@@ -1128,6 +1128,16 @@ object SparkEntry {
         .orderBy("doc_id", "frame_ms")
     }),
 
+    // ---- extension: temperature domain mixture (tau = 1/2) ----
+    // the mC4/XLM-R mixing step: per-domain sampling weights
+    // proportional to sqrt(token count) + the integer token
+    // allocation of a fixed epoch budget — integer-exact throughout
+    // (floor-sqrt, BIGINT normalizer, integer div allocation)
+    "q161_temp_mixture" -> ((s, dir) => {
+      operators.Sampling.temperatureMixture(
+        T(s, dir, "documents"), "source", "text", budgetTokens = 1000000L)
+    }),
+
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
     // the split-across-boundaries packing discipline next to q73's
     // budget selection and packBins' greedy bins: one distributed
@@ -3511,6 +3521,18 @@ object SparkEntry {
         |  CAST(3060*d AS BIGINT) AS edge_sum
         |FROM ag JOIN ed ON ag.doc_id = ed.doc_id AND ag.f = ed.f
         |ORDER BY ag.doc_id, frame_ms""".stripMargin,
+
+    "q161_temp_mixture" ->
+      s"""WITH pd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(${TextAnalysis.tokensSql("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |sq AS (SELECT source, n_docs, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s FROM pd),
+         |tt AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM sq)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(s AS DOUBLE) / st, 6) AS weight,
+         |  CAST((1000000 * s) // st AS BIGINT) AS alloc_tokens
+         |FROM sq, tt ORDER BY source""".stripMargin,
 
     "q157_chunk_plan" ->
       """WITH tk AS (SELECT doc_id,

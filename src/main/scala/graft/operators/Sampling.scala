@@ -304,4 +304,42 @@ object Sampling {
       clusters.select(col(idCol), col("cluster_id")), "cluster_id", splits, salt)
     docs.join(assigned.select(col(idCol), col("split")), idCol)
   }
+
+  /** Temperature-based domain mixture (the mC4/XLM-R mixing step at
+    * τ = 1/2): per-domain sampling weights proportional to
+    * `sqrt(n_tokens)`, flattening the natural distribution so
+    * low-resource domains are not drowned by head domains, plus the
+    * integer token allocation of a `budgetTokens` epoch.
+    *
+    * Engineered INTEGER-EXACT so any engine reproduces every cell:
+    * `s_d = floor(sqrt(n_tokens_d))` is exact for counts below 2^52
+    * (the double sqrt is correctly rounded and the floor kills the
+    * ulp), the normalizer `Σ s_d` is a BIGINT sum, the weight is a
+    * single IEEE division rounded to 6 decimals, and the allocation
+    * `budget * s_d div Σ s_d` stays in exact integer arithmetic — no
+    * order-dependent floating-point accumulation anywhere (a
+    * `pow(n, τ)`-based general form would make the normalizer a sum
+    * of irrationals whose value depends on reduction order).
+    *
+    * Output `(groupCol, n_docs, n_tokens, weight, alloc_tokens)`; one
+    * partial-agged groupBy + a broadcast single-row total.
+    */
+  def temperatureMixture(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val perDomain = docs
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("__s", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val total = perDomain.agg(sum(col("__s")).as("__st"))
+    perDomain.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("__s").cast("double") / col("__st"), 6).as("weight"),
+        expr(s"(${budgetTokens}L * __s) div __st").as("alloc_tokens"))
+      .orderBy(groupCol)
+  }
 }

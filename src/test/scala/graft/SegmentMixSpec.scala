@@ -73,4 +73,29 @@ class SegmentMixSpec extends AnyFunSuite {
       .select("id").as[String].collect().toSet
     assert(again == kept.select("id").as[String].collect().toSet)
   }
+
+  test("temperatureMixture: sqrt flattening, exact integer allocation") {
+    // domains with 10000 / 100 / 1 tokens: natural ratios 10000:100:1,
+    // sqrt-temperature weights 100:10:1 — flattened but order-preserving
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("big", words(10000)), ("mid", words(100)), ("tiny", words(1)))
+      .toDF("source", "text")
+    val got = Sampling.temperatureMixture(docs, "source", "text", 111000L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("big")._2 == 10000L && got("mid")._2 == 100L && got("tiny")._2 == 1L)
+    // s = 100, 10, 1; st = 111
+    assert(got("big")._3 == math.rint(100.0 / 111 * 1e6) / 1e6)
+    assert(got("big")._4 == 111000L * 100 / 111)
+    assert(got("mid")._4 == 111000L * 10 / 111)
+    assert(got("tiny")._4 == 111000L * 1 / 111)
+    // flattening: weight ratio (100x) far below the natural token
+    // ratio (10000x), order preserved
+    assert(got("big")._3 > got("mid")._3 && got("mid")._3 > got("tiny")._3)
+    assert(got("big")._3 / got("tiny")._3 < 200)
+    // allocations never exceed the budget
+    assert(got.values.map(_._4).sum <= 111000L)
+  }
 }
