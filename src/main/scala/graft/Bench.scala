@@ -190,12 +190,12 @@ object Bench {
       pairsWarm.unpersist()
       // the incremental-curation cascade (q137's family): the widest
       // plan in the suite (~800 physical nodes) — warm its codegen so
-      // the first in-bench execution doesn't pay compilation. Note
-      // q137's remaining in-bench cost at sf0.1 is per-stage overhead
-      // times the 32 shuffle partitions (measured 10.6s warm at
-      // local[32] vs 2.9s at local[16] on identical data): a
-      // toy-scale artifact — at production scale those partitions
-      // carry real data — so it is warmed, not re-partitioned
+      // the first in-bench execution doesn't pay compilation. q137's
+      // steady state at sf0.1 is ~5s regardless of shuffle-partition
+      // count (measured 5.3s at 32 parts vs 5.2s at 8, same 32
+      // threads): intrinsic cascade work, not task overhead — larger
+      // in-bench readings are first-execution compilation (this
+      // warmup's target) plus VM variance
       val curDocs = docsWarm.limit(40)
       val curWarm = operators.DocPipeline.curateIncrementCached(
         operators.DocPipeline.curateState(curDocs, "doc_id", "text"),

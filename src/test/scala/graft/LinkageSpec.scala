@@ -111,4 +111,48 @@ class LinkageSpec extends AnyFunSuite {
         maxChars = 200, maxDist = 1000).collect()
     assert(all.length <= 4, "window=1 in one bucket: at most n-1 adjacent pairs")
   }
+
+  test("sortedNeighborhood: banded equi-join equals the naive reference on a random corpus") {
+    // deterministic pseudo-random corpus with skewed prefixes (many
+    // docs share a bucket) — the exact shape the (bucket, rank)
+    // equi-key rework must not change results on
+    val rnd = new scala.util.Random(42)
+    val prefixes = Seq("the quick", "the quick", "the slow", "data")
+    val docs = (1L to 120L).map { i =>
+      val p = prefixes(rnd.nextInt(prefixes.size))
+      val tail = (1 to 3 + rnd.nextInt(4)).map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
+      (i, s"$p $tail")
+    }
+    val (bucketLen, sortLen, window, maxChars, maxDist) = (4, 40, 3, 60, 25)
+    // naive reference: per-bucket sort, compare each doc against the
+    // next `window` docs in order, plain edit distance
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = docs
+      .map { case (id, t) =>
+        (t.toLowerCase.take(bucketLen), t.toLowerCase.take(sortLen), id, t.take(maxChars))
+      }
+      .groupBy(_._1).values.flatMap { bucket =>
+        val ranked = bucket.sortBy(r => (r._2, r._3))
+        for {
+          a <- ranked.indices
+          b <- (a + 1) until math.min(a + 1 + window, ranked.size)
+          dist = lev(ranked(a)._4, ranked(b)._4) if dist <= maxDist
+        } yield (math.min(ranked(a)._3, ranked(b)._3),
+          math.max(ranked(a)._3, ranked(b)._3), dist.toLong)
+      }.toSet
+    val got = graft.operators.Linkage.sortedNeighborhoodNearDup(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        bucketLen, sortLen, window, maxChars, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"banded join diverged: extra=${got -- expected}, missing=${expected -- got}")
+    assert(expected.nonEmpty, "fixture must actually produce pairs")
+  }
 }

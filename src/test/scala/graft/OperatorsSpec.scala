@@ -483,6 +483,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("s") == ((3L, 1L, 2L, "a", "c")))
   }
 
+  test("simhash pair join: integer band/bit_count path equals brute-force Hamming") {
+    // deterministic random 64-bit signatures plus planted near pairs —
+    // the integer-decode rework must reproduce exact brute-force
+    // results, including pairs found via multiple bands (dedup) and
+    // the lossless-for-hamming<=3 pigeonhole guarantee
+    val rnd = new scala.util.Random(7)
+    def randSig() = (1 to 64).map(_ => if (rnd.nextBoolean()) '1' else '0').mkString
+    def flipBits(s: String, k: Int): String = {
+      val idx = rnd.shuffle((0 until 64).toList).take(k).toSet
+      s.zipWithIndex.map { case (c, i) =>
+        if (idx(i)) (if (c == '1') '0' else '1') else c }.mkString
+    }
+    val base = (1L to 40L).map(i => (i, randSig()))
+    val incoming = base.take(10).zipWithIndex.map { case ((bid, s), k) =>
+      (100L + bid, flipBits(s, k % 4)) // hamming 0..3 from a base sig
+    } ++ (200L until 220L).map(i => (i, randSig()))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val expected = (for {
+      (nid, ns) <- incoming; (oid, os) <- base
+      h = ham(ns, os) if h <= 3
+    } yield (nid, oid, h.toLong)).toSet
+    val got = Dedup.simhashIncrementalPairsFromSigs(
+        base.toDF("doc_id", "simhash"), incoming.toDF("doc_id", "simhash"),
+        "doc_id", maxHamming = 3, sigChars = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"extra=${got -- expected}, missing=${expected -- got}")
+    assert(expected.size >= 10, "planted near pairs must be present")
+  }
+
   test("multimodal: real ImageIO encode/decode round-trips the fixture spec") {
     val ids = Seq(0L, 1L, 2L, 7L, 12L).toDF("id")
     val got = Multimodal
