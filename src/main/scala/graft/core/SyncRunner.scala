@@ -198,8 +198,10 @@ object SyncRunner {
       // bulkInsert. Per-partition commits: a failure here leaves the
       // overwrite table partially loaded (documented relaxation) —
       // re-running the sync restores it (deleteAll + reinsert).
-      if (config.dryRun) results
-      else {
+      if (config.dryRun) {
+        ops.values.foreach(_.overwriteDf.foreach(_.unpersist(false)))
+        results
+      } else {
         val counts = insertOrder.flatMap { n =>
           ops(n).overwriteDf.map { df =>
             val o = ops(n)
@@ -207,6 +209,7 @@ object SyncRunner {
             val withTs = extraTs.foldLeft(df)((d, c) =>
               d.withColumn(c, org.apache.spark.sql.functions.current_timestamp()))
             JdbcSyncWriter.appendDistributed(withTs, config.db, n)
+            df.unpersist(false) // snapshot pinned since the scale probe
             n -> o.overwriteCount
           }
         }.toMap
@@ -288,16 +291,24 @@ object SyncRunner {
         // therefore always takes the driver path, whatever its size.
         val hasDependents = config.tables.exists(_.dependencies.contains(t.name))
         val thr = config.overwriteDistributedThreshold
-        val probeCount =
+        // Persist ONE snapshot before probing: the probe, the exact
+        // count and the post-commit append otherwise each re-evaluate
+        // fileSel, so a source file rewritten mid-run could make the
+        // reported insert count disagree with the rows written. The
+        // cache pins the rows the probe saw; the append releases it.
+        val snapshot =
           if (thr > 0 && thr < Int.MaxValue - 1 && !hasDependents)
-            fileSel.limit(thr.toInt + 1).count()
-          else -1L
+            Some(fileSel.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          else None
+        val probeCount = snapshot.fold(-1L)(_.limit(thr.toInt + 1).count())
         val dbN = if (config.dryRun) dbSel.count() else 0L
         if (probeCount > thr && probeCount >= 0)
           TableOps(t, cols, pk, Nil, Nil, Nil, Nil, dbN,
-            overwriteDf = Some(fileSel), overwriteCount = fileSel.count())
+            overwriteDf = snapshot, overwriteCount = snapshot.get.count())
         else {
-          val rows = fileSel.collect()
+          val rows = snapshot.getOrElse(fileSel).collect()
+          snapshot.foreach(_.unpersist(false))
           TableOps(t, cols, pk, Nil, Nil, Nil, rows.toSeq, dbN,
             overwriteCount = rows.length.toLong)
         }

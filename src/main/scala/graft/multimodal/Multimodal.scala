@@ -122,12 +122,15 @@ object Multimodal {
   /** ImageIO decode honoring the drop-on-undecodable contract for
     * CORRUPT bytes too: `ImageIO.read` returns null for bytes no
     * registered reader recognizes, but THROWS `IIOException` for a
-    * recognized-but-truncated stream — both must drop, not kill the
-    * task (the audio decoder's existing convention).
+    * recognized-but-truncated stream — and plugin readers can throw
+    * unchecked exceptions (`ArrayIndexOutOfBoundsException`,
+    * `IllegalArgumentException`, `CMMException`) on malformed headers.
+    * All of these must drop the row, not kill the task, so the catch
+    * is `NonFatal` (the audio decoder follows the same convention).
     */
   private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
 
   /** Feature row a decoded image reduces to. All-integer so an
     * analytic oracle can match it exactly: per-channel pixel sums and
@@ -525,8 +528,11 @@ object Multimodal {
               sumAbs, maxAbs, zc))
           }
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
+          // UnsupportedAudioFileException for unrecognized containers,
+          // IOException for truncation, and NonFatal for the unchecked
+          // exceptions codec plumbing throws on malformed headers —
+          // all drop the row rather than kill the task.
+          case scala.util.control.NonFatal(_) => None
         }
       }
     }(Encoders.product[AudioFeatures])

@@ -657,7 +657,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     simhashIncrementalPairsFromSigs(
       simhash16(base, idCol, textCol),
-      simhash16(incoming, idCol, textCol), idCol, maxHamming)
+      simhash16(incoming, idCol, textCol), idCol, maxHamming, sigChars = 16)
 
   /** [[simhashIncrementalPairs]] over PRECOMPUTED `(idCol, simhash)`
     * frames — the shape an incremental curation run needs: the base
@@ -673,18 +673,29 @@ object Dedup {
     * band join meets ~n^2/16 candidate rows per band, quasi-quadratic
     * once n >> 16 — while 64 bits give 2^16 buckets per band and a
     * corpus must exceed ~65k near-identical docs per bucket before
-    * the same degradation starts.
+    * the same degradation starts. 64 is therefore the default; pass
+    * `sigChars = 16` explicitly only for legacy [[simhash16]] state
+    * tables written before the width migration.
+    *
+    * A signature whose length differs from `sigChars` would otherwise
+    * fail SILENTLY — `conv` of a short substring yields NULL words,
+    * NULL hamming, and the filter drops every pair — so each side
+    * raises per-row on a width mismatch instead.
     */
   def simhashIncrementalPairsFromSigs(
       baseSigs: DataFrame,
       incomingSigs: DataFrame,
       idCol: String,
       maxHamming: Int = 3,
-      sigChars: Int = 16): DataFrame = {
+      sigChars: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-band blocking is only lossless for maxHamming <= 3, got $maxHamming")
     require(sigChars % 4 == 0, s"sigChars must be divisible by 4, got $sigChars")
     val chunk = sigChars / 4
+    def widthChecked(sig: Column): Column =
+      when(sig.isNull || length(sig) === sigChars, sig).otherwise(raise_error(concat(
+        lit(s"simhash width mismatch: expected $sigChars chars, got "),
+        length(sig).cast("string"), lit(" — wrong sigChars for this state table?"))))
     // The bit-string signature is decoded ONCE per side into 32-bit
     // integer words (and integer band chunks): the band join then
     // shuffles 8-byte longs instead of 64-char strings, and Hamming
@@ -706,12 +717,12 @@ object Dedup {
         struct(lit(i).as("band"),
           conv(substring(sig, 1 + chunk * i, chunk), 2, 10).cast("long").as("chunk"))): _*)
     val b = baseSigs
-      .select(col(idCol).as("old_id"), col("simhash").as("__sb"))
+      .select(col(idCol).as("old_id"), widthChecked(col("simhash")).as("__sb"))
       .filter(col("__sb").isNotNull)
       .select(col("old_id") +: words(col("__sb"), "__wb") :+
         explode(bands(col("__sb"))).as("__b"): _*)
     val n = incomingSigs
-      .select(col(idCol).as("new_id"), col("simhash").as("__sn"))
+      .select(col(idCol).as("new_id"), widthChecked(col("simhash")).as("__sn"))
       .filter(col("__sn").isNotNull)
       .select(col("new_id") +: words(col("__sn"), "__wn") :+
         explode(bands(col("__sn"))).as("__b"): _*)
@@ -1085,10 +1096,14 @@ object Dedup {
     * ONE tokenization+shingle pass feeds both the MinHash signatures
     * (LSH leg) and the exact-Jaccard verify: the shingle table is
     * persisted and read by both, instead of re-running the dominant
-    * corpus-scan+md5 pipeline twice. One-shot semantics (the persist
-    * is released on JVM exit, like [[lshCandidatePairs]]).
+    * corpus-scan+md5 pipeline twice. The verified-pair frame (tiny:
+    * only qualifying pairs) is persisted and MATERIALIZED before the
+    * dominant shingle table is unpersisted — so a JVM running several
+    * ensemble consumers ([[ensembleRecallReport]], a bench) never
+    * accumulates shingle copies, and callers manage only the small
+    * pair persist through the returned [[CachedDF]].
     */
-  def ensembleNearDup(
+  def ensembleNearDupCached(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -1098,7 +1113,7 @@ object Dedup {
       snmBucketLen: Int = 4,
       snmSortLen: Int = 40,
       snmWindow: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): CachedDF = {
     val sh = shingleRows(docs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val lshC = lshCandidatePairs(
@@ -1145,7 +1160,7 @@ object Dedup {
       .join(sh.select(col(idCol).as("d2"), col("__sh")), Seq("d2", "__sh"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("__s"))
-    cand.join(shared, Seq("d1", "d2"))
+    val verified = cand.join(shared, Seq("d1", "d2"))
       .join(cnt.select(col(idCol).as("d1"), col("__n").as("__n1")), "d1")
       .join(cnt.select(col(idCol).as("d2"), col("__n").as("__n2")), "d2")
       .withColumn("jaccard", round(
@@ -1156,7 +1171,30 @@ object Dedup {
         (col("__mask").bitwiseAND(lit(2)) > 0).as("by_simhash"),
         (col("__mask").bitwiseAND(lit(4)) > 0).as("by_snm"))
       .orderBy("d1", "d2")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verified.count() // materialize so the shingle persist can go now
+    sh.unpersist(false)
+    CachedDF(verified, Seq(verified))
   }
+
+  /** One-shot [[ensembleNearDupCached]]: the dominant shingle persist
+    * is released eagerly inside the cached variant; only the tiny
+    * verified-pair persist lives until JVM exit. Long-lived sessions
+    * should hold the [[CachedDF]] and release it after their action.
+    */
+  def ensembleNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 9,
+      bands: Int = 3,
+      maxHamming: Int = 3,
+      snmBucketLen: Int = 4,
+      snmSortLen: Int = 40,
+      snmWindow: Int = 5,
+      threshold: Double = 0.5): DataFrame =
+    ensembleNearDupCached(docs, idCol, textCol, k, bands, maxHamming,
+      snmBucketLen, snmSortLen, snmWindow, threshold).df
 
   /** The blocker-recall audit [[ensembleNearDup]]'s provenance mask
     * exists for, as data: verified-pair counts per provenance
@@ -1182,14 +1220,21 @@ object Dedup {
       snmBucketLen: Int = 4,
       snmSortLen: Int = 40,
       snmWindow: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = ensembleNearDup(docs, idCol, textCol, k, bands, maxHamming,
-      snmBucketLen, snmSortLen, snmWindow, threshold)
+      threshold: Double = 0.5): DataFrame =
+    ensembleRecallFromPairs(
+      ensembleNearDup(docs, idCol, textCol, k, bands, maxHamming,
+        snmBucketLen, snmSortLen, snmWindow, threshold))
+
+  /** [[ensembleRecallReport]] over a PRECOMPUTED verified-pair frame
+    * (the [[ensembleNearDup]] output schema) — so one ensemble
+    * computation can feed both the pair listing and the recall audit
+    * without paying the 3-blocker pipeline twice in the same JVM.
+    */
+  def ensembleRecallFromPairs(pairs: DataFrame): DataFrame =
     pairs.groupBy(col("by_lsh"), col("by_simhash"), col("by_snm"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("share", round(
         col("n_pairs").cast("double") /
           sum(col("n_pairs")).over(Window.partitionBy()), 6))
       .orderBy(col("by_lsh"), col("by_simhash"), col("by_snm"))
-  }
 }

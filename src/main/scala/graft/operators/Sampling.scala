@@ -323,6 +323,14 @@ object Sampling {
     *
     * Output `(groupCol, n_docs, n_tokens, weight, alloc_tokens)`; one
     * partial-agged groupBy + a broadcast single-row total.
+    *
+    * Degenerate corpus (every domain has 0 tokens ⇒ normalizer 0)
+    * yields weight 0 / alloc 0 rather than NaN/NULL. The allocation
+    * product runs in DECIMAL(38,0): `budget ≤ 2^63 < 10^19` times
+    * `s_d = floor(sqrt(Σtokens)) < 2^32 < 10^10` is under 10^29 —
+    * exact at 38 digits, so no Long overflow is reachable for ANY
+    * budget/corpus, and the integral divide lands back in BIGINT
+    * (the quotient is ≤ budget because `s_d ≤ Σ s_d`).
     */
   def temperatureMixture(
       docs: DataFrame,
@@ -338,8 +346,13 @@ object Sampling {
     val total = perDomain.agg(sum(col("__s")).as("__st"))
     perDomain.crossJoin(broadcast(total))
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
-        round(col("__s").cast("double") / col("__st"), 6).as("weight"),
-        expr(s"(${budgetTokens}L * __s) div __st").as("alloc_tokens"))
+        when(col("__st") === 0L, lit(0.0d))
+          .otherwise(round(col("__s").cast("double") / col("__st"), 6))
+          .as("weight"),
+        when(col("__st") === 0L, lit(0L))
+          .otherwise(
+            expr(s"(cast(${budgetTokens} as decimal(38,0)) * __s) div __st"))
+          .as("alloc_tokens"))
       .orderBy(groupCol)
   }
 }

@@ -75,4 +75,26 @@ class EnsembleSpec extends AnyFunSuite {
     assert(report.keys.exists { case (_, _, snm) => !snm },
       "the SNM-blind mask combination is reported")
   }
+
+  test("cached variant: recall-from-pairs over one computation equals the standalone report") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " nu"),
+      (3L, "x" + base),
+      (4L, "completely unrelated content about rivers and mountains and oceans"))
+      .toDF("doc_id", "text")
+    val cached = Dedup.ensembleNearDupCached(docs, "doc_id", "text", threshold = 0.5)
+    try {
+      val direct = Dedup.ensembleNearDup(docs, "doc_id", "text", threshold = 0.5)
+        .collect().map(_.toSeq).toSet
+      assert(cached.df.collect().map(_.toSeq).toSet == direct,
+        "cached and one-shot pair sets agree")
+      val fromPairs = Dedup.ensembleRecallFromPairs(cached.df)
+        .collect().map(_.toSeq).toSet
+      val standalone = Dedup.ensembleRecallReport(docs, "doc_id", "text", threshold = 0.5)
+        .collect().map(_.toSeq).toSet
+      assert(fromPairs == standalone,
+        "recall audit from precomputed pairs matches the from-scratch report")
+    } finally cached.unpersist()
+  }
 }

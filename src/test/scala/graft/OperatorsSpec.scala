@@ -513,6 +513,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(expected.size >= 10, "planted near pairs must be present")
   }
 
+  test("simhash pair join: width mismatch raises loudly, nulls still drop silently") {
+    // a 16-char signature against the 64-bit default used to conv to
+    // NULL words and silently emit zero pairs — now every caller fails
+    val short = Seq((1L, "0101010101010101")).toDF("doc_id", "simhash")
+    val e = intercept[Exception] {
+      Dedup.simhashIncrementalPairsFromSigs(short, short, "doc_id").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("simhash width mismatch")),
+      s"unexpected error chain: ${msgs(e)}")
+    // the same table is fine when the width is declared, and null
+    // signatures are dropped (not raised on) either way
+    val withNull = Seq((1L, "0101010101010101"), (2L, null))
+      .toDF("doc_id", "simhash")
+    val ok = Dedup.simhashIncrementalPairsFromSigs(
+      withNull, withNull, "doc_id", sigChars = 16).collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L)))
+  }
+
   test("multimodal: real ImageIO encode/decode round-trips the fixture spec") {
     val ids = Seq(0L, 1L, 2L, 7L, 12L).toDF("id")
     val got = Multimodal

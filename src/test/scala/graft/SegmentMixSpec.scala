@@ -98,4 +98,28 @@ class SegmentMixSpec extends AnyFunSuite {
     // allocations never exceed the budget
     assert(got.values.map(_._4).sum <= 111000L)
   }
+
+  test("temperatureMixture: all-empty corpus yields weight 0 / alloc 0, not NaN/NULL") {
+    val docs = Seq(("a", ""), ("b", ""), ("b", ""))
+      .toDF("source", "text")
+    val got = Sampling.temperatureMixture(docs, "source", "text", 1000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("a") == ((0.0, 0L)) && got("b") == ((0.0, 0L)))
+  }
+
+  test("temperatureMixture: near-Long.Max budget allocates exactly, no overflow") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(("big", words(10000)), ("tiny", words(1)))
+      .toDF("source", "text")
+    val budget = Long.MaxValue - 1 // product budget*s needs 126-bit decimal
+    val got = Sampling.temperatureMixture(docs, "source", "text", budget)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    // s = 100, 1; st = 101 — exact BigInt reference
+    def exact(s: Long) =
+      (BigInt(budget) * s / 101).toLong
+    assert(got("big") == exact(100L) && got("tiny") == exact(1L))
+    assert(got.values.forall(_ >= 0L), "no wrapped negative allocation")
+  }
 }
