@@ -812,12 +812,76 @@ object Similarity {
       iters: Int): Seq[Seq[(Long, Array[Double])]] = {
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
-    (0 until m).map { mi =>
-      kmeansCentroids(
-        corpus.select(col(idCol),
-          slice(toDoubleArray(col(vecCol)), mi * sub + 1, sub).as("__sv")),
-        idCol, "__sv", ks, iters)
-    }
+    // All m subspaces train in ONE Lloyd loop over a single exploded
+    // frame (__mi, __id, __v): one checkpoint and one driver
+    // round-trip per iteration instead of m independent loops of
+    // `iters` collects each (12 jobs -> 3 at m=4/iters=3 — the PQ
+    // queries were driver-gap-bound, half their wall time between
+    // stages). Init, assignment and the micro-unit update are applied
+    // per (__mi) with the exact [[kmeansCentroids]] rules, so the
+    // books are bit-identical to per-subspace training and the
+    // oracle's per-subspace replay is untouched.
+    val cv = toDoubleArray(col(vecCol))
+    val e = corpus
+      .select(col(idCol).as("__id"), cv.as("__fv"))
+      .select(col("__id"), explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("mi"),
+          slice(col("__fv"), mi * sub + 1, sub).as("v"))): _*)).as("__s"))
+      .select(col("__s.mi").as("__mi"), col("__id"), col("__s.v").as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+      .localCheckpoint()
+    try {
+      val init = e.filter(col("__id") < ks)
+        .select(col("__mi"), col("__id"), col("__v")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      var books: Vector[Seq[(Long, Array[Double])]] = (0 until m).map(mi =>
+        init.filter(_._1 == mi).map(t => t._2 -> t._3)
+          .sortBy(_._1).toSeq).toVector
+      // ids are shared across subspaces: either every book inits or none
+      if (books.head.isEmpty) return (0 until m).map(_ => Nil)
+      for (_ <- 1 to iters) {
+        // per-subspace assignment, branching on __mi; sims bound once
+        // per row (kmeansAssigned's codegen-width discipline)
+        def simsArr(book: Seq[(Long, Array[Double])]): Column =
+          array(book.map { case (_, v) =>
+            val cn = math.sqrt(v.map(x => x * x).sum)
+            dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn))
+          }: _*)
+        def bestCid(book: Seq[(Long, Array[Double])]): Column =
+          array_min(array(book.zipWithIndex.map { case ((cid, _), i) =>
+            val s = element_at(col("__sims"), i + 1)
+            struct(
+              when(isnan(s), lit(Double.NegativeInfinity))
+                .otherwise(-s).as("negsim"),
+              lit(cid).as("cid"))
+          }: _*)).getField("cid")
+        def byMi(f: Seq[(Long, Array[Double])] => Column): Column =
+          (1 until m).foldLeft(when(col("__mi") === 0, f(books(0)))) {
+            (acc, mi) => acc.when(col("__mi") === mi, f(books(mi)))
+          }
+        val micro = e
+          .withColumn("__sims", byMi(simsArr))
+          .withColumn("__cid", byMi(bestCid))
+          .select(col("__mi"), col("__cid"), posexplode(col("__v")).as(Seq("dim", "x")))
+          .withColumn("__m", round(round(col("x"), 6) * 1e6).cast("long"))
+          .groupBy(col("__mi"), col("__cid"), col("dim"))
+          .agg(sum(col("__m")).as("__s"), count(lit(1)).as("__cnt"))
+          .select(col("__mi"), col("__cid"), col("dim"),
+            (when(col("__s") < 0, -1L).otherwise(1L) *
+              expr("(2 * abs(__s) + __cnt) div (2 * __cnt)")).as("cm"))
+          .collect()
+        books = (0 until m).map { mi =>
+          micro.filter(_.getInt(0) == mi)
+            .groupBy(_.getLong(1))
+            .map { case (cid, rs) =>
+              cid -> rs.sortBy(_.getInt(2))
+                .map(_.getLong(3).toDouble / 1e6).toArray
+            }
+            .toSeq.sortBy(_._1)
+        }.toVector
+      }
+      books
+    } finally org.apache.spark.sql.graftbridge.unpersistCheckpointed(e)
   }
 
   /** The PQ code of a sub-vector: index (position in the cid-sorted
@@ -878,10 +942,28 @@ object Similarity {
       ks: Int,
       iters: Int,
       k: Int,
+      refine: Int = 3): DataFrame =
+    pqTopKWithBooks(queries, corpus, idCol, vecCol, dims,
+      pqCodebooks(corpus, idCol, vecCol, dims, m, ks, iters), k, refine)
+
+  /** [[pqTopK]] against PRE-TRAINED codebooks — the production shape:
+    * a PQ index's books are a stored artifact trained once, reused by
+    * every search (and by incremental ingest, which must encode new
+    * vectors against the FROZEN books rather than retrain per batch).
+    */
+  def pqTopKWithBooks(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      books: Seq[Seq[(Long, Array[Double])]],
+      k: Int,
       refine: Int = 3): DataFrame = {
     require(k > 0 && refine > 0, "k and refine must be positive")
+    val m = books.size
+    require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
     val sub = dims / m
-    val books = pqCodebooks(corpus, idCol, vecCol, dims, m, ks, iters)
 
     // corpus → m small codes (the ONLY per-corpus-row state the coarse
     // pass reads; vectors are not carried)
@@ -971,11 +1053,31 @@ object Similarity {
       ivfIters: Int,
       nProbe: Int,
       k: Int,
+      refine: Int = 3): DataFrame =
+    ivfPqTopKWithIndex(queries, corpus, idCol, vecCol, dims,
+      kmeansCentroids(corpus, idCol, vecCol, nCells, ivfIters),
+      pqCodebooks(corpus, idCol, vecCol, dims, m, ks, pqIters),
+      nProbe, k, refine)
+
+  /** [[ivfPqTopK]] against a PRE-TRAINED index (coarse cells + PQ
+    * books) — see [[pqTopKWithBooks]] for why the trained artifact is
+    * a first-class input.
+    */
+  def ivfPqTopKWithIndex(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      cents: Seq[(Long, Array[Double])],
+      books: Seq[Seq[(Long, Array[Double])]],
+      nProbe: Int,
+      k: Int,
       refine: Int = 3): DataFrame = {
     require(k > 0 && refine > 0 && nProbe > 0, "k, refine, nProbe must be positive")
+    val m = books.size
+    require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
     val sub = dims / m
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, ivfIters)
-    val books = pqCodebooks(corpus, idCol, vecCol, dims, m, ks, pqIters)
     val offs = books.map(_.size).scanLeft(0)(_ + _)
 
     // corpus → (id, cell, m codes); the assigned frame's vector column

@@ -144,7 +144,13 @@ object SparseSimilarity {
     // scan + split of the full corpus
     val toks = tokenArrays(docs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The blockN-gram tf is the pipeline's most expensive frame (one
+    // explode+shuffle over every n-gram occurrence) and THREE plans
+    // read it (the df cut and both self-join sides) — unpersisted it
+    // re-runs per reader (measured 4 evaluations at 5-9 s each in the
+    // stage audit; the persist collapses them to one).
     val block = tfFromToks(toks, idCol, blockN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfq = block.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
@@ -168,15 +174,16 @@ object SparseSimilarity {
       .join(dl.select(col(idCol).as("d2"), col("dl").as("__l2")), "d2")
       .filter(least(col("__l1"), col("__l2")).cast("double") >=
         greatest(col("__l1"), col("__l2")) * threshold)
-    val overlap = sized.select("d1", "d2")
+    // (d1, d2) determines (__l1, __l2), so the lengths ride through
+    // the groupBy as extra keys (2 longs per pair) instead of two more
+    // post-aggregation joins against dl.
+    val overlap = sized
       .join(tf.select(col(idCol).as("d1"), col("term"), col("tf").as("tf1")), "d1")
       .join(tf.select(col(idCol).as("d2"), col("term"), col("tf").as("tf2")),
         Seq("d2", "term"))
-      .groupBy(col("d1"), col("d2"))
+      .groupBy(col("d1"), col("d2"), col("__l1"), col("__l2"))
       .agg(sum(least(col("tf1"), col("tf2"))).as("overlap"))
     overlap
-      .join(dl.select(col(idCol).as("d1"), col("dl").as("__l1")), "d1")
-      .join(dl.select(col(idCol).as("d2"), col("dl").as("__l2")), "d2")
       .withColumn("wjaccard", round(
         col("overlap").cast("double") /
           (col("__l1") + col("__l2") - col("overlap")).cast("double"), 6))

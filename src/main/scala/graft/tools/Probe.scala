@@ -36,9 +36,10 @@ object Probe {
       (if (args.contains("all"))
         graft.SparkEntry.queries.keys.toSeq.sorted ++ args.filterNot(_ == "all")
       else args.toSeq).distinct
+    val runs = sys.env.get("PROBE_RUNS").map(_.toInt).getOrElse(2)
     names.foreach { name =>
       val fn = extra.getOrElse(name, graft.SparkEntry.queries(name))
-      (1 to 2).foreach { i =>
+      (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
