@@ -1224,6 +1224,25 @@ object SparkEntry {
         T(s, dir, "documents"), "source", "text", budgetTokens = 1000000L)
     }),
 
+    // ---- extension: TRAIN the hashed quality classifier ----
+    // the other half of q141/q142: full-batch gradient descent on a
+    // logistic-like objective (rational fast-sigmoid link, integer
+    // micro-unit residuals -> exact BIGINT gradients), one
+    // partial-agged gradient job + a 65-row collect per epoch — the
+    // Lloyd/BPE bounded driver loop. Labels are a planted learnable
+    // rule (doc mentions "spark"), so the spec can assert the
+    // trained weights actually separate the classes
+    "q162_train_quality" -> ((s, dir) => {
+      import s.implicits._
+      val m = operators.QualityClassifier.trainHashed(
+        T(s, dir, "documents"), "doc_id", "text",
+        label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
+        buckets = 64, seed = "qtrain:", epochs = 3, lrNum = 20L, lrDen = 1L)
+      ((-1L, m.biasMilli) +:
+        m.weightsMilli.zipWithIndex.map { case (w, i) => (i.toLong, w) })
+        .toDF("bucket", "weight_milli").orderBy("bucket")
+    }),
+
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
     // the split-across-boundaries packing discipline next to q73's
     // budget selection and packBins' greedy bins: one distributed
@@ -3612,6 +3631,11 @@ object SparkEntry {
          |  round(CAST(s AS DOUBLE) / st, 6) AS weight,
          |  CAST((1000000 * s) // st AS BIGINT) AS alloc_tokens
          |FROM sq, tt ORDER BY source""".stripMargin,
+
+    "q162_train_quality" ->
+      operators.QualityClassifier.trainHashedSql("documents",
+        labelTokenSql = "spark", buckets = 64, seed = "qtrain:",
+        epochs = 3, lrNum = 20L, lrDen = 1L),
 
     "q157_chunk_plan" ->
       """WITH tk AS (SELECT doc_id,

@@ -132,6 +132,195 @@ object QualityClassifier {
     s"((($hp) % $buckets) % 2001) - 1000"
   }
 
+  /** A trained hashing-trick model: per-bucket milli-weights (index =
+    * bucket) plus the bias, the exact shape [[scoreHashed]]'s runtime
+    * path consumes (swap its derived-weight expression for an
+    * `element_at` into these).
+    */
+  final case class TrainedHashedModel(weightsMilli: Seq[Long], biasMilli: Long)
+
+  /** [[scoreHashed]] serving a TRAINED weight array: identical runtime
+    * path (hash → bucket → weight lookup → integer accumulate), with
+    * the per-bucket weight read from the broadcast literal the trainer
+    * produced instead of the derived stand-in.
+    */
+  def scoreHashedWithWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: TrainedHashedModel,
+      seed: String,
+      threshold: Double): DataFrame = {
+    val buckets = model.weightsMilli.size
+    require(buckets > 0, "empty weight array")
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val bucket =
+      Sampling.hexPrefixValue(md5(concat(lit(seed), col("term")))) % buckets
+    val scored = toks
+      .withColumn("__w",
+        element_at(typedLit(model.weightsMilli), (bucket + 1).cast("int")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), sum(col("__w")).as("__raw"))
+    finish(docs, scored, idCol, model.biasMilli, threshold)
+  }
+
+  /** TRAIN the hashed quality classifier — the "other half" that makes
+    * [[scoreLinear]]/[[scoreHashed]] a real CCNet/fastText-style filter
+    * stage instead of a scorer waiting for outside weights: full-batch
+    * gradient descent on a logistic-like objective over the
+    * hashing-trick feature space, as a BOUNDED DRIVER LOOP (the
+    * Lloyd/BPE pattern: per-epoch one partial-aggregated gradient job,
+    * one `buckets+1`-row collect, a driver weight update).
+    *
+    * Engine-exact by construction, so a SQL oracle replays the epochs
+    * as unrolled CTEs and reproduces every final weight bit-for-bit:
+    *
+    *  - Features are integer tf counts over `buckets` md5-hash buckets
+    *    (the [[scoreHashed]] bucketing); weights are integer
+    *    milli-units.
+    *  - The margin `z = (bias + Σ tf·w) / (1000·max(dl,1))` divides
+    *    exact integers once in double ([[scoreHashed]]'s own
+    *    normalization, so trained weights drop straight into it).
+    *  - The link is the RATIONAL fast sigmoid
+    *    `σ̂(z) = 0.5 + z / (2·(1+|z|))` — same monotone S-shape,
+    *    but only correctly-rounded IEEE ops (`exp` differs in the
+    *    last ulp across engines and would poison the integer replay).
+    *  - The per-document residual `(σ̂−y)/dl` is quantized to exact
+    *    micro-units BEFORE summing, so the gradient is an exact
+    *    BIGINT sum — no order-dependent float accumulation.
+    *  - The update `w ← w − sign(g)·(|g|·lrNum div (n·1000·lrDen))`
+    *    is exact integer arithmetic (the kmeans micro-unit
+    *    discipline), with the per-sample 1/n average folded in so one
+    *    learning rate works across scale factors.
+    *
+    * Scale shape: the corpus is featurized ONCE into a checkpointed
+    * `(id, bucket, tf)` frame (re-read per epoch, never re-tokenized);
+    * each epoch is two partial-aggregated shuffles (per-doc margins,
+    * per-bucket gradients) and moves `buckets+1` longs to the driver.
+    */
+  def trainHashed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      buckets: Int,
+      seed: String,
+      epochs: Int,
+      lrNum: Long,
+      lrDen: Long): TrainedHashedModel = {
+    require(buckets > 0, "buckets must be positive")
+    require(epochs >= 0, "epochs must be non-negative")
+    require(lrNum > 0 && lrDen > 0, "learning rate must be positive")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val bucket =
+      Sampling.hexPrefixValue(md5(concat(lit(seed), col("term")))) % buckets
+    val feat = toks.withColumn("__b", bucket)
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val meta = docs.select(col(idCol).as("__id"),
+        greatest(TextAnalysis.tokenCount(col(textCol)), lit(1L)).as("__dl"),
+        label.cast("long").as("__y"))
+      .localCheckpoint()
+    try {
+      val n = meta.count()
+      val w = Array.fill(buckets)(0L)
+      var b = 0L
+      val den = n * 1000L * lrDen
+      for (_ <- 1 to epochs) {
+        val wArr = typedLit(w.toSeq)
+        val dots = feat.groupBy(col("__id"))
+          .agg(sum(col("__tf") *
+            element_at(wArr, (col("__b") + 1).cast("int"))).as("__dot"))
+        val z = (lit(b) + coalesce(col("__dot"), lit(0L))).cast("double") /
+          (lit(1000.0) * col("__dl").cast("double"))
+        val resid = meta.join(dots, Seq("__id"), "left")
+          .withColumn("__z", z)
+          .withColumn("__s",
+            lit(0.5) + col("__z") / (lit(2.0) * (lit(1.0) + abs(col("__z")))))
+          .withColumn("__r", round(
+            round((col("__s") - col("__y")) / col("__dl").cast("double"), 6)
+              * 1e6).cast("long"))
+          .select(col("__id"), col("__r"))
+        val grads = feat.join(resid, "__id")
+          .select(col("__b"), (col("__tf") * col("__r")).as("__g"))
+          .unionByName(resid.select(lit(-1L).as("__b"), col("__r").as("__g")))
+          .groupBy(col("__b")).agg(sum(col("__g")).as("__g"))
+          .collect()
+        grads.foreach { r =>
+          val bk = r.getLong(0)
+          val g = r.getLong(1)
+          val step = math.abs(g) * lrNum / den
+          val delta = if (g > 0) -step else step
+          if (bk < 0) b += delta else w(bk.toInt) += delta
+        }
+      }
+      TrainedHashedModel(w.toSeq, b)
+    } finally {
+      org.apache.spark.sql.graftbridge.unpersistCheckpointed(feat)
+      org.apache.spark.sql.graftbridge.unpersistCheckpointed(meta)
+    }
+  }
+
+  /** The epoch-unrolled ANSI-SQL twin of [[trainHashed]] (DuckDB
+    * dialect), SELECTing `(bucket, weight_milli)` — bias at bucket −1.
+    * Every CTE mirrors one step of the Spark loop; generating it here
+    * keeps the two replicas of the algorithm in one file.
+    */
+  def trainHashedSql(
+      table: String,
+      labelTokenSql: String,
+      buckets: Int,
+      seed: String,
+      epochs: Int,
+      lrNum: Long,
+      lrDen: Long): String = {
+    val toksList = TextAnalysis.tokensSql("text")
+    val hex = Sampling.hexPrefixSql(s"md5('$seed' || term)")
+    val base =
+      s"""toks AS (SELECT doc_id, unnest($toksList) AS term FROM $table),
+         |feat AS (SELECT doc_id, CAST(($hex) % $buckets AS BIGINT) AS b,
+         |           CAST(count(*) AS BIGINT) AS tf
+         |         FROM toks GROUP BY 1, 2),
+         |meta AS (SELECT doc_id,
+         |           greatest(CAST(len($toksList) AS BIGINT), 1) AS dl,
+         |           CAST(list_contains($toksList, '$labelTokenSql') AS BIGINT) AS y
+         |         FROM $table),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
+         |w0 AS (SELECT CAST(range AS BIGINT) - 1 AS b, CAST(0 AS BIGINT) AS wm
+         |       FROM range(0, ${buckets + 1}))""".stripMargin
+    val epochCtes = (1 to epochs).map { k =>
+      val p = k - 1
+      s"""d$k AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS dot
+         |        FROM feat f JOIN w$p w ON w.b = f.b GROUP BY 1),
+         |r$k AS (SELECT doc_id, CAST(round(round(
+         |          ((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) / dl, 6) * 1e6)
+         |          AS BIGINT) AS r
+         |        FROM (SELECT m.doc_id, m.y, CAST(m.dl AS DOUBLE) AS dl,
+         |               CAST((SELECT wm FROM w$p WHERE b = -1)
+         |                    + COALESCE(d.dot, 0) AS DOUBLE)
+         |                 / (1000.0 * m.dl) AS z
+         |              FROM meta m LEFT JOIN d$k d ON d.doc_id = m.doc_id)),
+         |g$k AS (SELECT b, SUM(g) AS g FROM (
+         |          SELECT f.b, f.tf * r.r AS g
+         |          FROM feat f JOIN r$k r ON r.doc_id = f.doc_id
+         |          UNION ALL SELECT CAST(-1 AS BIGINT) AS b, r AS g FROM r$k)
+         |        GROUP BY 1),
+         |w$k AS (SELECT w.b, w.wm - CASE
+         |          WHEN COALESCE(g.g, 0) > 0
+         |            THEN (abs(g.g) * $lrNum) // (nn.n * 1000 * $lrDen)
+         |          WHEN COALESCE(g.g, 0) < 0
+         |            THEN -((abs(g.g) * $lrNum) // (nn.n * 1000 * $lrDen))
+         |          ELSE 0 END AS wm
+         |        FROM w$p w LEFT JOIN g$k g ON g.b = w.b CROSS JOIN nn)""".stripMargin
+    }
+    s"""WITH $base,
+       |${epochCtes.mkString(",\n")}
+       |SELECT b AS bucket, CAST(wm AS BIGINT) AS weight_milli
+       |FROM w$epochs ORDER BY bucket""".stripMargin
+  }
+
   private def finish(
       docs: DataFrame,
       scored: DataFrame,

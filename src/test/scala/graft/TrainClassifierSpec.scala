@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{QualityClassifier, TextAnalysis}
+
+/** Training the hashed quality classifier: the bounded driver loop
+  * learns weights that actually separate planted good/bad classes, and
+  * the trained model round-trips into the serving paths
+  * (scoreHashedWithWeights and the per-row scoreExpr).
+  */
+class TrainClassifierSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // planted two-vocabulary corpus: positives speak quality words,
+  // negatives speak junk words, with a shared neutral background
+  private val rnd = new scala.util.Random(11)
+  private def doc(pos: Boolean): String = {
+    val own = if (pos) Seq("signal", "quality", "insight") else Seq("junk", "spamspam", "noise")
+    val shared = Seq("the", "a", "data", "row")
+    (1 to 30).map { _ =>
+      if (rnd.nextBoolean()) own(rnd.nextInt(own.size))
+      else shared(rnd.nextInt(shared.size))
+    }.mkString(" ")
+  }
+  private lazy val corpus = (0L until 200L)
+    .map(i => (i, doc(i % 2 == 0), i % 2 == 0))
+    .toDF("doc_id", "text", "is_good")
+
+  test("trained weights separate the planted classes through the serving path") {
+    val m = QualityClassifier.trainHashed(corpus, "doc_id", "text",
+      label = col("is_good"), buckets = 64, seed = "spec:",
+      epochs = 4, lrNum = 50L, lrDen = 1L)
+    assert(m.weightsMilli.size == 64)
+    assert(m.weightsMilli.exists(_ != 0L), "training moved some weight")
+    val scored = QualityClassifier
+      .scoreHashedWithWeights(corpus, "doc_id", "text", m, "spec:", threshold = 0.0)
+      .join(corpus.select("doc_id", "is_good"), "doc_id")
+      .select(col("is_good"), col("score"))
+      .collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1))
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    val mid = (pos.sum / pos.size + neg.sum / neg.size) / 2
+    assert(pos.sum / pos.size > neg.sum / neg.size,
+      "positive class must score above negative on average")
+    val acc = (pos.count(_ >= mid) + neg.count(_ < mid)).toDouble / scored.length
+    assert(acc >= 0.95, s"midpoint-threshold accuracy $acc below 0.95")
+  }
+
+  test("zero epochs is the null model; training is deterministic across runs") {
+    val z = QualityClassifier.trainHashed(corpus, "doc_id", "text",
+      label = col("is_good"), buckets = 16, seed = "spec:",
+      epochs = 0, lrNum = 50L, lrDen = 1L)
+    assert(z.weightsMilli.forall(_ == 0L) && z.biasMilli == 0L)
+    val a = QualityClassifier.trainHashed(corpus, "doc_id", "text",
+      label = col("is_good"), buckets = 16, seed = "spec:",
+      epochs = 2, lrNum = 50L, lrDen = 1L)
+    val b = QualityClassifier.trainHashed(corpus, "doc_id", "text",
+      label = col("is_good"), buckets = 16, seed = "spec:",
+      epochs = 2, lrNum = 50L, lrDen = 1L)
+    assert(a == b, "bit-identical weights on replay")
+  }
+
+  test("trained vocabulary round-trips into the per-row scoreExpr filter") {
+    // project the bucket weights back onto an explicit vocabulary:
+    // each term's weight is its bucket's trained weight — scoreExpr
+    // then scores EXACTLY like the hashed path on texts whose tokens
+    // are all in the vocabulary (same buckets, same milli arithmetic)
+    val m = QualityClassifier.trainHashed(corpus, "doc_id", "text",
+      label = col("is_good"), buckets = 64, seed = "spec:",
+      epochs = 4, lrNum = 50L, lrDen = 1L)
+    val vocab = Seq("signal", "quality", "insight", "junk", "spamspam",
+      "noise", "the", "a", "data", "row")
+    val bucketOf = corpus.sparkSession.range(1)
+      .select(vocab.map(t => operators.Sampling
+        .hexPrefixValue(md5(concat(lit("spec:"), lit(t)))).mod(64).as(t)): _*)
+      .collect()(0)
+    val weights = vocab.zipWithIndex.map { case (t, i) =>
+      t -> m.weightsMilli(bucketOf.getLong(i).toInt)
+    }
+    val model = QualityClassifier.LinearModel(weights, m.biasMilli, threshold = 0.0)
+    val viaExpr = corpus
+      .select(col("doc_id"), QualityClassifier.scoreExpr(col("text"), model).as("score"))
+    val viaHashed = QualityClassifier
+      .scoreHashedWithWeights(corpus, "doc_id", "text", m, "spec:", threshold = 0.0)
+      .select(col("doc_id"), col("score"))
+    val joined = viaExpr.join(viaHashed.withColumnRenamed("score", "score2"), "doc_id")
+      .filter(col("score") =!= col("score2")).count()
+    assert(joined == 0L,
+      "scoreExpr over the projected vocabulary equals the hashed serving path")
+  }
+}
