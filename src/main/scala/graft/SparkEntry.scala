@@ -1156,6 +1156,55 @@ object SparkEntry {
         .orderBy("new_id", "old_id")
     }),
 
+    // ---- extension: audio near-dup via energy fingerprint ----
+    // the audio leg of the modality-blind dedup family: REAL WAV
+    // decode -> 64-window energy hash in the simhash64 bit-string
+    // convention -> the SAME pigeonhole Hamming join as text/images.
+    // Fixtures PLANT the structure (id 120+k = id k's clip with one
+    // window's amplitude flipped -> Hamming exactly 1); the oracle
+    // replays the bits analytically from the loud/quiet md5 pattern
+    // it cannot decode
+    "q163_audio_neardup" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id")
+      def hashes(lo: Long, hi: Long) =
+        graft.multimodal.Multimodal.audioEnergyHash(
+          graft.multimodal.Multimodal.audioGridFixtures(
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi), "doc_id",
+            base = 120L),
+          "doc_id")
+      Dedup.simhashIncrementalPairsFromSigs(
+          hashes(0L, 120L), hashes(120L, 160L), "doc_id",
+          maxHamming = 3, sigChars = 64)
+        .orderBy("new_id", "old_id")
+    }),
+
+    // ---- extension: video near-dup via per-frame majority hash ----
+    // the video leg: frame-sampling explode -> REAL per-frame PNG
+    // decode -> per-frame grid hash -> bitwise MAJORITY across frames
+    // (integer-exact, ties to 1) -> one simhash64 per video into the
+    // same Hamming join. Twins flip one motion-untouched cell in
+    // every frame -> majority differs in exactly that bit
+    "q164_video_neardup" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select("doc_id")
+      val (nFrames, everyMs) = (8, 250L)
+      val span = nFrames * everyMs
+      def hashes(lo: Long, hi: Long) = {
+        val frames = graft.multimodal.Multimodal.videoNearDupFixtures(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), "doc_id",
+          base = 120L, nFrames, everyMs)
+        val perFrame = graft.multimodal.Multimodal.imageGridHash(
+            frames.select(
+              (col("doc_id") * span + col("frame_ms")).as("fk"), col("bytes")),
+            "fk")
+          .select(expr(s"fk div ${span}L").as("doc_id"), col("simhash"))
+        graft.multimodal.Multimodal.majorityHash(perFrame, "doc_id")
+      }
+      Dedup.simhashIncrementalPairsFromSigs(
+          hashes(0L, 120L), hashes(120L, 160L), "doc_id",
+          maxHamming = 3, sigChars = 64)
+        .orderBy("new_id", "old_id")
+    }),
+
     // ---- extension: image resize (nearest, integer mapping) ----
     // the preprocessing step before feature extraction: decode ->
     // nearest-neighbor resample by pure integer division (no Java2D
@@ -3544,6 +3593,68 @@ object SparkEntry {
          |       unnest(generate_series(0, 7)) AS v(j)),
          |sigs AS (SELECT doc_id, string_agg(b, '' ORDER BY i, j) AS s
          |  FROM bits GROUP BY doc_id)
+         |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         |  CAST($ham AS BIGINT) AS hamming
+         |FROM sigs n JOIN sigs o
+         |  ON n.doc_id >= 120 AND o.doc_id < 120 AND ($ham) <= 3
+         |ORDER BY new_id, old_id""".stripMargin
+    },
+
+    // audio near-dup twin: window w of seed = id % 120 is loud/quiet
+    // by md5("seed:w") parity, incoming ids flip window seed % 64;
+    // with loud windows strictly above the clip-mean energy and quiet
+    // strictly below, the energy hash IS the bit pattern — then the
+    // q156-style Hamming join
+    "q163_audio_neardup" -> {
+      val ham = (1 to 64).map(j =>
+        s"(CASE WHEN substring(n.s, $j, 1) <> substring(o.s, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ids AS (SELECT doc_id, doc_id % 120 AS seed,
+         |    CASE WHEN doc_id >= 120 THEN (doc_id % 120) % 64 ELSE -1 END AS flip
+         |  FROM documents WHERE doc_id < 160),
+         |bits AS (SELECT doc_id, w,
+         |    CASE WHEN ((strpos('0123456789abcdef',
+         |          substring(md5(seed || ':' || w), 1, 1)) - 1) % 2
+         |        + CASE WHEN w = flip THEN 1 ELSE 0 END) % 2 = 1
+         |      THEN '1' ELSE '0' END AS b
+         |  FROM ids, unnest(generate_series(0, 63)) AS u(w)),
+         |sigs AS (SELECT doc_id, string_agg(b, '' ORDER BY w) AS s
+         |  FROM bits GROUP BY doc_id)
+         |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         |  CAST($ham AS BIGINT) AS hamming
+         |FROM sigs n JOIN sigs o
+         |  ON n.doc_id >= 120 AND o.doc_id < 120 AND ($ham) <= 3
+         |ORDER BY new_id, old_id""".stripMargin
+    },
+
+    // video near-dup twin: per-cell closed-form majority across the 8
+    // frames — cell c is motion-flipped in 7-rel of them (rel =
+    // (c - seed%64) mod 64, m = 0 past the motion span), so ones =
+    // b ? 8-m : m and the majority bit needs no frame table at all;
+    // incoming ids flip cell (seed%64 + 40) mod 64 in every frame
+    "q164_video_neardup" -> {
+      val ham = (1 to 64).map(j =>
+        s"(CASE WHEN substring(n.s, $j, 1) <> substring(o.s, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ids AS (SELECT doc_id, doc_id % 120 AS seed,
+         |    CASE WHEN doc_id >= 120
+         |      THEN ((doc_id % 120) % 64 + 40) % 64 ELSE -1 END AS extra
+         |  FROM documents WHERE doc_id < 160),
+         |cells AS (SELECT doc_id, i, j,
+         |    ((strpos('0123456789abcdef',
+         |        substring(md5(seed || ':' || i || ':' || j), 1, 1)) - 1) % 2
+         |      + CASE WHEN i*8 + j = extra THEN 1 ELSE 0 END) % 2 AS b,
+         |    (((i*8 + j - seed % 64) % 64) + 64) % 64 AS rel
+         |  FROM ids, unnest(generate_series(0, 7)) AS u(i),
+         |       unnest(generate_series(0, 7)) AS v(j)),
+         |maj AS (SELECT doc_id, i, j,
+         |    CASE WHEN 2 * (CASE WHEN b = 1
+         |        THEN 8 - (CASE WHEN rel <= 7 THEN 7 - rel ELSE 0 END)
+         |        ELSE (CASE WHEN rel <= 7 THEN 7 - rel ELSE 0 END) END) >= 8
+         |      THEN '1' ELSE '0' END AS mb
+         |  FROM cells),
+         |sigs AS (SELECT doc_id, string_agg(mb, '' ORDER BY i, j) AS s
+         |  FROM maj GROUP BY doc_id)
          |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
          |  CAST($ham AS BIGINT) AS hamming
          |FROM sigs n JOIN sigs o

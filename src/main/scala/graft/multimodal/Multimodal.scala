@@ -433,6 +433,199 @@ object Multimodal {
         enc(col(idCol).cast(LongType), (col("frame_ms") / everyMs).cast("int")))
   }
 
+  /** Window-amplitude bit of the audio grid fixture: md5 parity over
+    * `"seed:w"` — the audio twin of [[gridFixtureBit]] (different
+    * arity, so the two fixture families can never collide on a seed).
+    */
+  def audioGridBit(seed: Long, w: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$w".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) >> 4) & 0xf) % 2
+  }
+
+  /** Deterministic WAV fixture with PLANTED near-dup structure — the
+    * audio twin of [[encodeGridFixture]]: 64 windows of `nPerWin`
+    * samples; window `w` carries a fixed sawtooth
+    * `((17·k mod 64) − 32)` scaled by 900 (loud) or 100 (quiet)
+    * according to [[audioGridBit]] of `seed = id % base`; ids
+    * `>= base` flip the single window `seed % 64`. Under
+    * [[audioEnergyHash]] every loud window sits above the clip's mean
+    * window energy and every quiet one below (the mean is strictly
+    * between for any mixed pattern), so the hash IS the bit pattern
+    * and each incoming clip is at Hamming distance exactly 1 from its
+    * base twin, ~32 from everything else. PCM16LE mono in a real RIFF
+    * container ([[encodeWavFixture]]'s header).
+    */
+  def encodeWavGridFixture(
+      id: Long, base: Long, nPerWin: Int = 32, rate: Int = 8000): Array[Byte] = {
+    val seed = id % base
+    val flip = if (id >= base) (seed % 64).toInt else -1
+    val n = 64 * nPerWin
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var w = 0
+    while (w < 64) {
+      val amp = if ((audioGridBit(seed, w) ^ (if (w == flip) 1 else 0)) == 1) 900 else 100
+      var k = 0
+      while (k < nPerWin) {
+        bb.putShort((amp * ((17 * k % 64) - 32)).toShort)
+        k += 1
+      }
+      w += 1
+    }
+    bb.array()
+  }
+
+  /** One row per id with [[encodeWavGridFixture]] bytes (deterministic
+    * UDF, the [[gridFixtureImages]] shape).
+    */
+  def audioGridFixtures(ids: DataFrame, idCol: String, base: Long): DataFrame = {
+    val enc = udf((id: Long) => encodeWavGridFixture(id, base))
+    ids.select(col(idCol), enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
+  /** Per-clip 64-bit energy fingerprint — the audio member of the
+    * `simhash64` convention: decode (PCM16LE, channels folded like
+    * [[decodeAudioFeatures]]), split the sample stream into 64
+    * consecutive windows by INTEGER ranges `[w·n/64, (w+1)·n/64)`,
+    * and set bit `w` when the window's absolute-amplitude sum meets
+    * the clip mean — cross-multiplied exact integers
+    * (`winAbs·n >= totalAbs·winLen`, BigInt so no clip length can
+    * overflow), zero floating point, so a SQL oracle replays the bits
+    * from a closed-form sample formula without parsing RIFF.
+    *
+    * Output `(idCol, simhash)` in [[graft.operators.Dedup.simhash64]]'s
+    * 64-char bit-string convention: audio near-dup rides the SAME
+    * pigeonhole Hamming join as text and images
+    * ([[graft.operators.Dedup.simhashIncrementalPairsFromSigs]],
+    * `sigChars = 64`) — blobs never shuffle, only the 64-bit
+    * fingerprint flows on. Undecodable bytes and clips shorter than
+    * 64 samples drop.
+    */
+  def audioEnergyHash(
+      df: DataFrame, idCol: String, bytesCol: String = "bytes"): DataFrame = {
+    val input = df.select(col(idCol).cast(LongType), col(bytesCol))
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else try {
+          val id = r.getLong(0)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getChannels <= 0 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            None
+          else {
+            val data = in.readAllBytes()
+            val nCh = fmt.getChannels
+            val n = data.length / 2 / nCh
+            if (n < 64) None
+            else {
+              val absArr = new Array[Long](n)
+              var total = 0L
+              var t = 0
+              while (t < n) {
+                var v = 0; var c = 0
+                while (c < nCh) {
+                  val o = (t * nCh + c) * 2
+                  v += ((data(o) & 0xff) | (data(o + 1) << 8))
+                  c += 1
+                }
+                val a = math.abs(v.toLong)
+                absArr(t) = a
+                total += a
+                t += 1
+              }
+              val sb = new java.lang.StringBuilder(64)
+              var w = 0
+              while (w < 64) {
+                val lo = w * n / 64; val hi = (w + 1) * n / 64
+                var s = 0L
+                var k = lo
+                while (k < hi) { s += absArr(k); k += 1 }
+                val bit = BigInt(s) * n >= BigInt(total) * (hi - lo)
+                sb.append(if (bit) '1' else '0')
+                w += 1
+              }
+              Some((id, sb.toString))
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+      }
+    }(Encoders.product[(Long, String)])
+      .toDF(idCol, "simhash")
+  }
+
+  /** Twin-planted video frame: [[encodeGridVideoFrame]] of
+    * `seed = id % base` with, for ids `>= base`, ONE extra cell
+    * (`(seed%64 + 40) mod 64` — outside the motion span, so the
+    * majority vote is untouched by frame dynamics) flipped in EVERY
+    * frame. Bitwise majority across frames then differs from the base
+    * video in exactly that cell.
+    */
+  def encodeGridVideoFrameTwin(seed: Long, f: Int, extraFlip: Int): Array[Byte] =
+    paintGrid { (i, j) =>
+      val rel = (((i * 8 + j - (seed % 64)) % 64) + 64) % 64
+      gridFixtureBit(seed, i, j) ^ (if (rel < f) 1 else 0) ^
+        (if (i * 8 + j == extraFlip) 1 else 0)
+    }
+
+  /** One row per (id, sampled frame) with [[encodeGridVideoFrameTwin]]
+    * bytes: ids `< base` are originals, ids `>= base` planted twins.
+    */
+  def videoNearDupFixtures(ids: DataFrame, idCol: String, base: Long,
+      nFrames: Int = 8, everyMs: Long = 250L): DataFrame = {
+    val enc = udf { (id: Long, f: Int) =>
+      val seed = id % base
+      val extra = if (id >= base) (((seed % 64) + 40) % 64).toInt else -1
+      encodeGridVideoFrameTwin(seed, f, extra)
+    }
+    ids.select(col(idCol), explode(sequence(
+        lit(0L), lit((nFrames - 1) * everyMs), lit(everyMs))).as("frame_ms"))
+      .withColumn("bytes",
+        enc(col(idCol).cast(LongType), (col("frame_ms") / everyMs).cast("int")))
+  }
+
+  /** Reduce per-frame fingerprints to ONE per-video signature by
+    * bitwise MAJORITY (ties to 1: `2·ones >= nFrames`) — integer-exact,
+    * so the oracle derives it closed-form. Input is any frame-level
+    * `(idCol, simhash)` frame (e.g. [[imageGridHash]] over sampled
+    * frames); output `(idCol, simhash)` joins into the same
+    * `sigChars = 64` pigeonhole Hamming machinery as text, image and
+    * audio fingerprints — the whole dedup family is modality-blind
+    * past this point. Relational shape: one explode to (id, pos, bit)
+    * — 64·nFrames small rows per video, never pixels — one
+    * partial-agged majority groupBy, one ordered re-assembly.
+    */
+  def majorityHash(
+      frameSigs: DataFrame, idCol: String, sigChars: Int = 64): DataFrame =
+    frameSigs
+      .select(col(idCol), col("simhash"))
+      .withColumn("__p", explode(sequence(lit(1), lit(sigChars))))
+      .withColumn("__b", expr("substring(simhash, __p, 1)"))
+      .groupBy(col(idCol), col("__p"))
+      .agg(sum(when(col("__b") === "1", 1L).otherwise(0L)).as("__ones"),
+        count(lit(1)).as("__n"))
+      .withColumn("__bit",
+        when(col("__ones") * 2 >= col("__n"), lit("1")).otherwise(lit("0")))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__p"), col("__bit")))),
+          x => x.getField("__bit")),
+        "").as("simhash"))
+
   /** Deterministic WAV fixture for `id`: PCM16LE mono at `rate` Hz,
     * `n` samples, sample `t` = `((id*37 + t*17) mod 2048) - 1024` — a
     * sawtooth whose every derived statistic is closed-form, so a SQL

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
+
+/** Audio and video fingerprints feed the modality-blind simhash64
+  * Hamming join: planted twins land at distance exactly 1, everything
+  * else stays far, and the hashes equal their closed forms.
+  */
+class MultimodalNearDupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("audioEnergyHash of the grid fixture IS the md5 loud/quiet pattern") {
+    val ids = (0L until 10L).toDF("id")
+    val got = Multimodal
+      .audioEnergyHash(Multimodal.audioGridFixtures(ids, "id", base = 120L), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 10)
+    (0L until 10L).foreach { id =>
+      val expect = (0 until 64)
+        .map(w => if (Multimodal.audioGridBit(id, w) == 1) '1' else '0').mkString
+      assert(got(id) == expect, s"clip $id hash != md5 pattern")
+    }
+  }
+
+  test("planted audio twins: Hamming exactly 1 via the pigeonhole join, no cross pairs") {
+    val base = (0L until 30L).toDF("id")
+    val twins = (120L until 150L).toDF("id")
+    def h(df: org.apache.spark.sql.DataFrame) = Multimodal.audioEnergyHash(
+      Multimodal.audioGridFixtures(df, "id", base = 120L), "id")
+    val pairs = Dedup.simhashIncrementalPairsFromSigs(
+        h(base), h(twins), "id", maxHamming = 3, sigChars = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 30, s"expected 30 planted pairs, got ${pairs.length}")
+    pairs.foreach { case (nid, oid, ham) =>
+      assert(oid == nid - 120L && ham == 1L, s"unexpected pair ($nid,$oid,$ham)")
+    }
+  }
+
+  test("majorityHash: bitwise majority with ties to 1, order-stable reassembly") {
+    val sigs = Seq(
+      (1L, "1" + "0" * 63),
+      (1L, "1" + "0" * 62 + "1"),
+      (1L, "0" + "0" * 62 + "1"),
+      (1L, "0" + "0" * 63)) // bit 1: 2/4 tie -> 1; bit 64: 2/4 tie -> 1
+      .toDF("id", "simhash")
+    val got = Multimodal.majorityHash(sigs, "id").collect()
+    assert(got.length == 1)
+    assert(got(0).getString(1) == "1" + "0" * 62 + "1")
+  }
+
+  test("planted video twins: per-frame hash + majority -> Hamming exactly 1") {
+    val ids = ((0L until 15L) ++ (120L until 135L)).toDF("id")
+    val (nFrames, everyMs) = (8, 250L)
+    val span = nFrames * everyMs
+    val frames = Multimodal.videoNearDupFixtures(ids, "id", base = 120L,
+      nFrames, everyMs)
+    val perFrame = Multimodal.imageGridHash(
+        frames.select((col("id") * span + col("frame_ms")).as("fk"), col("bytes")),
+        "fk")
+      .select(expr(s"fk div ${span}L").as("id"), col("simhash"))
+    val sigs = Multimodal.majorityHash(perFrame, "id")
+    val pairs = Dedup.simhashIncrementalPairsFromSigs(
+        sigs.filter(col("id") < 120), sigs.filter(col("id") >= 120),
+        "id", maxHamming = 3, sigChars = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 15, s"expected 15 planted pairs, got ${pairs.length}")
+    pairs.foreach { case (nid, oid, ham) =>
+      assert(oid == nid - 120L && ham == 1L, s"unexpected pair ($nid,$oid,$ham)")
+    }
+  }
+}
