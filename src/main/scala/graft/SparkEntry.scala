@@ -942,6 +942,30 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: frozen-codebook incremental ANN ingest ----
+    // the growing-corpus shape a 100 TB embedding store needs: the PQ
+    // index's books train ONCE on the base corpus and freeze; a new
+    // batch is encoded against the frozen books (pqEncodeCodes — work
+    // proportional to the BATCH, never the corpus) and its codes
+    // union with the stored base codes; queries from the new batch
+    // search the union through the stored-codes ADC path. Re-training
+    // per batch is the anti-pattern this exists to avoid
+    "q165_pq_ingest" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") < 400)
+      val inc = e.filter(col("vec_id") >= 400)
+      val books = Similarity.pqCodebooks(base, "vec_id", "embedding",
+        dims = 64, m = 4, ks = 16, iters = 3)
+      val stateCodes = Similarity.pqEncodeCodes(base, "vec_id", "embedding", 64, books)
+      val incCodes = Similarity.pqEncodeCodes(inc, "vec_id", "embedding", 64, books)
+      Similarity.pqSearchWithCodes(
+          e.filter(col("vec_id") >= 400 && col("vec_id") < 420),
+          stateCodes.unionByName(incCodes), e, "vec_id", "embedding",
+          dims = 64, books, k = 3, refine = 3)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- extension: segment-level (CCNet-style) boilerplate dedup ----
     // the sub-document twin of q20 exact dedup: 8-token segments that
     // repeat across >1 documents (headers, nav text, license blocks)
@@ -2316,9 +2340,10 @@ object SparkEntry {
     * same exact micro-unit Lloyd updates.
     */
   private def pqKmeansCtesSql(
-      ks: Int, iters: Int, sub: Int, off: Int, p: String): String = {
+      ks: Int, iters: Int, sub: Int, off: Int, p: String,
+      trainFilter: String = "TRUE"): String = {
     val sb = new StringBuilder
-    sb ++= s"""${p}nn AS (SELECT vec_id, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${off + 1}, ${off + sub}) AS v FROM embeddings),
+    sb ++= s"""${p}nn AS (SELECT vec_id, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${off + 1}, ${off + sub}) AS v FROM embeddings WHERE $trainFilter),
               |${p}n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ${p}nn),
               |${p}c0 AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM ${p}nn WHERE vec_id < $ks),
               |""".stripMargin
@@ -2353,10 +2378,20 @@ object SparkEntry {
     */
   private def pqAdcOracle(
       m: Int, ks: Int, iters: Int, sub: Int, nQueries: Int, k: Int,
-      refine: Int): String = {
+      refine: Int, trainFilter: String = "TRUE",
+      queryFilter: Option[String] = None): String = {
     val books = (0 until m)
-      .map(mi => pqKmeansCtesSql(ks, iters, sub, mi * sub, s"p$mi"))
+      .map(mi => pqKmeansCtesSql(ks, iters, sub, mi * sub, s"p$mi", trainFilter))
       .mkString(",\n")
+    // encode sources span the FULL corpus regardless of trainFilter:
+    // frozen-book ingest (q165) trains on the base slice but encodes
+    // every vector, so enc reads a full-corpus sub-vector view, not
+    // the (possibly filtered) training view
+    val encSrcs = (0 until m).map { mi =>
+      val sl = s"list_slice(v, ${mi * sub + 1}, ${mi * sub + sub})"
+      s"""p${mi}e AS (SELECT vec_id, $sl AS v,
+         |  sqrt(list_dot_product($sl, $sl)) AS nrm FROM ev)""".stripMargin
+    }.mkString(",\n")
     // NaN maps to -Infinity before the DESC sort (never chosen),
     // matching pqCode's +Infinity negated-sim guard: DuckDB would
     // otherwise sort NaN FIRST under DESC while the Spark side sorts
@@ -2369,7 +2404,7 @@ object SparkEntry {
          |      ORDER BY CASE WHEN isnan(list_dot_product(n.v, c.cv) / (n.nrm * c.cn))
          |        THEN CAST('-Infinity' AS DOUBLE)
          |        ELSE list_dot_product(n.v, c.cv) / (n.nrm * c.cn) END DESC, c.cid) AS rn
-         |  FROM p${mi}n2 n CROSS JOIN p${mi}c$iters c) t WHERE rn = 1)""".stripMargin
+         |  FROM p${mi}e n CROSS JOIN p${mi}c$iters c) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val adExpr = (0 until m).map(mi =>
       s"list_dot_product(list_slice(q.v, ${mi * sub + 1}, ${mi * sub + sub}), c$mi.cv)")
@@ -2381,6 +2416,7 @@ object SparkEntry {
     s"""WITH $books,
        |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM ev),
+       |$encSrcs,
        |$encs,
        |cand AS (SELECT qid, nbr, CAST(rn AS BIGINT) AS coarse_rank FROM (
        |  SELECT q.vec_id AS qid, x.vec_id AS nbr,
@@ -2389,7 +2425,7 @@ object SparkEntry {
        |  FROM en q
        |  JOIN en x ON x.vec_id <> q.vec_id
        |$encJoins
-       |  WHERE q.vec_id < $nQueries) t WHERE rn <= ${k * refine}),
+       |  WHERE ${queryFilter.getOrElse(s"q.vec_id < $nQueries")}) t WHERE rn <= ${k * refine}),
        |ex AS (SELECT cand.qid, cand.nbr, cand.coarse_rank,
        |         list_dot_product(q.v, x.v) / (q.vn * x.vn) AS sim
        |       FROM cand JOIN en q ON q.vec_id = cand.qid
@@ -3177,6 +3213,14 @@ object SparkEntry {
     "q149_ivfpq" ->
       ivfPqOracle(m = 4, ks = 16, pqIters = 3, sub = 16, nCells = 8,
         ivfIters = 3, nProbe = 2, nQueries = 20, k = 3, refine = 3),
+
+    // frozen-codebook ingest: books train on the base slice only, enc
+    // spans the full corpus (the p{mi}e views), queries come from the
+    // ingested batch — otherwise q144's exact CTE structure
+    "q165_pq_ingest" ->
+      pqAdcOracle(m = 4, ks = 16, iters = 3, sub = 16, nQueries = 20,
+        k = 3, refine = 3, trainFilter = "vec_id < 400",
+        queryFilter = Some("q.vec_id >= 400 AND q.vec_id < 420")),
 
     "q114_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -959,19 +959,53 @@ object Similarity {
       dims: Int,
       books: Seq[Seq[(Long, Array[Double])]],
       k: Int,
+      refine: Int = 3): DataFrame =
+    pqSearchWithCodes(queries,
+      pqEncodeCodes(corpus, idCol, vecCol, dims, books),
+      corpus, idCol, vecCol, dims, books, k, refine)
+
+  /** Corpus → `(nbr, __code_0..__code_{m−1})` against FROZEN books —
+    * the PQ index's per-row state, exposed so incremental ingest can
+    * encode only the NEW batch and union it with stored codes instead
+    * of re-encoding (or worse, re-training on) the whole corpus per
+    * batch. Same assignment + tie rule as training ([[pqCode]]), so a
+    * training vector encodes to the cell it trained in.
+    */
+  def pqEncodeCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      books: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
+    val m = books.size
+    require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
+    val sub = dims / m
+    val cv = toDoubleArray(col(vecCol))
+    corpus.select(
+      col(idCol).as("nbr") +:
+        (0 until m).map(mi =>
+          pqCode(slice(cv, mi * sub + 1, sub), books(mi)).as(s"__code_$mi")): _*)
+  }
+
+  /** ADC search over a PRECOMPUTED codes frame ([[pqEncodeCodes]]'s
+    * schema): the coarse pass reads only the codes — the stored index
+    * state — while `corpus` supplies float vectors for the exact
+    * rescore of the surfaced candidates alone.
+    */
+  def pqSearchWithCodes(
+      queries: DataFrame,
+      codes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      books: Seq[Seq[(Long, Array[Double])]],
+      k: Int,
       refine: Int = 3): DataFrame = {
     require(k > 0 && refine > 0, "k and refine must be positive")
     val m = books.size
     require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
     val sub = dims / m
-
-    // corpus → m small codes (the ONLY per-corpus-row state the coarse
-    // pass reads; vectors are not carried)
-    val cv = toDoubleArray(col(vecCol))
-    val codes = corpus.select(
-      col(idCol).as("nbr") +:
-        (0 until m).map(mi =>
-          pqCode(slice(cv, mi * sub + 1, sub), books(mi)).as(s"__code_$mi")): _*)
 
     // query → LUT of sub-dots + its own norm. The flat layout offsets
     // by ACTUAL book sizes, not ks: Lloyd drops cells that go empty,

@@ -82,4 +82,44 @@ class PqSpec extends AnyFunSuite {
         s"query ${r.getLong(0)} pulled cross-cluster neighbor ${r.getLong(2)}")
     }
   }
+
+  test("frozen-codebook ingest: books byte-identical, batch-only encode, union searchable") {
+    // split INSIDE cluster 3 (base sees 30-34, the batch brings
+    // 35-39): frozen books must represent a cluster to route to it —
+    // a wholly-novel cluster degrading under frozen books is expected
+    // PQ behavior, not what this test probes
+    val base = corpus.filter(col("vec_id") < 35)
+    val inc = corpus.filter(col("vec_id") >= 35)
+    val books = Similarity.pqCodebooks(base, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    def ser(b: Seq[Seq[(Long, Array[Double])]]): String =
+      b.map(_.map { case (cid, v) =>
+        s"$cid:${v.map(java.lang.Double.doubleToLongBits).mkString(",")}"
+      }.mkString(";")).mkString("|")
+    val before = ser(books)
+    val stateCodes = Similarity.pqEncodeCodes(base, "vec_id", "embedding", 8, books)
+    // ingest: the new batch encodes against the FROZEN books — no
+    // training ran, so the books are bitwise untouched
+    val incCodes = Similarity.pqEncodeCodes(inc, "vec_id", "embedding", 8, books)
+    assert(incCodes.count() == 5 && stateCodes.count() == 35)
+    assert(ser(books) == before, "ingest must not touch the codebooks")
+    val hits = Similarity.pqSearchWithCodes(
+        corpus.filter(col("vec_id") >= 35 && col("vec_id") < 37),
+        stateCodes.unionByName(incCodes), corpus, "vec_id", "embedding",
+        dims = 8, books, k = 3, refine = 3)
+      .collect()
+    assert(hits.groupBy(_.getLong(0)).keySet == Set(35L, 36L))
+    // new-batch queries find their same-cluster neighbors, which can
+    // come from BOTH the stored state and the new batch
+    hits.foreach(r => assert(r.getLong(2) / 10 == 3L,
+      s"query ${r.getLong(0)} pulled cross-cluster ${r.getLong(2)}"))
+    // and the union search equals a from-scratch encode of everything
+    // with the same books (codes are deterministic per vector)
+    val full = Similarity.pqTopKWithBooks(
+        corpus.filter(col("vec_id") >= 35 && col("vec_id") < 37),
+        corpus, "vec_id", "embedding", dims = 8, books, k = 3, refine = 3)
+      .collect().map(_.toSeq).toSet
+    assert(hits.map(_.toSeq).toSet == full,
+      "incremental union equals whole-corpus encode under frozen books")
+  }
 }
