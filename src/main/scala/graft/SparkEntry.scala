@@ -1229,6 +1229,53 @@ object SparkEntry {
         .orderBy("new_id", "old_id")
     }),
 
+    // ---- extension: CROSS-MODAL dedup in one banded join ----
+    // the capstone of the modality-blind family: text simhash64,
+    // image grid hashes, audio energy hashes and video majority
+    // hashes union into ONE (modality, id, simhash) frame and the
+    // pigeonhole join runs ONCE with modality in the equi-key — four
+    // modalities' planted pairs from a single shuffle, not one join
+    // job per modality
+    "q166_crossmodal_dedup" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val docs = T(s, dir, "documents")
+      val d = docs.select("doc_id")
+      def ids(lo: Long, hi: Long) =
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      def tag(df: DataFrame, m: String) =
+        df.select(lit(m).as("modality"), col("doc_id"), col("simhash"))
+      def txt(lo: Long, hi: Long) = tag(Dedup.simhash64(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text"), "text")
+      def img(lo: Long, hi: Long) = tag(Multimodal.imageGridHash(
+        Multimodal.gridFixtureImages(ids(lo, hi), "doc_id", base = 120L),
+        "doc_id"), "image")
+      def aud(lo: Long, hi: Long) = tag(Multimodal.audioEnergyHash(
+        Multimodal.audioGridFixtures(ids(lo, hi), "doc_id", base = 120L),
+        "doc_id"), "audio")
+      val (nFrames, everyMs) = (8, 250L)
+      val span = nFrames * everyMs
+      def vid(lo: Long, hi: Long) = {
+        val frames = Multimodal.videoNearDupFixtures(
+          ids(lo, hi), "doc_id", base = 120L, nFrames, everyMs)
+        val perFrame = Multimodal.imageGridHash(
+            frames.select(
+              (col("doc_id") * span + col("frame_ms")).as("fk"), col("bytes")),
+            "fk")
+          .select(expr(s"fk div ${span}L").as("doc_id"), col("simhash"))
+        tag(Multimodal.majorityHash(perFrame, "doc_id"), "video")
+      }
+      val base = txt(0L, 150L)
+        .unionByName(img(0L, 120L)).unionByName(aud(0L, 120L))
+        .unionByName(vid(0L, 120L))
+      val inc = txt(150L, 250L)
+        .unionByName(img(120L, 160L)).unionByName(aud(120L, 160L))
+        .unionByName(vid(120L, 160L))
+      Dedup.crossModalNearDupPairs(base, inc, "doc_id", "modality",
+          maxHamming = 3, sigChars = 64)
+        .orderBy("modality", "new_id", "old_id")
+    }),
+
     // ---- extension: image resize (nearest, integer mapping) ----
     // the preprocessing step before feature extraction: decode ->
     // nearest-neighbor resample by pure integer division (no Java2D
@@ -3704,6 +3751,82 @@ object SparkEntry {
          |FROM sigs n JOIN sigs o
          |  ON n.doc_id >= 120 AND o.doc_id < 120 AND ($ham) <= 3
          |ORDER BY new_id, old_id""".stripMargin
+    },
+
+    // cross-modal twin: the four analytic signature replays (text
+    // md5-simhash, image/audio md5 parity, video closed-form
+    // majority) under prefixed CTEs, one ham-join per modality,
+    // UNION ALL — mirroring the Spark side's single-join union
+    "q166_crossmodal_dedup" -> {
+      val ham = (1 to 64).map(j =>
+        s"(CASE WHEN substring(n.s, $j, 1) <> substring(o.s, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def hamSel(pfx: String, modality: String, split: Long) =
+        s"""SELECT '$modality' AS modality, n.doc_id AS new_id, o.doc_id AS old_id,
+           |  CAST($ham AS BIGINT) AS hamming
+           |FROM ${pfx}sigs n JOIN ${pfx}sigs o
+           |  ON n.doc_id >= $split AND o.doc_id < $split AND ($ham) <= 3""".stripMargin
+      val tDims = (0 until 64).map(j =>
+        s"avg(((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) // ${1 << (j % 4)}) % 2) AS d$j")
+        .mkString(", ")
+      val tBits = (0 until 64).map(j =>
+        s"CASE WHEN d$j >= 0.5 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH t_toks AS (
+         |  SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS h
+         |  FROM documents WHERE doc_id < 250),
+         |t_d AS (SELECT doc_id, $tDims FROM t_toks GROUP BY doc_id),
+         |t_sigs AS (SELECT doc_id, $tBits AS s FROM t_d),
+         |i_ids AS (SELECT doc_id, doc_id % 120 AS seed,
+         |    CASE WHEN doc_id >= 120 THEN (doc_id % 120) % 64 ELSE -1 END AS flip
+         |  FROM documents WHERE doc_id < 160),
+         |i_bits AS (SELECT doc_id, i, j,
+         |    CASE WHEN ((strpos('0123456789abcdef',
+         |          substring(md5(seed || ':' || i || ':' || j), 1, 1)) - 1) % 2
+         |        + CASE WHEN i*8 + j = flip THEN 1 ELSE 0 END) % 2 = 1
+         |      THEN '1' ELSE '0' END AS b
+         |  FROM i_ids, unnest(generate_series(0, 7)) AS u(i),
+         |       unnest(generate_series(0, 7)) AS v(j)),
+         |i_sigs AS (SELECT doc_id, string_agg(b, '' ORDER BY i, j) AS s
+         |  FROM i_bits GROUP BY doc_id),
+         |a_ids AS (SELECT doc_id, doc_id % 120 AS seed,
+         |    CASE WHEN doc_id >= 120 THEN (doc_id % 120) % 64 ELSE -1 END AS flip
+         |  FROM documents WHERE doc_id < 160),
+         |a_bits AS (SELECT doc_id, w,
+         |    CASE WHEN ((strpos('0123456789abcdef',
+         |          substring(md5(seed || ':' || w), 1, 1)) - 1) % 2
+         |        + CASE WHEN w = flip THEN 1 ELSE 0 END) % 2 = 1
+         |      THEN '1' ELSE '0' END AS b
+         |  FROM a_ids, unnest(generate_series(0, 63)) AS u(w)),
+         |a_sigs AS (SELECT doc_id, string_agg(b, '' ORDER BY w) AS s
+         |  FROM a_bits GROUP BY doc_id),
+         |v_ids AS (SELECT doc_id, doc_id % 120 AS seed,
+         |    CASE WHEN doc_id >= 120
+         |      THEN ((doc_id % 120) % 64 + 40) % 64 ELSE -1 END AS extra
+         |  FROM documents WHERE doc_id < 160),
+         |v_cells AS (SELECT doc_id, i, j,
+         |    ((strpos('0123456789abcdef',
+         |        substring(md5(seed || ':' || i || ':' || j), 1, 1)) - 1) % 2
+         |      + CASE WHEN i*8 + j = extra THEN 1 ELSE 0 END) % 2 AS b,
+         |    (((i*8 + j - seed % 64) % 64) + 64) % 64 AS rel
+         |  FROM v_ids, unnest(generate_series(0, 7)) AS u(i),
+         |       unnest(generate_series(0, 7)) AS v(j)),
+         |v_maj AS (SELECT doc_id, i, j,
+         |    CASE WHEN 2 * (CASE WHEN b = 1
+         |        THEN 8 - (CASE WHEN rel <= 7 THEN 7 - rel ELSE 0 END)
+         |        ELSE (CASE WHEN rel <= 7 THEN 7 - rel ELSE 0 END) END) >= 8
+         |      THEN '1' ELSE '0' END AS mb
+         |  FROM v_cells),
+         |v_sigs AS (SELECT doc_id, string_agg(mb, '' ORDER BY i, j) AS s
+         |  FROM v_maj GROUP BY doc_id)
+         |SELECT * FROM (
+         |${hamSel("t_", "text", 150L)}
+         |UNION ALL
+         |${hamSel("i_", "image", 120L)}
+         |UNION ALL
+         |${hamSel("a_", "audio", 120L)}
+         |UNION ALL
+         |${hamSel("v_", "video", 120L)})
+         |ORDER BY modality, new_id, old_id""".stripMargin
     },
 
     // resize twin: 32->16 nearest maps target (y,x) to source (2y,2x),

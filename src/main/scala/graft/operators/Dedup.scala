@@ -735,6 +735,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-modal near-dup in ONE banded join: input frames carry
+    * `(modalityCol, idCol, simhash)` rows for EVERY modality — text
+    * [[simhash64]], image grid hashes, audio energy hashes, video
+    * majority hashes all share the 64-char bit-string convention — and
+    * the pigeonhole equi-key is `(modality, band, chunk)`, so pairs
+    * form only within a modality while the whole multimodal corpus
+    * moves through a single shuffle instead of one join job per
+    * modality. Same integer decode / `bit_count` Hamming / width
+    * guard as [[simhashIncrementalPairsFromSigs]]; returns
+    * `(modality, new_id, old_id, hamming)`.
+    */
+  def crossModalNearDupPairs(
+      baseSigs: DataFrame,
+      incomingSigs: DataFrame,
+      idCol: String,
+      modalityCol: String,
+      maxHamming: Int = 3,
+      sigChars: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band blocking is only lossless for maxHamming <= 3, got $maxHamming")
+    require(sigChars % 4 == 0, s"sigChars must be divisible by 4, got $sigChars")
+    val chunk = sigChars / 4
+    def widthChecked(sig: Column): Column =
+      when(sig.isNull || length(sig) === sigChars, sig).otherwise(raise_error(concat(
+        lit(s"simhash width mismatch: expected $sigChars chars, got "),
+        length(sig).cast("string"))))
+    val nWords = (sigChars + 31) / 32
+    def words(sig: Column, prefix: String): Seq[Column] =
+      (0 until nWords).map { i =>
+        val len = math.min(32, sigChars - 32 * i)
+        conv(substring(sig, 1 + 32 * i, len), 2, 10).cast("long").as(s"$prefix$i")
+      }
+    def bands(sig: Column): Column =
+      array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          conv(substring(sig, 1 + chunk * i, chunk), 2, 10).cast("long").as("chunk"))): _*)
+    val b = baseSigs
+      .select(col(modalityCol).as("modality"), col(idCol).as("old_id"),
+        widthChecked(col("simhash")).as("__sb"))
+      .filter(col("__sb").isNotNull)
+      .select(col("modality") +: col("old_id") +: words(col("__sb"), "__wb") :+
+        explode(bands(col("__sb"))).as("__b"): _*)
+    val n = incomingSigs
+      .select(col(modalityCol).as("modality"), col(idCol).as("new_id"),
+        widthChecked(col("simhash")).as("__sn"))
+      .filter(col("__sn").isNotNull)
+      .select(col("modality") +: col("new_id") +: words(col("__sn"), "__wn") :+
+        explode(bands(col("__sn"))).as("__b"): _*)
+    val hamming = (0 until nWords).map(i =>
+      bit_count(col(s"__wb$i").bitwiseXOR(col(s"__wn$i"))).cast("long")).reduce(_ + _)
+    n.join(b, Seq("modality", "__b"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("modality"), col("new_id"), col("old_id"), col("hamming"))
+      .distinct()
+  }
+
   /** Segment-level (CCNet-style paragraph) dedup: split each document
     * into consecutive NON-overlapping `segTokens`-token segments, call
     * a segment boilerplate when it occurs in more than `maxDf` distinct

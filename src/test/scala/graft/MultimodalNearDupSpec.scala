@@ -73,4 +73,24 @@ class MultimodalNearDupSpec extends AnyFunSuite {
       assert(oid == nid - 120L && ham == 1L, s"unexpected pair ($nid,$oid,$ham)")
     }
   }
+
+  test("crossModalNearDupPairs: identical signatures in different modalities never pair") {
+    val sig = "01" * 32
+    val near = "10" + "01" * 31 // hamming 2 from sig
+    val far = "1" * 64
+    val base = Seq(
+      ("text", 1L, sig), ("image", 2L, sig), ("audio", 3L, far))
+      .toDF("modality", "id", "simhash")
+    val inc = Seq(
+      ("text", 11L, near),  // pairs with text/1 only
+      ("image", 12L, sig),  // pairs with image/2 only (hamming 0)
+      ("audio", 13L, sig))  // audio base is far -> no pair
+      .toDF("modality", "id", "simhash")
+    val got = Dedup.crossModalNearDupPairs(base, inc, "id", "modality")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("text", 11L, 1L, 2L), ("image", 12L, 2L, 0L)),
+      s"got $got — modality must gate the band join")
+  }
 }
