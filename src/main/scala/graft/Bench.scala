@@ -202,6 +202,40 @@ object Bench {
         curDocs, docsWarm.limit(5), "doc_id", "text")
       curWarm.df.count()
       curWarm.unpersist()
+      // REAL-TABLE TPC-H shapes: the synthetic range-based warmup
+      // above compiles the operator classes but NOT the full-size
+      // parquet-scan + decimal-agg + join plans the flagship queries
+      // run — whichever TPC-H query measured first paid a residual
+      // ~10s first-execution tax (r9 run: q01 13.5s vs 1.2s steady).
+      // One untimed pass of both shapes on the actual tables, full
+      // size, absorbs it.
+      import org.apache.spark.sql.functions.{avg => favg, sum => fsum}
+      val li = Tables.load(spark, sfDir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(fsum(col("l_quantity").cast("decimal(18,2)")),
+          favg(col("l_extendedprice")), count(lit(1))).count()
+      li.join(Tables.load(spark, sfDir, "orders"),
+          li("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1))).count()
+      // codec JIT (javax.imageio / javax.sound / majority reassembly):
+      // unlike AQE-shaped SQL plans, the mapPartitions codec paths JIT
+      // once for any size — a handful of fixture rows warms them
+      val codecIds = docsWarm.select(col("doc_id")).limit(10)
+      multimodal.Multimodal.imageGridHash(
+        multimodal.Multimodal.gridFixtureImages(codecIds, "doc_id", 120L),
+        "doc_id").count()
+      multimodal.Multimodal.audioEnergyHash(
+        multimodal.Multimodal.audioGridFixtures(codecIds, "doc_id", 120L),
+        "doc_id").count()
+      multimodal.Multimodal.majorityHash(
+        multimodal.Multimodal.imageGridHash(
+          multimodal.Multimodal.videoNearDupFixtures(
+              codecIds, "doc_id", 120L, nFrames = 2, everyMs = 250L)
+            .select((col("doc_id") * 500L + col("frame_ms")).as("fk"),
+              col("bytes")),
+          "fk").select(expr("fk div 500").as("doc_id"), col("simhash")),
+        "doc_id").count()
+      operators.Dedup.simhash64(docsWarm.limit(30), "doc_id", "text").count()
     }
 
     def fmt3(v: Double): String =

@@ -161,6 +161,44 @@ object SparkEntry {
       (localPairs, localSigs, localClusters)
     })
 
+  /** JVM-level memo of the four modality fingerprint tables over the
+    * planted fixtures, keyed by (session, dir, modality): image grid
+    * hashes, audio energy hashes and video majority hashes for ids
+    * 0..160, text simhash64 for ids 0..250 — five queries read them
+    * (q156/q163/q164 one modality each, q138 text, q166 all four), so
+    * each fingerprint computes once per JVM and the rest is pure join
+    * work. Signature tables are artifact-sized (≤250 rows × 64 chars),
+    * held as driver rows like the other memos.
+    */
+  private val modalSigsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  private def modalSigs(s: SparkSession, dir: String, kind: String): DataFrame =
+    modalSigsMemo.computeIfAbsent((System.identityHashCode(s), dir, kind), { _ =>
+      import graft.multimodal.Multimodal
+      val docs = T(s, dir, "documents")
+      val fixIds = docs.select("doc_id").filter(col("doc_id") < 160)
+      localized(kind match {
+        case "image" => Multimodal.imageGridHash(
+          Multimodal.gridFixtureImages(fixIds, "doc_id", base = 120L), "doc_id")
+        case "audio" => Multimodal.audioEnergyHash(
+          Multimodal.audioGridFixtures(fixIds, "doc_id", base = 120L), "doc_id")
+        case "video" =>
+          val (nFrames, everyMs) = (8, 250L)
+          val span = nFrames * everyMs
+          val frames = Multimodal.videoNearDupFixtures(
+            fixIds, "doc_id", base = 120L, nFrames, everyMs)
+          val perFrame = Multimodal.imageGridHash(
+              frames.select(
+                (col("doc_id") * span + col("frame_ms")).as("fk"), col("bytes")),
+              "fk")
+            .select(expr(s"fk div ${span}L").as("doc_id"), col("simhash"))
+          Multimodal.majorityHash(perFrame, "doc_id")
+        case "text" => Dedup.simhash64(
+          docs.filter(col("doc_id") < 250), "doc_id", "text")
+      })
+    })
+
   /** JVM-level memo of the trained ANN index artifacts on the
     * embeddings table, keyed by (session, dir): q144 (flat PQ-ADC) and
     * q149 (IVF-PQ) train the IDENTICAL PQ codebooks (same corpus,
@@ -1167,15 +1205,10 @@ object SparkEntry {
     // structure: incoming id 120+k is base id k's grid with ONE cell
     // flipped (Hamming exactly 1); everything else sits ~32 bits away
     "q156_image_neardup" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select("doc_id")
-      def hashes(lo: Long, hi: Long) =
-        graft.multimodal.Multimodal.imageGridHash(
-          graft.multimodal.Multimodal.gridFixtureImages(
-            d.filter(col("doc_id") >= lo && col("doc_id") < hi), "doc_id",
-            base = 120L),
-          "doc_id")
+      val sigs = modalSigs(s, dir, "image")
       Dedup.simhashIncrementalPairsFromSigs(
-          hashes(0L, 120L), hashes(120L, 160L), "doc_id",
+          sigs.filter(col("doc_id") < 120),
+          sigs.filter(col("doc_id") >= 120), "doc_id",
           maxHamming = 3, sigChars = 64)
         .orderBy("new_id", "old_id")
     }),
@@ -1189,15 +1222,10 @@ object SparkEntry {
     // replays the bits analytically from the loud/quiet md5 pattern
     // it cannot decode
     "q163_audio_neardup" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select("doc_id")
-      def hashes(lo: Long, hi: Long) =
-        graft.multimodal.Multimodal.audioEnergyHash(
-          graft.multimodal.Multimodal.audioGridFixtures(
-            d.filter(col("doc_id") >= lo && col("doc_id") < hi), "doc_id",
-            base = 120L),
-          "doc_id")
+      val sigs = modalSigs(s, dir, "audio")
       Dedup.simhashIncrementalPairsFromSigs(
-          hashes(0L, 120L), hashes(120L, 160L), "doc_id",
+          sigs.filter(col("doc_id") < 120),
+          sigs.filter(col("doc_id") >= 120), "doc_id",
           maxHamming = 3, sigChars = 64)
         .orderBy("new_id", "old_id")
     }),
@@ -1209,22 +1237,10 @@ object SparkEntry {
     // same Hamming join. Twins flip one motion-untouched cell in
     // every frame -> majority differs in exactly that bit
     "q164_video_neardup" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select("doc_id")
-      val (nFrames, everyMs) = (8, 250L)
-      val span = nFrames * everyMs
-      def hashes(lo: Long, hi: Long) = {
-        val frames = graft.multimodal.Multimodal.videoNearDupFixtures(
-          d.filter(col("doc_id") >= lo && col("doc_id") < hi), "doc_id",
-          base = 120L, nFrames, everyMs)
-        val perFrame = graft.multimodal.Multimodal.imageGridHash(
-            frames.select(
-              (col("doc_id") * span + col("frame_ms")).as("fk"), col("bytes")),
-            "fk")
-          .select(expr(s"fk div ${span}L").as("doc_id"), col("simhash"))
-        graft.multimodal.Multimodal.majorityHash(perFrame, "doc_id")
-      }
+      val sigs = modalSigs(s, dir, "video")
       Dedup.simhashIncrementalPairsFromSigs(
-          hashes(0L, 120L), hashes(120L, 160L), "doc_id",
+          sigs.filter(col("doc_id") < 120),
+          sigs.filter(col("doc_id") >= 120), "doc_id",
           maxHamming = 3, sigChars = 64)
         .orderBy("new_id", "old_id")
     }),
@@ -1237,40 +1253,17 @@ object SparkEntry {
     // modalities' planted pairs from a single shuffle, not one join
     // job per modality
     "q166_crossmodal_dedup" -> ((s, dir) => {
-      import graft.multimodal.Multimodal
-      val docs = T(s, dir, "documents")
-      val d = docs.select("doc_id")
-      def ids(lo: Long, hi: Long) =
-        d.filter(col("doc_id") >= lo && col("doc_id") < hi)
-      def tag(df: DataFrame, m: String) =
-        df.select(lit(m).as("modality"), col("doc_id"), col("simhash"))
-      def txt(lo: Long, hi: Long) = tag(Dedup.simhash64(
-        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
-        "doc_id", "text"), "text")
-      def img(lo: Long, hi: Long) = tag(Multimodal.imageGridHash(
-        Multimodal.gridFixtureImages(ids(lo, hi), "doc_id", base = 120L),
-        "doc_id"), "image")
-      def aud(lo: Long, hi: Long) = tag(Multimodal.audioEnergyHash(
-        Multimodal.audioGridFixtures(ids(lo, hi), "doc_id", base = 120L),
-        "doc_id"), "audio")
-      val (nFrames, everyMs) = (8, 250L)
-      val span = nFrames * everyMs
-      def vid(lo: Long, hi: Long) = {
-        val frames = Multimodal.videoNearDupFixtures(
-          ids(lo, hi), "doc_id", base = 120L, nFrames, everyMs)
-        val perFrame = Multimodal.imageGridHash(
-            frames.select(
-              (col("doc_id") * span + col("frame_ms")).as("fk"), col("bytes")),
-            "fk")
-          .select(expr(s"fk div ${span}L").as("doc_id"), col("simhash"))
-        tag(Multimodal.majorityHash(perFrame, "doc_id"), "video")
+      def tagged(kind: String, m: String, split: Long) = {
+        val sigs = modalSigs(s, dir, kind)
+          .select(lit(m).as("modality"), col("doc_id"), col("simhash"))
+        (sigs.filter(col("doc_id") < split),
+          sigs.filter(col("doc_id") >= split))
       }
-      val base = txt(0L, 150L)
-        .unionByName(img(0L, 120L)).unionByName(aud(0L, 120L))
-        .unionByName(vid(0L, 120L))
-      val inc = txt(150L, 250L)
-        .unionByName(img(120L, 160L)).unionByName(aud(120L, 160L))
-        .unionByName(vid(120L, 160L))
+      val parts = Seq(
+        tagged("text", "text", 150L), tagged("image", "image", 120L),
+        tagged("audio", "audio", 120L), tagged("video", "video", 120L))
+      val base = parts.map(_._1).reduce(_ unionByName _)
+      val inc = parts.map(_._2).reduce(_ unionByName _)
       Dedup.crossModalNearDupPairs(base, inc, "doc_id", "modality",
           maxHamming = 3, sigChars = 64)
         .orderBy("modality", "new_id", "old_id")
@@ -1422,11 +1415,11 @@ object SparkEntry {
     // = 65536 buckets per band, so the blocked join stays linear where
     // the 16-bit variant saturates (its 4-bit bands have 16 buckets)
     "q138_simhash64_ingest" -> ((s, dir) => {
-      val d = T(s, dir, "documents")
-      Dedup.simhash64IncrementalPairs(
-          d.filter(col("doc_id") < 150),
-          d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
-          "doc_id", "text", maxHamming = 3)
+      val sigs = modalSigs(s, dir, "text")
+      Dedup.simhashIncrementalPairsFromSigs(
+          sigs.filter(col("doc_id") < 150),
+          sigs.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+          "doc_id", maxHamming = 3, sigChars = 64)
         .orderBy("new_id", "old_id")
     }),
 
