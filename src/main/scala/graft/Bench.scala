@@ -245,6 +245,17 @@ object Bench {
           "fk").select(expr("fk div 500").as("doc_id"), col("simhash")),
         "doc_id").count()
       operators.Dedup.simhash64(docsWarm.limit(30), "doc_id", "text").count()
+      // PQ training/search: the generated classes embed literals via a
+      // references array, so a SMALL corpus with the same m/ks/dims
+      // compiles the exact classes the full-size training runs — the
+      // cheap warmup that DOES transfer (unlike AQE-shaped joins).
+      // Covers the q144/q149/q165 family's ~12s first-training tax.
+      val embWarm = Tables.load(spark, sfDir, "embeddings").limit(60)
+      val warmBooks = operators.Similarity.pqCodebooks(
+        embWarm, "vec_id", "embedding", dims = 64, m = 4, ks = 16, iters = 1)
+      operators.Similarity.pqTopKWithBooks(
+        embWarm.limit(5), embWarm, "vec_id", "embedding",
+        dims = 64, warmBooks, k = 2, refine = 2).count()
     }
 
     def fmt3(v: Double): String =
