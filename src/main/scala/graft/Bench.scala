@@ -205,12 +205,16 @@ object Bench {
       // threads): intrinsic cascade work, not task overhead — larger
       // in-bench readings are first-execution compilation (this
       // warmup's target) plus VM variance
-      val curDocs = docsWarm.limit(40)
+      // cascade warmup, FULL-SIZE state like the near-dup warmup above
+      // (40-doc state did not transfer: the first measured cascade
+      // query still paid ~25s cold, r9 run 7 q137 32.1s vs 6.9 steady)
       val curWarm = operators.DocPipeline.curateIncrementCached(
-        operators.DocPipeline.curateState(curDocs, "doc_id", "text"),
-        curDocs, docsWarm.limit(5), "doc_id", "text")
+        operators.DocPipeline.curateState(docsWarm, "doc_id", "text"),
+        docsWarm, docsWarm.limit(5), "doc_id", "text")
       curWarm.df.count()
       curWarm.unpersist()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       // REAL-TABLE TPC-H shapes: the synthetic range-based warmup
       // above compiles the operator classes but NOT the full-size
       // parquet-scan + decimal-agg + join plans the flagship queries
@@ -256,6 +260,14 @@ object Bench {
       operators.Similarity.pqTopKWithBooks(
         embWarm.limit(5), embWarm, "vec_id", "embedding",
         dims = 64, warmBooks, k = 2, refine = 2).count()
+      // full-width (64-dim) k-means + cell-probed search: different
+      // expression shapes than the sub-space PQ loop above; warms the
+      // q76/q113/q149 IVF layer
+      val warmCents = operators.Similarity.kmeansCentroids(
+        embWarm, "vec_id", "embedding", k = 8, iters = 1)
+      operators.Similarity.ivfPqTopKWithIndex(
+        embWarm.limit(5), embWarm, "vec_id", "embedding", dims = 64,
+        warmCents, warmBooks, nProbe = 2, k = 2, refine = 2).count()
     }
 
     def fmt3(v: Double): String =
