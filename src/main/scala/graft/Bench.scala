@@ -188,15 +188,21 @@ object Bench {
       // first measured near-dup query (the artifact-memo payer) ate it
       // (r9 run: q63 19.7s vs ~7s steady). The full pass is untimed
       // and the family is the suite's dominant shape, so the elapsed
-      // cost buys steady-state numbers for five queries.
+      // cost buys steady-state numbers for five queries. The two
+      // full-size warmups carry their OWN tighter elapsed gate: on a
+      // moderately degraded day burning tens of warm-up seconds is the
+      // wrong trade — coverage beats warm numbers when wall budget is
+      // scarce — while the cheap fixed-size warmups below still run.
       val docsWarm = Tables.load(spark, sfDir, "documents")
-      val pairsWarm = operators.Dedup.jaccardNearDupPairsCached(
-        docsWarm, "doc_id", "text", 9, 3, threshold = 0.5)
-      operators.Dedup.dupClusters(
-        docsWarm.select(col("doc_id")), pairsWarm.df, "doc_id").count()
-      pairsWarm.unpersist()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (elapsedS <= 60) {
+        val pairsWarm = operators.Dedup.jaccardNearDupPairsCached(
+          docsWarm, "doc_id", "text", 9, 3, threshold = 0.5)
+        operators.Dedup.dupClusters(
+          docsWarm.select(col("doc_id")), pairsWarm.df, "doc_id").count()
+        pairsWarm.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
       // the incremental-curation cascade (q137's family): the widest
       // plan in the suite (~800 physical nodes) — warm its codegen so
       // the first in-bench execution doesn't pay compilation. q137's
@@ -208,13 +214,15 @@ object Bench {
       // cascade warmup, FULL-SIZE state like the near-dup warmup above
       // (40-doc state did not transfer: the first measured cascade
       // query still paid ~25s cold, r9 run 7 q137 32.1s vs 6.9 steady)
-      val curWarm = operators.DocPipeline.curateIncrementCached(
-        operators.DocPipeline.curateState(docsWarm, "doc_id", "text"),
-        docsWarm, docsWarm.limit(5), "doc_id", "text")
-      curWarm.df.count()
-      curWarm.unpersist()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (elapsedS <= 60) {
+        val curWarm = operators.DocPipeline.curateIncrementCached(
+          operators.DocPipeline.curateState(docsWarm, "doc_id", "text"),
+          docsWarm, docsWarm.limit(5), "doc_id", "text")
+        curWarm.df.count()
+        curWarm.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
       // REAL-TABLE TPC-H shapes: the synthetic range-based warmup
       // above compiles the operator classes but NOT the full-size
       // parquet-scan + decimal-agg + join plans the flagship queries
