@@ -93,4 +93,40 @@ class MultimodalNearDupSpec extends AnyFunSuite {
     assert(got == Set(("text", 11L, 1L, 2L), ("image", 12L, 2L, 0L)),
       s"got $got — modality must gate the band join")
   }
+
+  test("randomized equivalence: one cross-modal join == union of per-modality joins") {
+    val rnd = new scala.util.Random(23)
+    def sig() = (1 to 64).map(_ => if (rnd.nextBoolean()) '1' else '0').mkString
+    def flip(s: String, k: Int) = {
+      val idx = rnd.shuffle((0 until 64).toList).take(k).toSet
+      s.zipWithIndex.map { case (c, i) =>
+        if (idx(i)) (if (c == '1') '0' else '1') else c }.mkString
+    }
+    val mods = Seq("text", "image", "audio", "video")
+    // per modality: 20 base sigs, incoming = 8 perturbed twins
+    // (hamming 0..3) + 6 fresh randoms
+    val data = mods.map { m =>
+      val base = (1L to 20L).map(i => (m, i, sig()))
+      val inc = base.take(8).zipWithIndex.map { case ((_, i, s), k) =>
+        (m, 100L + i, flip(s, k % 4)) } ++
+        (200L until 206L).map(i => (m, i, sig()))
+      (base, inc)
+    }
+    val baseDf = data.flatMap(_._1).toDF("modality", "id", "simhash")
+    val incDf = data.flatMap(_._2).toDF("modality", "id", "simhash")
+    val joint = Dedup.crossModalNearDupPairs(baseDf, incDf, "id", "modality")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val perMod = mods.flatMap { m =>
+      Dedup.simhashIncrementalPairsFromSigs(
+          baseDf.filter(col("modality") === m).select("id", "simhash"),
+          incDf.filter(col("modality") === m).select("id", "simhash"),
+          "id", maxHamming = 3, sigChars = 64)
+        .collect()
+        .map(r => (m, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(joint == perMod,
+      s"extra=${joint -- perMod}, missing=${perMod -- joint}")
+    assert(perMod.size >= 4 * 6, "planted near pairs must be present per modality")
+  }
 }
