@@ -220,6 +220,23 @@ object SparkEntry {
           dims = 64, m = 4, ks = 16, iters = 3))
     })
 
+  /** The trained quality model (q162's output) as a per-JVM artifact:
+    * q162 reports its weights and q167 gates the corpus with it —
+    * training runs once, like every other stored-model memo. Pure
+    * driver data, immune to the cache scrub by construction.
+    */
+  private val trainedModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), operators.QualityClassifier.TrainedHashedModel]()
+
+  private def trainedQualityModel(
+      s: SparkSession, dir: String): operators.QualityClassifier.TrainedHashedModel =
+    trainedModelMemo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+      operators.QualityClassifier.trainHashed(
+        T(s, dir, "documents"), "doc_id", "text",
+        label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
+        buckets = 64, seed = "qtrain:", epochs = 3, lrNum = 20L, lrDen = 1L)
+    })
+
   /** q165's frozen index artifact: books trained on the BASE slice
     * only (vec_id < 400) — a different stored model than [[pqIndex]]'s
     * full-corpus books, memoized on the same artifact footing.
@@ -1360,13 +1377,24 @@ object SparkEntry {
     // trained weights actually separate the classes
     "q162_train_quality" -> ((s, dir) => {
       import s.implicits._
-      val m = operators.QualityClassifier.trainHashed(
-        T(s, dir, "documents"), "doc_id", "text",
-        label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
-        buckets = 64, seed = "qtrain:", epochs = 3, lrNum = 20L, lrDen = 1L)
+      val m = trainedQualityModel(s, dir)
       ((-1L, m.biasMilli) +:
         m.weightsMilli.zipWithIndex.map { case (w, i) => (i.toLong, w) })
         .toDF("bucket", "weight_milli").orderBy("bucket")
+    }),
+
+    // ---- extension: train-then-gate (the full CCNet loop) ----
+    // the composition q162 and q141/q143 exist for: TRAIN the hashed
+    // classifier on the corpus, then GATE the same corpus with the
+    // trained weights through the standard serving path — model as a
+    // per-JVM stored artifact, scoring one explode + one partial-agged
+    // groupBy; the oracle replays the training CTEs and scores from
+    // the replayed weight table
+    "q167_train_gate" -> ((s, dir) => {
+      operators.QualityClassifier.scoreHashedWithWeightsMicro(
+          T(s, dir, "documents"), "doc_id", "text",
+          trainedQualityModel(s, dir), "qtrain:", thresholdMicro = 300000L)
+        .orderBy("doc_id")
     }),
 
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
@@ -3920,6 +3948,32 @@ object SparkEntry {
       operators.QualityClassifier.trainHashedSql("documents",
         labelTokenSql = "spark", buckets = 64, seed = "qtrain:",
         epochs = 3, lrNum = 20L, lrDen = 1L),
+
+    // train-then-gate: the q162 training CTEs replayed, then scoring
+    // straight from the replayed weight table (feat already carries
+    // the per-doc bucket tf counts the scorer needs)
+    "q167_train_gate" -> {
+      val ctes = operators.QualityClassifier.trainHashedCtes("documents",
+        labelTokenSql = "spark", buckets = 64, seed = "qtrain:",
+        epochs = 3, lrNum = 20L, lrDen = 1L)
+      s"""WITH $ctes,
+         |wts AS (SELECT b, wm FROM w3 WHERE b >= 0),
+         |bias AS (SELECT wm FROM w3 WHERE b = -1),
+         |sc AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS raw
+         |       FROM feat f JOIN wts w ON w.b = f.b GROUP BY 1),
+         |dlt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+         |r AS (SELECT d.doc_id, COALESCE(dlt.dl, 0) AS dl,
+         |        (SELECT wm FROM bias) + COALESCE(sc.raw, 0) AS n,
+         |        1000 * greatest(COALESCE(dlt.dl, 0), 1) AS dd
+         |      FROM documents d LEFT JOIN dlt ON dlt.doc_id = d.doc_id
+         |                       LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |m AS (SELECT doc_id, dl,
+         |        CAST((CASE WHEN n < 0 THEN -1 ELSE 1 END) *
+         |          ((abs(n) * 1000000 + dd // 2) // dd) AS BIGINT) AS score_micro
+         |      FROM r)
+         |SELECT doc_id, dl, score_micro, (score_micro >= 300000) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "q157_chunk_plan" ->
       """WITH tk AS (SELECT doc_id,

@@ -263,12 +263,70 @@ object QualityClassifier {
     }
   }
 
+  /** [[scoreHashedWithWeights]] with the score surfaced as EXACT
+    * integer micro-units instead of a rounded double:
+    * `score_micro = round_half_away(10^6 · (bias + Σ tf·w) / (1000·dl))`
+    * computed entirely in integer arithmetic (`(|n|·10^6 + d div 2)
+    * div d`, sign split out). `round(double, 6)` can land on a decimal
+    * half-boundary where two engines' double-rounding differs by one
+    * ulp of the last digit (observed once in 500 docs at sf0.01);
+    * integer micro-units make the gate's output reproducible
+    * bit-for-bit. `keep = score_micro >= thresholdMicro`.
+    */
+  def scoreHashedWithWeightsMicro(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: TrainedHashedModel,
+      seed: String,
+      thresholdMicro: Long): DataFrame = {
+    val buckets = model.weightsMilli.size
+    require(buckets > 0, "empty weight array")
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val bucket =
+      Sampling.hexPrefixValue(md5(concat(lit(seed), col("term")))) % buckets
+    val scored = toks
+      .withColumn("__w",
+        element_at(typedLit(model.weightsMilli), (bucket + 1).cast("int")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), sum(col("__w")).as("__raw"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        (lit(model.biasMilli) + coalesce(col("__raw"), lit(0L))).as("__n"))
+      .withColumn("__d",
+        lit(1000L) * greatest(col("dl"), lit(1L)))
+      .withColumn("score_micro",
+        when(col("__n") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(abs(__n) * 1000000 + __d div 2) div __d"))
+      .withColumn("keep", col("score_micro") >= thresholdMicro)
+      .select(col(idCol), col("dl"), col("score_micro"), col("keep"))
+  }
+
   /** The epoch-unrolled ANSI-SQL twin of [[trainHashed]] (DuckDB
     * dialect), SELECTing `(bucket, weight_milli)` — bias at bucket −1.
     * Every CTE mirrors one step of the Spark loop; generating it here
     * keeps the two replicas of the algorithm in one file.
     */
   def trainHashedSql(
+      table: String,
+      labelTokenSql: String,
+      buckets: Int,
+      seed: String,
+      epochs: Int,
+      lrNum: Long,
+      lrDen: Long): String =
+    s"""WITH ${trainHashedCtes(table, labelTokenSql, buckets, seed, epochs, lrNum, lrDen)}
+       |SELECT b AS bucket, CAST(wm AS BIGINT) AS weight_milli
+       |FROM w$epochs ORDER BY bucket""".stripMargin
+
+  /** The CTE chain of [[trainHashedSql]] WITHOUT the final SELECT, so
+    * composed oracles (train-then-gate) can read the trained `w<epochs>`
+    * table and the `toks`/`feat` frames it already built.
+    */
+  def trainHashedCtes(
       table: String,
       labelTokenSql: String,
       buckets: Int,
@@ -315,10 +373,8 @@ object QualityClassifier {
          |          ELSE 0 END AS wm
          |        FROM w$p w LEFT JOIN g$k g ON g.b = w.b CROSS JOIN nn)""".stripMargin
     }
-    s"""WITH $base,
-       |${epochCtes.mkString(",\n")}
-       |SELECT b AS bucket, CAST(wm AS BIGINT) AS weight_milli
-       |FROM w$epochs ORDER BY bucket""".stripMargin
+    s"""$base,
+       |${epochCtes.mkString(",\n")}""".stripMargin
   }
 
   private def finish(

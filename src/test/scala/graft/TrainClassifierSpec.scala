@@ -92,4 +92,31 @@ class TrainClassifierSpec extends AnyFunSuite {
     assert(joined == 0L,
       "scoreExpr over the projected vocabulary equals the hashed serving path")
   }
+
+  test("micro-unit gate: exact integer score equals the double path within one micro") {
+    val m = QualityClassifier.trainHashed(corpus, "doc_id", "text",
+      label = col("is_good"), buckets = 64, seed = "spec:",
+      epochs = 2, lrNum = 50L, lrDen = 1L)
+    val micro = QualityClassifier
+      .scoreHashedWithWeightsMicro(corpus, "doc_id", "text", m, "spec:",
+        thresholdMicro = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val dbl = QualityClassifier
+      .scoreHashedWithWeights(corpus, "doc_id", "text", m, "spec:", threshold = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(micro.keySet == dbl.keySet)
+    micro.foreach { case (id, sm) =>
+      assert(math.abs(sm - math.round(dbl(id) * 1e6)) <= 1,
+        s"doc $id: micro $sm vs double ${dbl(id)} — paths diverged past a rounding ulp")
+    }
+    // the keep decision at threshold 0 agrees exactly (sign never sits
+    // on a rounding boundary)
+    val keepM = QualityClassifier
+      .scoreHashedWithWeightsMicro(corpus, "doc_id", "text", m, "spec:", 0L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val keepD = QualityClassifier
+      .scoreHashedWithWeights(corpus, "doc_id", "text", m, "spec:", 0.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(keepM == keepD)
+  }
 }
