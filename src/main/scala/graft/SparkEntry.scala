@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,47 @@ object SparkEntry {
   private def classifierWeightsSql: String =
     ClassifierWeights.map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
 
+  /** Per-session, per-key memo for the suite-level stored artifacts.
+    * Keyed on the [[SparkSession]] OBJECT through a weak-keyed map —
+    * reference identity, so two live sessions can never collide (an
+    * `identityHashCode` key could), and a stopped session's entries
+    * are released once the session itself is collected. For eviction
+    * to actually happen the VALUES must not reference the session:
+    * every frame-shaped artifact is therefore stored as a
+    * [[LocalFrame]] (driver rows + schema), never as a DataFrame.
+    */
+  private final class SessionMemo[K, V] {
+    private val bydSession = new java.util.WeakHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[K, V]]()
+    def get(s: SparkSession, k: K)(f: => V): V = {
+      val inner = bydSession.synchronized {
+        bydSession.computeIfAbsent(
+          s, _ => new java.util.concurrent.ConcurrentHashMap[K, V]())
+      }
+      inner.computeIfAbsent(k, _ => f)
+    }
+  }
+
+  /** A small artifact frame held as pure driver data. The cross-query
+    * memos must survive the bench/verify harnesses' inter-query cache
+    * scrub (clearCache + unpersist of every RDD): a memoized PERSISTED
+    * plan would silently recompute its whole upstream pipeline after
+    * the scrub — or fail outright if it hung off a released local
+    * checkpoint — so memo values are driver rows (the same footing as
+    * the trained codebooks), re-wrapped as a local relation per read.
+    * Only for artifact-sized frames: verified pairs, signatures,
+    * cluster maps. Holding rows (not a DataFrame) also keeps the memo
+    * value free of session references, which the weak-keyed
+    * [[SessionMemo]] needs for eviction.
+    */
+  private final case class LocalFrame(
+      rows: java.util.List[Row], schema: org.apache.spark.sql.types.StructType) {
+    def toDF(s: SparkSession): DataFrame = s.createDataFrame(rows, schema)
+  }
+
+  private def localFrame(df: DataFrame): LocalFrame =
+    LocalFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** JVM-level memo of the ensemble verified-pair table, keyed by
     * (session, data dir): q152 (pair listing) and q155 (recall audit)
     * are two views of ONE 3-blocker computation, so whichever runs
@@ -99,32 +140,16 @@ object SparkEntry {
     * is tiny (verified near-dup pairs only); the dominant shingle
     * persist is released eagerly inside [[Dedup.ensembleNearDupCached]].
     */
-  private val ensemblePairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
-  /** Collect a SMALL artifact frame into a session-local relation.
-    * The cross-query memos must survive the bench/verify harnesses'
-    * inter-query cache scrub (clearCache + unpersist of every RDD):
-    * a memoized PERSISTED plan would silently recompute its whole
-    * upstream pipeline after the scrub — or fail outright if it hung
-    * off a released local checkpoint — so memo values are held as
-    * driver rows (the same footing as the trained codebooks) and
-    * re-wrapped as a local relation. Only for artifact-sized frames:
-    * verified pairs, signatures, cluster maps.
-    */
-  private def localized(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  private val ensemblePairsMemo = new SessionMemo[String, LocalFrame]
 
   private def ensemblePairs(s: SparkSession, dir: String): DataFrame =
-    ensemblePairsMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir), { _ =>
-        val cached = Dedup.ensembleNearDupCached(
-          T(s, dir, "documents"), "doc_id", "text")
-        val out = localized(cached.df)
-        cached.unpersist()
-        out
-      })
+    ensemblePairsMemo.get(s, dir) {
+      val cached = Dedup.ensembleNearDupCached(
+        T(s, dir, "documents"), "doc_id", "text")
+      val out = localFrame(cached.df)
+      cached.unpersist()
+      out
+    }.toDF(s)
 
   /** JVM-level memo of the document near-dup artifact family at the
     * suite's standard parameters (k=9, bands=3, shingle=3,
@@ -139,27 +164,29 @@ object SparkEntry {
     * released as soon as pairs+clusters are materialized; what stays
     * persisted is tiny (verified pairs, 9 hashes/doc, doc→cluster).
     */
-  private val nearDupMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame, DataFrame)]()
+  private val nearDupMemo =
+    new SessionMemo[String, (LocalFrame, LocalFrame, LocalFrame)]
 
   /** (pairs, sigs, clusters) of the shared near-dup computation. */
   private def nearDupShared(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) =
-    nearDupMemo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (p, g, c) = nearDupMemo.get(s, dir) {
       val docs = T(s, dir, "documents")
       val a = Dedup.nearDupArtifacts(docs, "doc_id", "text",
         k = 9, bands = 3, shingleSize = 3, threshold = 0.5)
       val pairs = a.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val localPairs = localized(pairs)
+      val localPairs = localFrame(pairs)
       val clustersC = Dedup.dupClustersCached(
         docs, pairs.select("d1", "d2"), "doc_id")
-      val localClusters = localized(clustersC.df)
-      val localSigs = localized(a.sigs)
+      val localClusters = localFrame(clustersC.df)
+      val localSigs = localFrame(a.sigs)
       clustersC.unpersist()
       pairs.unpersist(false)
       a.unpersist()
       (localPairs, localSigs, localClusters)
-    })
+    }
+    (p.toDF(s), g.toDF(s), c.toDF(s))
+  }
 
   /** JVM-level memo of the four modality fingerprint tables over the
     * planted fixtures, keyed by (session, dir, modality): image grid
@@ -170,15 +197,14 @@ object SparkEntry {
     * work. Signature tables are artifact-sized (≤250 rows × 64 chars),
     * held as driver rows like the other memos.
     */
-  private val modalSigsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val modalSigsMemo = new SessionMemo[(String, String), LocalFrame]
 
   private def modalSigs(s: SparkSession, dir: String, kind: String): DataFrame =
-    modalSigsMemo.computeIfAbsent((System.identityHashCode(s), dir, kind), { _ =>
+    modalSigsMemo.get(s, (dir, kind)) {
       import graft.multimodal.Multimodal
       val docs = T(s, dir, "documents")
       val fixIds = docs.select("doc_id").filter(col("doc_id") < 160)
-      localized(kind match {
+      localFrame(kind match {
         case "image" => Multimodal.imageGridHash(
           Multimodal.gridFixtureImages(fixIds, "doc_id", base = 120L), "doc_id")
         case "audio" => Multimodal.audioEnergyHash(
@@ -197,7 +223,7 @@ object SparkEntry {
         case "text" => Dedup.simhash64(
           docs.filter(col("doc_id") < 250), "doc_id", "text")
       })
-    })
+    }.toDF(s)
 
   /** JVM-level memo of the trained ANN index artifacts on the
     * embeddings table, keyed by (session, dir): q144 (flat PQ-ADC) and
@@ -208,48 +234,47 @@ object SparkEntry {
     * entrypoints. The frozen-codebook ingest query (q165) reads the
     * same artifact — byte-identical books are its precondition.
     */
-  private val pqIndexMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]])]()
+  private val pqIndexMemo = new SessionMemo[
+    String, (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]])]
 
   private def pqIndex(s: SparkSession, dir: String)
       : (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]]) =
-    pqIndexMemo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+    pqIndexMemo.get(s, dir) {
       val e = T(s, dir, "embeddings")
       (Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 3),
         Similarity.pqCodebooks(e, "vec_id", "embedding",
           dims = 64, m = 4, ks = 16, iters = 3))
-    })
+    }
 
   /** The trained quality model (q162's output) as a per-JVM artifact:
     * q162 reports its weights and q167 gates the corpus with it —
     * training runs once, like every other stored-model memo. Pure
     * driver data, immune to the cache scrub by construction.
     */
-  private val trainedModelMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), operators.QualityClassifier.TrainedHashedModel]()
+  private val trainedModelMemo =
+    new SessionMemo[String, operators.QualityClassifier.TrainedHashedModel]
 
   private def trainedQualityModel(
       s: SparkSession, dir: String): operators.QualityClassifier.TrainedHashedModel =
-    trainedModelMemo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+    trainedModelMemo.get(s, dir) {
       operators.QualityClassifier.trainHashed(
         T(s, dir, "documents"), "doc_id", "text",
         label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
         buckets = 64, seed = "qtrain:", epochs = 3, lrNum = 20L, lrDen = 1L)
-    })
+    }
 
   /** q165's frozen index artifact: books trained on the BASE slice
     * only (vec_id < 400) — a different stored model than [[pqIndex]]'s
     * full-corpus books, memoized on the same artifact footing.
     */
-  private val pqBaseBooksMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), Seq[Seq[(Long, Array[Double])]]]()
+  private val pqBaseBooksMemo = new SessionMemo[String, Seq[Seq[(Long, Array[Double])]]]
 
   private def pqBaseBooks(s: SparkSession, dir: String): Seq[Seq[(Long, Array[Double])]] =
-    pqBaseBooksMemo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+    pqBaseBooksMemo.get(s, dir) {
       Similarity.pqCodebooks(
         T(s, dir, "embeddings").filter(col("vec_id") < 400),
         "vec_id", "embedding", dims = 64, m = 4, ks = 16, iters = 3)
-    })
+    }
 
   /** Dirty synthetic PK column exercising every validation rule. */
   private def dirtyPk: Column = {
@@ -3940,8 +3965,10 @@ object SparkEntry {
          |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s FROM pd),
          |tt AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM sq)
          |SELECT source, n_docs, n_tokens,
-         |  round(CAST(s AS DOUBLE) / st, 6) AS weight,
-         |  CAST((1000000 * s) // st AS BIGINT) AS alloc_tokens
+         |  CASE WHEN st = 0 THEN 0.0
+         |       ELSE round(CAST(s AS DOUBLE) / st, 6) END AS weight,
+         |  CASE WHEN st = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST((1000000 * s) // st AS BIGINT) END AS alloc_tokens
          |FROM sq, tt ORDER BY source""".stripMargin,
 
     "q162_train_quality" ->

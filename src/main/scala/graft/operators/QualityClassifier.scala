@@ -299,8 +299,14 @@ object QualityClassifier {
       .withColumn("__d",
         lit(1000L) * greatest(col("dl"), lit(1L)))
       .withColumn("score_micro",
-        when(col("__n") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("(abs(__n) * 1000000 + __d div 2) div __d"))
+        // |__n| can reach ~dl · max|w| milli-units; the ×10^6 step runs
+        // in decimal(38,0) so large docs × large trained weights can't
+        // silently wrap a Long (the `div` stays an exact integral
+        // divide on decimals — same pattern as temperatureMixture's
+        // budget allocation in Sampling.scala).
+        (when(col("__n") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(cast(abs(__n) as decimal(38,0)) * 1000000 + __d div 2) div __d"))
+          .cast("long"))
       .withColumn("keep", col("score_micro") >= thresholdMicro)
       .select(col(idCol), col("dl"), col("score_micro"), col("keep"))
   }

@@ -111,10 +111,8 @@ object Similarity {
     val e = df.select(col(idCol).as(outId), toDoubleArray(col(vecCol)).as(vecOut))
       .withColumn(normOut, l2Norm(col(vecOut)))
     if (cents.isEmpty) return e.withColumn("__cell", lit(null).cast("long")).limit(0)
-    val sims = array(cents.map { case (_, v) =>
-      val cn = math.sqrt(v.map(x => x * x).sum)
-      dot(col(vecOut), typedLit(v.toSeq)) / (col(normOut) * lit(cn))
-    }: _*)
+    val sims =
+      graft.functions.PqExpressions.centroidCosines(col(vecOut), col(normOut), cents)
     val entries = cents.zipWithIndex.map { case ((cid, _), i) =>
       val s = element_at(col("__sims"), i + 1)
       struct(
@@ -250,16 +248,13 @@ object Similarity {
     */
   private def kmeansAssigned(
       e: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
-    // each similarity lands ONCE in a bound array column; the ranking
-    // structs below reference elements of it (inlining the dot into
-    // the struct would replicate it 3x per centroid — once per
-    // when-branch plus the carried raw value — and balloon codegen)
-    val sims = array(cents.map { case (_, v) =>
-      // driver-side norm: same sequential left fold over the same
-      // doubles as the engines' dot(v, v), so bit-identical
-      val cn = math.sqrt(v.map(x => x * x).sum)
-      dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn))
-    }: _*)
+    // all similarities land ONCE in a bound array column through the
+    // fused centroid_cosines node (same dot fold / cosine association
+    // as the dot-literal array it replaces — see PqExpressions); the
+    // ranking structs below reference elements of it, so the
+    // comparator semantics are untouched
+    val sims =
+      graft.functions.PqExpressions.centroidCosines(col("__v"), col("__n"), cents)
     val entries = cents.zipWithIndex.map { case ((cid, _), i) =>
       val s = element_at(col("__sims"), i + 1)
       // negsim orders; the raw sim rides along (3rd field — cid is
@@ -840,28 +835,13 @@ object Similarity {
       // ids are shared across subspaces: either every book inits or none
       if (books.head.isEmpty) return (0 until m).map(_ => Nil)
       for (_ <- 1 to iters) {
-        // per-subspace assignment, branching on __mi; sims bound once
-        // per row (kmeansAssigned's codegen-width discipline)
-        def simsArr(book: Seq[(Long, Array[Double])]): Column =
-          array(book.map { case (_, v) =>
-            val cn = math.sqrt(v.map(x => x * x).sum)
-            dot(col("__v"), typedLit(v.toSeq)) / (col("__n") * lit(cn))
-          }: _*)
-        def bestCid(book: Seq[(Long, Array[Double])]): Column =
-          array_min(array(book.zipWithIndex.map { case ((cid, _), i) =>
-            val s = element_at(col("__sims"), i + 1)
-            struct(
-              when(isnan(s), lit(Double.NegativeInfinity))
-                .otherwise(-s).as("negsim"),
-              lit(cid).as("cid"))
-          }: _*)).getField("cid")
-        def byMi(f: Seq[(Long, Array[Double])] => Column): Column =
-          (1 until m).foldLeft(when(col("__mi") === 0, f(books(0)))) {
-            (acc, mi) => acc.when(col("__mi") === mi, f(books(mi)))
-          }
+        // per-subspace assignment in ONE fused pq_train_assign node
+        // (see PqExpressions) — same cosine/NaN/tie rules as the
+        // array_min-over-struct tree it replaces, but the plan no
+        // longer re-analyzes m·ks dot literals per iteration
         val micro = e
-          .withColumn("__sims", byMi(simsArr))
-          .withColumn("__cid", byMi(bestCid))
+          .withColumn("__cid", graft.functions.PqExpressions.pqTrainAssign(
+            col("__mi"), col("__v"), col("__n"), books, sub))
           .select(col("__mi"), col("__cid"), posexplode(col("__v")).as(Seq("dim", "x")))
           .withColumn("__m", round(round(col("x"), 6) * 1e6).cast("long"))
           .groupBy(col("__mi"), col("__cid"), col("dim"))
@@ -884,29 +864,12 @@ object Similarity {
     } finally org.apache.spark.sql.graftbridge.unpersistCheckpointed(e)
   }
 
-  /** The PQ code of a sub-vector: index (position in the cid-sorted
-    * book) of the centroid maximizing `dot(sv, c) / (||sv||·||c||)`,
-    * ties to the lower centroid id — the SAME assignment rule (and tie
-    * order) the k-means training used, so a training vector encodes to
-    * the cell it trained in.
-    */
-  private def pqCode(subVec: Column, book: Seq[(Long, Array[Double])]): Column = {
-    val svn = l2Norm(subVec)
-    val entries = book.zipWithIndex.map { case ((_, v), j) =>
-      val cn = math.sqrt(v.map(x => x * x).sum)
-      val negsim = dot(subVec, typedLit(v.toSeq)) / (svn * lit(cn)) * -1.0
-      // NaN guard, mirroring cellAssign: a zero-norm sub-vector or a
-      // zero-norm centroid yields NaN cosine, and Spark's struct
-      // ordering sorts NaN LAST (never chosen) while DuckDB's ORDER BY
-      // DESC sorts NaN FIRST (always chosen) — map NaN to +Infinity
-      // (worst negated similarity) so both engines fall through to a
-      // finite-similarity centroid deterministically
-      struct(when(isnan(negsim), lit(Double.PositiveInfinity))
-          .otherwise(negsim).as("n"),
-        lit(j).as("j"))
-    }
-    array_min(array(entries: _*)).getField("j")
-  }
+  // The per-sub-vector PQ code rule (index of the cosine-maximizing
+  // centroid, NaN → never chosen, ties to the lower index — the SAME
+  // assignment rule the k-means training used, so a training vector
+  // encodes to the cell it trained in) lives in the fused
+  // [[graft.functions.PqExpressions.pqCodes]] expression: one Catalyst
+  // node per row instead of m array_min-over-dot-literal trees.
 
   /** PQ-ADC approximate top-k with exact rescoring — the
     * memory-bound end of the ANN family (brute q26 → IVF q32/q113 →
@@ -981,10 +944,15 @@ object Similarity {
     require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
     val sub = dims / m
     val cv = toDoubleArray(col(vecCol))
-    corpus.select(
-      col(idCol).as("nbr") +:
+    // one fused pq_codes node (see PqExpressions) instead of m
+    // array_min-over-dot-literal trees: same codes bit-for-bit,
+    // constant-size plan
+    corpus
+      .select(col(idCol).as("nbr"),
+        graft.functions.PqExpressions.pqCodes(cv, books, sub).as("__codes"))
+      .select(col("nbr") +:
         (0 until m).map(mi =>
-          pqCode(slice(cv, mi * sub + 1, sub), books(mi)).as(s"__code_$mi")): _*)
+          element_at(col("__codes"), mi + 1).as(s"__code_$mi")): _*)
   }
 
   /** ADC search over a PRECOMPUTED codes frame ([[pqEncodeCodes]]'s
@@ -1012,15 +980,14 @@ object Similarity {
     // so a book can come back smaller than ks (both engines shrink it
     // identically — the micro update groups by surviving cid only)
     val offs = books.map(_.size).scanLeft(0)(_ + _)
-    val lutEntries = for (mi <- 0 until m; (_, v) <- books(mi))
-      yield dot(slice(col("__qv"), mi * sub + 1, sub), typedLit(v.toSeq))
     val cn2 = typedLit(
       (for (mi <- 0 until m; (_, v) <- books(mi))
         yield v.map(x => x * x).sum).toSeq)
     val q = broadcast(queries
       .select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("__qv"))
       .withColumn("__qn", l2Norm(col("__qv")))
-      .withColumn("__lut", array(lutEntries: _*))
+      .withColumn("__lut",
+        graft.functions.PqExpressions.pqLut(col("__qv"), books, sub))
       .drop("__qv"))
 
     def idx(mi: Int): Column = lit(offs(mi)) + col(s"__code_$mi") + 1
@@ -1118,19 +1085,19 @@ object Similarity {
     // feeds the code computation, then drops
     val corpusSide = cellAssign(corpus, idCol, vecCol, cents,
         "nbr", "__cv0", "__cn0", probes = 1)
+      .withColumn("__codes",
+        graft.functions.PqExpressions.pqCodes(col("__cv0"), books, sub))
       .select(col("nbr") +: col("__cell") +:
         (0 until m).map(mi =>
-          pqCode(slice(col("__cv0"), mi * sub + 1, sub), books(mi))
-            .as(s"__code_$mi")): _*)
+          element_at(col("__codes"), mi + 1).as(s"__code_$mi")): _*)
 
-    val lutEntries = for (mi <- 0 until m; (_, v) <- books(mi))
-      yield dot(slice(col("__qv"), mi * sub + 1, sub), typedLit(v.toSeq))
     val cn2 = typedLit(
       (for (mi <- 0 until m; (_, v) <- books(mi))
         yield v.map(x => x * x).sum).toSeq)
     val q = broadcast(cellAssign(queries, idCol, vecCol, cents,
         "qid", "__qv", "__qn", probes = nProbe)
-      .withColumn("__lut", array(lutEntries: _*))
+      .withColumn("__lut",
+        graft.functions.PqExpressions.pqLut(col("__qv"), books, sub))
       .select(col("qid"), col("__qn"), col("__lut"), col("__cell")))
 
     def idx(mi: Int): Column = lit(offs(mi)) + col(s"__code_$mi") + 1

@@ -27,8 +27,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * guarantee is per modality, exactly the batch equi-key, so items of
   * different modalities can never meet. State per bucket is capped at
   * `maxPerBucket` (id, words) entries; a degenerate bucket stops
-  * growing instead of OOMing the store, at the documented cost of
-  * missing pairs past the cap. Delivery is at-least-once per pair
+  * growing instead of OOMing the store. Items arriving past the cap
+  * are still Hamming-checked against the stored entries (that scan is
+  * bounded by the cap) — only their INSERT is skipped, so the lossage
+  * is limited to overflow-vs-overflow pairs. Delivery is at-least-once per pair
   * (pairs agreeing on several bands emit once per band) — route
   * through a distinct compaction before acting, like the batch path's
   * pre-`distinct` multiset.
@@ -71,13 +73,18 @@ object StreamingFingerprints {
           val out = Seq.newBuilder[(String, Long, Long, Long)]
           // sorted for deterministic emission order within a batch
           rows.toSeq.sortBy(_._2).foreach { case (_, id, w0, w1, _, _) =>
-            if (!seen.exists(_._1 == id) && seen.size < maxPerBucket) {
+            if (!seen.exists(_._1 == id)) {
+              // The Hamming check against stored entries is cheap and
+              // bounded (<= maxPerBucket xors), so it runs even when
+              // the bucket is full — only the state INSERT is skipped
+              // at the cap, so a full bucket loses overflow-vs-overflow
+              // pairs but still reports overflow-vs-stored ones.
               seen.foreach { case (sid, s0, s1) =>
                 val ham = java.lang.Long.bitCount(w0 ^ s0) +
                   java.lang.Long.bitCount(w1 ^ s1)
                 if (ham <= maxHamming) out += ((modality, id, sid, ham.toLong))
               }
-              seen = seen :+ ((id, w0, w1))
+              if (seen.size < maxPerBucket) seen = seen :+ ((id, w0, w1))
             }
           }
           state.update(seen)

@@ -72,7 +72,10 @@ class StreamingFingerprintsSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // 5 identical signatures in one modality, cap 3: only the first 3
-    // enter state -> exactly 3 pairs; re-sending everything adds none
+    // enter state, but overflow arrivals (4, 5) still Hamming-check
+    // against the stored 3 -> pairs among 1-3 plus overflow-vs-stored;
+    // only the overflow-vs-overflow pair (5,4) is lost to the cap.
+    // Re-sending everything adds none (same-id idempotence).
     val sig = "01" * 32
     val fps = (1L to 5L).map(i => Fp("image", i, sig))
     val stream = MemoryStream[Fp]
@@ -89,7 +92,11 @@ class StreamingFingerprintsSpec extends AnyFunSuite {
     val got = spark.table("fp_cap")
       .select("new_id", "old_id").distinct()
       .as[(Long, Long)].collect().toSet
-    assert(got == Set((2L, 1L), (3L, 1L), (3L, 2L)),
-      s"got $got — cap at 3 ids leaves exactly the 3 pairs among ids 1-3")
+    val stored = Set((2L, 1L), (3L, 1L), (3L, 2L))
+    val overflowVsStored =
+      for (n <- Set(4L, 5L); o <- Set(1L, 2L, 3L)) yield (n, o)
+    assert(got == stored ++ overflowVsStored,
+      s"got $got — cap at 3 stores ids 1-3 (pairs among themselves), " +
+        "4 and 5 still pair against the stored 3; (5,4) is lost")
   }
 }
