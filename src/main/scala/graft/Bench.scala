@@ -194,7 +194,38 @@ object Bench {
       // wrong trade — coverage beats warm numbers when wall budget is
       // scarce — while the cheap fixed-size warmups below still run.
       val docsWarm = Tables.load(spark, sfDir, "documents")
-      if (elapsedS <= 60) {
+      // Full-size leg ORDER is by cold-tax-at-stake, biggest first, so
+      // that on a degraded day the gate cuts the CHEAPEST insurance:
+      // the cascade's first-execution tax (~25-30s; r9 driver run paid
+      // 42.8s on q137 when this leg was gate-skipped, vs 12.6s steady)
+      // exceeds the near-dup family's (~10-15s, and its artifact memo
+      // confines the residual to one payer query). Gates sit at 90s
+      // (not 60): at ~2x degradation — exactly the r9 driver weather —
+      // the fixed warmups end around 60-70s, and skipping a ~12s leg
+      // there COSTS ~30s of inflated measurement; the wider gate still
+      // blocks both legs on a pathological (4x+) day where coverage
+      // beats warmth.
+      //
+      // The incremental-curation cascade (q137's family): the widest
+      // plan in the suite (~800 physical nodes) — warm its codegen so
+      // the first in-bench execution doesn't pay compilation. q137's
+      // steady state at sf0.1 is ~5s regardless of shuffle-partition
+      // count (measured 5.3s at 32 parts vs 5.2s at 8, same 32
+      // threads): intrinsic cascade work, not task overhead — larger
+      // in-bench readings are first-execution compilation (this
+      // warmup's target) plus VM variance. FULL-SIZE state (40-doc
+      // state did not transfer: the first measured cascade query still
+      // paid ~25s cold, r9 run 7 q137 32.1s vs 6.9 steady).
+      if (elapsedS <= 90) {
+        val curWarm = operators.DocPipeline.curateIncrementCached(
+          operators.DocPipeline.curateState(docsWarm, "doc_id", "text"),
+          docsWarm, docsWarm.limit(5), "doc_id", "text")
+        curWarm.df.count()
+        curWarm.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      if (elapsedS <= 90) {
         val pairsWarm = operators.Dedup.jaccardNearDupPairsCached(
           docsWarm, "doc_id", "text", 9, 3, threshold = 0.5)
         operators.Dedup.dupClusters(
@@ -203,23 +234,21 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
-      // the incremental-curation cascade (q137's family): the widest
-      // plan in the suite (~800 physical nodes) — warm its codegen so
-      // the first in-bench execution doesn't pay compilation. q137's
-      // steady state at sf0.1 is ~5s regardless of shuffle-partition
-      // count (measured 5.3s at 32 parts vs 5.2s at 8, same 32
-      // threads): intrinsic cascade work, not task overhead — larger
-      // in-bench readings are first-execution compilation (this
-      // warmup's target) plus VM variance
-      // cascade warmup, FULL-SIZE state like the near-dup warmup above
-      // (40-doc state did not transfer: the first measured cascade
-      // query still paid ~25s cold, r9 run 7 q137 32.1s vs 6.9 steady)
-      if (elapsedS <= 60) {
-        val curWarm = operators.DocPipeline.curateIncrementCached(
-          operators.DocPipeline.curateState(docsWarm, "doc_id", "text"),
-          docsWarm, docsWarm.limit(5), "doc_id", "text")
-        curWarm.df.count()
-        curWarm.unpersist()
+      // the ENSEMBLE family (q152/q155): its SNM (sort + rank-band +
+      // threshold-levenshtein join) and SimHash-pair (conv decode +
+      // bit_count join) blockers share generated classes with NOTHING
+      // above — when q150/q138 order late, the ensemble payer query
+      // eats their full-size cold tax itself (measured: q155 25.3s as
+      // the 3rd query of a healthy fresh run vs 11.8s when q150 had
+      // warmed SNM first). One untimed full-size pass of the exact
+      // ensemble pipeline absorbs it; the memoized artifact is NOT
+      // filled here (memos key on the bench's own calls), so the
+      // measured payer still runs the whole pipeline — just warm.
+      if (elapsedS <= 90) {
+        val ensWarm = operators.Dedup.ensembleNearDupCached(
+          docsWarm, "doc_id", "text")
+        ensWarm.df.count()
+        ensWarm.unpersist()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }

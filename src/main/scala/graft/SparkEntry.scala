@@ -1059,6 +1059,41 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: PQ index health report ----
+    // the audit a stored ANN index artifact ships with (FAISS's
+    // imbalance factor): per subspace, how many cells are actually
+    // used, the largest cell, and cells·Σn²/(Σn)² as exact integer
+    // parts-per-million (1e6 = perfectly balanced; ADC probe cost
+    // scales with it). Reads the SAME memoized full-corpus books as
+    // q144/q149 (a health check runs against the stored index, it
+    // doesn't retrain) and aggregates per-subspace — code IDENTITY
+    // stays out of the output, so the report is invariant under the
+    // engines' different code labelings (index vs centroid id).
+    "q168_pq_index_stats" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val books = pqIndex(s, dir)._2
+      val codes = Similarity.pqEncodeCodes(e, "vec_id", "embedding", 64, books)
+      val per = codes
+        .select(posexplode(array((0 until 4).map(mi =>
+          col(s"__code_$mi")): _*)).as(Seq("subspace", "code")))
+        .groupBy(col("subspace"), col("code"))
+        .agg(count(lit(1)).as("n"))
+      per.groupBy(col("subspace"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("n")).as("n_vecs"),
+          max(col("n")).as("max_cell"),
+          sum(col("n") * col("n")).as("__sq"))
+        .select(
+          col("subspace").cast("long").as("subspace"),
+          col("n_cells"),
+          col("n_vecs"),
+          col("max_cell"),
+          expr("(n_cells * __sq * 1000000) div (n_vecs * n_vecs)")
+            .as("imbalance_ppm"))
+        .orderBy("subspace")
+    }),
+
     // ---- extension: segment-level (CCNet-style) boilerplate dedup ----
     // the sub-document twin of q20 exact dedup: 8-token segments that
     // repeat across >1 documents (headers, nav text, license blocks)
@@ -2543,6 +2578,53 @@ object SparkEntry {
        |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** q168: per-subspace PQ index health — the q144 books + encode CTEs
+    * with a per-(subspace, code) occupancy tail instead of a search.
+    * The output aggregates per SUBSPACE only (never exposing the code
+    * value), because the two engines label codes differently — Spark
+    * emits the index into the cid-sorted book, the oracle the centroid
+    * id — and occupancy/imbalance are invariant under that relabeling.
+    * Imbalance = cells·Σn²/(Σn)² in exact integer ppm (Cauchy-Schwarz
+    * floor 10⁶ at perfect balance).
+    */
+  private def pqIndexStatsOracle(m: Int, ks: Int, iters: Int, sub: Int): String = {
+    val books = (0 until m)
+      .map(mi => pqKmeansCtesSql(ks, iters, sub, mi * sub, s"p$mi"))
+      .mkString(",\n")
+    val encSrcs = (0 until m).map { mi =>
+      val sl = s"list_slice(v, ${mi * sub + 1}, ${mi * sub + sub})"
+      s"""p${mi}e AS (SELECT vec_id, $sl AS v,
+         |  sqrt(list_dot_product($sl, $sl)) AS nrm FROM ev)""".stripMargin
+    }.mkString(",\n")
+    // same NaN-to--Infinity encode guard as pqAdcOracle's enc CTEs
+    val encs = (0 until m).map { mi =>
+      s"""enc$mi AS (SELECT vec_id, cid AS code FROM (
+         |  SELECT n.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY CASE WHEN isnan(list_dot_product(n.v, c.cv) / (n.nrm * c.cn))
+         |        THEN CAST('-Infinity' AS DOUBLE)
+         |        ELSE list_dot_product(n.v, c.cv) / (n.nrm * c.cn) END DESC, c.cid) AS rn
+         |  FROM p${mi}e n CROSS JOIN p${mi}c$iters c) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m)
+      .map(mi => s"SELECT $mi AS subspace, code FROM enc$mi")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $books,
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |$encSrcs,
+       |$encs,
+       |u AS ($union),
+       |per AS (SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM u GROUP BY 1, 2)
+       |SELECT CAST(subspace AS BIGINT) AS subspace,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(n) AS BIGINT) AS n_vecs,
+       |  CAST(MAX(n) AS BIGINT) AS max_cell,
+       |  CAST((COUNT(*) * SUM(n * n) * 1000000) // (SUM(n) * SUM(n)) AS BIGINT)
+       |    AS imbalance_ppm
+       |FROM per GROUP BY subspace ORDER BY subspace""".stripMargin
+  }
+
   /** q149: IVF-PQ — the q113 cell layer (full-width trained k-means
     * probe) composed with the q144 code layer (per-subspace books,
     * ADC), candidates restricted to probed cells by an equi-join on
@@ -3327,6 +3409,9 @@ object SparkEntry {
       pqAdcOracle(m = 4, ks = 16, iters = 3, sub = 16, nQueries = 20,
         k = 3, refine = 3, trainFilter = "vec_id < 400",
         queryFilter = Some("q.vec_id >= 400 AND q.vec_id < 420")),
+
+    "q168_pq_index_stats" ->
+      pqIndexStatsOracle(m = 4, ks = 16, iters = 3, sub = 16),
 
     "q114_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -122,4 +122,39 @@ class PqSpec extends AnyFunSuite {
     assert(hits.map(_.toSeq).toSet == full,
       "incremental union equals whole-corpus encode under frozen books")
   }
+
+  test("index stats: occupancy sums to the corpus, imbalance floors at 1e6 and detects skew") {
+    import org.apache.spark.sql.functions._
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val codes = Similarity.pqEncodeCodes(corpus, "vec_id", "embedding", 8, books)
+    val per = codes
+      .select(posexplode(array(col("__code_0"), col("__code_1")))
+        .as(Seq("subspace", "code")))
+      .groupBy(col("subspace"), col("code")).agg(count(lit(1)).as("n"))
+    val stats = per.groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_vecs"),
+        max("n").as("max_cell"), sum(col("n") * col("n")).as("__sq"))
+      .withColumn("imbalance_ppm",
+        expr("(n_cells * __sq * 1000000) div (n_vecs * n_vecs)"))
+      .collect()
+    assert(stats.length == 2)
+    stats.foreach { r =>
+      val (cells, vecs, maxC, imb) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getAs[Long]("imbalance_ppm"))
+      assert(vecs == 40L, "every vector encodes in every subspace")
+      assert(cells >= 1L && cells <= 4L && maxC <= vecs)
+      // Cauchy-Schwarz: cells * sum(n^2) >= (sum n)^2, so the exact
+      // integral ppm never floors below 1e6
+      assert(imb >= 1000000L, s"imbalance_ppm $imb below the CS floor")
+    }
+    // planted perfect balance: 4 cells x 10 vectors -> exactly 1e6;
+    // planted skew (37/1/1/1) -> cells*sq ppm way above it
+    def ppm(ns: Seq[Long]): Long = {
+      val (c, t, sq) = (ns.size.toLong, ns.sum, ns.map(n => n * n).sum)
+      c * sq * 1000000L / (t * t)
+    }
+    assert(ppm(Seq(10L, 10L, 10L, 10L)) == 1000000L)
+    assert(ppm(Seq(37L, 1L, 1L, 1L)) > 3000000L)
+  }
 }
