@@ -328,7 +328,6 @@ object Bench {
     // are skipped entirely — they'd be 10x+ slow exactly when budget
     // is scarcest — and vm_health carries the -1 sentinel.
     val ProbeEvery = 10
-    val probesEnabled = elapsedS <= 120
     val vmSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     def runProbeJob(): Double = {
       val t0 = System.nanoTime()
@@ -340,14 +339,22 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Probe enablement is decided by the probe's OWN first (untimed,
+    // JIT-warming) execution, not by total warmup elapsed: the warmup
+    // now carries three full-size family legs whose legitimate cost
+    // can push elapsed past any fixed cutoff on a mildly degraded day,
+    // and losing the whole normalization series to that (r10 run 3:
+    // vh=-1 on a run that measured everything) costs far more than the
+    // probes do. A pathological VM still disables probing — there the
+    // warm-in probe itself runs 10x+ slow (healthy 0.2-0.5s), which is
+    // the exact signal the old elapsed proxy approximated.
+    // (The untimed first run also absorbs the probe's codegen/JIT:
+    // without it the first recorded probes ran ~2x slow — 0.48 -> 0.25s
+    // over a healthy run's first probes — and the normalization
+    // mistook probe warm-up for VM degradation.)
+    val probesEnabled = runProbeJob() <= 5.0
     def vmProbe(afterN: Int): Unit = if (probesEnabled)
       vmSeries += afterN -> runProbeJob()
-    // warm the probe's OWN codegen/JIT untimed first: without this the
-    // first recorded probes run ~2x slow (observed 0.48 -> 0.25 s decay
-    // over the first probes of a healthy run) and the normalization
-    // mistakes probe warm-up for VM degradation, over-deflating early
-    // queries
-    if (probesEnabled) runProbeJob()
     vmProbe(0)
     val vmHealthS = vmSeries.headOption.map(_._2).getOrElse(-1.0)
     // "q63_dup_clusters" → "q63": unique across all queries, keeps the
