@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqExpressions
+
+/** Ingest-time PQ encoding of an embedding stream — the streaming twin
+  * of the frozen-codebook batch ingest (q165,
+  * [[graft.operators.Similarity.pqEncodeCodes]]): new vectors arrive
+  * continuously, each encodes against the STORED books (trained once,
+  * never touched by ingest), and the output stream appends to the
+  * index's codes table. Re-training per micro-batch is the
+  * anti-pattern this exists to avoid — at 100 TB the books are a tiny
+  * broadcast-shaped artifact and the codes table is the index.
+  *
+  * Shape: the encode is STATELESS (one fused `pq_codes` expression per
+  * row, the codebook riding as a codegen reference object), so this is
+  * a pure projection over the stream — no state store, no watermark,
+  * no shuffle; every micro-batch costs exactly its own rows. Append
+  * mode composes with any sink, and the emitted schema is
+  * [[graft.operators.Similarity.pqEncodeCodes]]'s
+  * `(nbr, __code_0..__code_{m-1})`, so the accumulated sink table
+  * unions directly with batch-encoded state for
+  * [[graft.operators.Similarity.pqSearchWithCodes]] — the exact q165
+  * search path, fed by a stream.
+  *
+  * Codes are bit-identical to the batch encode (same expression, same
+  * assignment/NaN/tie rules), so replaying a corpus through the stream
+  * and encoding it in one batch produce byte-equal index state —
+  * ingest idempotence reduces to sink-level dedup on `nbr`.
+  */
+object StreamingIndexIngest {
+
+  /** @param vecs  streaming frame carrying `idCol` and `vecCol`
+    *              (`array<float>` or `array<double>`)
+    * @param books per-subspace frozen codebooks
+    *              ([[graft.operators.Similarity.pqCodebooks]] output)
+    * @param dims  full vector width; `books.size` must divide it
+    */
+  def encodeStream(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      books: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
+    val m = books.size
+    require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
+    val sub = dims / m
+    val cv = transform(col(vecCol), x => x.cast("double"))
+    vecs
+      .select(col(idCol).as("nbr"),
+        PqExpressions.pqCodes(cv, books, sub).as("__codes"))
+      .select(col("nbr") +:
+        (0 until m).map(mi =>
+          element_at(col("__codes"), mi + 1).as(s"__code_$mi")): _*)
+  }
+}

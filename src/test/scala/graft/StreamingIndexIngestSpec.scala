@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.streaming.StreamingIndexIngest
+
+final case class Vec(vec_id: Long, embedding: Seq[Double])
+
+/** Streaming frozen-book PQ ingest: codes streamed across micro-batches
+  * are byte-equal to one batch encode with the same books, and the
+  * books themselves stay untouched — the q165 contract at ingest time.
+  */
+class StreamingIndexIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Same clustered corpus as PqSpec: 4 tight clusters of 10 in 8 dims. */
+  private def corpus = {
+    import spark.implicits._
+    (0L until 40L).map { i =>
+      val c = (i / 10).toInt
+      val base = Array.fill(8)(0.05)
+      base(c * 2) = 1.0
+      base(c * 2 + 1) = 0.5
+      base(7 - c) = base(7 - c) + (i % 10) * 0.01
+      Vec(i, base.toSeq)
+    }
+  }
+
+  test("streamed codes across micro-batches equal the batch encode; books frozen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = corpus
+    val batchDf = rows.toDF()
+    val books = Similarity.pqCodebooks(batchDf, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    def ser(b: Seq[Seq[(Long, Array[Double])]]): String =
+      b.map(_.map { case (cid, v) =>
+        s"$cid:${v.map(java.lang.Double.doubleToLongBits).mkString(",")}"
+      }.mkString(";")).mkString("|")
+    val before = ser(books)
+
+    val stream = MemoryStream[Vec]
+    val out = StreamingIndexIngest.encodeStream(
+      stream.toDF(), "vec_id", "embedding", dims = 8, books)
+    val query = out.writeStream.format("memory")
+      .queryName("pq_ingest").outputMode("append").start()
+    try {
+      stream.addData(rows.take(25): _*) // micro-batch 1: base corpus
+      query.processAllAvailable()
+      stream.addData(rows.drop(25): _*) // micro-batch 2: new arrivals
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("pq_ingest")
+      .select("nbr", "__code_0", "__code_1")
+      .collect().map(_.toSeq).toSet
+    val batch = Similarity.pqEncodeCodes(batchDf, "vec_id", "embedding", 8, books)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"extra=${streamed -- batch}, missing=${batch -- streamed}")
+    assert(streamed.size == 40)
+    assert(ser(books) == before, "streaming ingest must not touch the books")
+    // and the streamed state is searchable through the stored-codes
+    // path, matching a whole-corpus search with the same books
+    val codesDf = spark.table("pq_ingest").select(
+      col("nbr"), col("__code_0"), col("__code_1"))
+    val viaStream = Similarity.pqSearchWithCodes(
+        batchDf.filter(col("vec_id") < 2), codesDf, batchDf,
+        "vec_id", "embedding", dims = 8, books, k = 3, refine = 3)
+      .collect().map(_.toSeq).toSet
+    val viaBatch = Similarity.pqTopKWithBooks(
+        batchDf.filter(col("vec_id") < 2), batchDf,
+        "vec_id", "embedding", dims = 8, books, k = 3, refine = 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaStream == viaBatch,
+      "search over stream-accumulated codes equals the batch index")
+  }
+}
