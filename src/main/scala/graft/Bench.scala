@@ -324,9 +324,9 @@ object Bench {
     // `ProbeEvery` measured queries; `vmSeries` records (queries
     // measured so far, probe seconds) and the dump emits a per-query
     // normalization against the NEAREST probe. On a pathological-VM
-    // day (session init alone blew the 120 s warmup cutoff) the probes
-    // are skipped entirely — they'd be 10x+ slow exactly when budget
-    // is scarcest — and vm_health carries the -1 sentinel.
+    // day the probes are skipped entirely — they'd be 10x+ slow
+    // exactly when budget is scarcest — and vm_health carries the -1
+    // sentinel (enablement logic below).
     val ProbeEvery = 10
     val vmSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     def runProbeJob(): Double = {
@@ -347,12 +347,16 @@ object Bench {
     // vh=-1 on a run that measured everything) costs far more than the
     // probes do. A pathological VM still disables probing — there the
     // warm-in probe itself runs 10x+ slow (healthy 0.2-0.5s), which is
-    // the exact signal the old elapsed proxy approximated.
+    // the exact signal the old elapsed proxy approximated. The elapsed
+    // check is kept only as a TRULY-pathological short-circuit (init
+    // alone has taken minutes here) so the gate doesn't spend minutes
+    // running its own 20M-row probe to learn what the clock already
+    // says; 300s >> any legitimate warmup (healthy ~45s, 2x day ~100s).
     // (The untimed first run also absorbs the probe's codegen/JIT:
     // without it the first recorded probes ran ~2x slow — 0.48 -> 0.25s
     // over a healthy run's first probes — and the normalization
     // mistook probe warm-up for VM degradation.)
-    val probesEnabled = runProbeJob() <= 5.0
+    val probesEnabled = elapsedS <= 300 && runProbeJob() <= 5.0
     def vmProbe(afterN: Int): Unit = if (probesEnabled)
       vmSeries += afterN -> runProbeJob()
     vmProbe(0)

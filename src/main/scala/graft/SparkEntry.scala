@@ -1072,9 +1072,10 @@ object SparkEntry {
     "q168_pq_index_stats" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val books = pqIndex(s, dir)._2
+      val m = books.size
       val codes = Similarity.pqEncodeCodes(e, "vec_id", "embedding", 64, books)
       val per = codes
-        .select(posexplode(array((0 until 4).map(mi =>
+        .select(posexplode(array((0 until m).map(mi =>
           col(s"__code_$mi")): _*)).as(Seq("subspace", "code")))
         .groupBy(col("subspace"), col("code"))
         .agg(count(lit(1)).as("n"))
@@ -1089,7 +1090,13 @@ object SparkEntry {
           col("n_cells"),
           col("n_vecs"),
           col("max_cell"),
-          expr("(n_cells * __sq * 1000000) div (n_vecs * n_vecs)")
+          // decimal(38,0): cells·Σn²·10⁶ passes 2^63 at ~1M vectors
+          // per skewed cell, and DuckDB's SUM is HUGEINT-exact — the
+          // same wrap class the QualityClassifier micro-score fix
+          // closed; 38 digits hold any reachable corpus (Σn² ≤ 10^26
+          // at 10^13 vectors, ×ks×10⁶ < 10^34)
+          expr("""(cast(n_cells as decimal(38,0)) * __sq * 1000000)
+                  div (cast(n_vecs as decimal(38,0)) * n_vecs)""")
             .as("imbalance_ppm"))
         .orderBy("subspace")
     }),
@@ -4081,7 +4088,8 @@ object SparkEntry {
          |                       LEFT JOIN sc ON sc.doc_id = d.doc_id),
          |m AS (SELECT doc_id, dl,
          |        CAST((CASE WHEN n < 0 THEN -1 ELSE 1 END) *
-         |          ((abs(n) * 1000000 + dd // 2) // dd) AS BIGINT) AS score_micro
+         |          ((CAST(abs(n) AS HUGEINT) * 1000000 + dd // 2) // dd)
+         |          AS BIGINT) AS score_micro
          |      FROM r)
          |SELECT doc_id, dl, score_micro, (score_micro >= 300000) AS keep
          |FROM m ORDER BY doc_id""".stripMargin

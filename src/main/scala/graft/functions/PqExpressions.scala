@@ -163,14 +163,20 @@ object PqCodesExpr {
       v: ArrayData, subDim: Int, bookOff: Array[Int],
       entryOff: Array[Int], coords: Array[Double], norms: Array[Double]): Array[Int] = {
     val m = bookOff.length - 1
+    val n = v.numElements()
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
       val base = mi * subDim
+      // a vector shorter than dims yields a short (or empty) slice —
+      // the literal tree's slice() semantics; clamping here keeps a
+      // malformed row from reading past the array (AIOOBE on generic
+      // rows, silent garbage on unsafe rows)
+      val svLen = math.max(0, math.min(subDim, n - base))
       // sub-vector norm: sqrt of the same left fold dot(sv, sv) uses
       var nAcc = 0.0
       var i = 0
-      while (i < subDim) {
+      while (i < svLen) {
         val x = v.getDouble(base + i)
         nAcc += x * x
         i += 1
@@ -182,7 +188,7 @@ object PqCodesExpr {
       var e = bookOff(mi)
       while (e < bookOff(mi + 1)) {
         val cOff = entryOff(e)
-        val cLen = math.min(subDim, entryOff(e + 1) - cOff)
+        val cLen = math.min(svLen, entryOff(e + 1) - cOff)
         var d = 0.0
         var t = 0
         while (t < cLen) {
@@ -257,14 +263,17 @@ object PqLutExpr {
       v: ArrayData, subDim: Int, bookOff: Array[Int],
       entryOff: Array[Int], coords: Array[Double]): Array[Double] = {
     val m = bookOff.length - 1
+    val n = v.numElements()
     val out = new Array[Double](bookOff(m))
     var mi = 0
     while (mi < m) {
       val base = mi * subDim
+      // short-vector clamp — see PqCodesExpr.codes
+      val svLen = math.max(0, math.min(subDim, n - base))
       var e = bookOff(mi)
       while (e < bookOff(mi + 1)) {
         val cOff = entryOff(e)
-        val cLen = math.min(subDim, entryOff(e + 1) - cOff)
+        val cLen = math.min(svLen, entryOff(e + 1) - cOff)
         var d = 0.0
         var t = 0
         while (t < cLen) {

@@ -931,7 +931,8 @@ object Similarity {
     * the PQ index's per-row state, exposed so incremental ingest can
     * encode only the NEW batch and union it with stored codes instead
     * of re-encoding (or worse, re-training on) the whole corpus per
-    * batch. Same assignment + tie rule as training ([[pqCode]]), so a
+    * batch. Same assignment + tie rule as training (the fused
+    * [[graft.functions.PqExpressions.pqCodes]] expression), so a
     * training vector encodes to the cell it trained in.
     */
   def pqEncodeCodes(

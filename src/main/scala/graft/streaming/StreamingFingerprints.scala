@@ -30,7 +30,13 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * growing instead of OOMing the store. Items arriving past the cap
   * are still Hamming-checked against the stored entries (that scan is
   * bounded by the cap) — only their INSERT is skipped, so the lossage
-  * is limited to overflow-vs-overflow pairs. Delivery is at-least-once per pair
+  * is limited to overflow-vs-overflow pairs. The flip side of not
+  * storing overflow ids: the same-id idempotence guard only covers
+  * STORED ids, so an overflow id re-delivered by an at-least-once
+  * source re-emits its overflow-vs-stored pairs once per redelivery —
+  * bounded by the source's redelivery count, and collapsed by the same
+  * distinct compaction the per-band re-emits already require.
+  * Delivery is at-least-once per pair
   * (pairs agreeing on several bands emit once per band) — route
   * through a distinct compaction before acting, like the batch path's
   * pre-`distinct` multiset.

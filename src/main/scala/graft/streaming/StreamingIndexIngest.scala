@@ -1,9 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
-
-import graft.functions.PqExpressions
 
 /** Ingest-time PQ encoding of an embedding stream — the streaming twin
   * of the frozen-codebook batch ingest (q165,
@@ -43,16 +40,9 @@ object StreamingIndexIngest {
       idCol: String,
       vecCol: String,
       dims: Int,
-      books: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
-    val m = books.size
-    require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
-    val sub = dims / m
-    val cv = transform(col(vecCol), x => x.cast("double"))
-    vecs
-      .select(col(idCol).as("nbr"),
-        PqExpressions.pqCodes(cv, books, sub).as("__codes"))
-      .select(col("nbr") +:
-        (0 until m).map(mi =>
-          element_at(col("__codes"), mi + 1).as(s"__code_$mi")): _*)
-  }
+      books: Seq[Seq[(Long, Array[Double])]]): DataFrame =
+    // pqEncodeCodes is a pure stateless projection, so it works on a
+    // streaming frame as-is — ONE implementation of the encode
+    // contract, batch and stream
+    graft.operators.Similarity.pqEncodeCodes(vecs, idCol, vecCol, dims, books)
 }

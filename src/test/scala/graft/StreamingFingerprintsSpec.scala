@@ -75,7 +75,10 @@ class StreamingFingerprintsSpec extends AnyFunSuite {
     // enter state, but overflow arrivals (4, 5) still Hamming-check
     // against the stored 3 -> pairs among 1-3 plus overflow-vs-stored;
     // only the overflow-vs-overflow pair (5,4) is lost to the cap.
-    // Re-sending everything adds none (same-id idempotence).
+    // Re-sending: stored ids (1-3) add nothing (same-id idempotence);
+    // overflow ids (4, 5) RE-EMIT their pairs — they are not in state,
+    // so redelivery duplicates are the documented at-least-once cost,
+    // collapsed by the distinct() below exactly like per-band re-emits.
     val sig = "01" * 32
     val fps = (1L to 5L).map(i => Fp("image", i, sig))
     val stream = MemoryStream[Fp]
