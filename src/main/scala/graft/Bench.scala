@@ -551,23 +551,37 @@ object Bench {
       vmProbe(results.size)
     writeFullFile()
 
-    // Compact final line: short names + centiseconds keep ~111 queries
-    // near 1400 chars — inside the harness's ~2000-char parse tail.
+    // Compact final line. The harness parses the JSON from only the
+    // LAST ~2000 chars of stdout, and sbt's trailing "[success] Total
+    // time" line consumes ~75 of those — so the line must stay under
+    // ~1900 chars. At 167 queries the old 2-decimal format measured
+    // 2063 chars and the r9 driver artifact recorded parsed:null.
+    // Diet: 1-decimal per-query values (full 3-decimal precision stays
+    // in bench_full.json), taxonomy lists only when nonempty, numeric
+    // sf, vhx only in the full file. 167 queries ≈ 1830 chars.
+    def fmt1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val finalResults = merged
-    val qs = finalResults.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt2(v) }
+    val qs = finalResults.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt1(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val cappedJson = capped.map(c => "\"" + shortName(c._1) + "\"").mkString("[", ",", "]")
     val total = finalResults.map(_._2).sum
-    // vh = first probe, vhx = worst probe (vh << vhx flags mid-run
-    // degradation), vn = nearest-probe-normalized total; full series
-    // and per-query normalization live in bench_full.json
-    val vhx = if (vmSeries.isEmpty) -1.0 else vmSeries.map(_._2).max
+    // vh = first probe; worst probe (vhx) and the full series live in
+    // bench_full.json; vn = nearest-probe-normalized total
     val normTotal = carried.values.sum +
       results.zipWithIndex.map { case ((_, v), i) => v * probeFactor(i) }.sum
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("\"" + sfDir + "\"")
+    val taxonomy =
+      (if (failed.nonEmpty) s""","failed":$failedJson""" else "") +
+      (if (skipped.nonEmpty) s""","skipped":$skippedJson""" else "") +
+      (if (capped.nonEmpty) s""","capped":$cappedJson""" else "")
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"capped":$cappedJson,"vh":${fmt2(vmHealthS)},"vhx":${fmt2(vhx)},"vn":${fmt2(normTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$taxonomy,"vh":${fmt2(vmHealthS)},"vn":${fmt1(normTotal)},"sf":$sfNum}"""
+    if (line.length > 1900) System.err.println(
+      s"[bench] WARNING: final JSON line ${line.length} chars — may overflow the harness parse tail")
     // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to
     // stderr, and anything after the JSON line pushes it out of the
     // parse tail. Force logging off, stop Spark, then print last.

@@ -42,6 +42,25 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.ArrayCosine(a, b)
 
+  /** Cosine from a precomputed dot and per-row norms, with the
+    * [[graft.functions.ArrayCosine]] degenerate policy: a zero norm
+    * product yields IEEE NaN instead of Spark 4 ANSI `Divide`'s
+    * DIVIDE_BY_ZERO throw — one zero-norm vector must not kill a
+    * 100 TB scoring job (filter NaNs downstream; under a DESC sim
+    * sort NaN ranks first, same as the fused kernel's output).
+    *
+    * The `when` branch evaluates lazily in both codegen and
+    * interpreted modes, so every non-degenerate pair runs the exact
+    * same division as the unguarded form — bit-identical results —
+    * while the precomputed norms keep the per-pair cost at one dot
+    * (a full ArrayCosine migration would re-accumulate both norms
+    * per candidate pair).
+    */
+  def cosineFromParts(d: Column, na: Column, nb: Column): Column = {
+    val dv = na * nb
+    when(dv === lit(0.0), lit(Double.NaN)).otherwise(d / dv)
+  }
+
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * `corpus` rows (self-matches by id excluded). Output:
     * (qid, rank 1..k, nbr, sim).
@@ -62,7 +81,7 @@ object Similarity {
       toDoubleArray(col(vecCol)).as("__cv"))
       .withColumn("__cn", l2Norm(col("__cv")))
     val scored = q.join(c, col("qid") =!= col("nbr"))
-      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("sim", cosineFromParts(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -157,7 +176,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
     queryCells.join(corpusCells, Seq("__cell"))
       .filter(col("qid") =!= col("nbr"))
-      .withColumn("sim", dot(col("__qv"), col("__cv2")) / (col("__qn") * col("__cn2")))
+      .withColumn("sim", cosineFromParts(dot(col("__qv"), col("__cv2")), col("__qn"), col("__cn2")))
       // a (query, neighbor) pair can meet in several probed cells
       .select(col("qid"), col("nbr"), col("sim")).distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -346,7 +365,7 @@ object Similarity {
       col("__v").as("__v2"), col("__n").as("__n2"))
     a.join(b, Seq("__bucket"))
       .filter(col("d1") < col("d2"))
-      .withColumn("sim", dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
+      .withColumn("sim", cosineFromParts(dot(col("__v1"), col("__v2")), col("__n1"), col("__n2")))
       .filter(col("sim") >= threshold)
       .select(col("d1"), col("d2"), col("sim"))
   }
@@ -446,7 +465,7 @@ object Similarity {
       .withColumn("__rcn", l2Norm(col("__rc")))
     val coarse = q.join(c, col("qid") =!= col("nbr"))
       .withColumn("__csim",
-        dot(col("__qv"), col("__rc")) / (col("__qn") * col("__rcn")))
+        cosineFromParts(dot(col("__qv"), col("__rc")), col("__qn"), col("__rcn")))
       .select(col("qid"), col("nbr"), col("__csim"))
     val cands = graft.plans.TopKPerKey.topk(coarse, Seq("qid"),
         Seq(graft.plans.TopKPerKey.Desc("__csim"), graft.plans.TopKPerKey.Asc("nbr")),
@@ -459,7 +478,7 @@ object Similarity {
       .withColumn("__cn", l2Norm(col("__cv")))
     val exact = cExact
       .join(broadcast(cands.join(q, "qid")), "nbr")
-      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("sim", cosineFromParts(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
     exact
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -617,7 +636,7 @@ object Similarity {
         col("__v").as("__v2"), col("__n").as("__n2"))
       a.join(b, Seq("bucket"))
         .filter(col("d1") < col("d2"))
-        .withColumn("sim", dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
+        .withColumn("sim", cosineFromParts(dot(col("__v1"), col("__v2")), col("__n1"), col("__n2")))
         .filter(col("sim") >= threshold)
         .select(col("d1"), col("d2"), col("sim"))
     }
@@ -741,7 +760,7 @@ object Similarity {
     // overlap by coincidence — if the corpus still contains the eval
     // rows themselves, filter them out upstream, as q119 does.)
     def score(pairs: DataFrame): DataFrame = pairs
-      .withColumn("sim", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .withColumn("sim", cosineFromParts(dot(col("__cv"), col("__qv")), col("__cn"), col("__qn")))
       .filter(col("sim") >= threshold)
       .select(col("cid"), col("eid"), col("sim"))
     val scored =
@@ -997,7 +1016,7 @@ object Similarity {
     val reconN = sqrt((0 until m).map(mi => element_at(cn2, idx(mi)))
       .reduce(_ + _))
     val coarse = q.join(codes, col("qid") =!= col("nbr"))
-      .withColumn("__asim", approxDot / (col("__qn") * reconN))
+      .withColumn("__asim", cosineFromParts(approxDot, col("__qn"), reconN))
       .select(col("qid"), col("nbr"), col("__asim"))
     val cands = graft.plans.TopKPerKey.topk(coarse, Seq("qid"),
         Seq(graft.plans.TopKPerKey.Desc("__asim"),
@@ -1014,7 +1033,7 @@ object Similarity {
       .withColumn("__cn", l2Norm(col("__cv")))
     val exact = cExact
       .join(broadcast(cands.join(qv, "qid")), "nbr")
-      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("sim", cosineFromParts(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
     exact
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1110,7 +1129,7 @@ object Similarity {
     // frame ever meets a query
     val coarse = q.join(corpusSide, Seq("__cell"))
       .filter(col("qid") =!= col("nbr"))
-      .withColumn("__asim", approxDot / (col("__qn") * reconN))
+      .withColumn("__asim", cosineFromParts(approxDot, col("__qn"), reconN))
       .select(col("qid"), col("nbr"), col("__asim"))
     val cands = graft.plans.TopKPerKey.topk(coarse, Seq("qid"),
         Seq(graft.plans.TopKPerKey.Desc("__asim"),
@@ -1126,7 +1145,7 @@ object Similarity {
       .withColumn("__cn", l2Norm(col("__cv")))
     val exact = cExact
       .join(broadcast(cands.join(qv, "qid")), "nbr")
-      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("sim", cosineFromParts(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
     exact
       .withColumn("rank", row_number().over(w).cast("long"))
