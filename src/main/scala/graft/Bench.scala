@@ -329,9 +329,9 @@ object Bench {
     // sentinel (enablement logic below).
     val ProbeEvery = 10
     val vmSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
-    def runProbeJob(): Double = {
+    def runProbeJobN(rows: Long): Double = {
       val t0 = System.nanoTime()
-      spark.range(20000000L)
+      spark.range(rows)
         .select((org.apache.spark.sql.functions.col("id") % 97).as("k"),
           org.apache.spark.sql.functions.col("id").as("v"))
         .groupBy("k")
@@ -339,6 +339,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def runProbeJob(): Double = runProbeJobN(20000000L)
     // Probe enablement is decided by the probe's OWN first (untimed,
     // JIT-warming) execution, not by total warmup elapsed: the warmup
     // now carries three full-size family legs whose legitimate cost
@@ -356,7 +357,15 @@ object Bench {
     // without it the first recorded probes ran ~2x slow — 0.48 -> 0.25s
     // over a healthy run's first probes — and the normalization
     // mistook probe warm-up for VM degradation.)
-    val probesEnabled = elapsedS <= 300 && runProbeJob() <= 5.0
+    // The gate itself must stay cheap on a bad day: the old gate ran
+    // the full 20M-row probe with no bound, so a badly degraded VM
+    // inside the 300s window could burn minutes learning probes should
+    // be off. A 2M-row mini-probe (same generated class — range size
+    // is a runtime param, not a literal) first: ~0.03s healthy, and
+    // even a 20x-degraded VM pays well under its 2.0s threshold's
+    // order of magnitude before the full warm-in probe is attempted.
+    val probesEnabled = elapsedS <= 300 &&
+      runProbeJobN(2000000L) <= 2.0 && runProbeJob() <= 5.0
     def vmProbe(afterN: Int): Unit = if (probesEnabled)
       vmSeries += afterN -> runProbeJob()
     vmProbe(0)

@@ -123,13 +123,31 @@ object SparkEntry {
     * value free of session references, which the weak-keyed
     * [[SessionMemo]] needs for eviction.
     */
-  private final case class LocalFrame(
+  private[graft] final case class LocalFrame(
       rows: java.util.List[Row], schema: org.apache.spark.sql.types.StructType) {
     def toDF(s: SparkSession): DataFrame = s.createDataFrame(rows, schema)
   }
 
-  private def localFrame(df: DataFrame): LocalFrame =
-    LocalFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+  /** Memos hold ARTIFACT-sized frames only (verified pairs, 9
+    * hashes/doc, doc→cluster maps) — small by construction today, but
+    * a parameter change (e.g. a near-dup threshold drop) could balloon
+    * a pair table silently. The limit-probe collects at most cap+1
+    * rows and fails fast with a named cap instead of OOMing the driver
+    * (the `dupClustersCached` smallGraphEdges discipline applied to
+    * the memo layer). Under the cap the probe IS the full result —
+    * nothing collects twice.
+    */
+  private[graft] val LocalFrameMaxRows = 1000000
+
+  private[graft] def localFrame(
+      df: DataFrame, maxRows: Int = LocalFrameMaxRows): LocalFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    if (rows.length > maxRows) throw new IllegalStateException(
+      s"localFrame: artifact exceeds the $maxRows-row driver memo cap — " +
+        "this frame is no longer artifact-sized; keep it distributed " +
+        "instead of memoizing driver rows")
+    LocalFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
 
   /** JVM-level memo of the ensemble verified-pair table, keyed by
     * (session, data dir): q152 (pair listing) and q155 (recall audit)
@@ -261,6 +279,24 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "text",
         label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
         buckets = 64, seed = "qtrain:", epochs = 3, lrNum = 20L, lrDen = 1L)
+    }
+
+  /** The trained EXPLICIT-VOCAB quality model: q171 trains over the
+    * q141 vocabulary (same label/epochs/lr as the hashed trainer) and
+    * gates with it through the q141 scoring path — per-JVM stored
+    * artifact like [[trainedQualityModel]].
+    */
+  private val trainedLinearModelMemo =
+    new SessionMemo[String, operators.QualityClassifier.TrainedLinearModel]
+
+  private def trainedLinearQualityModel(
+      s: SparkSession, dir: String): operators.QualityClassifier.TrainedLinearModel =
+    trainedLinearModelMemo.get(s, dir) {
+      operators.QualityClassifier.trainLinear(
+        T(s, dir, "documents"), "doc_id", "text",
+        label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
+        vocab = ClassifierWeights.map(_._1),
+        epochs = 3, lrNum = 20L, lrDen = 1L)
     }
 
   /** q165's frozen index artifact: books trained on the BASE slice
@@ -1059,6 +1095,29 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- extension: ANN index DELETES (tombstoned live view) ----
+    // the lifecycle step q165's add-only union lacks: takedowns and
+    // dedup-removals tombstone ids in the stored codes table, searches
+    // run against the live view (one anti join — deleted ids never
+    // occupy candidate slots, so survivors fill the top-k exactly as
+    // if the rows were physically gone), and the frozen books stay
+    // bitwise untouched. Physical compaction is the stage-and-rename
+    // rewrite in Similarity.pqCompactIndex (PqSpec covers idempotence
+    // and pre/post search equivalence; this query pins the live-view
+    // search semantics against the oracle)
+    "q169_pq_delete" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val books = pqBaseBooks(s, dir)
+      val codes = Similarity.pqEncodeCodes(e, "vec_id", "embedding", 64, books)
+      val tombs = e.select(col("vec_id")).filter(col("vec_id") % 7 === 3)
+      Similarity.pqSearchWithTombstones(
+          e.filter(col("vec_id") >= 400 && col("vec_id") < 420),
+          codes, tombs, e, "vec_id", "embedding",
+          dims = 64, books, k = 3, refine = 3)
+        .withColumn("sim", round(col("sim"), 5))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- extension: PQ index health report ----
     // the audit a stored ANN index artifact ships with (FAISS's
     // imbalance factor): per subspace, how many cells are actually
@@ -1084,7 +1143,12 @@ object SparkEntry {
           count(lit(1)).as("n_cells"),
           sum(col("n")).as("n_vecs"),
           max(col("n")).as("max_cell"),
-          sum(col("n") * col("n")).as("__sq"))
+          // widen BEFORE squaring: n*n in Long wraps (legacy) or
+          // throws (ANSI) once a cell passes ~3e9 rows, and the Long
+          // sum saturates at 9.2e18 — far below the decimal headroom
+          // the ppm claim needs. decimal(38,0)·Long multiplies in
+          // decimal, and SUM over decimal(38,0) stays decimal(38,0).
+          sum(col("n").cast("decimal(38,0)") * col("n")).as("__sq"))
         .select(
           col("subspace").cast("long").as("subspace"),
           col("n_cells"),
@@ -1099,6 +1163,37 @@ object SparkEntry {
                   div (cast(n_vecs as decimal(38,0)) * n_vecs)""")
             .as("imbalance_ppm"))
         .orderBy("subspace")
+    }),
+
+    // ---- extension: IVF cell-layer health report ----
+    // q168's construction applied to the OTHER index layer: per-cell
+    // occupancy of the stored IVF coarse quantizer (the q149 cents,
+    // frozen — a health check assigns against the stored cells, it
+    // doesn't retrain). The imbalance factor prices nProbe at scale:
+    // expected ADC work per probe is (n_vecs/n_cells)·imbalance, so a
+    // skewed cell layer silently turns nProbe=2 into a half-corpus
+    // scan. Same exact-ppm integer construction, invariant under cell
+    // labelings (cell ids aggregate away)
+    "q170_ivf_cell_stats" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = pqIndex(s, dir)._1
+      val per = Similarity
+        .kmeansAssignWithCentroids(e, "vec_id", "embedding", cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      per.agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("n")).as("n_vecs"),
+          max(col("n")).as("max_cell"),
+          // widen BEFORE squaring (same guard as q168): Long n·n wraps
+          // past ~3e9-row cells; decimal(38,0)·Long multiplies exactly
+          sum(col("n").cast("decimal(38,0)") * col("n")).as("__sq"))
+        .select(
+          col("n_cells"),
+          col("n_vecs"),
+          col("max_cell"),
+          expr("""(cast(n_cells as decimal(38,0)) * __sq * 1000000)
+                  div (cast(n_vecs as decimal(38,0)) * n_vecs)""")
+            .as("imbalance_ppm"))
     }),
 
     // ---- extension: segment-level (CCNet-style) boilerplate dedup ----
@@ -1461,6 +1556,20 @@ object SparkEntry {
       operators.QualityClassifier.scoreHashedWithWeightsMicro(
           T(s, dir, "documents"), "doc_id", "text",
           trainedQualityModel(s, dir), "qtrain:", thresholdMicro = 300000L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: explicit-vocab train-then-gate ----
+    // closes the "scoreLinear takes external weights only" gap: the
+    // q162/q167 exact-replay integer GD over the EXPLICIT q141
+    // vocabulary (term features instead of hash buckets), with the
+    // trained model round-tripped through q141's broadcast-join
+    // scoring path in exact micro-units; the oracle replays every
+    // epoch as unrolled CTEs and scores from the replayed weight table
+    "q171_train_linear" -> ((s, dir) => {
+      operators.QualityClassifier.scoreLinearMicro(
+          T(s, dir, "documents"), "doc_id", "text",
+          trainedLinearQualityModel(s, dir), thresholdMicro = 0L)
         .orderBy("doc_id")
     }),
 
@@ -2527,7 +2636,8 @@ object SparkEntry {
   private def pqAdcOracle(
       m: Int, ks: Int, iters: Int, sub: Int, nQueries: Int, k: Int,
       refine: Int, trainFilter: String = "TRUE",
-      queryFilter: Option[String] = None): String = {
+      queryFilter: Option[String] = None,
+      corpusFilter: Option[String] = None): String = {
     val books = (0 until m)
       .map(mi => pqKmeansCtesSql(ks, iters, sub, mi * sub, s"p$mi", trainFilter))
       .mkString(",\n")
@@ -2571,7 +2681,7 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |      ORDER BY ($adExpr) / (q.vn * sqrt($cnnExpr)) DESC, x.vec_id) AS rn
        |  FROM en q
-       |  JOIN en x ON x.vec_id <> q.vec_id
+       |  JOIN en x ON x.vec_id <> q.vec_id${corpusFilter.map(f => s" AND ($f)").getOrElse("")}
        |$encJoins
        |  WHERE ${queryFilter.getOrElse(s"q.vec_id < $nQueries")}) t WHERE rn <= ${k * refine}),
        |ex AS (SELECT cand.qid, cand.nbr, cand.coarse_rank,
@@ -3420,6 +3530,31 @@ object SparkEntry {
     "q168_pq_index_stats" ->
       pqIndexStatsOracle(m = 4, ks = 16, iters = 3, sub = 16),
 
+    // tombstoned live view: q165's CTEs with the deleted set excluded
+    // from the coarse candidates (and hence from the rescore)
+    "q169_pq_delete" ->
+      pqAdcOracle(m = 4, ks = 16, iters = 3, sub = 16, nQueries = 20,
+        k = 3, refine = 3, trainFilter = "vec_id < 400",
+        queryFilter = Some("q.vec_id >= 400 AND q.vec_id < 420"),
+        corpusFilter = Some("NOT (x.vec_id % 7 = 3)")),
+
+    // IVF cell-layer health: the q149 coarse-assignment CTE with the
+    // q168 occupancy/imbalance tail; cell ids aggregate away
+    "q170_ivf_cell_stats" ->
+      s"""WITH ${kmeansCtesSql(8, 3, 64)},
+         |ca AS (SELECT vec_id, cid FROM (
+         |  SELECT n2.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+         |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+         |  FROM n2 CROSS JOIN c3 c) t WHERE rn = 1),
+         |per AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM ca GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |  CAST(MAX(n) AS BIGINT) AS max_cell,
+         |  CAST((COUNT(*) * SUM(n * n) * 1000000) // (SUM(n) * SUM(n)) AS BIGINT)
+         |    AS imbalance_ppm
+         |FROM per""".stripMargin,
+
     "q114_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |seg AS (SELECT doc_id, i,
@@ -4092,6 +4227,33 @@ object SparkEntry {
          |          AS BIGINT) AS score_micro
          |      FROM r)
          |SELECT doc_id, dl, score_micro, (score_micro >= 300000) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // explicit-vocab train-then-gate: the trainLinear CTEs replayed,
+    // then q141's scoring join straight from the replayed weight
+    // table; dl counts ALL tokens (OOV terms weigh 0 but count)
+    "q171_train_linear" -> {
+      val ctes = operators.QualityClassifier.trainLinearCtes("documents",
+        labelTokenSql = "spark", vocab = ClassifierWeights.map(_._1),
+        epochs = 3, lrNum = 20L, lrDen = 1L)
+      s"""WITH $ctes,
+         |wt AS (SELECT term, wm FROM w3 WHERE term <> ''),
+         |bias AS (SELECT wm FROM w3 WHERE term = ''),
+         |sc AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS raw
+         |       FROM feat f JOIN wt w ON w.term = f.term GROUP BY 1),
+         |dlt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+         |r AS (SELECT d.doc_id, COALESCE(dlt.dl, 0) AS dl,
+         |        (SELECT wm FROM bias) + COALESCE(sc.raw, 0) AS n,
+         |        1000 * greatest(COALESCE(dlt.dl, 0), 1) AS dd
+         |      FROM documents d LEFT JOIN dlt ON dlt.doc_id = d.doc_id
+         |                       LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |m AS (SELECT doc_id, dl,
+         |        CAST((CASE WHEN n < 0 THEN -1 ELSE 1 END) *
+         |          ((CAST(abs(n) AS HUGEINT) * 1000000 + dd // 2) // dd)
+         |          AS BIGINT) AS score_micro
+         |      FROM r)
+         |SELECT doc_id, dl, score_micro, (score_micro >= 0) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     },
 

@@ -291,11 +291,24 @@ object QualityClassifier {
         element_at(typedLit(model.weightsMilli), (bucket + 1).cast("int")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"), sum(col("__w")).as("__raw"))
+    finishMicro(docs, scored, idCol, model.biasMilli, thresholdMicro)
+  }
+
+  /** Shared integer micro-unit finish of the `WithWeightsMicro`
+    * scorers: `score_micro = round_half_away(10^6·(bias + raw) /
+    * (1000·max(dl,1)))` entirely in integer arithmetic.
+    */
+  private def finishMicro(
+      docs: DataFrame,
+      scored: DataFrame,
+      idCol: String,
+      biasMilli: Long,
+      thresholdMicro: Long): DataFrame =
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("dl"), lit(0L)).as("dl"),
-        (lit(model.biasMilli) + coalesce(col("__raw"), lit(0L))).as("__n"))
+        (lit(biasMilli) + coalesce(col("__raw"), lit(0L))).as("__n"))
       .withColumn("__d",
         lit(1000L) * greatest(col("dl"), lit(1L)))
       .withColumn("score_micro",
@@ -309,6 +322,197 @@ object QualityClassifier {
           .cast("long"))
       .withColumn("keep", col("score_micro") >= thresholdMicro)
       .select(col(idCol), col("dl"), col("score_micro"), col("keep"))
+
+  /** A trained EXPLICIT-VOCABULARY linear model: term → milli-weight
+    * pairs in vocabulary order plus the bias — exactly the shape
+    * [[scoreLinear]]/[[scoreExpr]] consume, so training round-trips
+    * straight into the serving path with no conversion.
+    */
+  final case class TrainedLinearModel(
+      weightsMilli: Seq[(String, Long)], biasMilli: Long)
+
+  /** TRAIN the explicit-vocabulary linear classifier — [[trainHashed]]
+    * with the hashing-trick feature space replaced by a fixed term
+    * vocabulary (the fastText-style setup where the feature set is a
+    * curated word list, not a hash range). Identical exact-replay
+    * integer GD: same rational sigmoid, same micro-unit residual
+    * quantization, same integer update rule — so the SQL oracle
+    * ([[trainLinearSql]]) replays every epoch and reproduces each
+    * final weight bit-for-bit.
+    *
+    * Featurization differences, and nothing else:
+    *  - features are integer tf counts of the VOCAB terms only (the
+    *    corpus tokenizes once; out-of-vocabulary tokens contribute no
+    *    feature but still count toward `dl`, matching
+    *    [[scoreLinear]]'s normalization);
+    *  - weights live per term; the per-epoch dot reads them through a
+    *    broadcast map literal (bounded by the same
+    *    vocabulary-fits-an-expression rule as [[scoreExpr]] — a
+    *    multi-million-term model trains through [[trainHashed]]);
+    *  - the bias gradient rides the per-term gradient aggregation
+    *    under the EMPTY-STRING sentinel term ('' can never be a
+    *    corpus token: the tokenizer drops empty splits).
+    *
+    * Scale shape is [[trainHashed]]'s: one checkpointed
+    * `(id, term, tf)` featurization, two partial-aggregated shuffles
+    * per epoch, `|vocab|+1` longs to the driver per epoch.
+    */
+  def trainLinear(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      vocab: Seq[String],
+      epochs: Int,
+      lrNum: Long,
+      lrDen: Long): TrainedLinearModel = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(vocab.distinct.size == vocab.size, "duplicate vocabulary terms")
+    require(!vocab.contains(""), "empty-string term collides with the bias sentinel")
+    require(epochs >= 0, "epochs must be non-negative")
+    require(lrNum > 0 && lrDen > 0, "learning rate must be positive")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val feat = toks.filter(col("term").isin(vocab: _*))
+      .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val meta = docs.select(col(idCol).as("__id"),
+        greatest(TextAnalysis.tokenCount(col(textCol)), lit(1L)).as("__dl"),
+        label.cast("long").as("__y"))
+      .localCheckpoint()
+    try {
+      val n = meta.count()
+      val w = scala.collection.mutable.LinkedHashMap(vocab.map(_ -> 0L): _*)
+      var b = 0L
+      val den = n * 1000L * lrDen
+      for (_ <- 1 to epochs) {
+        val wMap = map(vocab.flatMap(t => Seq(lit(t), lit(w(t)))): _*)
+        val dots = feat.groupBy(col("__id"))
+          .agg(sum(col("__tf") * element_at(wMap, col("term"))).as("__dot"))
+        val z = (lit(b) + coalesce(col("__dot"), lit(0L))).cast("double") /
+          (lit(1000.0) * col("__dl").cast("double"))
+        val resid = meta.join(dots, Seq("__id"), "left")
+          .withColumn("__z", z)
+          .withColumn("__s",
+            lit(0.5) + col("__z") / (lit(2.0) * (lit(1.0) + abs(col("__z")))))
+          .withColumn("__r", round(
+            round((col("__s") - col("__y")) / col("__dl").cast("double"), 6)
+              * 1e6).cast("long"))
+          .select(col("__id"), col("__r"))
+        val grads = feat.join(resid, "__id")
+          .select(col("term"), (col("__tf") * col("__r")).as("__g"))
+          .unionByName(resid.select(lit("").as("term"), col("__r").as("__g")))
+          .groupBy(col("term")).agg(sum(col("__g")).as("__g"))
+          .collect()
+        grads.foreach { r =>
+          val t = r.getString(0)
+          val g = r.getLong(1)
+          val step = math.abs(g) * lrNum / den
+          val delta = if (g > 0) -step else step
+          if (t.isEmpty) b += delta else w(t) += delta
+        }
+      }
+      TrainedLinearModel(w.toSeq, b)
+    } finally {
+      org.apache.spark.sql.graftbridge.unpersistCheckpointed(feat)
+      org.apache.spark.sql.graftbridge.unpersistCheckpointed(meta)
+    }
+  }
+
+  /** [[scoreLinear]] serving a TRAINED model with the score surfaced
+    * as EXACT integer micro-units — the explicit-vocabulary twin of
+    * [[scoreHashedWithWeightsMicro]] (same rationale: `round(double,
+    * 6)` can land on a half-boundary where two engines' rounding
+    * differs by one ulp; integer micro-units are bit-reproducible).
+    * `keep = score_micro >= thresholdMicro`.
+    */
+  def scoreLinearMicro(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: TrainedLinearModel,
+      thresholdMicro: Long): DataFrame = {
+    require(model.weightsMilli.nonEmpty, "empty weight vocabulary")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(model.weightsMilli.toDF("term", "__w"))
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // left join: OOV terms contribute weight 0 but still count toward dl
+    val scored = toks.join(w, Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"),
+        sum(coalesce(col("__w"), lit(0L))).as("__raw"))
+    finishMicro(docs, scored, idCol, model.biasMilli, thresholdMicro)
+  }
+
+  /** The epoch-unrolled ANSI-SQL twin of [[trainLinear]] (DuckDB
+    * dialect), SELECTing `(term, weight_milli)` — bias at the empty
+    * string. Mirrors [[trainHashedSql]]'s structure term-for-bucket.
+    */
+  def trainLinearSql(
+      table: String,
+      labelTokenSql: String,
+      vocab: Seq[String],
+      epochs: Int,
+      lrNum: Long,
+      lrDen: Long): String =
+    s"""WITH ${trainLinearCtes(table, labelTokenSql, vocab, epochs, lrNum, lrDen)}
+       |SELECT term, CAST(wm AS BIGINT) AS weight_milli
+       |FROM w$epochs ORDER BY term""".stripMargin
+
+  /** The CTE chain of [[trainLinearSql]] WITHOUT the final SELECT, so
+    * composed oracles (train-then-score) can read the trained
+    * `w<epochs>` table and the `toks`/`feat` frames it already built.
+    */
+  def trainLinearCtes(
+      table: String,
+      labelTokenSql: String,
+      vocab: Seq[String],
+      epochs: Int,
+      lrNum: Long,
+      lrDen: Long): String = {
+    val toksList = TextAnalysis.tokensSql("text")
+    val vocabVals = vocab.map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+    val base =
+      s"""vocab(term) AS (VALUES $vocabVals),
+         |toks AS (SELECT doc_id, unnest($toksList) AS term FROM $table),
+         |feat AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+         |         FROM toks t JOIN vocab v ON v.term = t.term GROUP BY 1, 2),
+         |meta AS (SELECT doc_id,
+         |           greatest(CAST(len($toksList) AS BIGINT), 1) AS dl,
+         |           CAST(list_contains($toksList, '$labelTokenSql') AS BIGINT) AS y
+         |         FROM $table),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
+         |w0 AS (SELECT term, CAST(0 AS BIGINT) AS wm FROM vocab
+         |       UNION ALL SELECT '', CAST(0 AS BIGINT))""".stripMargin
+    val epochCtes = (1 to epochs).map { k =>
+      val p = k - 1
+      s"""d$k AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS dot
+         |        FROM feat f JOIN w$p w ON w.term = f.term GROUP BY 1),
+         |r$k AS (SELECT doc_id, CAST(round(round(
+         |          ((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) / dl, 6) * 1e6)
+         |          AS BIGINT) AS r
+         |        FROM (SELECT m.doc_id, m.y, CAST(m.dl AS DOUBLE) AS dl,
+         |               CAST((SELECT wm FROM w$p WHERE term = '')
+         |                    + COALESCE(d.dot, 0) AS DOUBLE)
+         |                 / (1000.0 * m.dl) AS z
+         |              FROM meta m LEFT JOIN d$k d ON d.doc_id = m.doc_id)),
+         |g$k AS (SELECT term, SUM(g) AS g FROM (
+         |          SELECT f.term, f.tf * r.r AS g
+         |          FROM feat f JOIN r$k r ON r.doc_id = f.doc_id
+         |          UNION ALL SELECT '' AS term, r AS g FROM r$k)
+         |        GROUP BY 1),
+         |w$k AS (SELECT w.term, w.wm - CASE
+         |          WHEN COALESCE(g.g, 0) > 0
+         |            THEN (abs(g.g) * $lrNum) // (nn.n * 1000 * $lrDen)
+         |          WHEN COALESCE(g.g, 0) < 0
+         |            THEN -((abs(g.g) * $lrNum) // (nn.n * 1000 * $lrDen))
+         |          ELSE 0 END AS wm
+         |        FROM w$p w LEFT JOIN g$k g ON g.term = w.term CROSS JOIN nn)""".stripMargin
+    }
+    s"""$base,
+       |${epochCtes.mkString(",\n")}""".stripMargin
   }
 
   /** The epoch-unrolled ANSI-SQL twin of [[trainHashed]] (DuckDB

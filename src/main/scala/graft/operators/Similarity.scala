@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -64,6 +64,15 @@ object Similarity {
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * `corpus` rows (self-matches by id excluded). Output:
     * (qid, rank 1..k, nbr, sim).
+    *
+    * NaN-rank contract (uniform across every topK entrypoint in this
+    * file): a degenerate (zero-norm) vector scores NaN against every
+    * query, and Spark's DESC sort places NaN ABOVE +Infinity — so an
+    * all-zero corpus vector occupies rank 1 for every query rather
+    * than ranking last. This is deliberate cross-engine parity
+    * (DuckDB's ORDER BY DESC ranks NaN first too); callers that want
+    * degenerates gone filter `!isnan(col("sim"))` on the output, or
+    * drop zero-norm rows at ingest.
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -322,6 +331,28 @@ object Similarity {
         .toSeq.sortBy(_._1)
     }
     cents
+  }
+
+  /** Assign every row to its nearest of the GIVEN trained centroids —
+    * the stored IVF cell layer applied to a corpus, no training, one
+    * pass, no checkpoint (nothing iterates). Output:
+    * `(id, cluster, sim)`. Assignment/tie/NaN rules are
+    * [[kmeansAssignCached]]'s (the same [[kmeansAssigned]] kernel), so
+    * a vector assigns to the exact cell it trained in — the
+    * precondition for cell-layer health reports over a frozen index.
+    */
+  def kmeansAssignWithCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "empty centroid set")
+    val e = df
+      .select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+    kmeansAssigned(e, cents)
+      .select(col("__id").as(idCol), col("__cid").as("cluster"),
+        col("__csim").as("sim"))
   }
 
   /** One-shot convenience over [[kmeansAssignCached]]; the checkpointed
@@ -1039,6 +1070,108 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nbr"), col("sim"), col("coarse_rank"))
+  }
+
+  /** Logical DELETE for a stored PQ index: the live view of a codes
+    * frame ([[pqEncodeCodes]] schema) minus the tombstoned ids. The
+    * index lifecycle a growing corpus with takedowns/dedup-removals
+    * needs is append + tombstone + periodic compaction — a physical
+    * rewrite of the codes table per delete batch is the anti-pattern
+    * (at 100 TB the codes table is the index; a takedown list is a
+    * few thousand ids).
+    *
+    * Shape: one `left_anti` equi-join on the id. A takedown-sized
+    * tombstone set broadcasts (AQE picks the broadcast-hash anti
+    * join); a mass-removal set degrades gracefully to a shuffled anti
+    * join keyed on the id — the plan a full rewrite would pay anyway.
+    * The frozen books are not touched: deletion is pure codes-table
+    * state, so search results for surviving ids are bit-identical to
+    * an index built without the deleted rows ever present (the ADC
+    * LUT depends only on books and query).
+    *
+    * `tombstones`' FIRST column is the id (any name); extra columns
+    * (deletion timestamps, reasons) are ignored.
+    */
+  def pqApplyTombstones(codes: DataFrame, tombstones: DataFrame): DataFrame = {
+    require(codes.columns.contains("nbr"), "codes must carry an `nbr` id column")
+    val ts = tombstones.select(col(tombstones.columns.head).as("nbr")).distinct()
+    codes.join(ts, Seq("nbr"), "left_anti")
+  }
+
+  /** [[pqSearchWithCodes]] over a LIVE index view: tombstoned ids are
+    * excluded from the coarse ADC pass (they never occupy candidate
+    * slots, so surviving neighbours fill the top-k exactly as if the
+    * deleted rows were physically gone) and therefore never reach the
+    * exact rescore either. The streaming search path composes the
+    * same way: stream-encoded codes union stored codes, then this.
+    */
+  def pqSearchWithTombstones(
+      queries: DataFrame,
+      codes: DataFrame,
+      tombstones: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      books: Seq[Seq[(Long, Array[Double])]],
+      k: Int,
+      refine: Int = 3): DataFrame =
+    pqSearchWithCodes(queries, pqApplyTombstones(codes, tombstones),
+      corpus, idCol, vecCol, dims, books, k, refine)
+
+  /** Physical compaction of a stored PQ index: rewrite the parquet
+    * codes table at `codesDir` minus the ids tombstoned at
+    * `tombstonesDir`, then clear the applied tombstones. The rewrite
+    * stages into a sibling directory and swaps by rename (the
+    * [[graft.streaming.StreamingCuration.compactState]] pattern), so
+    * a crash mid-compaction leaves either the old or the new codes
+    * table — never a mix. A crash AFTER the swap but before the
+    * tombstone clear leaves already-applied tombstones in place;
+    * re-running is a no-op rewrite (anti join of absent ids), so
+    * compaction is idempotent. NOT safe concurrently with an ingest
+    * append into `codesDir`; quiesce writers first.
+    *
+    * Also the small-file maintenance for streaming ingest: every
+    * micro-batch appends a file set, and `numFiles` bounds what
+    * subsequent searches re-plan over. Returns the live row count of
+    * the compacted table.
+    */
+  def pqCompactIndex(
+      spark: SparkSession,
+      codesDir: String,
+      tombstonesDir: String,
+      numFiles: Int = 1): Long = {
+    import org.apache.hadoop.fs.Path
+    require(numFiles >= 1, "numFiles must be positive")
+    val dir = new Path(codesDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombDir = new Path(tombstonesDir)
+    val haveTombs = fs.exists(tombDir)
+    val codes = spark.read.parquet(codesDir)
+    val live =
+      if (haveTombs) pqApplyTombstones(codes, spark.read.parquet(tombstonesDir))
+      else codes
+    // siblings via (parent, name) — a trailing slash would make these
+    // children of the directory being renamed and the swap would fail
+    def sibling(suffix: String) =
+      new Path(dir.getParent, dir.getName + suffix)
+    val staged = sibling("__compacting")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    live.coalesce(numFiles).write.parquet(staged.toString)
+    val old = sibling("__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"pqCompactIndex: could not stage out $codesDir")
+    if (!fs.rename(staged, dir)) {
+      // restore the original before failing — all-or-nothing swap
+      fs.rename(old, dir)
+      throw new java.io.IOException(s"pqCompactIndex: could not swap in $staged")
+    }
+    fs.delete(old, true)
+    // tombstones are now physically applied: clear them so the next
+    // search's live view stops paying the anti join for them
+    if (haveTombs) fs.delete(tombDir, true)
+    spark.read.parquet(codesDir).count()
   }
 
   /** IVF-PQ: the FAISS-style composition of the two index layers —

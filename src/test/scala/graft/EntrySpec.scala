@@ -24,4 +24,15 @@ class EntrySpec extends AnyFunSuite {
       assert(n > 0, s"$name returned no rows at sf0.001")
     }
   }
+
+  test("localFrame memo guard: an over-cap artifact fails fast instead of OOMing the driver") {
+    val big = spark.range(11).toDF("id")
+    val e = intercept[IllegalStateException] {
+      SparkEntry.localFrame(big, maxRows = 10)
+    }
+    assert(e.getMessage.contains("driver memo cap"))
+    // at or under the cap the probe IS the full artifact
+    val ok = SparkEntry.localFrame(spark.range(10).toDF("id"), maxRows = 10)
+    assert(ok.rows.size == 10)
+  }
 }

@@ -157,4 +157,60 @@ class PqSpec extends AnyFunSuite {
     assert(ppm(Seq(10L, 10L, 10L, 10L)) == 1000000L)
     assert(ppm(Seq(37L, 1L, 1L, 1L)) > 3000000L)
   }
+
+  test("tombstones: deleted ids never surface, survivors fill the top-k, books untouched") {
+    import spark.implicits._
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val snapshot = books.map(_.map { case (c, v) => (c, v.toSeq) })
+    val codes = Similarity.pqEncodeCodes(corpus, "vec_id", "embedding", 8, books)
+    val q = corpus.filter(col("vec_id") < 4)
+    val deleted = Set(1L, 2L, 3L, 11L)
+    val tombs = deleted.toSeq.toDF("vec_id")
+    val out = Similarity.pqSearchWithTombstones(q, codes, tombs, corpus,
+        "vec_id", "embedding", dims = 8, books, k = 3, refine = 3)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !deleted.contains(r.getLong(2))),
+      "a tombstoned id surfaced in the top-k")
+    // query 0 lost its three nearest same-cluster ids (1,2,3) — the
+    // surviving cluster members 4..9 must fill all three ranks
+    val q0 = out.filter(_.getLong(0) == 0L).map(_.getLong(2)).toSet
+    assert(q0.size == 3 && q0.subsetOf((4L to 9L).toSet),
+      s"survivors did not fill query 0's top-k: $q0")
+    assert(books.map(_.map { case (c, v) => (c, v.toSeq) }) == snapshot,
+      "deletion must not touch the frozen books")
+  }
+
+  test("compaction: stage-and-rename rewrite is idempotent and search-equivalent") {
+    import spark.implicits._
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val codes = Similarity.pqEncodeCodes(corpus, "vec_id", "embedding", 8, books)
+    val tmp = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val codesDir = s"$tmp/codes"
+    val tombsDir = s"$tmp/tombs"
+    codes.write.parquet(codesDir)
+    val deleted = Seq(1L, 2L, 11L, 25L)
+    deleted.toDF("vec_id").write.parquet(tombsDir)
+    val q = corpus.filter(col("vec_id") < 4)
+    def search(): Seq[(Long, Long, Long)] =
+      Similarity.pqSearchWithCodes(q,
+          Similarity.pqApplyTombstones(
+            spark.read.parquet(codesDir),
+            if (new java.io.File(tombsDir).exists)
+              spark.read.parquet(tombsDir)
+            else Seq.empty[Long].toDF("vec_id")),
+          corpus, "vec_id", "embedding", dims = 8, books, k = 3, refine = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val pre = search()
+    val n1 = Similarity.pqCompactIndex(spark, codesDir, tombsDir)
+    assert(n1 == 40L - deleted.size, "compacted live count")
+    assert(!new java.io.File(tombsDir).exists, "applied tombstones cleared")
+    assert(search() == pre, "search differs across physical compaction")
+    // idempotent: a second compaction (no tombstones left) is a no-op rewrite
+    val n2 = Similarity.pqCompactIndex(spark, codesDir, tombsDir)
+    assert(n2 == n1 && search() == pre, "re-compaction changed the index")
+  }
 }

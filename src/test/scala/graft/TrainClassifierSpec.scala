@@ -119,4 +119,68 @@ class TrainClassifierSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(keepM == keepD)
   }
+
+  private val linearVocab = Seq("signal", "quality", "insight",
+    "junk", "spamspam", "noise", "the", "a", "data", "row")
+
+  test("trainLinear: explicit-vocab weights separate the classes and carry sign structure") {
+    val m = QualityClassifier.trainLinear(corpus, "doc_id", "text",
+      label = col("is_good"), vocab = linearVocab,
+      epochs = 4, lrNum = 50L, lrDen = 1L)
+    assert(m.weightsMilli.map(_._1) == linearVocab,
+      "weights come back in vocabulary order")
+    val w = m.weightsMilli.toMap
+    // the planted class vocabularies must train to opposite signs
+    Seq("signal", "quality", "insight").foreach(t =>
+      assert(w(t) > 0L, s"positive-class term $t trained to ${w(t)}"))
+    Seq("junk", "spamspam", "noise").foreach(t =>
+      assert(w(t) < 0L, s"negative-class term $t trained to ${w(t)}"))
+    // round-trip into q141's serving path (scoreLinear consumes the
+    // model shape directly)
+    val scored = QualityClassifier.scoreLinear(corpus, "doc_id", "text",
+        m.weightsMilli, m.biasMilli, threshold = 0.0)
+      .join(corpus.select("doc_id", "is_good"), "doc_id")
+      .collect().map(r => r.getAs[Boolean]("is_good") -> r.getAs[Double]("score"))
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    val mid = (pos.sum / pos.size + neg.sum / neg.size) / 2
+    val acc = (pos.count(_ >= mid) + neg.count(_ < mid)).toDouble / scored.length
+    assert(acc >= 0.95, s"midpoint-threshold accuracy $acc below 0.95")
+  }
+
+  test("trainLinear: deterministic replay, null model at zero epochs, bias sentinel guarded") {
+    val z = QualityClassifier.trainLinear(corpus, "doc_id", "text",
+      label = col("is_good"), vocab = linearVocab,
+      epochs = 0, lrNum = 50L, lrDen = 1L)
+    assert(z.weightsMilli.forall(_._2 == 0L) && z.biasMilli == 0L)
+    val a = QualityClassifier.trainLinear(corpus, "doc_id", "text",
+      label = col("is_good"), vocab = linearVocab,
+      epochs = 2, lrNum = 50L, lrDen = 1L)
+    val b = QualityClassifier.trainLinear(corpus, "doc_id", "text",
+      label = col("is_good"), vocab = linearVocab,
+      epochs = 2, lrNum = 50L, lrDen = 1L)
+    assert(a == b, "bit-identical weights on replay")
+    intercept[IllegalArgumentException] {
+      QualityClassifier.trainLinear(corpus, "doc_id", "text",
+        label = col("is_good"), vocab = linearVocab :+ "",
+        epochs = 1, lrNum = 50L, lrDen = 1L)
+    }
+  }
+
+  test("trainLinear micro gate: integer score equals the double scoreLinear within one micro") {
+    val m = QualityClassifier.trainLinear(corpus, "doc_id", "text",
+      label = col("is_good"), vocab = linearVocab,
+      epochs = 2, lrNum = 50L, lrDen = 1L)
+    val micro = QualityClassifier
+      .scoreLinearMicro(corpus, "doc_id", "text", m, thresholdMicro = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val dbl = QualityClassifier
+      .scoreLinear(corpus, "doc_id", "text", m.weightsMilli, m.biasMilli, 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(micro.keySet == dbl.keySet)
+    micro.foreach { case (id, sm) =>
+      assert(math.abs(sm - math.round(dbl(id) * 1e6)) <= 1,
+        s"doc $id: micro $sm vs double ${dbl(id)}")
+    }
+  }
 }
