@@ -148,6 +148,10 @@ object Bench {
       org.apache.logging.log4j.Level.FATAL)
 
     def elapsedS: Double = (System.nanoTime() - jvmStart) / 1e9
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
     // Warm up: session machinery, parquet footer reads, and JIT/codegen
     // for the operator classes the queries use (hash agg, sort-merge +
@@ -174,143 +178,166 @@ object Bench {
         .filter(col("rn") <= 2).count()
       r.select(explode(split(concat_ws(" ", col("k"), col("v"), lit("x")), " "))).count()
       r.select(md5(concat(lit("s:"), col("id").cast("string")))).count()
-      // the FULL verified near-dup path: shingle -> md5 -> minhash ->
-      // LSH-bucket self-join -> jaccard-verify joins -> cluster probe.
-      // Without this, the family's FIRST execution pays ~5-8x its
-      // steady state in codegen/JIT (q22 26 s vs 3 s warm at sf0.1),
-      // and the verify-join stages specifically bill to q63, which
-      // priority-runs BEFORE q23 would warm them (measured by
-      // tools.ClusterTiming: q63 cold/warm 7x with no warmup, 2.2x
-      // with this one)
-      // FULL-SIZE, not a sample: AQE shapes full-size plans differently
-      // (different generated classes), so a 300-doc warmup measurably
-      // did NOT absorb the family's ~10s first-execution tax — the
-      // first measured near-dup query (the artifact-memo payer) ate it
-      // (r9 run: q63 19.7s vs ~7s steady). The full pass is untimed
-      // and the family is the suite's dominant shape, so the elapsed
-      // cost buys steady-state numbers for five queries. The two
-      // full-size warmups carry their OWN tighter elapsed gate: on a
-      // moderately degraded day burning tens of warm-up seconds is the
-      // wrong trade — coverage beats warm numbers when wall budget is
-      // scarce — while the cheap fixed-size warmups below still run.
+      // Family warmup legs, CONCURRENT (round 11). Serially these legs
+      // cost ~90s of the pre-measurement elapsed — yet most of each
+      // leg's wall is driver-side (Catalyst analysis, Janino compile,
+      // scheduler latency on sub-second stages) or underutilizes the
+      // 32 cores, so running the independent legs on a thread pool
+      // overlaps that latency. JIT/codegen warmth is process-global:
+      // warming in parallel warms identically. Per-leg rationale
+      // (measured cold taxes, full-size-not-sample, 90s gates) —
+      // see the leg comments below; shared rules:
+      //  - each leg releases ONLY its own cached handles; the GLOBAL
+      //    scrub (clearCache + unpersist-all) runs ONCE after all legs
+      //    join — a mid-flight global scrub from a finished leg would
+      //    release another leg's localCheckpoint blocks, which cannot
+      //    recompute (truncated lineage);
+      //  - a leg failure is swallowed: warmup must never kill the
+      //    bench (the measured query pays its own cold tax instead);
+      //  - the elapsed gates evaluate at SUBMIT time, so a degraded
+      //    day still trades warmth for coverage exactly as before.
       val docsWarm = Tables.load(spark, sfDir, "documents")
-      // Full-size leg ORDER is by cold-tax-at-stake, biggest first, so
-      // that on a degraded day the gate cuts the CHEAPEST insurance:
-      // the cascade's first-execution tax (~25-30s; r9 driver run paid
-      // 42.8s on q137 when this leg was gate-skipped, vs 12.6s steady)
-      // exceeds the near-dup family's (~10-15s, and its artifact memo
-      // confines the residual to one payer query). Gates sit at 90s
-      // (not 60): at ~2x degradation — exactly the r9 driver weather —
-      // the fixed warmups end around 60-70s, and skipping a ~12s leg
-      // there COSTS ~30s of inflated measurement; the wider gate still
-      // blocks both legs on a pathological (4x+) day where coverage
-      // beats warmth.
-      //
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val legT0 = System.nanoTime()
+      val legNames = scala.collection.mutable.ArrayBuffer[String]()
+      def leg(name: String, gateS: Double)(body: => Unit)
+          : Option[java.util.concurrent.Future[_]] =
+        if (elapsedS > gateS) {
+          System.err.println(s"[bench] warmup leg $name gate-skipped at ${fmt2(elapsedS)}s")
+          None
+        } else {
+          legNames += name
+          Some(pool.submit(new Runnable {
+            def run(): Unit = try {
+              // job group per leg so the join timeout below can CANCEL
+              // in-flight legs — the serial design shed late legs via
+              // its elapsed gates on a degraded day; the parallel one
+              // commits at submit, so the shedding moves to the join
+              sc.setJobGroup(s"warmup-$name", s"warmup-$name",
+                interruptOnCancel = true)
+              body
+              System.err.println(s"[bench] warmup leg $name done at ${fmt2(elapsedS)}s")
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] warmup leg $name ABORTED: ${e.getMessage}")
+            } finally sc.clearJobGroup()
+          }))
+        }
       // The incremental-curation cascade (q137's family): the widest
       // plan in the suite (~800 physical nodes) — warm its codegen so
-      // the first in-bench execution doesn't pay compilation. q137's
-      // steady state at sf0.1 is ~5s regardless of shuffle-partition
-      // count (measured 5.3s at 32 parts vs 5.2s at 8, same 32
-      // threads): intrinsic cascade work, not task overhead — larger
-      // in-bench readings are first-execution compilation (this
-      // warmup's target) plus VM variance. FULL-SIZE state (40-doc
-      // state did not transfer: the first measured cascade query still
-      // paid ~25s cold, r9 run 7 q137 32.1s vs 6.9 steady).
-      if (elapsedS <= 90) {
+      // the first in-bench execution doesn't pay ~25-30s compilation
+      // (r9 driver run: q137 42.8s gate-skipped vs 12.6s steady).
+      // FULL-SIZE: AQE shapes full-size plans differently, so 40-doc
+      // state did not transfer.
+      leg("cascade", 90) {
         val curWarm = operators.DocPipeline.curateIncrementCached(
           operators.DocPipeline.curateState(docsWarm, "doc_id", "text"),
           docsWarm, docsWarm.limit(5), "doc_id", "text")
         curWarm.df.count()
         curWarm.unpersist()
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
-      if (elapsedS <= 90) {
+      // the FULL verified near-dup path (q22/q23/q63/q100/q121/q126):
+      // shingle -> md5 -> minhash -> LSH self-join -> jaccard verify ->
+      // cluster probe; without it the family's first execution pays
+      // 5-8x steady (q63 19.7s cold vs ~5s warm). Full-size for the
+      // same AQE-shape reason as the cascade.
+      leg("neardup", 90) {
         val pairsWarm = operators.Dedup.jaccardNearDupPairsCached(
           docsWarm, "doc_id", "text", 9, 3, threshold = 0.5)
         operators.Dedup.dupClusters(
           docsWarm.select(col("doc_id")), pairsWarm.df, "doc_id").count()
         pairsWarm.unpersist()
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        operators.Dedup.simhash64(docsWarm.limit(30), "doc_id", "text").count()
       }
-      // the ENSEMBLE family (q152/q155): its SNM (sort + rank-band +
-      // threshold-levenshtein join) and SimHash-pair (conv decode +
-      // bit_count join) blockers share generated classes with NOTHING
-      // above — when q150/q138 order late, the ensemble payer query
-      // eats their full-size cold tax itself (measured: q155 25.3s as
-      // the 3rd query of a healthy fresh run vs 11.8s when q150 had
-      // warmed SNM first). One untimed full-size pass of the exact
-      // ensemble pipeline absorbs it; the memoized artifact is NOT
-      // filled here (memos key on the bench's own calls), so the
+      // the ENSEMBLE family (q152/q155): SNM (sort + rank-band +
+      // threshold-levenshtein) and SimHash-pair blockers share
+      // generated classes with NOTHING above — unwarmed, the payer
+      // query eats their full-size cold tax (q155 25.3s vs 11.8s
+      // warm). The memoized artifact is NOT filled here, so the
       // measured payer still runs the whole pipeline — just warm.
-      if (elapsedS <= 90) {
+      leg("ensemble", 90) {
         val ensWarm = operators.Dedup.ensembleNearDupCached(
           docsWarm, "doc_id", "text")
         ensWarm.df.count()
         ensWarm.unpersist()
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
-      // REAL-TABLE TPC-H shapes: the synthetic range-based warmup
-      // above compiles the operator classes but NOT the full-size
-      // parquet-scan + decimal-agg + join plans the flagship queries
-      // run — whichever TPC-H query measured first paid a residual
-      // ~10s first-execution tax (r9 run: q01 13.5s vs 1.2s steady).
-      // One untimed pass of both shapes on the actual tables, full
-      // size, absorbs it.
-      import org.apache.spark.sql.functions.{avg => favg, sum => fsum}
-      val li = Tables.load(spark, sfDir, "lineitem")
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(fsum(col("l_quantity").cast("decimal(18,2)")),
-          favg(col("l_extendedprice")), count(lit(1))).count()
-      li.join(Tables.load(spark, sfDir, "orders"),
-          li("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority")).agg(count(lit(1))).count()
+      // REAL-TABLE TPC-H shapes: the synthetic range warmup compiles
+      // operator classes but NOT the full-size parquet-scan +
+      // decimal-agg + join plans — the first measured TPC-H query
+      // paid ~10s residual (r9: q01 13.5s vs 1.2s steady).
+      leg("tpch", 120) {
+        import org.apache.spark.sql.functions.{avg => favg, sum => fsum}
+        val li = Tables.load(spark, sfDir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(fsum(col("l_quantity").cast("decimal(18,2)")),
+            favg(col("l_extendedprice")), count(lit(1))).count()
+        li.join(Tables.load(spark, sfDir, "orders"),
+            li("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1))).count()
+      }
       // codec JIT (javax.imageio / javax.sound / majority reassembly):
-      // unlike AQE-shaped SQL plans, the mapPartitions codec paths JIT
-      // once for any size — a handful of fixture rows warms them
-      val codecIds = docsWarm.select(col("doc_id")).limit(10)
-      multimodal.Multimodal.imageGridHash(
-        multimodal.Multimodal.gridFixtureImages(codecIds, "doc_id", 120L),
-        "doc_id").count()
-      multimodal.Multimodal.audioEnergyHash(
-        multimodal.Multimodal.audioGridFixtures(codecIds, "doc_id", 120L),
-        "doc_id").count()
-      multimodal.Multimodal.majorityHash(
+      // the mapPartitions codec paths JIT once for ANY size — a
+      // handful of fixture rows warms them
+      leg("codecs", 120) {
+        val codecIds = docsWarm.select(col("doc_id")).limit(10)
         multimodal.Multimodal.imageGridHash(
-          multimodal.Multimodal.videoNearDupFixtures(
-              codecIds, "doc_id", 120L, nFrames = 2, everyMs = 250L)
-            .select((col("doc_id") * 500L + col("frame_ms")).as("fk"),
-              col("bytes")),
-          "fk").select(expr("fk div 500").as("doc_id"), col("simhash")),
-        "doc_id").count()
-      operators.Dedup.simhash64(docsWarm.limit(30), "doc_id", "text").count()
-      // PQ training/search: the generated classes embed literals via a
-      // references array, so a SMALL corpus with the same m/ks/dims
-      // compiles the exact classes the full-size training runs — the
-      // cheap warmup that DOES transfer (unlike AQE-shaped joins).
-      // Covers the q144/q149/q165 family's ~12s first-training tax.
-      val embWarm = Tables.load(spark, sfDir, "embeddings").limit(60)
-      val warmBooks = operators.Similarity.pqCodebooks(
-        embWarm, "vec_id", "embedding", dims = 64, m = 4, ks = 16, iters = 1)
-      operators.Similarity.pqTopKWithBooks(
-        embWarm.limit(5), embWarm, "vec_id", "embedding",
-        dims = 64, warmBooks, k = 2, refine = 2).count()
-      // full-width (64-dim) k-means + cell-probed search: different
-      // expression shapes than the sub-space PQ loop above; warms the
-      // q76/q113/q149 IVF layer
-      val warmCents = operators.Similarity.kmeansCentroids(
-        embWarm, "vec_id", "embedding", k = 8, iters = 1)
-      operators.Similarity.ivfPqTopKWithIndex(
-        embWarm.limit(5), embWarm, "vec_id", "embedding", dims = 64,
-        warmCents, warmBooks, nProbe = 2, k = 2, refine = 2).count()
+          multimodal.Multimodal.gridFixtureImages(codecIds, "doc_id", 120L),
+          "doc_id").count()
+        multimodal.Multimodal.audioEnergyHash(
+          multimodal.Multimodal.audioGridFixtures(codecIds, "doc_id", 120L),
+          "doc_id").count()
+        multimodal.Multimodal.majorityHash(
+          multimodal.Multimodal.imageGridHash(
+            multimodal.Multimodal.videoNearDupFixtures(
+                codecIds, "doc_id", 120L, nFrames = 2, everyMs = 250L)
+              .select((col("doc_id") * 500L + col("frame_ms")).as("fk"),
+                col("bytes")),
+            "fk").select(expr("fk div 500").as("doc_id"), col("simhash")),
+          "doc_id").count()
+      }
+      // PQ training/search: the fused expressions hold codebooks as
+      // reference objects, so a SMALL corpus with the same m/ks/dims
+      // compiles the exact classes full-size training runs — the
+      // cheap warmup that DOES transfer. Covers q144/q149/q165/q169's
+      // ~12s first-training tax; the full-width k-means + cell-probed
+      // search covers the q76/q113/q149/q170 IVF layer.
+      leg("pq", 120) {
+        val embWarm = Tables.load(spark, sfDir, "embeddings").limit(60)
+        val warmBooks = operators.Similarity.pqCodebooks(
+          embWarm, "vec_id", "embedding", dims = 64, m = 4, ks = 16, iters = 1)
+        operators.Similarity.pqTopKWithBooks(
+          embWarm.limit(5), embWarm, "vec_id", "embedding",
+          dims = 64, warmBooks, k = 2, refine = 2).count()
+        val warmCents = operators.Similarity.kmeansCentroids(
+          embWarm, "vec_id", "embedding", k = 8, iters = 1)
+        operators.Similarity.ivfPqTopKWithIndex(
+          embWarm.limit(5), embWarm, "vec_id", "embedding", dims = 64,
+          warmCents, warmBooks, nProbe = 2, k = 2, refine = 2).count()
+      }
+      pool.shutdown()
+      // bounded join: warmth must never outbid coverage. On a healthy
+      // day the legs join in well under a minute (parallel); if 90s
+      // pass the VM is degraded enough that the remaining warmth is
+      // worth less than the measurement budget it's eating — cancel
+      // the in-flight leg jobs (their bodies swallow the cancellation)
+      // and move on, the serial design's adaptive shedding relocated
+      // to the join point. The global scrub below must not run while
+      // a leg is still mid-flight (localCheckpoint blocks can't
+      // recompute), hence the second await after the cancels.
+      if (!pool.awaitTermination(90, java.util.concurrent.TimeUnit.SECONDS)) {
+        System.err.println(
+          s"[bench] warmup join timed out at ${fmt2(elapsedS)}s — cancelling in-flight legs")
+        legNames.foreach(n => sc.cancelJobGroup(s"warmup-$n"))
+        if (!pool.awaitTermination(20, java.util.concurrent.TimeUnit.SECONDS)) {
+          legNames.foreach(n => sc.cancelJobGroup(s"warmup-$n"))
+          pool.shutdownNow()
+          pool.awaitTermination(20, java.util.concurrent.TimeUnit.SECONDS)
+        }
+      }
+      System.err.println(
+        s"[bench] warmup legs joined in ${fmt2((System.nanoTime() - legT0) / 1e9)}s (${fmt2(elapsedS)}s elapsed)")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-
-    def fmt3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def fmt2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
     // VM-health calibration: a fixed in-memory agg+shuffle, identical
     // every run and independent of the SF dir. Per-query times divided
@@ -370,9 +397,12 @@ object Bench {
       vmSeries += afterN -> runProbeJob()
     vmProbe(0)
     val vmHealthS = vmSeries.headOption.map(_._2).getOrElse(-1.0)
-    // "q63_dup_clusters" → "q63": unique across all queries, keeps the
-    // final JSON line inside the parse tail at 111+ queries.
-    def shortName(name: String): String = name.takeWhile(_ != '_')
+    // "q63_dup_clusters" → "63": unique across all queries, keeps the
+    // final JSON line inside the parse tail at 170+ queries (the "q"
+    // prefix alone was ~170 chars of the budget; full names live in
+    // bench_full.json).
+    def shortName(name: String): String =
+      name.takeWhile(_ != '_').stripPrefix("q")
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
@@ -570,8 +600,15 @@ object Bench {
     // sf, vhx only in the full file. 167 queries ≈ 1830 chars.
     def fmt1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    // stdout per-query values: 1 decimal below 10s (the suite's bulk,
+    // where a tenth matters), integer seconds at 10s+ (0.5% worst-case
+    // rounding on numbers that large is noise; the saved char per
+    // heavy query keeps a degraded all-slow run inside the tail)
+    def fmtQ(v: Double): String =
+      if (v >= 9.95) String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+      else fmt1(v)
     val finalResults = merged
-    val qs = finalResults.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt1(v) }
+    val qs = finalResults.map { case (k, v) => "\"" + shortName(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
@@ -587,8 +624,13 @@ object Bench {
       (if (failed.nonEmpty) s""","failed":$failedJson""" else "") +
       (if (skipped.nonEmpty) s""","skipped":$skippedJson""" else "") +
       (if (capped.nonEmpty) s""","capped":$cappedJson""" else "")
+    // round-11 diet: vh/vn moved OFF the stdout line (to stderr here,
+    // full precision in bench_full.json) — at 171 queries the line was
+    // back inside ~50 chars of the 1900-char parse-tail budget
+    System.err.println(
+      s"[bench] vh=${fmt2(vmHealthS)} vn=${fmt1(normTotal)} elapsed=${fmt2(elapsedS)}s")
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$taxonomy,"vh":${fmt2(vmHealthS)},"vn":${fmt1(normTotal)},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$taxonomy,"sf":$sfNum}"""
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: final JSON line ${line.length} chars — may overflow the harness parse tail")
     // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to

@@ -66,4 +66,30 @@ class BenchClassifySpec extends AnyFunSuite {
     // -> name order; b is the cheap tail
     assert(out === Seq("c", "a", "f", "d", "e", "b"))
   }
+
+  test("final stdout line fits the harness parse tail at the CURRENT query count") {
+    // the harness parses the JSON metric line from the LAST ~2000
+    // chars of stdout; sbt's trailing [success] line eats ~75. Build
+    // the line exactly as Bench does — worst-case 4-char short names
+    // and 3-digit-plus-decimal timings — at the real query count and
+    // assert headroom under 1900 (r9 shipped parsed:null at 2063
+    // chars; this pins the diet to the query count per round).
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    def shortName(n: String) = n.takeWhile(_ != '_').stripPrefix("q")
+    assert(names.map(shortName).distinct.size == names.size,
+      "short names must stay unique or the stdout map silently merges queries")
+    // worst case per the format: every query lands in the widest
+    // rendering (1-decimal just under the 10s integer cutoff)
+    val qs = names.map(n => "\"" + shortName(n) + "\":9.9")
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs,"sf":0.1}"""
+    assert(line.length < 1900,
+      s"final line ${line.length} chars at ${names.size} queries — diet again " +
+        "(next lever: drop the unit field or move the taxonomy lists to stderr)")
+    // the 10s+ integer rendering is never wider
+    val qsSlow = names.map(n => "\"" + shortName(n) + "\":60")
+      .mkString("{", ",", "}")
+    assert(qsSlow.length <= qs.length)
+  }
 }
