@@ -397,6 +397,8 @@ object Bench {
       vmSeries += afterN -> runProbeJob()
     vmProbe(0)
     val vmHealthS = vmSeries.headOption.map(_._2).getOrElse(-1.0)
+    System.err.println(
+      s"[bench] measurement starts at ${fmt2(elapsedS)}s (vh=${fmt2(vmHealthS)})")
     // "q63_dup_clusters" → "63": unique across all queries, keeps the
     // final JSON line inside the parse tail at 170+ queries (the "q"
     // prefix alone was ~170 chars of the budget; full names live in

@@ -119,10 +119,19 @@ object Sampling {
     }.reduce(_ + _)
 
   /** ANSI-SQL twin of [[hexPrefixValue]] over hex column `hashCol`. */
-  def hexPrefixSql(hashCol: String): String =
-    (0 until 8).map(i =>
-      s"(strpos('0123456789abcdef', substr($hashCol, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+  def hexPrefixSql(hashCol: String): String = hexValueSql(hashCol, 8)
+
+  /** [[hexPrefixSql]] generalized to the first `chars` hex digits
+    * (`chars <= 15` keeps the value inside a signed 64-bit int) — the
+    * oracle twin of a `conv(substring(md5(x), 1, chars), 16, 10)`
+    * term identity on the Spark side.
+    */
+  def hexValueSql(hashCol: String, chars: Int): String = {
+    require(chars >= 1 && chars <= 15, "1..15 hex chars fit a signed long")
+    (0 until chars).map(i =>
+      s"(strpos('0123456789abcdef', substr($hashCol, ${i + 1}, 1)) - 1) * ${1L << (4 * (chars - 1 - i))}"
     ).mkString(" + ")
+  }
 
   /** Weight-proportional top-k via priority sampling (Duffield, Lund &
     * Thorup): each row gets priority `w / u` for a deterministic

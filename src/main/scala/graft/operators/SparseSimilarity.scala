@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -64,6 +64,38 @@ object SparseSimilarity {
       else withToks.select(col(idCol),
         explode(Dedup.shingleArray(col("__toks"), n, strict = true)).as("term"))
     terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** 60-bit integer term identity: the first 15 hex chars of
+    * `md5(term)` decoded to a long — the md5-as-identity convention
+    * the near-dup family already lives by ([[Dedup]]'s shingle
+    * hashes), widened from 32 to 60 bits because here a collision
+    * merges two TF vector coordinates rather than two set members.
+    * Both engines compute the identical value (the oracle decodes the
+    * same prefix positionally), so results stay bit-identical across
+    * engines; within one engine the 2^60 space puts the merge
+    * probability for a 10^8-term vocabulary under 3e-3 — and the
+    * payoff is that every term-keyed shuffle/join in the pipeline
+    * moves an 8-byte long instead of a ~30-byte string (measured:
+    * the verify join and the n-gram index are the q140 stage-audit's
+    * top CPU payers, all of it string-key hashing).
+    */
+  private def termId60(term: Column): Column =
+    conv(substring(md5(term), 1, 15), 16, 10).cast("long")
+
+  /** [[tfFromToks]] with terms carried as [[termId60]] longs — for
+    * pipelines that never output the term (block + verify spaces of
+    * [[weightedJaccardNearDup]]). Hashing happens BEFORE the (id,
+    * term) aggregation, so even the first shuffle is long-keyed.
+    */
+  private def tfFromToksHashed(withToks: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n-gram width must be >= 1")
+    val terms =
+      if (n == 1) withToks.select(col(idCol), explode(col("__toks")).as("term"))
+      else withToks.select(col(idCol),
+        explode(Dedup.shingleArray(col("__toks"), n, strict = true)).as("term"))
+    terms.select(col(idCol), termId60(col("term")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
   }
 
   /** All document pairs whose `n`-gram tf-vector cosine (restricted to
@@ -149,7 +181,7 @@ object SparseSimilarity {
     // read it (the df cut and both self-join sides) — unpersisted it
     // re-runs per reader (measured 4 evaluations at 5-9 s each in the
     // stage audit; the persist collapses them to one).
-    val block = tfFromToks(toks, idCol, blockN)
+    val block = tfFromToksHashed(toks, idCol, blockN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfq = block.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
@@ -160,7 +192,7 @@ object SparseSimilarity {
       .join(keptIdx.select(col("term"), col(idCol).as("d2")), "term")
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val tf = tfFromToks(toks, idCol, n = 1)
+    val tf = tfFromToksHashed(toks, idCol, n = 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     // length prune (Bayardo's size filter): Σmin <= min(dl1, dl2) and
