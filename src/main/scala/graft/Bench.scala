@@ -165,19 +165,8 @@ object Bench {
     // regardless — skip the JIT warmup and spend the budget on
     // covering queries instead.
     if (elapsedS <= 120) locally {
-      Tables.load(spark, sfDir, "lineitem").count()
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
-      val r = spark.range(100000).select(
-        col("id"), (col("id") % 97).as("k"), (col("id") % 7).cast("double").as("v"))
-      val w = Window.partitionBy("k").orderBy("id")
-      r.groupBy("k").agg(sum(col("v").cast("decimal(18,2)")), count(lit(1))).count()
-      r.join(r.select(col("k"), col("v").as("v2")).limit(1000), Seq("k")).count()
-      r.withColumn("rn", row_number().over(w))
-        .withColumn("run", sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .filter(col("rn") <= 2).count()
-      r.select(explode(split(concat_ws(" ", col("k"), col("v"), lit("x")), " "))).count()
-      r.select(md5(concat(lit("s:"), col("id").cast("string")))).count()
       // Family warmup legs, CONCURRENT (round 11). Serially these legs
       // cost ~90s of the pre-measurement elapsed — yet most of each
       // leg's wall is driver-side (Catalyst analysis, Janino compile,
@@ -197,7 +186,7 @@ object Bench {
       //  - the elapsed gates evaluate at SUBMIT time, so a degraded
       //    day still trades warmth for coverage exactly as before.
       val docsWarm = Tables.load(spark, sfDir, "documents")
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
       val legT0 = System.nanoTime()
       val legNames = scala.collection.mutable.ArrayBuffer[String]()
       def leg(name: String, gateS: Double)(body: => Unit)
@@ -222,6 +211,23 @@ object Bench {
             } finally sc.clearJobGroup()
           }))
         }
+      // generic operator classes (hash agg, joins, window, explode,
+      // md5) + the full parquet scan path — previously the serial
+      // pre-leg block; a leg since round 11 so only the schema loads
+      // stay on the main thread before the pool
+      leg("base", 120) {
+        Tables.load(spark, sfDir, "lineitem").count()
+        val r = spark.range(100000).select(
+          col("id"), (col("id") % 97).as("k"), (col("id") % 7).cast("double").as("v"))
+        val w = Window.partitionBy("k").orderBy("id")
+        r.groupBy("k").agg(sum(col("v").cast("decimal(18,2)")), count(lit(1))).count()
+        r.join(r.select(col("k"), col("v").as("v2")).limit(1000), Seq("k")).count()
+        r.withColumn("rn", row_number().over(w))
+          .withColumn("run", sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("rn") <= 2).count()
+        r.select(explode(split(concat_ws(" ", col("k"), col("v"), lit("x")), " "))).count()
+        r.select(md5(concat(lit("s:"), col("id").cast("string")))).count()
+      }
       // The incremental-curation cascade (q137's family): the widest
       // plan in the suite (~800 physical nodes) — warm its codegen so
       // the first in-bench execution doesn't pay ~25-30s compilation

@@ -4446,11 +4446,13 @@ object SparkEntry {
          |FROM est JOIN ex ON est.g = ex.g ORDER BY source""".stripMargin
     },
 
+    // term space carries the 60-bit md5-prefix identity on BOTH sides
+    // (SparseSimilarity.termId60 twin) — long join keys, same results
     "q139_sparse_allpairs" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS term
         |      FROM t WHERE len(w) >= 3),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, ${operators.Sampling.hexValueSql("md5(term)", 15)} AS term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
         |dfq AS (SELECT term FROM tf GROUP BY term HAVING COUNT(*) BETWEEN 2 AND 20),
         |kept AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN dfq USING (term)),
         |nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM kept GROUP BY 1),

@@ -119,7 +119,10 @@ object SparseSimilarity {
       maxDf: Int,
       minCosine: Double): DataFrame = {
     require(maxDf >= 2, "maxDf < 2 prunes every pair-witnessing term")
-    val tf = termFrequencies(docs, idCol, textCol, n)
+    // terms never surface in the output — carry the 60-bit md5-prefix
+    // identity ([[termId60]]) so the df cut, the inverted-index
+    // self-join and the pair aggregation all key on longs
+    val tf = tfFromToksHashed(tokenArrays(docs, idCol, textCol), idCol, n)
     val dfq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))

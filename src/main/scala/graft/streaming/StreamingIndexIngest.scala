@@ -45,4 +45,19 @@ object StreamingIndexIngest {
     // streaming frame as-is — ONE implementation of the encode
     // contract, batch and stream
     graft.operators.Similarity.pqEncodeCodes(vecs, idCol, vecCol, dims, books)
+
+  /** Delete events → tombstone rows, the ingest-time twin of the
+    * takedown path: a stateless projection normalizing any
+    * delete-event stream to the single-column `nbr` shape that
+    * [[graft.operators.Similarity.pqSearchWithTombstones]] (live-view
+    * search) and [[graft.operators.Similarity.pqCompactIndex]]
+    * (physical rewrite + tombstone clear) consume. The accumulated
+    * sink table IS the index's tombstone state — searches over
+    * stream-ingested codes exclude stream-ingested deletes by the
+    * same one anti join as batch, and periodic compaction folds both
+    * streams' accumulation (small files AND deletions) back into a
+    * minimal codes table.
+    */
+  def tombstoneStream(deletes: DataFrame, idCol: String): DataFrame =
+    deletes.select(org.apache.spark.sql.functions.col(idCol).as("nbr"))
 }

@@ -78,4 +78,45 @@ class StreamingIndexIngestSpec extends AnyFunSuite {
     assert(viaStream == viaBatch,
       "search over stream-accumulated codes equals the batch index")
   }
+
+  test("stream-ingested tombstones exclude deletes from the live-view search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = corpus
+    val batchDf = rows.toDF()
+    val books = Similarity.pqCodebooks(batchDf, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val codes = Similarity.pqEncodeCodes(batchDf, "vec_id", "embedding", 8, books)
+
+    // delete events arrive as a stream (id + ignored payload columns);
+    // the accumulated sink table is the index's tombstone state
+    val delStream = MemoryStream[(Long, String)]
+    val out = StreamingIndexIngest.tombstoneStream(
+      delStream.toDF().toDF("vec_id", "reason"), "vec_id")
+    val query = out.writeStream.format("memory")
+      .queryName("pq_tombs").outputMode("append").start()
+    try {
+      delStream.addData(1L -> "takedown", 2L -> "takedown")
+      query.processAllAvailable()
+      delStream.addData(3L -> "dedup")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val tombs = spark.table("pq_tombs")
+    assert(tombs.columns.toSeq == Seq("nbr"))
+    val live = Similarity.pqSearchWithTombstones(
+        batchDf.filter(col("vec_id") === 0), codes, tombs, batchDf,
+        "vec_id", "embedding", dims = 8, books, k = 3, refine = 3)
+      .collect()
+    assert(live.nonEmpty)
+    assert(live.forall(r => !Set(1L, 2L, 3L).contains(r.getLong(2))),
+      "a stream-tombstoned id surfaced in the live-view top-k")
+    // equals the batch live view with the same tombstone set
+    val batchView = Similarity.pqSearchWithTombstones(
+        batchDf.filter(col("vec_id") === 0), codes,
+        Seq(1L, 2L, 3L).toDF("vec_id"), batchDf,
+        "vec_id", "embedding", dims = 8, books, k = 3, refine = 3)
+      .collect().map(_.toSeq).toSet
+    assert(live.map(_.toSeq).toSet == batchView)
+  }
 }
