@@ -167,55 +167,54 @@ object Bench {
     if (elapsedS <= 120) locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
-      // Family warmup legs, CONCURRENT (round 11). Serially these legs
-      // cost ~90s of the pre-measurement elapsed — yet most of each
-      // leg's wall is driver-side (Catalyst analysis, Janino compile,
-      // scheduler latency on sub-second stages) or underutilizes the
-      // 32 cores, so running the independent legs on a thread pool
-      // overlaps that latency. JIT/codegen warmth is process-global:
-      // warming in parallel warms identically. Per-leg rationale
-      // (measured cold taxes, full-size-not-sample, 90s gates) —
-      // see the leg comments below; shared rules:
+      // Family warmup legs in TWO LANES (round 11). Serially the legs
+      // cost ~60s of pre-measurement elapsed; the first cut of this
+      // round ran all seven CONCURRENTLY and measured the opposite of
+      // the intent — 7 legs × 32-partition jobs = ~224 runnable tasks
+      // thrashing 32 cores (cascade 78s parallel vs ~12s serial, PQ
+      // 59s vs ~5s, on a HEALTHY-probing VM). Full-size legs are
+      // CPU-bound, so their wall doesn't overlap; what does overlap is
+      // one heavy lane against one cheap lane (~2x oversubscription):
+      //   heavy lane: cascade → near-dup → ensemble (the full-size
+      //               AQE-shaped pipelines, in cold-tax order)
+      //   cheap lane: base synthetics → TPC-H shapes → PQ → codecs
+      // Lanes are sequential inside, so each leg's elapsed gate
+      // re-evaluates at ITS start — the serial design's adaptive
+      // warmth-vs-coverage shedding, kept. Shared rules:
       //  - each leg releases ONLY its own cached handles; the GLOBAL
-      //    scrub (clearCache + unpersist-all) runs ONCE after all legs
-      //    join — a mid-flight global scrub from a finished leg would
-      //    release another leg's localCheckpoint blocks, which cannot
-      //    recompute (truncated lineage);
+      //    scrub (clearCache + unpersist-all) runs ONCE after the
+      //    join — a mid-flight global scrub would release the other
+      //    lane's localCheckpoint blocks (truncated lineage, cannot
+      //    recompute);
       //  - a leg failure is swallowed: warmup must never kill the
-      //    bench (the measured query pays its own cold tax instead);
-      //  - the elapsed gates evaluate at SUBMIT time, so a degraded
-      //    day still trades warmth for coverage exactly as before.
+      //    bench (the measured query pays its own cold tax instead).
       val docsWarm = Tables.load(spark, sfDir, "documents")
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
       val legT0 = System.nanoTime()
       val legNames = scala.collection.mutable.ArrayBuffer[String]()
-      def leg(name: String, gateS: Double)(body: => Unit)
-          : Option[java.util.concurrent.Future[_]] =
-        if (elapsedS > gateS) {
-          System.err.println(s"[bench] warmup leg $name gate-skipped at ${fmt2(elapsedS)}s")
-          None
-        } else {
-          legNames += name
-          Some(pool.submit(new Runnable {
-            def run(): Unit = try {
-              // job group per leg so the join timeout below can CANCEL
-              // in-flight legs — the serial design shed late legs via
-              // its elapsed gates on a degraded day; the parallel one
-              // commits at submit, so the shedding moves to the join
-              sc.setJobGroup(s"warmup-$name", s"warmup-$name",
-                interruptOnCancel = true)
-              body
-              System.err.println(s"[bench] warmup leg $name done at ${fmt2(elapsedS)}s")
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] warmup leg $name ABORTED: ${e.getMessage}")
-            } finally sc.clearJobGroup()
-          }))
-        }
+      final case class Leg(name: String, gateS: Double, body: () => Unit)
+      def leg(name: String, gateS: Double)(body: => Unit): Leg = {
+        legNames += name
+        Leg(name, gateS, () => body)
+      }
+      def runLane(lane: Seq[Leg]): Unit = lane.foreach { l =>
+        if (elapsedS > l.gateS)
+          System.err.println(s"[bench] warmup leg ${l.name} gate-skipped at ${fmt2(elapsedS)}s")
+        else try {
+          // job group per leg so the lane-join timeout below can
+          // CANCEL whatever is still in flight on a degraded day
+          sc.setJobGroup(s"warmup-${l.name}", s"warmup-${l.name}",
+            interruptOnCancel = true)
+          l.body()
+          System.err.println(s"[bench] warmup leg ${l.name} done at ${fmt2(elapsedS)}s")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup leg ${l.name} ABORTED: ${e.getMessage}")
+        } finally sc.clearJobGroup()
+      }
       // generic operator classes (hash agg, joins, window, explode,
       // md5) + the full parquet scan path — previously the serial
       // pre-leg block; a leg since round 11 so only the schema loads
       // stay on the main thread before the pool
-      leg("base", 120) {
+      val leg_base = leg("base", 120) {
         Tables.load(spark, sfDir, "lineitem").count()
         val r = spark.range(100000).select(
           col("id"), (col("id") % 97).as("k"), (col("id") % 7).cast("double").as("v"))
@@ -234,7 +233,7 @@ object Bench {
       // (r9 driver run: q137 42.8s gate-skipped vs 12.6s steady).
       // FULL-SIZE: AQE shapes full-size plans differently, so 40-doc
       // state did not transfer.
-      leg("cascade", 90) {
+      val leg_cascade = leg("cascade", 90) {
         val curWarm = operators.DocPipeline.curateIncrementCached(
           operators.DocPipeline.curateState(docsWarm, "doc_id", "text"),
           docsWarm, docsWarm.limit(5), "doc_id", "text")
@@ -246,7 +245,7 @@ object Bench {
       // cluster probe; without it the family's first execution pays
       // 5-8x steady (q63 19.7s cold vs ~5s warm). Full-size for the
       // same AQE-shape reason as the cascade.
-      leg("neardup", 90) {
+      val leg_neardup = leg("neardup", 90) {
         val pairsWarm = operators.Dedup.jaccardNearDupPairsCached(
           docsWarm, "doc_id", "text", 9, 3, threshold = 0.5)
         operators.Dedup.dupClusters(
@@ -260,7 +259,7 @@ object Bench {
       // query eats their full-size cold tax (q155 25.3s vs 11.8s
       // warm). The memoized artifact is NOT filled here, so the
       // measured payer still runs the whole pipeline — just warm.
-      leg("ensemble", 90) {
+      val leg_ensemble = leg("ensemble", 90) {
         val ensWarm = operators.Dedup.ensembleNearDupCached(
           docsWarm, "doc_id", "text")
         ensWarm.df.count()
@@ -270,7 +269,7 @@ object Bench {
       // operator classes but NOT the full-size parquet-scan +
       // decimal-agg + join plans — the first measured TPC-H query
       // paid ~10s residual (r9: q01 13.5s vs 1.2s steady).
-      leg("tpch", 120) {
+      val leg_tpch = leg("tpch", 120) {
         import org.apache.spark.sql.functions.{avg => favg, sum => fsum}
         val li = Tables.load(spark, sfDir, "lineitem")
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -283,7 +282,7 @@ object Bench {
       // codec JIT (javax.imageio / javax.sound / majority reassembly):
       // the mapPartitions codec paths JIT once for ANY size — a
       // handful of fixture rows warms them
-      leg("codecs", 120) {
+      val leg_codecs = leg("codecs", 120) {
         val codecIds = docsWarm.select(col("doc_id")).limit(10)
         multimodal.Multimodal.imageGridHash(
           multimodal.Multimodal.gridFixtureImages(codecIds, "doc_id", 120L),
@@ -306,7 +305,7 @@ object Bench {
       // cheap warmup that DOES transfer. Covers q144/q149/q165/q169's
       // ~12s first-training tax; the full-width k-means + cell-probed
       // search covers the q76/q113/q149/q170 IVF layer.
-      leg("pq", 120) {
+      val leg_pq = leg("pq", 120) {
         val embWarm = Tables.load(spark, sfDir, "embeddings").limit(60)
         val warmBooks = operators.Similarity.pqCodebooks(
           embWarm, "vec_id", "embedding", dims = 64, m = 4, ks = 16, iters = 1)
@@ -319,17 +318,24 @@ object Bench {
           embWarm.limit(5), embWarm, "vec_id", "embedding", dims = 64,
           warmCents, warmBooks, nProbe = 2, k = 2, refine = 2).count()
       }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      pool.submit(new Runnable { def run(): Unit =
+        runLane(Seq(leg_cascade, leg_neardup, leg_ensemble)) })
+      pool.submit(new Runnable { def run(): Unit =
+        // cheap lane order = how early measurement reaches the family:
+        // TPC-H feeds the first four priority queries, codecs feeds
+        // q136 (priority block), PQ's queries order mid-run
+        runLane(Seq(leg_base, leg_tpch, leg_codecs, leg_pq)) })
       pool.shutdown()
       // bounded join: warmth must never outbid coverage. On a healthy
-      // day the legs join in well under a minute (parallel); if 90s
-      // pass the VM is degraded enough that the remaining warmth is
-      // worth less than the measurement budget it's eating — cancel
-      // the in-flight leg jobs (their bodies swallow the cancellation)
-      // and move on, the serial design's adaptive shedding relocated
-      // to the join point. The global scrub below must not run while
-      // a leg is still mid-flight (localCheckpoint blocks can't
+      // day the lanes join in ~35-40s; if 120s pass the VM is degraded
+      // enough that the remaining warmth is worth less than the
+      // measurement budget it's eating — cancel the in-flight leg jobs
+      // (lane bodies swallow the cancellation and their own gates shed
+      // later legs) and move on. The global scrub below must not run
+      // while a lane is still mid-flight (localCheckpoint blocks can't
       // recompute), hence the second await after the cancels.
-      if (!pool.awaitTermination(90, java.util.concurrent.TimeUnit.SECONDS)) {
+      if (!pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)) {
         System.err.println(
           s"[bench] warmup join timed out at ${fmt2(elapsedS)}s — cancelling in-flight legs")
         legNames.foreach(n => sc.cancelJobGroup(s"warmup-$n"))
