@@ -318,9 +318,16 @@ object Bench {
           embWarm.limit(5), embWarm, "vec_id", "embedding", dims = 64,
           warmCents, warmBooks, nProbe = 2, k = 2, refine = 2).count()
       }
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      // three lanes: the ensemble (the single longest leg, ~15-23s)
+      // rides alone so the heavy lane's wall is max(cascade+neardup,
+      // ensemble, cheap) ≈ ~25s instead of their 37s sum; 3 lanes ≈
+      // 3x oversubscription worst case, measured safe (the thrash
+      // case was 7 concurrent full-size legs)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
       pool.submit(new Runnable { def run(): Unit =
-        runLane(Seq(leg_cascade, leg_neardup, leg_ensemble)) })
+        runLane(Seq(leg_cascade, leg_neardup)) })
+      pool.submit(new Runnable { def run(): Unit =
+        runLane(Seq(leg_ensemble)) })
       pool.submit(new Runnable { def run(): Unit =
         // cheap lane order = how early measurement reaches the family:
         // TPC-H feeds the first four priority queries, codecs feeds
