@@ -4446,13 +4446,11 @@ object SparkEntry {
          |FROM est JOIN ex ON est.g = ex.g ORDER BY source""".stripMargin
     },
 
-    // term space carries the 60-bit md5-prefix identity on BOTH sides
-    // (SparseSimilarity.termId60 twin) — long join keys, same results
     "q139_sparse_allpairs" ->
-      s"""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS term
         |      FROM t WHERE len(w) >= 3),
-        |tf AS (SELECT doc_id, ${operators.Sampling.hexValueSql("md5(term)", 15)} AS term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
         |dfq AS (SELECT term FROM tf GROUP BY term HAVING COUNT(*) BETWEEN 2 AND 20),
         |kept AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN dfq USING (term)),
         |nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM kept GROUP BY 1),
@@ -4464,20 +4462,17 @@ object SparkEntry {
         |      FROM dots JOIN nrm na ON na.doc_id = d1 JOIN nrm nb ON nb.doc_id = d2)
         |SELECT d1, d2, dot, cosine FROM c WHERE cosine >= 0.5 ORDER BY d1, d2""".stripMargin,
 
-    // term spaces carry the 60-bit md5-prefix identity on BOTH sides
-    // (SparseSimilarity.termId60 twin) — long join keys, same results
     "q140_weighted_jaccard" -> {
-      val hid = operators.Sampling.hexValueSql("md5(term)", 15)
       s"""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS term
         |      FROM t WHERE len(w) >= 3),
-        |btf AS (SELECT doc_id, $hid AS term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+        |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
         |dfq AS (SELECT term FROM btf GROUP BY term HAVING COUNT(*) BETWEEN 2 AND 20),
         |ki AS (SELECT btf.doc_id, btf.term FROM btf JOIN dfq USING (term)),
         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |         FROM ki a JOIN ki b ON a.term = b.term AND a.doc_id < b.doc_id),
         |ut AS (SELECT doc_id, unnest(w) AS term FROM t),
-        |utf AS (SELECT doc_id, $hid AS term, COUNT(*) AS tf FROM ut GROUP BY 1, 2),
+        |utf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ut GROUP BY 1, 2),
         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM utf GROUP BY 1),
         |ov AS (SELECT c.d1, c.d2, CAST(SUM(least(x.tf, y.tf)) AS BIGINT) AS overlap
         |       FROM cand c JOIN utf x ON x.doc_id = c.d1

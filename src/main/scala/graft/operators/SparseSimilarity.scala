@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -35,6 +35,16 @@ import org.apache.spark.storage.StorageLevel
   * operators (q21-q23), repetition is preserved, because tf weighting
   * is the point of the cosine/weighted-Jaccard measures.
   *
+  * Term identity stays the PLAIN STRING on purpose (measured, round
+  * 11): packing terms to a 60-bit md5-prefix long made every
+  * term-keyed shuffle/join key 8 bytes, but computing md5 PER TOKEN
+  * OCCURRENCE (commons-codec allocates a MessageDigest per call)
+  * cost more than the short-string join keys ever did — q140 warm at
+  * sf0.1 measured 11.5s hashed vs 7.2-8.8s with strings, q139 tied.
+  * Spark's join hashing of short UTF8Strings is already cheap; the
+  * md5-as-identity convention pays off only where the hash is ALSO
+  * the algorithm (MinHash/LSH), not as a pure key compression.
+  *
   * Determinism (oracle-exactness): every aggregate that crosses a
   * shuffle is an exact BIGINT sum (tf products, squared norms,
   * min-overlaps) — never a floating sum whose partial order is
@@ -66,38 +76,6 @@ object SparseSimilarity {
     terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
   }
 
-  /** 60-bit integer term identity: the first 15 hex chars of
-    * `md5(term)` decoded to a long — the md5-as-identity convention
-    * the near-dup family already lives by ([[Dedup]]'s shingle
-    * hashes), widened from 32 to 60 bits because here a collision
-    * merges two TF vector coordinates rather than two set members.
-    * Both engines compute the identical value (the oracle decodes the
-    * same prefix positionally), so results stay bit-identical across
-    * engines; within one engine the 2^60 space puts the merge
-    * probability for a 10^8-term vocabulary under 3e-3 — and the
-    * payoff is that every term-keyed shuffle/join in the pipeline
-    * moves an 8-byte long instead of a ~30-byte string (measured:
-    * the verify join and the n-gram index are the q140 stage-audit's
-    * top CPU payers, all of it string-key hashing).
-    */
-  private def termId60(term: Column): Column =
-    conv(substring(md5(term), 1, 15), 16, 10).cast("long")
-
-  /** [[tfFromToks]] with terms carried as [[termId60]] longs — for
-    * pipelines that never output the term (block + verify spaces of
-    * [[weightedJaccardNearDup]]). Hashing happens BEFORE the (id,
-    * term) aggregation, so even the first shuffle is long-keyed.
-    */
-  private def tfFromToksHashed(withToks: DataFrame, idCol: String, n: Int): DataFrame = {
-    require(n >= 1, "n-gram width must be >= 1")
-    val terms =
-      if (n == 1) withToks.select(col(idCol), explode(col("__toks")).as("term"))
-      else withToks.select(col(idCol),
-        explode(Dedup.shingleArray(col("__toks"), n, strict = true)).as("term"))
-    terms.select(col(idCol), termId60(col("term")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-  }
-
   /** All document pairs whose `n`-gram tf-vector cosine (restricted to
     * terms with `2 <= df <= maxDf`) reaches `minCosine`:
     * `(d1, d2, dot, cosine)` with `d1 < d2`, `cosine` rounded to 6
@@ -119,10 +97,7 @@ object SparseSimilarity {
       maxDf: Int,
       minCosine: Double): DataFrame = {
     require(maxDf >= 2, "maxDf < 2 prunes every pair-witnessing term")
-    // terms never surface in the output — carry the 60-bit md5-prefix
-    // identity ([[termId60]]) so the df cut, the inverted-index
-    // self-join and the pair aggregation all key on longs
-    val tf = tfFromToksHashed(tokenArrays(docs, idCol, textCol), idCol, n)
+    val tf = tfFromToks(tokenArrays(docs, idCol, textCol), idCol, n)
     val dfq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
@@ -184,7 +159,7 @@ object SparseSimilarity {
     // read it (the df cut and both self-join sides) — unpersisted it
     // re-runs per reader (measured 4 evaluations at 5-9 s each in the
     // stage audit; the persist collapses them to one).
-    val block = tfFromToksHashed(toks, idCol, blockN)
+    val block = tfFromToks(toks, idCol, blockN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfq = block.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
@@ -195,7 +170,7 @@ object SparseSimilarity {
       .join(keptIdx.select(col("term"), col(idCol).as("d2")), "term")
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val tf = tfFromToksHashed(toks, idCol, n = 1)
+    val tf = tfFromToks(toks, idCol, n = 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     // length prune (Bayardo's size filter): Σmin <= min(dl1, dl2) and
