@@ -1174,6 +1174,30 @@ object Similarity {
     spark.read.parquet(codesDir).count()
   }
 
+  /** [[ivfPqTopKWithIndex]] over the LIVE view: tombstoned ids drop
+    * out of the corpus side BEFORE cell assignment and encoding, so
+    * deleted rows never occupy a cell's candidate slots and never
+    * reach the rescore — the IVF composition of the same one-anti-join
+    * delete semantics as [[pqSearchWithTombstones]], against the same
+    * frozen cents/books. `tombstones`' first column is the id.
+    */
+  def ivfPqTopKWithTombstones(
+      queries: DataFrame,
+      corpus: DataFrame,
+      tombstones: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      cents: Seq[(Long, Array[Double])],
+      books: Seq[Seq[(Long, Array[Double])]],
+      nProbe: Int,
+      k: Int,
+      refine: Int = 3): DataFrame = {
+    val ts = tombstones.select(col(tombstones.columns.head).as(idCol)).distinct()
+    ivfPqTopKWithIndex(queries, corpus.join(ts, Seq(idCol), "left_anti"),
+      idCol, vecCol, dims, cents, books, nProbe, k, refine)
+  }
+
   /** IVF-PQ: the FAISS-style composition of the two index layers —
     * a coarse IVF cell probe confines the search to `nProbe` of
     * `nCells` inverted lists, and WITHIN the probed cells the ranking

@@ -182,6 +182,29 @@ class PqSpec extends AnyFunSuite {
       "deletion must not touch the frozen books")
   }
 
+  test("IVF-PQ tombstones: deleted ids never surface through the cell-probed path") {
+    import spark.implicits._
+    val q = corpus.filter(col("vec_id") < 4)
+    val deleted = Set(1L, 2L, 3L, 11L)
+    val out = Similarity.ivfPqTopKWithTombstones(q, corpus,
+        deleted.toSeq.toDF("vec_id"), "vec_id", "embedding", dims = 8,
+        cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k = 4, iters = 2),
+        books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+          dims = 8, m = 2, ks = 4, iters = 2),
+        // probe EVERY cell: with nProbe < nCells a query whose probed
+        // cells held only deleted members legitimately returns empty
+        // (IVF recall, not delete semantics) — full probing isolates
+        // the tombstone contract under test
+        nProbe = 4, k = 3, refine = 3)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !deleted.contains(r.getLong(2))),
+      "a tombstoned id surfaced through the IVF-PQ path")
+    // query 0's cluster-mates 1,2,3 are gone — survivors 4..9 fill
+    val q0 = out.filter(_.getLong(0) == 0L).map(_.getLong(2)).toSet
+    assert(q0.nonEmpty && q0.subsetOf((4L to 9L).toSet), s"unexpected fill: $q0")
+  }
+
   test("compaction: stage-and-rename rewrite is idempotent and search-equivalent") {
     import spark.implicits._
     val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
