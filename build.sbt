@@ -46,12 +46,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     Seq(s"-Dspark.local.dir=$localDir")
   else Seq.empty
 } ++ Seq(
-  // Fresh anon-page faults in this VM cost ~85us per 4 KiB page
-  // (measured: 256 MiB of first-touch takes 65 s; steady-state memcpy
-  // is a normal 7 GB/s). madvise'd 2 MiB pages fault ~8x faster, and a
-  // fixed-size heap avoids G1 shrink/regrow re-faulting the same
-  // memory. On healthy hosts both flags are no-ops or mild wins.
-  "-XX:+UseTransparentHugePages",
+  // NEVER -XX:+UseTransparentHugePages here (round 11; it sat in this
+  // block for rounds and was the recurring "degraded VM" in disguise):
+  // THP defrag mode on this kernel is [madvise], so a madvise'd heap
+  // pays SYNCHRONOUS compaction per 2 MiB fault — measured directly,
+  // `java -Xms16g -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages
+  // -version` burns 2m13s wall / 47min SYS vs 6.7s without the flag.
+  // Under load the stalls land whenever RSS grows (GC region growth,
+  // shuffle buffers), so long runs "mysteriously" degraded 10-40x
+  // minutes in while short probes read healthy. A fixed-size,
+  // PRE-TOUCHED heap keeps the first-touch fault cost (~20-85us per
+  // 4 KiB page on this VM) out of measured work instead.
+  "-XX:+AlwaysPreTouch",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
