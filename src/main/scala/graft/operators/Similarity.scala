@@ -1121,15 +1121,27 @@ object Similarity {
 
   /** Physical compaction of a stored PQ index: rewrite the parquet
     * codes table at `codesDir` minus the ids tombstoned at
-    * `tombstonesDir`, then clear the applied tombstones. The rewrite
+    * `tombstonesDir`, then clear the APPLIED tombstones. The rewrite
     * stages into a sibling directory and swaps by rename (the
-    * [[graft.streaming.StreamingCuration.compactState]] pattern), so
-    * a crash mid-compaction leaves either the old or the new codes
-    * table — never a mix. A crash AFTER the swap but before the
-    * tombstone clear leaves already-applied tombstones in place;
-    * re-running is a no-op rewrite (anti join of absent ids), so
-    * compaction is idempotent. NOT safe concurrently with an ingest
-    * append into `codesDir`; quiesce writers first.
+    * [[graft.streaming.StreamingCuration.compactState]] pattern):
+    * readers see the old table until the swap, the new table after.
+    * The swap itself is two renames, so there is a narrow crash
+    * window in which `codesDir` is absent while the `__old` sibling
+    * holds the intact pre-compaction table; re-running self-heals by
+    * renaming `__old` back before proceeding, so any restart
+    * converges. A crash AFTER the swap but before the tombstone clear
+    * leaves already-applied tombstones in place; re-running is a
+    * no-op rewrite (anti join of absent ids), so compaction is
+    * idempotent.
+    *
+    * Tombstone writers (e.g. the [[graft.streaming.StreamingIndexIngest
+    * .tombstoneStream]] sink) may keep APPENDING during compaction:
+    * the tombstone FILE LIST is snapshotted once at read time, the
+    * anti join applies exactly those files, and only those files are
+    * deleted afterwards — a tombstone file landing mid-compaction
+    * survives untouched and is applied by the next live-view search /
+    * compaction cycle. Only `codesDir` ingest appends must quiesce
+    * (rows appended there mid-rewrite would be dropped by the swap).
     *
     * Also the small-file maintenance for streaming ingest: every
     * micro-batch appends a file set, and `numFiles` bounds what
@@ -1145,20 +1157,41 @@ object Similarity {
     require(numFiles >= 1, "numFiles must be positive")
     val dir = new Path(codesDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tombDir = new Path(tombstonesDir)
-    val haveTombs = fs.exists(tombDir)
-    val codes = spark.read.parquet(codesDir)
-    val live =
-      if (haveTombs) pqApplyTombstones(codes, spark.read.parquet(tombstonesDir))
-      else codes
     // siblings via (parent, name) — a trailing slash would make these
     // children of the directory being renamed and the swap would fail
     def sibling(suffix: String) =
       new Path(dir.getParent, dir.getName + suffix)
     val staged = sibling("__compacting")
+    val old = sibling("__old")
+    // self-heal the swap's crash window: a previous run that died
+    // between rename(dir → __old) and rename(staged → dir) left no
+    // codes table but an intact __old — restore it and proceed
+    if (!fs.exists(dir) && fs.exists(old)) {
+      if (!fs.rename(old, dir))
+        throw new java.io.IOException(
+          s"pqCompactIndex: could not restore $old to $codesDir")
+    }
+    val tombDir = new Path(tombstonesDir)
+    // snapshot the tombstone DATA FILE list now: concurrent appends
+    // land new files, which we must neither apply-then-forget nor
+    // delete unapplied — everything below touches only this snapshot
+    val tombFiles: Seq[Path] =
+      if (fs.exists(tombDir))
+        fs.listStatus(tombDir).toSeq
+          .filter(st => st.isFile && {
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          .map(_.getPath)
+      else Seq.empty
+    val codes = spark.read.parquet(codesDir)
+    val live =
+      if (tombFiles.nonEmpty)
+        pqApplyTombstones(codes,
+          spark.read.parquet(tombFiles.map(_.toString): _*))
+      else codes
     if (fs.exists(staged)) fs.delete(staged, true)
     live.coalesce(numFiles).write.parquet(staged.toString)
-    val old = sibling("__old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(dir, old))
       throw new java.io.IOException(s"pqCompactIndex: could not stage out $codesDir")
@@ -1168,9 +1201,24 @@ object Similarity {
       throw new java.io.IOException(s"pqCompactIndex: could not swap in $staged")
     }
     fs.delete(old, true)
-    // tombstones are now physically applied: clear them so the next
-    // search's live view stops paying the anti join for them
-    if (haveTombs) fs.delete(tombDir, true)
+    // the snapshotted tombstones are now physically applied: clear
+    // exactly those files so the next live view stops paying the anti
+    // join for them, while files appended since the snapshot survive
+    tombFiles.foreach(p => fs.delete(p, false))
+    // retire the dir only if nothing but writer markers remain; the
+    // final delete is NON-recursive, so it atomically fails (dir kept)
+    // if a concurrent append lands between the listing and the delete
+    if (tombFiles.nonEmpty && fs.exists(tombDir)) {
+      val rest = fs.listStatus(tombDir).toSeq
+      if (rest.forall(st => st.isFile && {
+            val n = st.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          })) {
+        rest.foreach(st => fs.delete(st.getPath, false))
+        try fs.delete(tombDir, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
     spark.read.parquet(codesDir).count()
   }
 

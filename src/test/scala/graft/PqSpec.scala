@@ -236,4 +236,67 @@ class PqSpec extends AnyFunSuite {
     val n2 = Similarity.pqCompactIndex(spark, codesDir, tombsDir)
     assert(n2 == n1 && search() == pre, "re-compaction changed the index")
   }
+
+  test("compaction preserves tombstones appended after the read snapshot") {
+    import spark.implicits._
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val codes = Similarity.pqEncodeCodes(corpus, "vec_id", "embedding", 8, books)
+    val tmp = java.nio.file.Files.createTempDirectory("pqrace").toString
+    val codesDir = s"$tmp/codes"
+    val tombsDir = s"$tmp/tombs"
+    codes.write.parquet(codesDir)
+    Seq(1L, 2L).toDF("vec_id").write.parquet(tombsDir)
+    // a writer appends tombstone 25 once compaction has passed its
+    // snapshot point (the staged sibling appears strictly after the
+    // tombstone file listing); if the window is missed the append
+    // lands after compaction returns — the contract assertions below
+    // hold either way, so the test cannot flake
+    val staged = new java.io.File(s"$tmp/codes__compacting")
+    @volatile var compacted = false
+    val appender = new Thread(() => {
+      while (!staged.exists && !compacted) Thread.sleep(1)
+      Seq(25L).toDF("nbr").coalesce(1).write.mode("append").parquet(tombsDir)
+    })
+    appender.start()
+    val n1 = Similarity.pqCompactIndex(spark, codesDir, tombsDir)
+    compacted = true
+    appender.join()
+    assert(n1 == 38L, "snapshotted tombstones applied")
+    // the late tombstone must SURVIVE (not be deleted unapplied) and
+    // the live view must exclude it
+    val tombsNow = spark.read.parquet(tombsDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(tombsNow.contains(25L), "late tombstone was clobbered by compaction")
+    val live = Similarity.pqApplyTombstones(
+        spark.read.parquet(codesDir), spark.read.parquet(tombsDir))
+      .select("nbr").collect().map(_.getLong(0)).toSet
+    assert(!live.contains(25L) && live.size == 37,
+      s"live view wrong after late tombstone: ${live.size}")
+    // the next compaction cycle folds the late tombstone in physically
+    val n2 = Similarity.pqCompactIndex(spark, codesDir, tombsDir)
+    assert(n2 == 37L, "next cycle did not apply the late tombstone")
+  }
+
+  test("compaction self-heals the crash window where codesDir is staged out") {
+    import spark.implicits._
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val codes = Similarity.pqEncodeCodes(corpus, "vec_id", "embedding", 8, books)
+    val tmp = java.nio.file.Files.createTempDirectory("pqheal").toString
+    val codesDir = s"$tmp/codes"
+    val tombsDir = s"$tmp/tombs"
+    codes.write.parquet(codesDir)
+    Seq(3L).toDF("vec_id").write.parquet(tombsDir)
+    // simulate a crash between rename(dir -> __old) and
+    // rename(staged -> dir): no codes table, intact __old sibling
+    assert(new java.io.File(codesDir).renameTo(new java.io.File(s"$tmp/codes__old")))
+    val n = Similarity.pqCompactIndex(spark, codesDir, tombsDir)
+    assert(n == 39L, "restart did not restore __old and compact")
+    assert(new java.io.File(codesDir).exists)
+    assert(!new java.io.File(s"$tmp/codes__old").exists, "__old left behind")
+    val ids = spark.read.parquet(codesDir).select("nbr")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L) && ids.size == 39)
+  }
 }
