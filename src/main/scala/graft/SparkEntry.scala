@@ -1196,6 +1196,22 @@ object SparkEntry {
             .as("imbalance_ppm"))
     }),
 
+    // ---- extension: recall-vs-nProbe calibration sweep ----
+    // the report that closes q170's health loop: q170 prices what a
+    // probe COSTS under the stored cell layer; this measures what a
+    // probe width BUYS (recall@k vs the exact ground truth on a query
+    // sample), one row per candidate nProbe — so a target recall
+    // turns into an nProbe setting. One index pass serves the whole
+    // sweep (probe lists are prefixes of the widest), in exact
+    // integer ppm like every health report in the suite
+    "q172_recall_sweep" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val (cents, books) = pqIndex(s, dir)
+      Similarity.ivfPqRecallSweep(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", dims = 64, cents, books,
+        nProbes = Seq(1, 2, 4, 8), k = 3, refine = 3)
+    }),
+
     // ---- extension: segment-level (CCNet-style) boilerplate dedup ----
     // the sub-document twin of q20 exact dedup: 8-token segments that
     // repeat across >1 documents (headers, nav text, license blocks)
@@ -2801,6 +2817,88 @@ object SparkEntry {
        |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** q172: the q149 IVF-PQ CTEs swept over a probe-width list — qa
+    * keeps the probe RANK up to max(probes), each sweep point re-ranks
+    * the one coarse join under its prefix filter, and the tail joins
+    * the per-point ANN top-k against the exact ground truth into
+    * exact-ppm recall rows.
+    */
+  private def ivfPqRecallSweepOracle(
+      m: Int, ks: Int, pqIters: Int, sub: Int, nCells: Int, ivfIters: Int,
+      probes: Seq[Int], nQueries: Int, k: Int, refine: Int): String = {
+    val maxProbe = probes.max
+    val books = (0 until m)
+      .map(mi => pqKmeansCtesSql(ks, pqIters, sub, mi * sub, s"p$mi"))
+      .mkString(",\n")
+    // same NaN-to--Infinity guard as pqAdcOracle's enc CTEs
+    val encs = (0 until m).map { mi =>
+      s"""enc$mi AS (SELECT vec_id, cid AS code, cnn FROM (
+         |  SELECT n.vec_id, c.cid, list_dot_product(c.cv, c.cv) AS cnn,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY CASE WHEN isnan(list_dot_product(n.v, c.cv) / (n.nrm * c.cn))
+         |        THEN CAST('-Infinity' AS DOUBLE)
+         |        ELSE list_dot_product(n.v, c.cv) / (n.nrm * c.cn) END DESC, c.cid) AS rn
+         |  FROM p${mi}n2 n CROSS JOIN p${mi}c$pqIters c) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val adExpr = (0 until m).map(mi =>
+      s"list_dot_product(list_slice(q.qv, ${mi * sub + 1}, ${mi * sub + sub}), c$mi.cv)")
+      .mkString(" + ")
+    val cnnExpr = (0 until m).map(mi => s"e$mi.cnn").mkString(" + ")
+    val encJoins = (0 until m).map(mi =>
+      s"  JOIN enc$mi e$mi ON e$mi.vec_id = x.nbr JOIN p${mi}c$pqIters c$mi ON c$mi.cid = e$mi.code")
+      .mkString("\n")
+    val probeRows = probes.distinct.sorted.map(p => s"($p)").mkString(", ")
+    s"""WITH ${kmeansCtesSql(nCells, ivfIters, 64)},
+       |$books,
+       |$encs,
+       |ca AS (SELECT vec_id AS nbr, cid AS cell FROM (
+       |  SELECT n2.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+       |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+       |  FROM n2 CROSS JOIN c$ivfIters c) t WHERE rn = 1),
+       |qa AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell,
+       |    CAST(rn AS BIGINT) AS probe_rank FROM (
+       |  SELECT n2.vec_id, n2.v, n2.nrm, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+       |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+       |  FROM n2 CROSS JOIN c$ivfIters c WHERE n2.vec_id < $nQueries) t WHERE rn <= $maxProbe),
+       |probes(n_probe) AS (VALUES $probeRows),
+       |coarse AS (SELECT q.qid, q.probe_rank, x.nbr,
+       |    ($adExpr) / (q.qn * sqrt($cnnExpr)) AS asim
+       |  FROM qa q
+       |  JOIN ca x ON x.cell = q.cell AND x.nbr <> q.qid
+       |$encJoins),
+       |cand AS (SELECT n_probe, qid, nbr FROM (
+       |  SELECT p.n_probe, c.qid, c.nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY p.n_probe, c.qid
+       |      ORDER BY c.asim DESC, c.nbr) AS rn
+       |  FROM coarse c JOIN probes p ON c.probe_rank <= p.n_probe) t
+       |  WHERE rn <= ${k * refine}),
+       |ex AS (SELECT cand.n_probe, cand.qid, cand.nbr,
+       |         list_dot_product(q2.v, x2.v) / (q2.nrm * x2.nrm) AS sim
+       |       FROM cand JOIN n2 q2 ON q2.vec_id = cand.qid
+       |                 JOIN n2 x2 ON x2.vec_id = cand.nbr),
+       |ann AS (SELECT n_probe, qid, nbr FROM (
+       |  SELECT n_probe, qid, nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY n_probe, qid ORDER BY sim DESC, nbr) AS r
+       |  FROM ex) t WHERE r <= $k),
+       |gt AS (SELECT qid, nbr FROM (
+       |  SELECT q.vec_id AS qid, x.vec_id AS nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_dot_product(q.v, x.v) / (q.nrm * x.nrm) DESC, x.vec_id) AS r
+       |  FROM n2 q JOIN n2 x ON x.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries) t WHERE r <= $k),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible,
+       |               CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries FROM gt),
+       |h AS (SELECT a.n_probe, CAST(COUNT(*) AS BIGINT) AS hits
+       |      FROM ann a JOIN gt ON a.qid = gt.qid AND a.nbr = gt.nbr GROUP BY 1)
+       |SELECT CAST(p.n_probe AS BIGINT) AS n_probe, tot.n_queries,
+       |  COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits, tot.possible,
+       |  CAST(COALESCE(h.hits, 0) * 1000000 // tot.possible AS BIGINT) AS recall_ppm
+       |FROM probes p CROSS JOIN tot LEFT JOIN h ON h.n_probe = p.n_probe
+       |ORDER BY 1""".stripMargin
+  }
+
   private val fileCte =
     """WITH file AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -3554,6 +3652,13 @@ object SparkEntry {
          |  CAST((COUNT(*) * SUM(n * n) * 1000000) // (SUM(n) * SUM(n)) AS BIGINT)
          |    AS imbalance_ppm
          |FROM per""".stripMargin,
+
+    // recall sweep: the q149 index CTEs, probe rank kept to maxProbe,
+    // re-ranked per sweep point, scored against the exact top-k
+    "q172_recall_sweep" ->
+      ivfPqRecallSweepOracle(m = 4, ks = 16, pqIters = 3, sub = 16,
+        nCells = 8, ivfIters = 3, probes = Seq(1, 2, 4, 8),
+        nQueries = 20, k = 3, refine = 3),
 
     "q114_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

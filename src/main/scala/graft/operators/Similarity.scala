@@ -1357,4 +1357,151 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nbr"), col("sim"), col("coarse_rank"))
   }
+
+  /** Recall-vs-nProbe sweep for a stored IVF-PQ index: measure
+    * recall@k of [[ivfPqTopKWithIndex]] against the exact
+    * ([[bruteForceTopK]]) ground truth at EVERY probe width in
+    * `nProbes`, in one pass — the report that turns a target recall
+    * into an nProbe setting (the q95 evaluation applied to the
+    * cell-probed index; FAISS tunes nprobe the same way, by sweeping
+    * against exact results on a query sample).
+    *
+    * Cost shape — the whole sweep pays ONE index pass, not one per
+    * sweep point: a query's probe list at nProbe=p is a PREFIX of its
+    * list at max(nProbes) (cells are rank-ordered by query-to-centroid
+    * similarity), so the coarse ADC join runs once at the widest
+    * setting carrying the probe rank, and each sweep point is a
+    * filter (`probe_rank <= p`) + per-(p, query) top-k over that one
+    * join's output. The exact rescore dots are computed once per
+    * DISTINCT surfaced (query, neighbor) pair across all sweep
+    * points (wider probes mostly re-surface the same candidates).
+    * Ground truth is one brute-force pass over the query sample —
+    * the calibration cost a sample bounds by construction; never run
+    * it over the full query log.
+    *
+    * Output, one row per sweep point: `(n_probe, n_queries, hits,
+    * possible, recall_ppm)` — hits = ANN∩exact top-k pairs, possible
+    * = exact top-k pairs, recall in exact integer ppm (the q168/q170
+    * health-report convention), so the report is engine-portable with
+    * no float compare.
+    */
+  def ivfPqRecallSweep(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      cents: Seq[(Long, Array[Double])],
+      books: Seq[Seq[(Long, Array[Double])]],
+      nProbes: Seq[Int],
+      k: Int,
+      refine: Int = 3): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ > 0), "nProbes must be positive")
+    require(k > 0 && refine > 0, "k and refine must be positive")
+    require(cents.nonEmpty, "empty centroid set")
+    val m = books.size
+    require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
+    val sub = dims / m
+    val offs = books.map(_.size).scanLeft(0)(_ + _)
+    val probes = nProbes.distinct.sorted.map(_.toLong)
+    val maxProbe = probes.last.toInt
+
+    // corpus → (id, cell, m codes): the stored-index view, computed once
+    val corpusSide = cellAssign(corpus, idCol, vecCol, cents,
+        "nbr", "__cv0", "__cn0", probes = 1)
+      .withColumn("__codes",
+        graft.functions.PqExpressions.pqCodes(col("__cv0"), books, sub))
+      .select(col("nbr") +: col("__cell") +:
+        (0 until m).map(mi =>
+          element_at(col("__codes"), mi + 1).as(s"__code_$mi")): _*)
+
+    // queries with PROBE RANK: one assignment at maxProbe serves every
+    // sweep point (same comparator structs as cellAssign — similarity
+    // DESC, ties to the lower cell id, NaN to -Infinity)
+    val eq = queries
+      .select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv")))
+    val sims =
+      graft.functions.PqExpressions.centroidCosines(col("__qv"), col("__qn"), cents)
+    val entries = cents.zipWithIndex.map { case ((cid, _), i) =>
+      val s = element_at(col("__sims"), i + 1)
+      struct(
+        when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s).as("negsim"),
+        lit(cid).as("cid"))
+    }
+    val q = broadcast(eq
+      .withColumn("__sims", sims)
+      .withColumn("__lut",
+        graft.functions.PqExpressions.pqLut(col("__qv"), books, sub))
+      .select(col("qid"), col("__qn"), col("__lut"),
+        posexplode(transform(
+          slice(array_sort(array(entries: _*)), 1, maxProbe),
+          s => s.getField("cid"))).as(Seq("__pr0", "__cell")))
+      .select(col("qid"), col("__qn"), col("__lut"), col("__cell"),
+        (col("__pr0") + 1).cast("long").as("__probe_rank")))
+
+    val cn2 = typedLit(
+      (for (mi <- 0 until m; (_, v) <- books(mi))
+        yield v.map(x => x * x).sum).toSeq)
+    def idx(mi: Int): Column = lit(offs(mi)) + col(s"__code_$mi") + 1
+    val approxDot = (0 until m).map(mi => element_at(col("__lut"), idx(mi)))
+      .reduce(_ + _)
+    val reconN = sqrt((0 until m).map(mi => element_at(cn2, idx(mi)))
+      .reduce(_ + _))
+    // ONE coarse ADC equi-join at the widest probe setting; a corpus
+    // row lives in exactly one cell, so (qid, nbr) appears at most once
+    val coarse = q.join(corpusSide, Seq("__cell"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("__asim", cosineFromParts(approxDot, col("__qn"), reconN))
+      .select(col("qid"), col("__probe_rank"), col("nbr"), col("__asim"))
+
+    // sweep expansion: each point re-ranks the one join's output under
+    // its prefix filter — no second pass over the index
+    val expanded = coarse
+      .withColumn("n_probe", explode(typedLit(probes)))
+      .filter(col("__probe_rank") <= col("n_probe"))
+    val cands = graft.plans.TopKPerKey.topk(expanded, Seq("n_probe", "qid"),
+        Seq(graft.plans.TopKPerKey.Desc("__asim"),
+          graft.plans.TopKPerKey.Asc("nbr")), k * refine)
+      .select(col("n_probe"), col("qid"), col("nbr"))
+
+    // exact rescore once per DISTINCT surfaced pair, joined back to
+    // every sweep point that surfaced it
+    val qv = broadcast(queries
+      .select(col(idCol).as("qid"), toDoubleArray(col(vecCol)).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv"))))
+    val cExact = corpus
+      .select(col(idCol).as("nbr"), toDoubleArray(col(vecCol)).as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv")))
+    val pairSims = cExact
+      .join(broadcast(cands.select("qid", "nbr").distinct().join(qv, "qid")), "nbr")
+      .withColumn("sim",
+        cosineFromParts(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .select(col("qid"), col("nbr"), col("sim"))
+    val wAnn = Window.partitionBy("n_probe", "qid")
+      .orderBy(col("sim").desc, col("nbr"))
+    val annTop = cands.join(pairSims, Seq("qid", "nbr"))
+      .withColumn("rank", row_number().over(wAnn))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("qid"), col("nbr"))
+
+    val gt = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("qid"), col("nbr"))
+    val totals = gt.agg(count(lit(1)).as("possible"),
+      countDistinct(col("qid")).as("n_queries"))
+    val hits = annTop.join(gt, Seq("qid", "nbr"), "left_semi")
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
+    // report every requested sweep point, zero-hit points included
+    corpus.sparkSession.range(1)
+      .select(explode(typedLit(probes)).as("n_probe"))
+      .join(hits, Seq("n_probe"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("n_probe"),
+        col("n_queries"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("possible"),
+        expr("coalesce(hits, 0) * 1000000 div possible").as("recall_ppm"))
+      .orderBy("n_probe")
+  }
 }

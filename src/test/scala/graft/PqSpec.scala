@@ -237,6 +237,35 @@ class PqSpec extends AnyFunSuite {
     assert(n2 == n1 && search() == pre, "re-compaction changed the index")
   }
 
+  test("recall sweep: one row per probe width, equivalent to sweeping the search path") {
+    import spark.implicits._
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val q = corpus.filter(col("vec_id") < 8)
+    val sweep = Similarity.ivfPqRecallSweep(q, corpus, "vec_id", "embedding",
+        dims = 8, cents, books, nProbes = Seq(1, 2, 4), k = 3, refine = 3)
+      .collect()
+    assert(sweep.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L), "one ordered row per width")
+    assert(sweep.forall(_.getLong(1) == 8L), "n_queries")
+    assert(sweep.forall(_.getLong(3) == 24L), "possible = queries x k")
+    val gt = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the sweep must report EXACTLY what sweeping the production search
+    // path measures, width by width
+    sweep.foreach { row =>
+      val p = row.getLong(0).toInt
+      val ann = Similarity.ivfPqTopKWithIndex(q, corpus, "vec_id", "embedding",
+          dims = 8, cents, books, nProbe = p, k = 3, refine = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val hits = ann.count(gt.contains).toLong
+      assert(row.getLong(2) == hits, s"nProbe=$p: sweep ${row.getLong(2)} != path $hits")
+      assert(row.getLong(4) == hits * 1000000L / 24L, s"nProbe=$p recall_ppm")
+    }
+    // planted clusters + full probing: every true neighbor recovered
+    assert(sweep.last.getLong(4) == 1000000L, "full probe on planted clusters")
+  }
+
   test("compaction preserves tombstones appended after the read snapshot") {
     import spark.implicits._
     val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
