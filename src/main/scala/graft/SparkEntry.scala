@@ -1212,6 +1212,39 @@ object SparkEntry {
         nProbes = Seq(1, 2, 4, 8), k = 3, refine = 3)
     }),
 
+    // ---- extension: hot-cell split (IVF rebalance) ----
+    // the REMEDIATION q170 prices: cells past 1.1x the mean occupancy
+    // split into 2 sub-cells trained on their own members only (cold
+    // cells and their stored codes untouched — the bounded re-encode
+    // is the point at 100 TB). Output is the q170 health report
+    // before and after the split, exact integer ppm, labeling-
+    // invariant (cell ids aggregate away)
+    "q173_cell_rebalance" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val split = Similarity.ivfSplitHotCells(e, "vec_id", "embedding",
+        pqIndex(s, dir)._1, hotPpm = 1100000L, kSplit = 2, iters = 2)
+      def stats(per: DataFrame, phase: String): DataFrame =
+        per.agg(
+            count(lit(1)).as("n_cells"),
+            sum(col("n")).as("n_vecs"),
+            max(col("n")).as("max_cell"),
+            // decimal widen BEFORE squaring — the q168/q170 guard
+            sum(col("n").cast("decimal(38,0)") * col("n")).as("__sq"))
+          .select(lit(phase).as("phase"), col("n_cells"), col("n_vecs"),
+            col("max_cell"),
+            expr("""(cast(n_cells as decimal(38,0)) * __sq * 1000000)
+                    div (cast(n_vecs as decimal(38,0)) * n_vecs)""")
+              .as("imbalance_ppm"))
+      // cluster div kSplit recovers the pre-split cell, so one
+      // assignment pass yields both phases' occupancy
+      val a = split.assignment
+      stats(a.groupBy(expr("cluster div 2").as("cell"))
+          .agg(count(lit(1)).as("n")), "before")
+        .unionByName(
+          stats(a.groupBy(col("cluster")).agg(count(lit(1)).as("n")), "after"))
+        .orderBy("phase")
+    }),
+
     // ---- extension: segment-level (CCNet-style) boilerplate dedup ----
     // the sub-document twin of q20 exact dedup: 8-token segments that
     // repeat across >1 documents (headers, nav text, license blocks)
@@ -2899,6 +2932,71 @@ object SparkEntry {
        |ORDER BY 1""".stripMargin
   }
 
+  /** q173: the q170 assignment/occupancy CTEs, a hot-cell selection,
+    * and the GROUPED Lloyd replay — the global trainer's CTE chain
+    * keyed by (cell, sub) so every hot cell trains its own kSplit
+    * sub-centroids on its members only — closing with the before /
+    * after health rows.
+    */
+  private def ivfSplitOracle(
+      nCells: Int, ivfIters: Int, hotPpm: Long, kSplit: Int,
+      iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${kmeansCtesSql(nCells, ivfIters, 64)},
+              |ca AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+              |  SELECT n2.vec_id, n2.v, n2.nrm, c.cid,
+              |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+              |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+              |  FROM n2 CROSS JOIN c$ivfIters c) t WHERE rn = 1),
+              |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM ca GROUP BY 1),
+              |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncells, CAST(SUM(n) AS BIGINT) AS nvecs FROM occ),
+              |hot AS (SELECT cell FROM occ, tot WHERE n * ncells * 1000000 > $hotPpm * nvecs),
+              |mem AS (SELECT ca.vec_id, ca.v, ca.nrm, ca.cell FROM ca JOIN hot USING (cell)),
+              |g0 AS (SELECT cell, CAST(rn - 1 AS BIGINT) AS sub, v AS cv,
+              |    sqrt(list_dot_product(v, v)) AS cn FROM (
+              |  SELECT cell, vec_id, v, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+              |  FROM mem) t WHERE rn <= $kSplit),
+              |""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s"""ga$i AS (SELECT vec_id, v, cell, sub FROM (
+                |  SELECT m.vec_id, m.v, m.cell, g.sub,
+                |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                |      ORDER BY list_dot_product(m.v, g.cv) / (m.nrm * g.cn) DESC, g.sub) AS rn
+                |  FROM mem m JOIN g${i - 1} g ON g.cell = m.cell) t WHERE rn = 1),
+                |gm$i AS (SELECT cell, sub, dim,
+                |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) * CAST((2 * abs(s) + cnt) // (2 * cnt) AS BIGINT) AS cm
+                |  FROM (SELECT cell, sub, CAST(d.dim AS BIGINT) AS dim,
+                |      CAST(SUM(CAST(round(round(v[d.dim + 1], 6) * 1000000) AS BIGINT)) AS BIGINT) AS s,
+                |      COUNT(*) AS cnt
+                |    FROM ga$i CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+                |    WHERE d.dim < len(v) GROUP BY 1, 2, 3) t),
+                |g$i AS (SELECT cell, sub, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+                |  SELECT cell, sub, list_transform(list(cm ORDER BY dim), m -> CAST(m AS DOUBLE) / 1000000) AS cv
+                |  FROM gm$i GROUP BY cell, sub) t),
+                |""".stripMargin
+    }
+    sb ++= s"""gaF AS (SELECT vec_id, cell, sub FROM (
+              |  SELECT m.vec_id, m.cell, g.sub,
+              |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
+              |      ORDER BY list_dot_product(m.v, g.cv) / (m.nrm * g.cn) DESC, g.sub) AS rn
+              |  FROM mem m JOIN g$iters g ON g.cell = m.cell) t WHERE rn = 1),
+              |aocc AS (SELECT n FROM occ WHERE cell NOT IN (SELECT cell FROM hot)
+              |  UNION ALL
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gaF GROUP BY cell, sub)
+              |SELECT phase, n_cells, n_vecs, max_cell, imbalance_ppm FROM (
+              |  SELECT 'before' AS phase, CAST(COUNT(*) AS BIGINT) AS n_cells,
+              |    CAST(SUM(n) AS BIGINT) AS n_vecs, CAST(MAX(n) AS BIGINT) AS max_cell,
+              |    CAST((COUNT(*) * SUM(n * n) * 1000000) // (SUM(n) * SUM(n)) AS BIGINT) AS imbalance_ppm
+              |  FROM occ
+              |  UNION ALL
+              |  SELECT 'after' AS phase, CAST(COUNT(*) AS BIGINT) AS n_cells,
+              |    CAST(SUM(n) AS BIGINT) AS n_vecs, CAST(MAX(n) AS BIGINT) AS max_cell,
+              |    CAST((COUNT(*) * SUM(n * n) * 1000000) // (SUM(n) * SUM(n)) AS BIGINT) AS imbalance_ppm
+              |  FROM aocc) t
+              |ORDER BY phase""".stripMargin
+    sb.toString
+  }
+
   private val fileCte =
     """WITH file AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -3659,6 +3757,11 @@ object SparkEntry {
       ivfPqRecallSweepOracle(m = 4, ks = 16, pqIters = 3, sub = 16,
         nCells = 8, ivfIters = 3, probes = Seq(1, 2, 4, 8),
         nQueries = 20, k = 3, refine = 3),
+
+    // hot-cell split: grouped Lloyd replay + before/after health rows
+    "q173_cell_rebalance" ->
+      ivfSplitOracle(nCells = 8, ivfIters = 3, hotPpm = 1100000L,
+        kSplit = 2, iters = 2),
 
     "q114_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

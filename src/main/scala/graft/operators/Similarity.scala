@@ -1358,6 +1358,161 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nbr"), col("sim"), col("coarse_rank"))
   }
 
+  /** Result of [[ivfSplitHotCells]]: the rebalanced centroid table,
+    * the hot cells that were split, the bounded re-assignment, and a
+    * release hook for the working-set checkpoint backing `assignment`
+    * (call it once the assignment is consumed; the suite's cache
+    * scrub would otherwise strand the truncated lineage).
+    *
+    * Centroid ids are relabeled `cid·kSplit (+ sub)` — deterministic,
+    * collision-free, and `cluster div kSplit` recovers the
+    * pre-split cell of any assigned row.
+    */
+  final case class HotSplit(
+      cents: Seq[(Long, Array[Double])],
+      hotCells: Seq[Long],
+      assignment: DataFrame,
+      release: () => Unit)
+
+  /** Hot-cell remediation for a stored IVF cell layer — the action
+    * the q170 health report prices: when a cell's occupancy exceeds
+    * `hotPpm` (parts-per-million of the MEAN cell size; 2e6 = twice
+    * the mean), split it by training `kSplit` sub-centroids on that
+    * cell's members ONLY and redistribute exactly those members among
+    * them. FAISS rebalances skewed IVF lists the same way; here it is
+    * relational end-to-end.
+    *
+    * Why bounded re-encode is the whole point at 100 TB: a skewed
+    * cell makes every probe that hits it pay `imbalance`× the mean
+    * list length, but a full re-train + re-assign rewrites the ENTIRE
+    * index. This touches only the hot cells' rows — cold cells keep
+    * their centroid, their members, and their stored codes verbatim
+    * (PQ codes are trained on raw vectors, independent of the cell
+    * layer, so a split never re-encodes codes at all — only the cell
+    * ids of the hot rows change).
+    *
+    * Mechanics mirror the global trainer exactly (same seeds-by-
+    * lowest-id init, same exact micro-unit Lloyd updates, same
+    * sim-DESC/lower-id/NaN-first assignment rules), but grouped by
+    * cell: each iteration is ONE pass over the hot members — a pure
+    * projection (per-cell sub-centroids ride as codegen literals)
+    * plus one partial-agged shuffle of (cell, sub, dim) rows; the
+    * collected gradient is `nHot·kSplit·dims` longs, driver-bounded
+    * by construction. Assignment of a member considers only ITS
+    * OWN cell's sub-centroids (the split is local — FAISS's list
+    * split, not a global re-quantization).
+    */
+  def ivfSplitHotCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])],
+      hotPpm: Long = 2000000L,
+      kSplit: Int = 2,
+      iters: Int = 2): HotSplit = {
+    require(cents.nonEmpty, "empty centroid set")
+    require(kSplit >= 2, "kSplit must split into at least 2 sub-cells")
+    require(iters >= 0 && hotPpm > 0, "iters non-negative, hotPpm positive")
+    val e = df
+      .select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+    // one stored-quantizer assignment pass, checkpointed: the Lloyd
+    // loop below re-reads only the hot slice of it
+    val assigned = kmeansAssigned(e, cents)
+      .select(col("__id"), col("__v"), col("__cid"))
+      .withColumn("__n", l2Norm(col("__v")))
+      .localCheckpoint()
+    val occ = assigned.groupBy(col("__cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nVecs = occ.values.sum
+    val nCells = occ.size.toLong
+    // exact integer rule in BigInt — n·nCells·1e6 would wrap Long at
+    // ~1e13-row cells, exactly the corpora this exists for
+    val hot = occ.collect {
+      case (c, n) if BigInt(n) * nCells * 1000000L > BigInt(hotPpm) * nVecs => c
+    }.toSeq.sorted
+    val release = () =>
+      org.apache.spark.sql.graftbridge.unpersistCheckpointed(assigned)
+
+    if (hot.isEmpty) {
+      val assignment = assigned
+        .select(col("__id").as(idCol),
+          (col("__cid") * kSplit).as("cluster"))
+      return HotSplit(
+        cents.map { case (c, v) => (c * kSplit, v) }.sortBy(_._1),
+        Nil, assignment, release)
+    }
+
+    val hotSet = hot.toSet
+    val mem = assigned.filter(col("__cid").isin(hot: _*))
+
+    // per-cell sub-assignment: argmax cosine among the row's OWN
+    // cell's sub-centroids — same comparator structs as the global
+    // assignment (sim DESC, ties to the lower sub id, NaN first)
+    def subAssign(subs: Map[Long, Seq[(Long, Array[Double])]]): Column =
+      subs.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+        case (acc, (c, sc)) =>
+          val sims = graft.functions.PqExpressions
+            .centroidCosines(col("__v"), col("__n"), sc)
+          val entries = sc.zipWithIndex.map { case ((j, _), i) =>
+            val s = element_at(sims, i + 1)
+            struct(
+              when(isnan(s), lit(Double.NegativeInfinity))
+                .otherwise(-s).as("negsim"),
+              lit(j).as("cid"))
+          }
+          when(col("__cid") === c,
+            array_min(array(entries: _*)).getField("cid")).otherwise(acc)
+      }
+
+    // init: the kSplit lowest-id members of each hot cell (the global
+    // trainer's lowest-id convention, per cell)
+    val wSeed = Window.partitionBy("__cid").orderBy("__id")
+    var subs: Map[Long, Seq[(Long, Array[Double])]] = mem
+      .withColumn("__rn", row_number().over(wSeed))
+      .filter(col("__rn") <= kSplit)
+      .select(col("__cid"), (col("__rn") - 1).cast("long").as("__sub"), col("__v"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rs) =>
+        c -> rs.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
+          .sortBy(_._1).toSeq
+      }
+    for (_ <- 1 to iters) {
+      val micro = mem.withColumn("__sub", subAssign(subs))
+        .select(col("__cid"), col("__sub"),
+          posexplode(col("__v")).as(Seq("dim", "x")))
+        .withColumn("__m", round(round(col("x"), 6) * 1e6).cast("long"))
+        .groupBy(col("__cid"), col("__sub"), col("dim"))
+        .agg(sum(col("__m")).as("__s"), count(lit(1)).as("__cnt"))
+        .select(col("__cid"), col("__sub"), col("dim"),
+          (when(col("__s") < 0, -1L).otherwise(1L) *
+            expr("(2 * abs(__s) + __cnt) div (2 * __cnt)")).as("cm"))
+        .collect()
+      subs = micro
+        .groupBy(_.getLong(0))
+        .map { case (c, rs) =>
+          c -> rs.groupBy(_.getLong(1))
+            .map { case (j, ds) =>
+              j -> ds.sortBy(_.getInt(2)).map(_.getLong(3).toDouble / 1e6).toArray
+            }
+            .toSeq.sortBy(_._1)
+        }
+    }
+
+    val assignment = assigned
+      .withColumn("cluster",
+        col("__cid") * kSplit +
+          when(col("__cid").isin(hot: _*), subAssign(subs)).otherwise(lit(0L)))
+      .select(col("__id").as(idCol), col("cluster"))
+    val newCents =
+      (cents.collect { case (c, v) if !hotSet(c) => (c * kSplit, v) } ++
+        subs.toSeq.flatMap { case (c, sc) =>
+          sc.map { case (j, v) => (c * kSplit + j, v) }
+        }).sortBy(_._1)
+    HotSplit(newCents, hot, assignment, release)
+  }
+
   /** Recall-vs-nProbe sweep for a stored IVF-PQ index: measure
     * recall@k of [[ivfPqTopKWithIndex]] against the exact
     * ([[bruteForceTopK]]) ground truth at EVERY probe width in

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Similarity
@@ -235,6 +235,67 @@ class PqSpec extends AnyFunSuite {
     // idempotent: a second compaction (no tombstones left) is a no-op rewrite
     val n2 = Similarity.pqCompactIndex(spark, codesDir, tombsDir)
     assert(n2 == n1 && search() == pre, "re-compaction changed the index")
+  }
+
+  test("hot-cell split: planted skew rebalances, cold cell untouched, recall preserved") {
+    import spark.implicits._
+    // 3 planted clusters (ids interleaved, 10 each) all captured by one
+    // fat centroid + 1 cluster under its own: occupancy (30, 10)
+    val skew = ((0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array.fill(8)(0.05f)
+      base(c * 2) = 1.0f
+      base(c * 2 + 1) = 0.5f
+      base(7 - c) = base(7 - c) + (i / 3 % 10) * 0.01f
+      (i, base.toSeq)
+    } ++ (30L until 40L).map { i =>
+      val base = Array.fill(8)(0.05f)
+      base(6) = 1.0f
+      base(7) = 0.5f
+      base(4) = base(4) + (i % 10) * 0.01f
+      (i, base.toSeq)
+    }).toDF("vec_id", "embedding")
+    val cents = Seq(
+      0L -> Array(1.0, 0.5, 1.0, 0.5, 1.0, 0.5, 0.05, 0.05),
+      1L -> Array(0.05, 0.05, 0.05, 0.05, 0.05, 0.05, 1.0, 0.5))
+    def ppm(ns: Seq[Long]): Long = {
+      val (c, t, sq) = (ns.size.toLong, ns.sum, ns.map(n => n * n).sum)
+      c * sq * 1000000L / (t * t)
+    }
+    val split = Similarity.ivfSplitHotCells(skew, "vec_id", "embedding", cents,
+      hotPpm = 1400000L, kSplit = 3, iters = 3)
+    assert(split.hotCells == Seq(0L), "only the fat cell is hot")
+    assert(split.cents.map(_._1) == Seq(0L, 1L, 2L, 3L), "relabeled cid*kSplit + sub")
+    // the cold cell's centroid vector must be bit-identical, only relabeled
+    assert(split.cents.find(_._1 == 3L).get._2.toSeq == cents(1)._2.toSeq,
+      "cold centroid was touched")
+    val occ = split.assignment.groupBy("cluster").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occ.keySet == Set(0L, 1L, 2L, 3L))
+    // before (30,10) -> after four cells of 10: imbalance 1.25e6 -> 1e6
+    assert(occ.values.toSeq.sorted == Seq(10L, 10L, 10L, 10L), s"occupancy: $occ")
+    assert(ppm(Seq(30L, 10L)) == 1250000L && ppm(occ.values.toSeq) == 1000000L,
+      "planted imbalance did not drop to the balanced floor")
+    // cluster div kSplit recovers the pre-split cell
+    val pre = split.assignment
+      .groupBy(expr("cluster div 3").as("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pre == Map(0L -> 30L, 1L -> 10L))
+    // recall through the cell-probed search is preserved at nProbe=1:
+    // the planted clusters land one-per-sub-cell, so every true
+    // neighbor stays co-located with its query
+    val books = Similarity.pqCodebooks(skew, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val q = skew.filter(col("vec_id") < 6)
+    val gt = Similarity.bruteForceTopK(q, skew, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def hits(cs: Seq[(Long, Array[Double])]): Int =
+      Similarity.ivfPqTopKWithIndex(q, skew, "vec_id", "embedding",
+          dims = 8, cs, books, nProbe = 1, k = 3, refine = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).count(gt.contains)
+    assert(hits(split.cents) == hits(cents),
+      "split changed recall at equal probe width")
+    split.release()
   }
 
   test("recall sweep: one row per probe width, equivalent to sweeping the search path") {
