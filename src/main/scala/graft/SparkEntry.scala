@@ -281,6 +281,35 @@ object SparkEntry {
         buckets = 64, seed = "qtrain:", epochs = 3, lrNum = 20L, lrDen = 1L)
     }
 
+  /** q174's train/eval fold rule: the deterministic md5-hash split the
+    * suite samples with everywhere — ~1/5 of documents held out for
+    * evaluation, the rest train. Mirrored verbatim in the oracle SQL.
+    */
+  private def evalFold(id: Column): Column =
+    operators.Sampling.hexPrefixValue(
+      md5(concat(lit("qeval:"), id.cast("string")))) % 5 === 0
+
+  private val evalFoldSql: String =
+    s"(${operators.Sampling.hexPrefixSql("md5('qeval:' || CAST(doc_id AS VARCHAR))")}) % 5 = 0"
+
+  /** The HELD-OUT-trained quality model: q162's trainer run on the
+    * train fold only ([[evalFold]] complement), so q174's evaluation
+    * reports numbers the model never saw — per-JVM stored artifact
+    * like [[trainedQualityModel]].
+    */
+  private val heldoutModelMemo =
+    new SessionMemo[String, operators.QualityClassifier.TrainedHashedModel]
+
+  private def trainedHeldoutModel(
+      s: SparkSession, dir: String): operators.QualityClassifier.TrainedHashedModel =
+    heldoutModelMemo.get(s, dir) {
+      operators.QualityClassifier.trainHashed(
+        T(s, dir, "documents").filter(!evalFold(col("doc_id"))),
+        "doc_id", "text",
+        label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
+        buckets = 64, seed = "qtrain:", epochs = 3, lrNum = 20L, lrDen = 1L)
+    }
+
   /** The trained EXPLICIT-VOCAB quality model: q171 trains over the
     * q141 vocabulary (same label/epochs/lr as the hashed trainer) and
     * gates with it through the q141 scoring path — per-JVM stored
@@ -1620,6 +1649,19 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "text",
           trainedLinearQualityModel(s, dir), thresholdMicro = 0L)
         .orderBy("doc_id")
+    }),
+
+    // ---- extension: held-out classifier evaluation report ----
+    // the number a filter decision needs BEFORE gating a corpus:
+    // train on the md5-split train fold, score the held-out fold at
+    // the q167 gate threshold, report confusion counts and
+    // precision/recall/accuracy in exact integer ppm
+    "q174_eval_report" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      operators.QualityClassifier.evaluateHashedMicro(
+        docs.filter(evalFold(col("doc_id"))), "doc_id", "text",
+        label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
+        trainedHeldoutModel(s, dir), "qtrain:", thresholdMicro = 520000L)
     }),
 
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
@@ -4463,6 +4505,51 @@ object SparkEntry {
          |      FROM r)
          |SELECT doc_id, dl, score_micro, (score_micro >= 0) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // held-out evaluation: q162's training CTEs over the TRAIN fold,
+    // the q167 scoring tail over the EVAL fold, confusion counts and
+    // the three rates in exact integer ppm
+    "q174_eval_report" -> {
+      val ctes = operators.QualityClassifier.trainHashedCtes("trainset",
+        labelTokenSql = "spark", buckets = 64, seed = "qtrain:",
+        epochs = 3, lrNum = 20L, lrDen = 1L)
+      val toksList = operators.TextAnalysis.tokensSql("text")
+      val hex = operators.Sampling.hexPrefixSql("md5('qtrain:' || term)")
+      s"""WITH trainset AS (SELECT * FROM documents WHERE NOT ($evalFoldSql)),
+         |$ctes,
+         |evalset AS (SELECT * FROM documents WHERE $evalFoldSql),
+         |etoks AS (SELECT doc_id, unnest($toksList) AS term FROM evalset),
+         |efeat AS (SELECT doc_id, CAST(($hex) % 64 AS BIGINT) AS b,
+         |            CAST(count(*) AS BIGINT) AS tf
+         |          FROM etoks GROUP BY 1, 2),
+         |wts AS (SELECT b, wm FROM w3 WHERE b >= 0),
+         |bias AS (SELECT wm FROM w3 WHERE b = -1),
+         |sc AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS raw
+         |       FROM efeat f JOIN wts w ON w.b = f.b GROUP BY 1),
+         |dlt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM etoks GROUP BY 1),
+         |r AS (SELECT d.doc_id, COALESCE(dlt.dl, 0) AS dl,
+         |        (SELECT wm FROM bias) + COALESCE(sc.raw, 0) AS n,
+         |        1000 * greatest(COALESCE(dlt.dl, 0), 1) AS dd,
+         |        CAST(list_contains($toksList, 'spark') AS BIGINT) AS y
+         |      FROM evalset d LEFT JOIN dlt ON dlt.doc_id = d.doc_id
+         |                     LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |m AS (SELECT doc_id, y,
+         |        CAST((CASE WHEN n < 0 THEN -1 ELSE 1 END) *
+         |          ((CAST(abs(n) AS HUGEINT) * 1000000 + dd // 2) // dd)
+         |          AS BIGINT) >= 520000 AS keep
+         |      FROM r),
+         |cf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |         CAST(SUM(CASE WHEN keep AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN keep AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(SUM(CASE WHEN NOT keep AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(SUM(CASE WHEN NOT keep AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |       FROM m)
+         |SELECT n_eval, tp, fp, fn, tn,
+         |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN n_eval = 0 THEN 0 ELSE (tp + tn) * 1000000 // n_eval END AS BIGINT) AS accuracy_ppm
+         |FROM cf""".stripMargin
     },
 
     "q157_chunk_plan" ->

@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
+  /** Largest explicit vocabulary [[trainLinear]] accepts: its
+    * per-epoch plan embeds the weights as a `map(...)` literal and
+    * the featurizer as an `isin(vocab)` filter — both linear in
+    * |vocab| — so past a few thousand terms the generated code, not
+    * the data, becomes the cost (the localFrame discipline: fail
+    * fast with a named error, point at the scalable path).
+    */
+  val MaxLinearVocab: Int = 4096
+
   /** A linear model as DATA: term → milli-weight vocabulary, bias,
     * and the keep threshold on the length-normalized score.
     */
@@ -323,6 +332,55 @@ object QualityClassifier {
       .withColumn("keep", col("score_micro") >= thresholdMicro)
       .select(col(idCol), col("dl"), col("score_micro"), col("keep"))
 
+  /** Held-out evaluation report for a trained hashed model — the
+    * number a CCNet-style filter decision needs BEFORE gating a
+    * corpus: confusion counts and precision/recall/accuracy of
+    * `keep = score_micro >= thresholdMicro` against the labels of an
+    * EVAL fold the model never trained on. The caller owns the split
+    * (pass the held-out frame; the suite splits by the deterministic
+    * md5-hash rule it samples with everywhere) so train and eval
+    * cannot silently overlap inside this operator.
+    *
+    * Everything is exact integers: scoring through
+    * [[scoreHashedWithWeightsMicro]] (micro-unit scores), counts as
+    * BIGINT sums, and the three rates in integer ppm with the
+    * zero-denominator cases pinned to 0 (no predicted positives →
+    * precision 0; no actual positives → recall 0) — so a DuckDB
+    * replay reproduces the report bit-for-bit and two engines can
+    * never disagree on a gate decision's quality.
+    *
+    * Scale shape: ONE pass over the eval fold (the scorer's explode +
+    * partial-agged groupBy with the weights riding as a broadcast
+    * literal), then a single-row aggregate. Output: `(n_eval, tp, fp,
+    * fn, tn, precision_ppm, recall_ppm, accuracy_ppm)`.
+    */
+  def evaluateHashedMicro(
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      model: TrainedHashedModel,
+      seed: String,
+      thresholdMicro: Long): DataFrame = {
+    val scored = scoreHashedWithWeightsMicro(
+      evalDocs, idCol, textCol, model, seed, thresholdMicro)
+    val lab = evalDocs.select(col(idCol), label.cast("long").as("__y"))
+    scored.join(lab, Seq(idCol))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("keep") && col("__y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") && col("__y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("keep") && col("__y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("keep") && col("__y") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(col("n_eval"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("""CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+                ELSE tp * 1000000 div (tp + fp) END""").as("precision_ppm"),
+        expr("""CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE tp * 1000000 div (tp + fn) END""").as("recall_ppm"),
+        expr("""CASE WHEN n_eval = 0 THEN CAST(0 AS BIGINT)
+                ELSE (tp + tn) * 1000000 div n_eval END""").as("accuracy_ppm"))
+  }
+
   /** A trained EXPLICIT-VOCABULARY linear model: term → milli-weight
     * pairs in vocabulary order plus the bias — exactly the shape
     * [[scoreLinear]]/[[scoreExpr]] consume, so training round-trips
@@ -367,6 +425,16 @@ object QualityClassifier {
       lrNum: Long,
       lrDen: Long): TrainedLinearModel = {
     require(vocab.nonEmpty, "empty vocabulary")
+    // the per-epoch plan carries the weights as a rebuilt map(...)
+    // literal and the featurize filter as isin(vocab) — both linear in
+    // |vocab|, bounded by the same vocabulary-fits-an-expression rule
+    // as scoreExpr. Fail with a named error BEFORE Janino chokes on a
+    // megabyte of generated code; big models belong to trainHashed,
+    // whose plan is constant-size in the bucket count.
+    require(vocab.size <= MaxLinearVocab,
+      s"trainLinear vocabulary has ${vocab.size} terms, above the " +
+        s"$MaxLinearVocab expression-plan cap — train large models with " +
+        "trainHashed (hashing-trick feature space, constant plan size)")
     require(vocab.distinct.size == vocab.size, "duplicate vocabulary terms")
     require(!vocab.contains(""), "empty-string term collides with the bias sentinel")
     require(epochs >= 0, "epochs must be non-negative")

@@ -165,6 +165,50 @@ class TrainClassifierSpec extends AnyFunSuite {
         label = col("is_good"), vocab = linearVocab :+ "",
         epochs = 1, lrNum = 50L, lrDen = 1L)
     }
+    // over-cap vocabulary fails fast with the named error pointing at
+    // trainHashed, before any plan is built
+    val big = (0 to QualityClassifier.MaxLinearVocab).map(i => s"t$i")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.trainLinear(corpus, "doc_id", "text",
+        label = col("is_good"), vocab = big,
+        epochs = 1, lrNum = 50L, lrDen = 1L)
+    }
+    assert(e.getMessage.contains("trainHashed"), e.getMessage)
+  }
+
+  test("held-out evaluation: closed-form counts at degenerate gates, exact counts at a real one") {
+    // train on the first 150 docs, hold out the last 50 (25 per class)
+    val train = corpus.filter(col("doc_id") < 150)
+    val eval = corpus.filter(col("doc_id") >= 150)
+    val m = QualityClassifier.trainHashed(train, "doc_id", "text",
+      label = col("is_good"), buckets = 64, seed = "spec:",
+      epochs = 4, lrNum = 50L, lrDen = 1L)
+    def report(t: Long): (Long, Long, Long, Long, Long, Long, Long, Long) = {
+      val r = QualityClassifier.evaluateHashedMicro(eval, "doc_id", "text",
+        label = col("is_good"), m, "spec:", thresholdMicro = t).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))
+    }
+    // gate wide open: everything kept — counts are closed-form
+    assert(report(Long.MinValue) ==
+      ((50L, 25L, 25L, 0L, 0L, 500000L, 1000000L, 500000L)))
+    // gate shut: nothing kept — precision/recall pin to the 0 rule
+    assert(report(Long.MaxValue) ==
+      ((50L, 0L, 0L, 25L, 25L, 0L, 0L, 500000L)))
+    // a real threshold: counts equal an independent recomputation from
+    // the serving-path scores, and the planted classes separate
+    val t = 500000L
+    val scored = QualityClassifier
+      .scoreHashedWithWeightsMicro(eval, "doc_id", "text", m, "spec:", t)
+      .join(eval.select(col("doc_id"), col("is_good")), "doc_id")
+      .collect().map(r => (r.getAs[Boolean]("keep"), r.getAs[Boolean]("is_good")))
+    val (tp, fp) = (scored.count(x => x._1 && x._2).toLong, scored.count(x => x._1 && !x._2).toLong)
+    val (fn, tn) = (scored.count(x => !x._1 && x._2).toLong, scored.count(x => !x._1 && !x._2).toLong)
+    val got = report(t)
+    assert(got._2 == tp && got._3 == fp && got._4 == fn && got._5 == tn,
+      s"report $got vs recount ($tp,$fp,$fn,$tn)")
+    assert(got._8 == (tp + tn) * 1000000L / 50L, "accuracy_ppm arithmetic")
+    assert(got._8 >= 900000L, s"held-out accuracy ${got._8} below 0.9 on planted classes")
   }
 
   test("trainLinear micro gate: integer score equals the double scoreLinear within one micro") {
