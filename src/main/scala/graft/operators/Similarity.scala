@@ -1299,22 +1299,68 @@ object Similarity {
       books: Seq[Seq[(Long, Array[Double])]],
       nProbe: Int,
       k: Int,
+      refine: Int = 3): DataFrame =
+    ivfPqSearchWithCellCodes(queries,
+      ivfPqEncodeCellCodes(corpus, idCol, vecCol, dims, cents, books),
+      corpus, idCol, vecCol, dims, cents, books, nProbe, k, refine)
+
+  /** The two-layer index encode as ONE stateless projection: each row
+    * gets its coarse IVF cell (nearest stored centroid) AND its m PQ
+    * codes against the frozen books — `(nbr, cell, __code_0..)`, the
+    * stored-table schema [[ivfPqSearchWithCellCodes]] consumes. Pure
+    * projection (centroids and books ride as codegen reference
+    * objects), so it runs identically on a batch frame and a
+    * streaming frame — the streaming ingest path
+    * ([[graft.streaming.StreamingIndexIngest.encodeCellStream]]) is
+    * literally this function applied to a stream.
+    */
+  def ivfPqEncodeCellCodes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      cents: Seq[(Long, Array[Double])],
+      books: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
+    val m = books.size
+    require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
+    require(cents.nonEmpty, "empty centroid set")
+    val sub = dims / m
+    cellAssign(df, idCol, vecCol, cents, "nbr", "__cv0", "__cn0", probes = 1)
+      .withColumn("__codes",
+        graft.functions.PqExpressions.pqCodes(col("__cv0"), books, sub))
+      .select(col("nbr") +: col("__cell").as("cell") +:
+        (0 until m).map(mi =>
+          element_at(col("__codes"), mi + 1).as(s"__code_$mi")): _*)
+  }
+
+  /** [[ivfPqTopKWithIndex]] over a STORED `(nbr, cell, codes)` table
+    * ([[ivfPqEncodeCellCodes]] schema) instead of re-encoding the
+    * corpus — the search path for an index whose rows arrived by
+    * batch build, incremental ingest, or the streaming encode (their
+    * outputs union directly: one encode implementation). `corpus`
+    * supplies raw vectors for the exact rescore of surfaced
+    * candidates only.
+    */
+  def ivfPqSearchWithCellCodes(
+      queries: DataFrame,
+      cellCodes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      cents: Seq[(Long, Array[Double])],
+      books: Seq[Seq[(Long, Array[Double])]],
+      nProbe: Int,
+      k: Int,
       refine: Int = 3): DataFrame = {
     require(k > 0 && refine > 0 && nProbe > 0, "k, refine, nProbe must be positive")
+    require(cellCodes.columns.contains("nbr") && cellCodes.columns.contains("cell"),
+      "cellCodes must carry nbr and cell columns")
     val m = books.size
     require(m > 0 && dims % m == 0, s"books size $m must divide dims=$dims")
     val sub = dims / m
     val offs = books.map(_.size).scanLeft(0)(_ + _)
-
-    // corpus → (id, cell, m codes); the assigned frame's vector column
-    // feeds the code computation, then drops
-    val corpusSide = cellAssign(corpus, idCol, vecCol, cents,
-        "nbr", "__cv0", "__cn0", probes = 1)
-      .withColumn("__codes",
-        graft.functions.PqExpressions.pqCodes(col("__cv0"), books, sub))
-      .select(col("nbr") +: col("__cell") +:
-        (0 until m).map(mi =>
-          element_at(col("__codes"), mi + 1).as(s"__code_$mi")): _*)
+    val corpusSide = cellCodes.withColumnRenamed("cell", "__cell")
 
     val cn2 = typedLit(
       (for (mi <- 0 until m; (_, v) <- books(mi))
@@ -1562,13 +1608,9 @@ object Similarity {
     val maxProbe = probes.last.toInt
 
     // corpus → (id, cell, m codes): the stored-index view, computed once
-    val corpusSide = cellAssign(corpus, idCol, vecCol, cents,
-        "nbr", "__cv0", "__cn0", probes = 1)
-      .withColumn("__codes",
-        graft.functions.PqExpressions.pqCodes(col("__cv0"), books, sub))
-      .select(col("nbr") +: col("__cell") +:
-        (0 until m).map(mi =>
-          element_at(col("__codes"), mi + 1).as(s"__code_$mi")): _*)
+    val corpusSide =
+      ivfPqEncodeCellCodes(corpus, idCol, vecCol, dims, cents, books)
+        .withColumnRenamed("cell", "__cell")
 
     // queries with PROBE RANK: one assignment at maxProbe serves every
     // sweep point (same comparator structs as cellAssign — similarity

@@ -46,6 +46,29 @@ object StreamingIndexIngest {
     // contract, batch and stream
     graft.operators.Similarity.pqEncodeCodes(vecs, idCol, vecCol, dims, books)
 
+  /** The CELL-PROBED index's ingest twin: each streamed vector gets
+    * its coarse IVF cell id (stateless nearest-stored-centroid
+    * projection) AND its PQ codes in one pass, emitting the
+    * `(nbr, cell, __code_0..)` schema that
+    * [[graft.operators.Similarity.ivfPqSearchWithCellCodes]] reads —
+    * so stream-ingested vectors are searchable through the cell-
+    * probed path, not just the flat one. Like [[encodeStream]] this
+    * is a pure projection (no state store, no watermark, no shuffle);
+    * the stored centroids and frozen books ride as codegen reference
+    * objects, and the output is bit-identical to the batch
+    * [[graft.operators.Similarity.ivfPqEncodeCellCodes]] — the SAME
+    * function, applied to a streaming frame.
+    */
+  def encodeCellStream(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      cents: Seq[(Long, Array[Double])],
+      books: Seq[Seq[(Long, Array[Double])]]): DataFrame =
+    graft.operators.Similarity.ivfPqEncodeCellCodes(
+      vecs, idCol, vecCol, dims, cents, books)
+
   /** Delete events → tombstone rows, the ingest-time twin of the
     * takedown path: a stateless projection normalizing any
     * delete-event stream to the single-column `nbr` shape that

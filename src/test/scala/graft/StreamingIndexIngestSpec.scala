@@ -79,6 +79,64 @@ class StreamingIndexIngestSpec extends AnyFunSuite {
       "search over stream-accumulated codes equals the batch index")
   }
 
+  test("streamed cell+code rows equal the batch two-layer encode and search cell-probed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = corpus
+    val batchDf = rows.toDF()
+    // stored index artifacts train on the base fold (3 of every 4 ids,
+    // all clusters represented); the stream ingests the fourth fold
+    val base = batchDf.filter(col("vec_id") % 4 =!= 3)
+    val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding", k = 4, iters = 2)
+    val books = Similarity.pqCodebooks(base, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val streamRows = rows.filter(_.vec_id % 4 == 3)
+
+    val stream = MemoryStream[Vec]
+    val out = StreamingIndexIngest.encodeCellStream(
+      stream.toDF(), "vec_id", "embedding", dims = 8, cents, books)
+    val query = out.writeStream.format("memory")
+      .queryName("ivfpq_ingest").outputMode("append").start()
+    try {
+      stream.addData(streamRows.take(6): _*)
+      query.processAllAvailable()
+      stream.addData(streamRows.drop(6): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // byte-equal to the batch cell-assign + encode of the same rows
+    val streamed = spark.table("ivfpq_ingest").collect().map(_.toSeq).toSet
+    val batch = Similarity.ivfPqEncodeCellCodes(
+        batchDf.filter(col("vec_id") % 4 === 3), "vec_id", "embedding",
+        dims = 8, cents, books)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"extra=${streamed -- batch}, missing=${batch -- streamed}")
+    assert(streamed.size == 10)
+
+    // the accumulated sink unions with the batch-built base table and
+    // stream-ingested vectors are FOUND through the cell-probed search:
+    // each query id (2 mod 10 within its cluster) has a streamed row
+    // (3 mod 10) as a true jitter-adjacent neighbor
+    val baseCodes = Similarity.ivfPqEncodeCellCodes(
+      base, "vec_id", "embedding", dims = 8, cents, books)
+    val union = baseCodes.unionByName(spark.table("ivfpq_ingest"))
+    val queries = batchDf.filter(col("vec_id") % 10 === 2)
+    val got = Similarity.ivfPqSearchWithCellCodes(
+        queries, union, batchDf, "vec_id", "embedding", dims = 8,
+        cents, books, nProbe = 4, k = 3, refine = 3)
+      .collect().map(_.toSeq).toSet
+    // equals the one-shot index over the full corpus (same artifacts)
+    val oneShot = Similarity.ivfPqTopKWithIndex(
+        queries, batchDf, "vec_id", "embedding", dims = 8,
+        cents, books, nProbe = 4, k = 3, refine = 3)
+      .collect().map(_.toSeq).toSet
+    assert(got == oneShot, "cell-probed search over streamed union diverged")
+    assert(got.nonEmpty &&
+      got.exists(r => r(2).asInstanceOf[Long] % 4 == 3L),
+      "stream-ingested neighbors never surfaced")
+  }
+
   test("stream-ingested tombstones exclude deletes from the live-view search") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
