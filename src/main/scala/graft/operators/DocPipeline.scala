@@ -400,11 +400,16 @@ object DocPipeline {
       .filter(col("old_id") < col("new_id"))
       .select(col("new_id").as(idCol)).distinct()
 
-    // 6. eval contamination (q129's containment on batch vs eval)
+    // 6. eval contamination (q129's containment on batch vs eval).
+    // The eval set is small by definition (it is a benchmark), so its
+    // shingles BROADCAST: without the hint the optimizer's estimate
+    // for an exploded filtered scan overshoots the auto threshold and
+    // the ENTIRE batch shingle set shuffles through a sort-merge join
+    // (measured: ~87k rows written per run at sf0.1 for a 10-doc eval)
     val bSh = Dedup.shingleRows(b, idCol, textCol)
-    val eSh = Dedup.shingleRows(evalDocs, idCol, textCol)
-      .select(col(idCol).as("__eid"), col("__sh"))
-    val eSz = eSh.groupBy(col("__eid")).agg(count(lit(1)).as("__ne"))
+    val eSh = broadcast(Dedup.shingleRows(evalDocs, idCol, textCol)
+      .select(col(idCol).as("__eid"), col("__sh")))
+    val eSz = broadcast(eSh.groupBy(col("__eid")).agg(count(lit(1)).as("__ne")))
     val contaminated = bSh
       .join(eSh, "__sh")
       .groupBy(col(idCol), col("__eid"))
