@@ -121,6 +121,69 @@ object Bench {
     Some((sf, qs, num(j \ "vm_health")))
   } catch { case _: Throwable => None }
 
+  /** Probe-series normalization, pure so BenchClassifySpec can replay a
+    * recorded vm_health_series (BENCH_r12's taint is the pinned
+    * regression case).
+    *
+    * Round-12 lesson: the reference level must NOT be the run median —
+    * in the r12 artifact the degraded plateau WAS the median (13 of 19
+    * probes at 0.57-0.75s vs a 0.35-0.42s healthy floor), so
+    * `value_normalized == value` and five 4-6x-inflated queries passed
+    * silently. Detection is now referenced to the run's HEALTHY FLOOR
+    * (min probe): a probe is degraded when it exceeds DegradedBand x
+    * floor. Guard: the floor must RECUR — at least max(2, n/6) probes
+    * within FloorCorrob x of it — before it is trusted as the run's
+    * healthy level. Two failure modes demand this: (a) one outlier low
+    * sample on a jittery-but-healthy run, and (b) the bookend effect
+    * observed end-to-end at sf0.001 — the startup and closing probes
+    * run in a systematically quieter context (no residual GC/cache
+    * pressure from a just-finished query) and came in at ~0.5x the
+    * uniform interior level, so a 2-probe corroboration flagged 160 of
+    * 173 queries on a healthy run and fabricated a 41% normalized
+    * speedup. An uncorroborated floor falls back to the old median
+    * reference (which correctly says "nothing to normalize" for both
+    * modes). The SCALING reference is the median of the healthy
+    * (in-band) probes, not the floor itself, so corrections deflate to
+    * typical-health terms rather than best-case terms.
+    */
+  private[graft] val DegradedBand = 1.5
+  private[graft] val FloorCorrob = 1.25
+
+  /** (degraded-threshold, scaling-reference) for a probe series. */
+  private[graft] def probeBandRef(ts: Seq[Double]): (Double, Double) = {
+    val floor = ts.min
+    val median = { val s = ts.sorted; s(s.size / 2) }
+    val needed = math.max(2, math.ceil(ts.size / 6.0).toInt)
+    val corroborated = ts.count(_ <= FloorCorrob * floor) >= needed
+    val band = DegradedBand * (if (corroborated) floor else median)
+    val healthy = ts.filter(_ <= band).sorted
+    val ref = if (healthy.isEmpty) median else healthy(healthy.size / 2)
+    (band, ref)
+  }
+
+  /** Normalization factor for the query at measurement position `i`:
+    * ref/nearest when its nearest probe is degraded, else 1. Carried
+    * queries and <2-probe runs are never normalized.
+    */
+  private[graft] def probeFactor(series: Seq[(Int, Double)], i: Int): Double =
+    if (series.size < 2) 1.0
+    else {
+      val (band, ref) = probeBandRef(series.map(_._2))
+      val nearest = series.minBy { case (n, _) => math.abs(n - i) }._2
+      if (nearest > band) ref / nearest else 1.0
+    }
+
+  /** Measured query names whose nearest probe sits in a degraded
+    * window — emitted as `degraded_window_queries` so a tainted run is
+    * visible in the artifact itself, not only via cross-round diffs.
+    */
+  private[graft] def degradedWindowQueries(
+      series: Seq[(Int, Double)], measured: Seq[String]): Seq[String] =
+    if (series.size < 2) Nil
+    else measured.zipWithIndex.collect {
+      case (n, i) if probeFactor(series, i) < 1.0 => n
+    }
+
   def main(args: Array[String]): Unit = {
     val jvmStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,6 +227,12 @@ object Bench {
     // minutes here; see memory/PLANS notes) the numbers are noise
     // regardless — skip the JIT warmup and spend the budget on
     // covering queries instead.
+    // Set when a timed-out warmup lane never drains despite the
+    // cancel+await loop: measurement may then overlap warmup jobs, and
+    // the artifact carries `"tainted":true` so the run can't be
+    // mistaken for a clean one (r12 shipped exactly that overlap
+    // silently).
+    var warmupTainted = false
     if (elapsedS <= 120) locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
@@ -345,11 +414,29 @@ object Bench {
       if (!pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)) {
         System.err.println(
           s"[bench] warmup join timed out at ${fmt2(elapsedS)}s — cancelling in-flight legs")
+        // cancel+await UNTIL the pool actually drains: cancelJobGroup
+        // only kills jobs RUNNING at that moment (an AQE leg launches a
+        // job per re-planned stage), so one cancel volley can let the
+        // next stage's job through and a lane thread keeps running
+        // warmup work into the measurement window — exactly the taint
+        // mode of the degraded days this path targets (r12). The global
+        // scrub and measurement start are gated on pool.isTerminated;
+        // if the lane never drains inside the bounded wait, the
+        // artifact is stamped "tainted" so the overlap can never pass
+        // silently again.
         legNames.foreach(n => sc.cancelJobGroup(s"warmup-$n"))
-        if (!pool.awaitTermination(20, java.util.concurrent.TimeUnit.SECONDS)) {
+        pool.shutdownNow()
+        var waitedS = 0
+        while (!pool.isTerminated && waitedS < 60) {
           legNames.foreach(n => sc.cancelJobGroup(s"warmup-$n"))
-          pool.shutdownNow()
-          pool.awaitTermination(20, java.util.concurrent.TimeUnit.SECONDS)
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+          waitedS += 10
+        }
+        if (!pool.isTerminated) {
+          warmupTainted = true
+          System.err.println(
+            "[bench] WARNING: a warmup lane never drained — measurement may " +
+              "overlap warmup jobs; artifact stamped tainted")
         }
       }
       System.err.println(
@@ -406,8 +493,10 @@ object Bench {
     // The gate itself must stay cheap on a bad day: the old gate ran
     // the full 20M-row probe with no bound, so a badly degraded VM
     // inside the 300s window could burn minutes learning probes should
-    // be off. A 2M-row mini-probe (same generated class — range size
-    // is a runtime param, not a literal) first: ~0.03s healthy, and
+    // be off. A 2M-row mini-probe first — NOT the same generated class
+    // as the 20M probe (Range codegen embeds its bounds as literals),
+    // so it gates on VM weather only, never stands in for the full
+    // probe's JIT warm-in: ~0.03s healthy, and
     // even a 20x-degraded VM pays well under its 2.0s threshold's
     // order of magnitude before the full warm-in probe is attempted.
     val probesEnabled = elapsedS <= 300 &&
@@ -465,24 +554,12 @@ object Bench {
     def merged: Seq[(String, Double)] =
       (carried.toSeq ++ results.toSeq).sortBy(_._1)
 
-    // Per-query normalization against the NEAREST probe: query i
-    // (position in measurement order) is scaled by median/nearest when
-    // its nearest probe ran over 1.5x the run's median probe —
-    // deflating queries inside a genuinely degraded window back to
-    // typical-health terms. The dead-band matters: probe times jitter
-    // ~1.5x on a healthy VM here, and normalizing against the MINIMUM
-    // probe would "correct" that noise into a fictitious 20%+ speedup
-    // (observed on a healthy sf0.001 run). Carried queries are NOT
+    // Per-query normalization against the NEAREST probe, referenced to
+    // the run's healthy floor (see Bench.probeFactor scaladoc for the
+    // r12 majority-degraded-median lesson). Carried queries are NOT
     // normalized (measured under a different VM state, recorded via
     // carried_vm_health); with fewer than two probes every factor is 1.
-    def probeFactor(i: Int): Double =
-      if (vmSeries.size < 2) 1.0
-      else {
-        val sorted = vmSeries.map(_._2).sorted
-        val ref = sorted(sorted.size / 2)
-        val nearest = vmSeries.minBy { case (n, _) => math.abs(n - i) }._2
-        if (nearest > 1.5 * ref) ref / nearest else 1.0
-      }
+    def probeFactor(i: Int): Double = Bench.probeFactor(vmSeries.toSeq, i)
 
     def writeFullFile(): Unit = try {
       val m = merged
@@ -504,8 +581,11 @@ object Bench {
         .mkString("{", ",", "}")
       val totalNorm = m.map { case (k, v) => normByName.getOrElse(k, v) }.sum
       val cvh = carriedVmHealth.map(v => s""","carried_vm_health":${fmt3(v)}""").getOrElse("")
+      val dwq = degradedWindowQueries(vmSeries.toSeq, results.map(_._1).toSeq)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val taint = if (warmupTainted) ""","tainted":true""" else ""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"capped":$cap,"carried":$c$cvh,"vm_health":${fmt3(vmHealthS)},"vm_health_series":$series,"queries_normalized":$qsNorm,"value_normalized":${fmt3(totalNorm)},"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"capped":$cap,"carried":$c$cvh,"vm_health":${fmt3(vmHealthS)},"vm_health_series":$series,"queries_normalized":$qsNorm,"value_normalized":${fmt3(totalNorm)},"degraded_window_queries":$dwq$taint,"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
     } catch { case _: Throwable => () } // bench must not die on a dump
 
     // Prior-run per-query seconds, read from the LAST committed

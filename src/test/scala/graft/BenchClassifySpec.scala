@@ -67,6 +67,93 @@ class BenchClassifySpec extends AnyFunSuite {
     assert(out === Seq("c", "a", "f", "d", "e", "b"))
   }
 
+  // The EXACT vm_health_series from the round-12 closing artifact: a
+  // healthy 0.35-0.42s floor at both ends, a 0.57-0.75s degraded
+  // plateau for the whole middle. The plateau WAS the run's median, so
+  // the old median-referenced dead-band normalized nothing and five
+  // 4-6x-inflated queries (q143 34s vs its work-sharing sibling q134's
+  // 6.7s) shipped silently. These cases pin the floor-referenced fix.
+  private val r12Series: Seq[(Int, Double)] = Seq(
+    0 -> 0.413, 10 -> 0.743, 20 -> 0.591, 30 -> 0.569, 40 -> 0.588,
+    50 -> 0.570, 60 -> 0.418, 70 -> 0.683, 80 -> 0.692, 90 -> 0.669,
+    100 -> 0.738, 110 -> 0.573, 120 -> 0.754, 130 -> 0.638,
+    140 -> 0.696, 150 -> 0.623, 160 -> 0.411, 170 -> 0.419, 173 -> 0.351)
+
+  test("r12 replay: the majority-degraded plateau is flagged against the healthy floor") {
+    // every probe in the 0.57-0.75 plateau must be over the band;
+    // every floor-level probe must be inside it
+    val (band, ref) = Bench.probeBandRef(r12Series.map(_._2))
+    assert(band < 0.569, s"band $band must flag the whole plateau")
+    assert(band > 0.419, s"band $band must keep the healthy probes")
+    // scaling reference is the healthy median, not the outright min
+    assert(ref === 0.413)
+  }
+
+  test("r12 replay: a mid-plateau query is deflated, an end-of-run query is not") {
+    // q143 ran in the after_n 10-150 window (heaviest-first ordering);
+    // its nearest probes are all plateau probes -> factor < 1
+    val midFactor = Bench.probeFactor(r12Series, 15)
+    assert(midFactor < 1.0 && midFactor > 0.4,
+      s"mid-plateau factor $midFactor must deflate toward healthy terms")
+    // the last measured queries sit next to healthy probes -> untouched
+    assert(Bench.probeFactor(r12Series, 172) === 1.0)
+    assert(Bench.probeFactor(r12Series, 0) === 1.0)
+  }
+
+  test("r12 replay: degraded_window_queries names the plateau window") {
+    val measured = (0 until 173).map(i => f"q$i%03d")
+    val flagged = Bench.degradedWindowQueries(r12Series, measured)
+    assert(flagged.contains("q015") && flagged.contains("q100"))
+    assert(!flagged.contains("q000") && !flagged.contains("q172"))
+    assert(flagged.size > 100,
+      "the whole mid-run plateau must be visible in the artifact")
+  }
+
+  test("healthy jitter is NOT normalized: an uncorroborated floor falls back to the median") {
+    // a healthy run whose probes jitter ~1.5-2x around one outlier low
+    // sample: floor-referencing would fabricate a speedup; the
+    // corroboration guard restores the old median reference
+    val jittery = Seq(0 -> 0.20, 10 -> 0.35, 20 -> 0.30, 30 -> 0.45, 40 -> 0.33)
+    val (band, _) = Bench.probeBandRef(jittery.map(_._2))
+    assert(band === 1.5 * 0.33, "uncorroborated floor must use the median band")
+    (0 to 45 by 5).foreach { i =>
+      assert(Bench.probeFactor(jittery, i) === 1.0,
+        s"healthy jitter at position $i must not be 'corrected'")
+    }
+    assert(Bench.degradedWindowQueries(jittery, (0 to 45).map(_.toString)).isEmpty)
+  }
+
+  test("bookend effect is NOT normalized: quiet start/end probes do not set the floor") {
+    // the EXACT shape an end-to-end sf0.001 verification run produced:
+    // startup and closing probes ~0.5x the uniform interior (they run
+    // with no residual GC/cache pressure from a preceding query). Only
+    // 2 probes corroborate that floor — under the max(2, n/6)=4
+    // requirement at 19 probes the floor is rejected, the median rule
+    // applies, and a healthy run is left untouched (the 2-probe rule
+    // flagged 160/173 queries and fabricated a 41% speedup here).
+    val bookend = Seq(
+      0 -> 0.162, 10 -> 0.299, 20 -> 0.288, 30 -> 0.298, 40 -> 0.296,
+      50 -> 0.270, 60 -> 0.278, 70 -> 0.285, 80 -> 0.299, 90 -> 0.281,
+      100 -> 0.252, 110 -> 0.290, 120 -> 0.294, 130 -> 0.277,
+      140 -> 0.274, 150 -> 0.263, 160 -> 0.275, 170 -> 0.261, 173 -> 0.130)
+    (0 until 173 by 7).foreach { i =>
+      assert(Bench.probeFactor(bookend, i) === 1.0,
+        s"healthy uniform interior at position $i must not be 'corrected'")
+    }
+    assert(Bench.degradedWindowQueries(
+      bookend, (0 until 173).map(_.toString)).isEmpty)
+  }
+
+  test("probe normalization degenerate shapes: short series and all-degraded runs") {
+    assert(Bench.probeFactor(Seq(0 -> 9.9), 5) === 1.0)
+    assert(Bench.probeFactor(Nil, 0) === 1.0)
+    // uniformly slow run: everything is the floor, nothing is flagged
+    // (relative timings are consistent; there is no healthy level to
+    // normalize toward)
+    val flat = Seq(0 -> 2.0, 10 -> 2.1, 20 -> 2.05)
+    (0 to 20 by 5).foreach(i => assert(Bench.probeFactor(flat, i) === 1.0))
+  }
+
   test("final stdout line fits the harness parse tail at the CURRENT query count") {
     // the harness parses the JSON metric line from the LAST ~2000
     // chars of stdout; sbt's trailing [success] line eats ~75. Build
