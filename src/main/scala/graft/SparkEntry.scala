@@ -122,6 +122,13 @@ object SparkEntry {
     * cluster maps. Holding rows (not a DataFrame) also keeps the memo
     * value free of session references, which the weak-keyed
     * [[SessionMemo]] needs for eviction.
+    *
+    * ROW ORDER IS UNSPECIFIED: [[localFrame]] collects through a
+    * `limit(cap+1)` probe, and CollectLimit may return rows in any
+    * order (and a different one than a plain collect). Every consumer
+    * must apply its own total ORDER BY before output — EntrySpec
+    * asserts this for each memo-consuming query — and never encode
+    * positional meaning into the stored rows.
     */
   private[graft] final case class LocalFrame(
       rows: java.util.List[Row], schema: org.apache.spark.sql.types.StructType) {
@@ -209,23 +216,33 @@ object SparkEntry {
   /** JVM-level memo of q137's persisted curation STATE table. In
     * production this is a stored parquet artifact (curateState's
     * scaladoc: "writes this frame to a parquet state table"), so the
-    * suite treats it the same way: the base fold's fingerprint +
-    * 64-bit SimHash rows derive once per JVM and every q137
-    * evaluation pays only the BATCH-side work — the operator's own
-    * contract ("base text is never touched"). Artifact-sized by
-    * construction (one 96-char row per base doc), held as driver
-    * rows like the other memos.
+    * suite stores it exactly that way: the base fold's fingerprint +
+    * 64-bit SimHash rows derive once per JVM, are WRITTEN to a temp
+    * parquet path, and every q137 evaluation re-reads the stored
+    * table and pays only the BATCH-side work — the operator's own
+    * contract ("base text is never touched"). Spilled to parquet
+    * rather than held as driver rows like the other memos because
+    * this is the one memo that scales LINEARLY with the corpus (one
+    * row per base document): at larger scale factors driver rows
+    * would outgrow "artifact-sized". A file survives the harnesses'
+    * inter-query cache scrub the same way driver rows do.
     */
-  private val curateStateMemo = new SessionMemo[String, LocalFrame]
+  private val curateStateMemo = new SessionMemo[String, String]
 
-  private def curateStateShared(s: SparkSession, dir: String): DataFrame =
-    curateStateMemo.get(s, dir) {
-      localFrame(operators.DocPipeline.curateState(
+  private def curateStateShared(s: SparkSession, dir: String): DataFrame = {
+    val path = curateStateMemo.get(s, dir) {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-curate-state").resolve("state").toString
+      operators.DocPipeline.curateState(
         T(s, dir, "documents")
           .filter(col("doc_id") >= 10 && col("doc_id") % 3 =!= 0)
           .select(col("doc_id"), col("text")),
-        "doc_id", "text"))
-    }.toDF(s)
+        "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path)
+  }
 
   /** JVM-level memo of the four modality fingerprint tables over the
     * planted fixtures, keyed by (session, dir, modality): image grid
@@ -1288,11 +1305,18 @@ object SparkEntry {
       // cluster div kSplit recovers the pre-split cell, so one
       // assignment pass yields both phases' occupancy
       val a = split.assignment
-      stats(a.groupBy(expr("cluster div 2").as("cell"))
+      val report = stats(a.groupBy(expr("cluster div 2").as("cell"))
           .agg(count(lit(1)).as("n")), "before")
         .unionByName(
           stats(a.groupBy(col("cluster")).agg(count(lit(1)).as("n")), "after"))
-        .orderBy("phase")
+      // the report is two rows — materialize it NOW so the
+      // localCheckpoint backing `assignment` can be released per
+      // HotSplit's contract (otherwise the checkpoint RDD is stranded
+      // until the harness scrub and accumulates across repeated
+      // evaluations in one JVM), then hand back a local relation
+      val local = localFrame(report)
+      split.release()
+      local.toDF(s).orderBy("phase")
     }),
 
     // ---- extension: segment-level (CCNet-style) boilerplate dedup ----
@@ -1838,7 +1862,9 @@ object SparkEntry {
     // mask, verified once with exact shingle Jaccard — the recall
     // audit table of the dedup family
     "q152_ensemble_neardup" -> ((s, dir) => {
-      ensemblePairs(s, dir)
+      // the memo's row order is unspecified (LocalFrame contract) —
+      // re-apply the pair table's total order before output
+      ensemblePairs(s, dir).orderBy("d1", "d2")
     }),
 
     // ---- extension: ensemble blocker-recall audit ----

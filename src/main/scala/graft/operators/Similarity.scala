@@ -1176,14 +1176,28 @@ object Similarity {
     // land new files, which we must neither apply-then-forget nor
     // delete unapplied — everything below touches only this snapshot
     val tombFiles: Seq[Path] =
-      if (fs.exists(tombDir))
-        fs.listStatus(tombDir).toSeq
-          .filter(st => st.isFile && {
+      if (fs.exists(tombDir)) {
+        val entries = fs.listStatus(tombDir).toSeq
+          .filterNot { st =>
             val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          })
-          .map(_.getPath)
-      else Seq.empty
+            n.startsWith("_") || n.startsWith(".")
+          }
+        // the snapshot-then-delete contract is defined over a FLAT
+        // tombstone table (the tombstoneStream sink's layout). A
+        // partitioned writer would put its data files in
+        // subdirectories, which a flat listing would silently never
+        // apply — they would survive compaction undeleted while the
+        // compacted codes table keeps their rows, diverging from the
+        // live-view read (which reads the whole directory tree). Fail
+        // fast rather than half-apply.
+        val dirs = entries.filter(_.isDirectory)
+        if (dirs.nonEmpty) throw new java.io.IOException(
+          s"pqCompactIndex: tombstone table $tombstonesDir contains " +
+            s"subdirectories (${dirs.map(_.getPath.getName).mkString(", ")}) — " +
+            "tombstone tables must be flat; a partitioned tombstone " +
+            "writer is not supported by compaction")
+        entries.filter(_.isFile).map(_.getPath)
+      } else Seq.empty
     val codes = spark.read.parquet(codesDir)
     val live =
       if (tombFiles.nonEmpty)
@@ -1420,6 +1434,15 @@ object Similarity {
       assignment: DataFrame,
       release: () => Unit)
 
+  /** Most hot cells one [[ivfSplitHotCells]] pass may split: the
+    * per-cell sub-assignment is a single folded projection whose
+    * plan/codegen size grows with hot.size * kSplit * dims, the same
+    * wall [[QualityClassifier.MaxLinearVocab]] guards for the linear
+    * scorer. Named so callers hit a diagnosable error, never a Janino
+    * failure deep in codegen.
+    */
+  val MaxHotCellSplits: Int = 64
+
   /** Hot-cell remediation for a stored IVF cell layer — the action
     * the q170 health report prices: when a cell's occupancy exceeds
     * `hotPpm` (parts-per-million of the MEAN cell size; 2e6 = twice
@@ -1477,6 +1500,18 @@ object Similarity {
     val hot = occ.collect {
       case (c, n) if BigInt(n) * nCells * 1000000L > BigInt(hotPpm) * nVecs => c
     }.toSeq.sorted
+    // the per-cell sub-assignment folds each hot cell's sub-centroids
+    // into ONE projection (a when/otherwise chain with a
+    // centroidCosines node + kSplit comparator structs per cell), so
+    // plan/codegen size is linear in hot.size * kSplit * dims — past a
+    // few dozen cells that hits the same Janino/plan-size wall
+    // trainLinear's MaxLinearVocab guards. Fail with a named cap
+    // instead: raise hotPpm (split only the genuinely hottest cells)
+    // or remediate in multiple passes.
+    require(hot.size <= MaxHotCellSplits,
+      s"ivfSplitHotCells: ${hot.size} cells exceed hotPpm=$hotPpm, over " +
+        s"the $MaxHotCellSplits-cells-per-pass codegen cap — raise hotPpm " +
+        "or split in multiple passes")
     val release = () =>
       org.apache.spark.sql.graftbridge.unpersistCheckpointed(assigned)
 

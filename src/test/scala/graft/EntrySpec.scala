@@ -35,4 +35,35 @@ class EntrySpec extends AnyFunSuite {
     val ok = SparkEntry.localFrame(spark.range(10).toDF("id"), maxRows = 10)
     assert(ok.rows.size == 10)
   }
+
+  test("every memo-consuming query sorts before output (LocalFrame row order is unspecified)") {
+    // localFrame collects through a limit(cap+1) probe, and
+    // CollectLimit may return rows in ANY order — a consumer that
+    // skips its own total ORDER BY would emit memo-order-dependent
+    // output. Assert each memo-consuming query's plan carries a
+    // global Sort at (or directly under a projection at) the root.
+    val memoConsumers = Seq(
+      "q152_ensemble_neardup", "q155_ensemble_recall", // ensemblePairs
+      "q23_jaccard_neardup", "q100_minhash_err", "q63_dup_clusters",
+      "q121_cluster_keep", "q126_leakage_split", // nearDupShared
+      "q138_simhash64_ingest", "q156_image_neardup", "q163_audio_neardup",
+      "q164_video_neardup", "q166_crossmodal_dedup", // modalSigsMemo
+      "q173_cell_rebalance") // q173's post-release local report
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // descend ONLY through order-preserving wrappers — a Sort buried
+    // under an aggregation or join does not order the output
+    def rootSort(p: LogicalPlan): Boolean = p match {
+      case s: Sort => s.global
+      case Project(_, child) => rootSort(child)
+      case SubqueryAlias(_, child) => rootSort(child)
+      case GlobalLimit(_, child) => rootSort(child)
+      case LocalLimit(_, child) => rootSort(child)
+      case _ => false
+    }
+    memoConsumers.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(rootSort(df.queryExecution.analyzed),
+        s"$name must end in a global ORDER BY — its memo's row order is unspecified")
+    }
+  }
 }
