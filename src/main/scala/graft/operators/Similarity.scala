@@ -1236,6 +1236,189 @@ object Similarity {
     spark.read.parquet(codesDir).count()
   }
 
+  // ---------------------------------------------------------------
+  // Stored IVF-PQ index: on-disk layout + atomic split commit
+  // ---------------------------------------------------------------
+
+  /** Layout of a STORED two-layer index under `indexDir`:
+    *   - `centroids`: tiny parquet `(cell long, vec array<double>)` —
+    *     the coarse quantizer, replaced atomically by rename on every
+    *     structural change (the [[pqCompactIndex]] swap pattern);
+    *   - `codes`: the [[ivfPqEncodeCellCodes]] table written
+    *     PARTITIONED BY `cell`, so each inverted list is its own
+    *     directory and structural maintenance (a hot-cell split, a
+    *     list drop) is partition surgery bounded by the touched
+    *     cells — never a full-table rewrite. At 100 TB the codes
+    *     table IS the index; rewriting it to relabel two cells is
+    *     the anti-pattern the partitioning exists to avoid.
+    */
+  private def ivfCentsDir(indexDir: String): String = s"$indexDir/centroids"
+  def ivfCodesDir(indexDir: String): String = s"$indexDir/codes"
+
+  /** Initial build of a stored index: codes partitioned by cell,
+    * centroids swapped in last (readers resolve the index through the
+    * centroid table, so a half-written codes table is unreachable).
+    */
+  def ivfWriteIndex(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Seq[(Long, Array[Double])],
+      cellCodes: DataFrame): Unit = {
+    require(cents.nonEmpty, "empty centroid set")
+    require(cents.map(_._1).distinct.size == cents.size, "duplicate centroid ids")
+    cellCodes.write.mode("overwrite").partitionBy("cell")
+      .parquet(ivfCodesDir(indexDir))
+    writeCentroidsSwap(spark, indexDir, cents)
+  }
+
+  /** The stored coarse quantizer, self-healing the swap's crash
+    * window exactly like [[pqCompactIndex]]'s codes rename.
+    */
+  def ivfReadCentroids(
+      spark: SparkSession, indexDir: String): Seq[(Long, Array[Double])] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(ivfCentsDir(indexDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir.getParent, dir.getName + "__old")
+    if (!fs.exists(dir) && fs.exists(old)) {
+      if (!fs.rename(old, dir)) throw new java.io.IOException(
+        s"ivfReadCentroids: could not restore $old to $dir")
+    }
+    spark.read.parquet(dir.toString)
+      .select(col("cell"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+  }
+
+  private def writeCentroidsSwap(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Seq[(Long, Array[Double])]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(ivfCentsDir(indexDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sibling(suffix: String) = new Path(dir.getParent, dir.getName + suffix)
+    val staged = sibling("__staging")
+    val old = sibling("__old")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    import spark.implicits._
+    cents.toDF("cell", "vec").coalesce(1).write.parquet(staged.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dir) && !fs.rename(dir, old))
+      throw new java.io.IOException(s"writeCentroidsSwap: could not stage out $dir")
+    if (!fs.rename(staged, dir)) {
+      if (fs.exists(old)) fs.rename(old, dir)
+      throw new java.io.IOException(s"writeCentroidsSwap: could not swap in $staged")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Write-back of an [[ivfSplitHotCells]] result into the STORED
+    * index — the missing half of the split at production scale: the
+    * in-memory [[HotSplit]] is advisory until the stored artifact
+    * reflects it, because streaming ingest
+    * ([[graft.streaming.StreamingIndexIngest.encodeCellStream]]) and
+    * every search resolve cells through the stored centroids.
+    *
+    * Work is bounded by the hot cells' members — cold inverted lists
+    * (their directories, their rows, their centroid entries) are
+    * never read or written. Because parquet partitions cannot be
+    * relabeled in place, the commit does NOT adopt the HotSplit's
+    * dense `cid*kSplit` labeling (that would rewrite every cold
+    * partition's directory name); instead cold cells keep their
+    * stored ids and each hot cell's kSplit sub-centroids get FRESH
+    * ids above the stored maximum — deterministic
+    * (`max+1 + hotRank*kSplit + sub`), collision-free, and
+    * search-equivalent (ranking never depends on cell labels).
+    *
+    * Commit sequence and crash windows:
+    *   1. the hot members' existing code rows are re-written under
+    *      their new sub-cell partitions (a join of the assignment
+    *      against ONLY the hot partitions — PQ codes are label-
+    *      independent, so codes are copied, never re-encoded), via
+    *      dynamic partition overwrite: idempotent, and invisible to
+    *      readers (no stored centroid carries a fresh id yet);
+    *   2. the centroid table is atomically swapped to (cold ids +
+    *      fresh sub ids) — THE commit point: from here every
+    *      assignment, search probe, and streamed ingest row resolves
+    *      against the split layout, and the old hot partitions are
+    *      unreachable (no centroid has their id, so no probe and no
+    *      new row can land there);
+    *   3. the orphaned hot partitions are deleted — pure GC; a crash
+    *      before it leaves unreachable rows that only cost storage,
+    *      and re-running the commit detects the already-swapped
+    *      centroids and finishes the GC.
+    *
+    * Returns the committed centroid set (what callers feed to
+    * searches and the streaming encode).
+    */
+  def ivfCommitSplit(
+      spark: SparkSession,
+      indexDir: String,
+      split: HotSplit,
+      idCol: String,
+      kSplit: Int): Seq[(Long, Array[Double])] = {
+    import org.apache.hadoop.fs.Path
+    require(kSplit >= 2, "kSplit must match the split's")
+    val codesDir = ivfCodesDir(indexDir)
+    val fs = new Path(codesDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hotDirs = split.hotCells.map(c => new Path(codesDir, s"cell=$c"))
+    val stored = ivfReadCentroids(spark, indexDir)
+    val storedIds = stored.map(_._1).toSet
+    if (split.hotCells.isEmpty) return stored
+    if (split.hotCells.forall(c => !storedIds.contains(c))) {
+      // already committed (a prior run crashed between the centroid
+      // swap and the GC): finish the GC and return the stored state
+      hotDirs.foreach(d => if (fs.exists(d)) fs.delete(d, true))
+      return stored
+    }
+    require(split.hotCells.forall(storedIds.contains),
+      s"ivfCommitSplit: split's hot cells ${split.hotCells} are not all " +
+        s"present in the stored centroid table at $indexDir — the split " +
+        "must be derived from this index's stored centroids")
+
+    val maxOld = stored.map(_._1).max
+    val hotSorted = split.hotCells.sorted
+    val baseByCell: Map[Long, Long] = hotSorted.zipWithIndex.map {
+      case (c, i) => c -> (maxOld + 1L + i.toLong * kSplit)
+    }.toMap
+
+    // 1. hot members' rows under their new partitions. Reading ONLY
+    // the hot partition dirs keeps the scan bounded by what splits;
+    // the inner join against the assignment is the relabel.
+    val hotCodes = spark.read
+      .option("basePath", codesDir)
+      .parquet(hotDirs.map(_.toString): _*)
+    val oldCell = expr(s"cluster div $kSplit")
+    val relabel = baseByCell.foldLeft(lit(null).cast("long")) {
+      case (acc, (c, b)) =>
+        when(oldCell === c, lit(b) + expr(s"cluster % $kSplit")).otherwise(acc)
+    }
+    val newAssign = split.assignment
+      .filter(oldCell.isin(hotSorted: _*))
+      .select(col(idCol).as("nbr"), relabel.as("__newcell"))
+    val codeCols = hotCodes.columns.filter(_.startsWith("__code_")).sorted
+    hotCodes.join(newAssign, "nbr")
+      .select(col("nbr") +: codeCols.map(col) :+ col("__newcell").as("cell"): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(codesDir)
+
+    // 2. atomic centroid swap: cold ids untouched, hot replaced by
+    // their sub-centroids under fresh ids. HotSplit labels are
+    // cid*kSplit(+sub); map cold back to the stored id, subs to fresh.
+    val hotSet = split.hotCells.toSet
+    val committed = split.cents.map { case (id, v) =>
+      val c = id / kSplit
+      if (hotSet(c)) (baseByCell(c) + id % kSplit, v) else (c, v)
+    }.sortBy(_._1)
+    writeCentroidsSwap(spark, indexDir, committed)
+
+    // 3. GC the orphaned hot partitions
+    hotDirs.foreach(d => if (fs.exists(d)) fs.delete(d, true))
+    committed
+  }
+
   /** [[ivfPqTopKWithIndex]] over the LIVE view: tombstoned ids drop
     * out of the corpus side BEFORE cell assignment and encoding, so
     * deleted rows never occupy a cell's candidate slots and never

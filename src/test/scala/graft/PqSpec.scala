@@ -237,11 +237,12 @@ class PqSpec extends AnyFunSuite {
     assert(n2 == n1 && search() == pre, "re-compaction changed the index")
   }
 
-  test("hot-cell split: planted skew rebalances, cold cell untouched, recall preserved") {
+  /** 3 planted clusters (ids interleaved, 10 each) all captured by one
+    * fat centroid + 1 cluster under its own: occupancy (30, 10).
+    */
+  private def skewCorpus = {
     import spark.implicits._
-    // 3 planted clusters (ids interleaved, 10 each) all captured by one
-    // fat centroid + 1 cluster under its own: occupancy (30, 10)
-    val skew = ((0L until 30L).map { i =>
+    ((0L until 30L).map { i =>
       val c = (i % 3).toInt
       val base = Array.fill(8)(0.05f)
       base(c * 2) = 1.0f
@@ -255,9 +256,14 @@ class PqSpec extends AnyFunSuite {
       base(4) = base(4) + (i % 10) * 0.01f
       (i, base.toSeq)
     }).toDF("vec_id", "embedding")
-    val cents = Seq(
-      0L -> Array(1.0, 0.5, 1.0, 0.5, 1.0, 0.5, 0.05, 0.05),
-      1L -> Array(0.05, 0.05, 0.05, 0.05, 0.05, 0.05, 1.0, 0.5))
+  }
+  private val skewCents = Seq(
+    0L -> Array(1.0, 0.5, 1.0, 0.5, 1.0, 0.5, 0.05, 0.05),
+    1L -> Array(0.05, 0.05, 0.05, 0.05, 0.05, 0.05, 1.0, 0.5))
+
+  test("hot-cell split: planted skew rebalances, cold cell untouched, recall preserved") {
+    val skew = skewCorpus
+    val cents = skewCents
     def ppm(ns: Seq[Long]): Long = {
       val (c, t, sq) = (ns.size.toLong, ns.sum, ns.map(n => n * n).sum)
       c * sq * 1000000L / (t * t)
@@ -296,6 +302,114 @@ class PqSpec extends AnyFunSuite {
     assert(hits(split.cents) == hits(cents),
       "split changed recall at equal probe width")
     split.release()
+  }
+
+  test("split commit: stored index adopts the split atomically; stream ingest lands in the new cells") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val skew = skewCorpus
+    val books = Similarity.pqCodebooks(skew, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 4, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-commit").toString
+    Similarity.ivfWriteIndex(spark, dir, skewCents,
+      Similarity.ivfPqEncodeCellCodes(skew, "vec_id", "embedding",
+        dims = 8, skewCents, books))
+
+    val split = Similarity.ivfSplitHotCells(skew, "vec_id", "embedding",
+      skewCents, hotPpm = 1400000L, kSplit = 3, iters = 3)
+    val q = skew.filter(col("vec_id") < 6)
+    val inMem = Similarity.ivfPqTopKWithIndex(q, skew, "vec_id", "embedding",
+        dims = 8, split.cents, books, nProbe = 1, k = 3, refine = 3)
+      .collect().map(_.toSeq).toSet
+    val committed = Similarity.ivfCommitSplit(spark, dir, split, "vec_id", kSplit = 3)
+    split.release()
+
+    // labeling: the cold cell keeps its stored id (its partition was
+    // never touched), the hot cell's 3 sub-centroids take fresh ids
+    // above the stored max — maxOld=1, so 2/3/4
+    assert(committed.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(committed.find(_._1 == 1L).get._2.toSeq == skewCents(1)._2.toSeq,
+      "cold centroid was touched by the commit")
+    val reread = Similarity.ivfReadCentroids(spark, dir)
+    assert(reread.map(_._1) == committed.map(_._1) &&
+      reread.zip(committed).forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq },
+      "stored centroid table diverges from the committed set")
+
+    // stored codes: the hot partition is gone, the fresh sub-cells
+    // hold its 30 members (copied codes, never re-encoded), the cold
+    // partition untouched
+    val codes = spark.read.parquet(Similarity.ivfCodesDir(dir))
+      .withColumn("cell", col("cell").cast("long"))
+    val occ = codes.groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occ == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L), s"occupancy $occ")
+
+    // search over the COMMITTED artifact equals the in-memory split
+    // result (cell labels never reach the ranking)
+    val fromStore = Similarity.ivfPqSearchWithCellCodes(q, codes, skew,
+        "vec_id", "embedding", dims = 8, committed, books,
+        nProbe = 1, k = 3, refine = 3)
+      .collect().map(_.toSeq).toSet
+    assert(fromStore == inMem,
+      s"extra=${fromStore -- inMem}, missing=${inMem -- fromStore}")
+
+    // re-running the same commit is a no-op (the already-committed
+    // path: hot cells absent from the stored centroids)
+    val again = Similarity.ivfSplitHotCells(skew, "vec_id", "embedding",
+      skewCents, hotPpm = 1400000L, kSplit = 3, iters = 3)
+    try {
+      val second = Similarity.ivfCommitSplit(spark, dir, again, "vec_id", kSplit = 3)
+      assert(second.map(_._1) == committed.map(_._1))
+    } finally again.release()
+
+    // streaming ingest against the committed centroids: a new vector
+    // per planted hot cluster lands in a DISTINCT fresh sub-cell, a
+    // cold-cluster vector still lands in the cold cell
+    def mk(setup: Array[Double] => Unit): Seq[Double] = {
+      val base = Array.fill(8)(0.05)
+      setup(base)
+      base.toSeq
+    }
+    val newRows = Seq(
+      Vec(100L, mk { b => b(0) = 1.0; b(1) = 0.5 }),
+      Vec(101L, mk { b => b(2) = 1.0; b(3) = 0.5 }),
+      Vec(102L, mk { b => b(4) = 1.0; b(5) = 0.5 }),
+      Vec(103L, mk { b => b(6) = 1.0; b(7) = 0.5 }))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Vec]
+    val out = graft.streaming.StreamingIndexIngest.encodeCellStream(
+      stream.toDF(), "vec_id", "embedding", dims = 8, committed, books)
+    val sq = out.writeStream.format("memory")
+      .queryName("commit_ingest").outputMode("append").start()
+    try {
+      stream.addData(newRows: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val landed = spark.table("commit_ingest").select("nbr", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(landed(103L) == 1L, s"cold vector rerouted: $landed")
+    assert(Seq(100L, 101L, 102L).map(landed).toSet == Set(2L, 3L, 4L),
+      s"hot-cluster vectors must land one-per-fresh-sub-cell: $landed")
+
+    // the streamed rows append into the stored partitioned table and
+    // are FOUND by the cell-probed search over the committed index
+    spark.table("commit_ingest").write.mode("append")
+      .partitionBy("cell").parquet(Similarity.ivfCodesDir(dir))
+    val corpusAll = skew.unionByName(
+      newRows.map(v => (v.vec_id, v.embedding.map(_.toFloat))).toDF("vec_id", "embedding"))
+    val afterIngest = Similarity.ivfPqSearchWithCellCodes(
+        skew.filter(col("vec_id") === 0L),
+        spark.read.parquet(Similarity.ivfCodesDir(dir))
+          .withColumn("cell", col("cell").cast("long")),
+        corpusAll, "vec_id", "embedding", dims = 8, committed, books,
+        // refine=4: the probed sub-cell holds 11 rows after ingest and
+        // the planted jitter collapses to identical PQ codes, so the
+        // nbr-ASC tie-break would drop the (high-id) streamed row from
+        // a 9-candidate coarse cut before its exact rescore
+        nProbe = 1, k = 3, refine = 4)
+      .collect().map(r => r.getLong(2))
+    assert(afterIngest.contains(100L),
+      s"streamed vector 100 not surfaced from the committed index: ${afterIngest.toSeq}")
   }
 
   test("recall sweep: one row per probe width, equivalent to sweeping the search path") {
