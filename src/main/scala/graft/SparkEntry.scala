@@ -1709,6 +1709,20 @@ object SparkEntry {
         trainedHeldoutModel(s, dir), "qtrain:", thresholdMicro = 520000L)
     }),
 
+    // ---- extension: gate-threshold selection on the held-out fold ----
+    // the step after q174's single-threshold report: sweep 17
+    // equi-spaced integer thresholds across the eval fold's score
+    // range, exact confusion + precision/recall/F1 per candidate in
+    // ppm, is_best = the F1-optimal gate (ties to the loosest) — the
+    // number DocPipeline.Config.model actually deploys with
+    "q175_gate_select" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      operators.QualityClassifier.gateThresholdSweepMicro(
+        docs.filter(evalFold(col("doc_id"))), "doc_id", "text",
+        label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
+        trainedHeldoutModel(s, dir), "qtrain:", nCandidates = 16)
+    }),
+
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
     // the split-across-boundaries packing discipline next to q73's
     // budget selection and packBins' greedy bins: one distributed
@@ -4598,6 +4612,75 @@ object SparkEntry {
          |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
          |  CAST(CASE WHEN n_eval = 0 THEN 0 ELSE (tp + tn) * 1000000 // n_eval END AS BIGINT) AS accuracy_ppm
          |FROM cf""".stripMargin
+    },
+
+    // gate-threshold selection: q174's per-doc scoring CTEs kept at
+    // the (doc, score, label) grain, then the q120 sweep shape over 17
+    // exact integer thresholds — bucket by floor-div inversion,
+    // descending cumulative confusion, F1 in ppm, is_best by
+    // (f1 desc, cand asc)
+    "q175_gate_select" -> {
+      val ctes = operators.QualityClassifier.trainHashedCtes("trainset",
+        labelTokenSql = "spark", buckets = 64, seed = "qtrain:",
+        epochs = 3, lrNum = 20L, lrDen = 1L)
+      val toksList = operators.TextAnalysis.tokensSql("text")
+      val hex = operators.Sampling.hexPrefixSql("md5('qtrain:' || term)")
+      s"""WITH trainset AS (SELECT * FROM documents WHERE NOT ($evalFoldSql)),
+         |$ctes,
+         |evalset AS (SELECT * FROM documents WHERE $evalFoldSql),
+         |etoks AS (SELECT doc_id, unnest($toksList) AS term FROM evalset),
+         |efeat AS (SELECT doc_id, CAST(($hex) % 64 AS BIGINT) AS b,
+         |            CAST(count(*) AS BIGINT) AS tf
+         |          FROM etoks GROUP BY 1, 2),
+         |wts AS (SELECT b, wm FROM w3 WHERE b >= 0),
+         |bias AS (SELECT wm FROM w3 WHERE b = -1),
+         |sc AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS raw
+         |       FROM efeat f JOIN wts w ON w.b = f.b GROUP BY 1),
+         |dlt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM etoks GROUP BY 1),
+         |r AS (SELECT d.doc_id, COALESCE(dlt.dl, 0) AS dl,
+         |        (SELECT wm FROM bias) + COALESCE(sc.raw, 0) AS n,
+         |        1000 * greatest(COALESCE(dlt.dl, 0), 1) AS dd,
+         |        CAST(list_contains($toksList, 'spark') AS BIGINT) AS y
+         |      FROM evalset d LEFT JOIN dlt ON dlt.doc_id = d.doc_id
+         |                     LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |m AS (SELECT doc_id, y,
+         |        CAST((CASE WHEN n < 0 THEN -1 ELSE 1 END) *
+         |          ((CAST(abs(n) AS HUGEINT) * 1000000 + dd // 2) // dd)
+         |          AS BIGINT) AS s
+         |      FROM r),
+         |st AS (SELECT min(s) AS mn, max(s) AS mx,
+         |         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pt,
+         |         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt
+         |       FROM m),
+         |bk AS (SELECT CASE WHEN st.mx = st.mn THEN 16
+         |         ELSE least(16, ((m.s - st.mn + 1) * 16 - 1) // (st.mx - st.mn)) END AS b,
+         |         m.y AS y FROM m, st),
+         |g AS (SELECT b,
+         |        CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |        CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |      FROM bk GROUP BY 1),
+         |c AS (SELECT unnest(generate_series(0, 16)) AS cand),
+         |j AS (SELECT c.cand,
+         |        CAST(st.mn + ((st.mx - st.mn) * c.cand) // 16 AS BIGINT) AS threshold_micro,
+         |        CAST(SUM(COALESCE(g.np, 0)) OVER (ORDER BY c.cand DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |        CAST(SUM(COALESCE(g.nn, 0)) OVER (ORDER BY c.cand DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+         |        st.pt AS pt, st.nt AS nt
+         |      FROM c CROSS JOIN st LEFT JOIN g ON g.b = c.cand),
+         |f AS (SELECT cand, threshold_micro, tp, fp,
+         |        COALESCE(pt, 0) - tp AS fn, COALESCE(nt, 0) - fp AS tn FROM j),
+         |z AS (SELECT *,
+         |        CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
+         |        CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+         |        CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+         |      FROM f)
+         |SELECT CAST(cand AS BIGINT) AS cand, threshold_micro,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |  precision_ppm, recall_ppm, f1_ppm,
+         |  (ROW_NUMBER() OVER (ORDER BY f1_ppm DESC, cand ASC) = 1) AS is_best
+         |FROM z ORDER BY cand""".stripMargin
     },
 
     "q157_chunk_plan" ->

@@ -381,6 +381,119 @@ object QualityClassifier {
                 ELSE (tp + tn) * 1000000 div n_eval END""").as("accuracy_ppm"))
   }
 
+  /** Gate-THRESHOLD selection on the held-out fold — the step between
+    * [[evaluateHashedMicro]] (one threshold's report) and deploying
+    * the model into [[DocPipeline.Config]]: sweep `nCandidates + 1`
+    * equi-spaced integer thresholds across the eval fold's
+    * `score_micro` range and report each gate's exact confusion
+    * counts plus precision/recall/F1 in integer ppm, flagging the
+    * selected row with `is_best` — so "which threshold do we gate
+    * at" is answered by held-out data, not hand-tuning.
+    *
+    * Everything is exact integers, so a DuckDB replay reproduces the
+    * sweep bit-for-bit:
+    *
+    *  - candidate `i` gates at `t_i = mn + ((mx-mn)·i) div N`
+    *    (integral divide; `t_0 = mn` keeps everything, `t_N = mx`
+    *    keeps only the top score);
+    *  - each score lands in ONE bucket — the largest `i` with
+    *    `t_i <= s`, computed by the exact floor-div inversion
+    *    `min(N, ((s-mn+1)·N - 1) div (mx-mn))` (all operands
+    *    non-negative, so truncating and floor division agree across
+    *    engines) — and the per-candidate confusion counts are
+    *    DESCENDING cumulative sums over the N+1 buckets, q120's
+    *    sweep shape: ONE pass over the eval fold, a bounded-width
+    *    groupBy, a window over N+1 rows;
+    *  - `f1_ppm = 2·tp·10^6 div (2·tp + fp + fn)` (0 when the
+    *    denominator is 0), and `is_best` marks the max-F1 row, ties
+    *    broken toward the SMALLEST candidate index — the loosest
+    *    gate among F1-equals, i.e. keep the most training data when
+    *    the classifier can't tell the difference.
+    *
+    * Degenerate range (`mx == mn`): every score sits in bucket N and
+    * every candidate threshold equals `mn`, so all rows report the
+    * keep-everything confusion — the sweep stays well-defined.
+    *
+    * Output: `(cand, threshold_micro, tp, fp, fn, tn, precision_ppm,
+    * recall_ppm, f1_ppm, is_best)`, one row per candidate, ordered
+    * by `cand`.
+    */
+  def gateThresholdSweepMicro(
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      model: TrainedHashedModel,
+      seed: String,
+      nCandidates: Int = 16): DataFrame = {
+    require(nCandidates > 0, "nCandidates must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    val N = nCandidates
+    val s = scoreHashedWithWeightsMicro(
+        evalDocs, idCol, textCol, model, seed, thresholdMicro = 0L)
+      .select(col(idCol), col("score_micro"))
+      .join(evalDocs.select(col(idCol), label.cast("long").as("__y")), Seq(idCol))
+    val mm = s.agg(
+      min(col("score_micro")).as("__mn"), max(col("score_micro")).as("__mx"),
+      sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("__pt"),
+      sum(when(col("__y") === 0L, 1L).otherwise(0L)).as("__nt"))
+    val bucketed = s.crossJoin(broadcast(mm))
+      .withColumn("__b",
+        when(col("__mx") === col("__mn"), lit(N.toLong))
+          .otherwise(least(lit(N.toLong),
+            expr(s"((score_micro - __mn + 1) * $N - 1) div (__mx - __mn)"))))
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__y") === 0L, 1L).otherwise(0L)).as("__nn"))
+    // N+1 candidate rows carry the window; empty buckets contribute 0
+    val cum = Window.orderBy(col("cand").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = (0 to N).map(_.toLong).toDF("cand")
+      .crossJoin(broadcast(mm))
+      .join(bucketed, col("cand") === col("__b"), "left")
+      .withColumn("threshold_micro",
+        col("__mn") + expr(s"((__mx - __mn) * cand) div $N"))
+      .withColumn("tp", sum(coalesce(col("__np"), lit(0L))).over(cum))
+      .withColumn("fp", sum(coalesce(col("__nn"), lit(0L))).over(cum))
+      .select(col("cand"), col("threshold_micro"), col("tp"), col("fp"),
+        (coalesce(col("__pt"), lit(0L)) - col("tp")).as("fn"),
+        (coalesce(col("__nt"), lit(0L)) - col("fp")).as("tn"))
+      .withColumn("precision_ppm",
+        expr("""CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+                ELSE tp * 1000000 div (tp + fp) END"""))
+      .withColumn("recall_ppm",
+        expr("""CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE tp * 1000000 div (tp + fn) END"""))
+      .withColumn("f1_ppm",
+        expr("""CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END"""))
+    val best = Window.orderBy(col("f1_ppm").desc, col("cand").asc)
+    swept
+      .withColumn("is_best", row_number().over(best) === 1)
+      .orderBy("cand")
+  }
+
+  /** The selected gate as a VALUE — [[gateThresholdSweepMicro]]'s
+    * `is_best` row's threshold, the number [[DocPipeline.Config]]'s
+    * model stage consumes. One-row collect of a bounded sweep.
+    */
+  def selectGateThresholdMicro(
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      model: TrainedHashedModel,
+      seed: String,
+      nCandidates: Int = 16): Long =
+    gateThresholdSweepMicro(
+        evalDocs, idCol, textCol, label, model, seed, nCandidates)
+      .filter(col("is_best"))
+      .select(col("threshold_micro"))
+      .collect()(0).getLong(0)
+
   /** A trained EXPLICIT-VOCABULARY linear model: term → milli-weight
     * pairs in vocabulary order plus the bias — exactly the shape
     * [[scoreLinear]]/[[scoreExpr]] consume, so training round-trips

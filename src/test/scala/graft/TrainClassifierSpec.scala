@@ -227,4 +227,48 @@ class TrainClassifierSpec extends AnyFunSuite {
         s"doc $id: micro $sm vs double ${dbl(id)}")
     }
   }
+
+  test("gate-threshold sweep: closed-form confusion, F1, and is_best selection") {
+    // all-equal weights make the hash bucket irrelevant:
+    // score_micro = 1000·w + 1000·bias/dl, so document length alone
+    // sets the score — 7000/4000/3000/2000 for these four docs
+    val m = QualityClassifier.TrainedHashedModel(Seq.fill(8)(1L), biasMilli = 6L)
+    val docs = Seq(
+      (1L, "a", true),
+      (2L, "a b", true),
+      (3L, "a b c", false),
+      (4L, "a b c d e f", false))
+      .toDF("doc_id", "text", "is_good")
+    val rows = QualityClassifier.gateThresholdSweepMicro(
+        docs, "doc_id", "text", col("is_good"), m, "spec:", nCandidates = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getBoolean(9)))
+      .toSeq
+    // thresholds 2000 + (5000·i) div 4; F1 peaks at t=3250 (perfect
+    // split); ties elsewhere at 666666 ppm
+    assert(rows == Seq(
+      (0L, 2000L, 2L, 2L, 0L, 0L, 500000L, 1000000L, 666666L, false),
+      (1L, 3250L, 2L, 0L, 0L, 2L, 1000000L, 1000000L, 1000000L, true),
+      (2L, 4500L, 1L, 0L, 1L, 2L, 1000000L, 500000L, 666666L, false),
+      (3L, 5750L, 1L, 0L, 1L, 2L, 1000000L, 500000L, 666666L, false),
+      (4L, 7000L, 1L, 0L, 1L, 2L, 1000000L, 500000L, 666666L, false)))
+    assert(QualityClassifier.selectGateThresholdMicro(
+      docs, "doc_id", "text", col("is_good"), m, "spec:", nCandidates = 4) == 3250L)
+  }
+
+  test("gate-threshold sweep: degenerate single-score range stays well-defined") {
+    val m = QualityClassifier.TrainedHashedModel(Seq.fill(8)(1L), biasMilli = 6L)
+    val docs = Seq((1L, "a b", true), (2L, "c d", false))
+      .toDF("doc_id", "text", "is_good")
+    val rows = QualityClassifier.gateThresholdSweepMicro(
+        docs, "doc_id", "text", col("is_good"), m, "spec:", nCandidates = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(9)))
+      .toSeq
+    // both docs score 4000: every threshold equals mn and every row
+    // reports the keep-everything confusion; best = loosest gate
+    assert(rows == (0L to 4L).map(i => (i, 4000L, 1L, 1L, i == 0L)))
+  }
 }
