@@ -244,6 +244,32 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** JVM-level memo of the CURATION-FAMILY stored artifacts — the
+    * quality-gated annotated corpus, its shingle rows and MinHash
+    * signatures over the suite corpus (doc_id >= 10), written once
+    * per JVM as parquet tables ([[operators.DocPipeline
+    * .writeCurationArtifacts]]). q134 and q143 are the same composed
+    * pipeline with and without a model gate: the gate is
+    * per-document, so both read these tables and pay only their own
+    * banding/verify joins — previously each query re-shingled and
+    * re-minhashed the full corpus. Corpus-linear, hence parquet-spilled
+    * like [[curateStateMemo]], never driver rows.
+    */
+  private val curationArtifactsMemo = new SessionMemo[String, String]
+
+  private def curationFamilyArtifacts(
+      s: SparkSession, dir: String): operators.DocPipeline.CurationArtifacts = {
+    val base = curationArtifactsMemo.get(s, dir) {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-curation-art").toString
+      operators.DocPipeline.writeCurationArtifacts(
+        T(s, dir, "documents").filter(col("doc_id") >= 10),
+        "doc_id", "text", p)
+      p
+    }
+    operators.DocPipeline.readCurationArtifacts(s, base)
+  }
+
   /** JVM-level memo of the four modality fingerprint tables over the
     * planted fixtures, keyed by (session, dir, modality): image grid
     * hashes, audio energy hashes and video majority hashes for ids
@@ -985,20 +1011,22 @@ object SparkEntry {
     // near-dup stage built) → leakage-safe split → shard manifest.
     // eval = doc_id < 10 (q129's convention), corpus = the rest
     "q134_curate_pipeline" -> ((s, dir) => {
-      val d = T(s, dir, "documents")
-      operators.DocPipeline.curate(
-        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+      operators.DocPipeline.curateFromArtifacts(
+        curationFamilyArtifacts(s, dir),
+        T(s, dir, "documents").filter(col("doc_id") < 10),
         "doc_id", "text")
     }),
 
     // ---- extension: curation with the model-based filter stage ----
     // q134's composed pipeline plus a linear-classifier gate riding
     // inside the corpus scan (scoreExpr: map literal + aggregate over
-    // the token array — no explode, no shuffle, no join)
+    // the token array — no explode, no shuffle, no join). Both family
+    // members read the stored per-doc artifacts (shingles/signatures
+    // computed once per JVM); each pays only its own joins + gate
     "q143_curate_model" -> ((s, dir) => {
-      val d = T(s, dir, "documents")
-      operators.DocPipeline.curate(
-        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+      operators.DocPipeline.curateFromArtifacts(
+        curationFamilyArtifacts(s, dir),
+        T(s, dir, "documents").filter(col("doc_id") < 10),
         "doc_id", "text",
         cfg = operators.DocPipeline.Config(
           model = Some(operators.QualityClassifier.LinearModel(

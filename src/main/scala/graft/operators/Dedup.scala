@@ -413,9 +413,38 @@ object Dedup {
       maxPerBucket: Int = DefaultMaxPerBucket): NearDupArtifacts = {
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    nearDupArtifactsFromSigs(sh, minhashFromShingles(sh, idCol, k), idCol,
+      bands, threshold, maxPerBucket)
+  }
+
+  /** [[nearDupArtifacts]] starting from PRECOMPUTED per-doc inputs:
+    * the shingle rows and minhash signatures of the SAME document
+    * set. Shingling + k hash-min aggregations are the dominant cost
+    * of the near-dup pipeline, and both are per-document properties —
+    * independent of which other documents are in the set — so a
+    * pipeline family whose members differ only in an upstream
+    * per-document gate (e.g. [[DocPipeline.curate]] with and without
+    * a model filter) computes them ONCE over the superset, stores
+    * them, and each member calls this with its semi-filtered slice.
+    * Banding, bucket caps and the verify join run here per call, on
+    * exactly the filtered set, so results are identical to running
+    * [[nearDupArtifacts]] on that set directly (asserted in
+    * CurateSpec).
+    *
+    * `sh` must already be persisted or be a cheap re-read (a stored
+    * parquet table): it feeds both the verify join and, via the
+    * returned artifacts, downstream consumers.
+    */
+  def nearDupArtifactsFromSigs(
+      sh: DataFrame,
+      sigs: DataFrame,
+      idCol: String,
+      bands: Int = 3,
+      threshold: Double = 0.5,
+      maxPerBucket: Int = DefaultMaxPerBucket): NearDupArtifacts = {
+    val k = sigs.columns.count(_.matches("sig\\d+"))
     val candCached =
-      lshCandidatePairsCached(minhashFromShingles(sh, idCol, k), idCol, k,
-        bands, maxPerBucket)
+      lshCandidatePairsCached(sigs, idCol, k, bands, maxPerBucket)
     // LSH prunes hard: candidate docs are a small fraction of the
     // corpus, so everything downstream should touch only them. Persist
     // the pair list (it feeds three consumers), semi-filter the (huge)

@@ -178,6 +178,28 @@ object DocPipeline {
     // 3. near-dup pairs: shingles + MinHash computed ONCE here
     val nd = Dedup.nearDupArtifacts(cleaned, idCol, textCol,
       threshold = cfg.jaccardThreshold)
+    curateTail(cleaned, nd, evalDocs, idCol, textCol, cfg, splits,
+      nShards, contaminationThreshold, strictShingles)
+  }
+
+  /** Stages 4-8 of curation — everything downstream of the cleaned
+    * frame and the near-dup artifacts, shared verbatim by
+    * [[curateCached]] (which derives both from raw docs) and
+    * [[curateFromArtifactsCached]] (which derives both from stored
+    * per-document artifacts). `cleaned` must be persisted and retain
+    * `textCol` and `n_tokens`.
+    */
+  private def curateTail(
+      cleaned: DataFrame,
+      nd: Dedup.NearDupArtifacts,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config,
+      splits: Seq[(String, Double)],
+      nShards: Int,
+      contaminationThreshold: Double,
+      strictShingles: Boolean): Dedup.CachedDF = {
     // 4. connected components over the verified pairs
     val cl = Dedup.dupClustersCached(
       cleaned.select(col(idCol)), nd.pairs.select("d1", "d2"), idCol)
@@ -226,6 +248,121 @@ object DocPipeline {
           min(col(idCol)).as("first_doc"))
         .orderBy("split", "shard"),
       Seq(cleaned) ++ nd.handles ++ cl.handles, cl.cleanups)
+  }
+
+  /** The stored per-DOCUMENT artifacts a curation family shares:
+    * the quality-gated annotated corpus (original columns plus
+    * `n_tokens` and the `__fp` exact-dup fingerprint), its shingle
+    * rows, and its MinHash signatures. All three are per-document
+    * properties — independent of which OTHER documents survive any
+    * downstream gate — so pipeline variants that differ only in a
+    * per-document filter (e.g. [[curate]] with vs without a model
+    * gate) read the same stored tables and pay only their own joins;
+    * the corpus-scale work (tokenize → shingle → k hash-min
+    * aggregations) happens once, at [[writeCurationArtifacts]] time.
+    *
+    * The artifacts are only valid for consumers whose `cfg` token
+    * bounds and shingle/MinHash parameters match the ones they were
+    * written with — the model gate is deliberately NOT applied here
+    * (it is the per-consumer variable).
+    */
+  final case class CurationArtifacts(
+      annotated: DataFrame,
+      shingles: DataFrame,
+      sigs: DataFrame)
+
+  /** Build and STORE the family artifacts under `baseDir` (parquet
+    * tables `annotated/`, `shingles/`, `sigs/`), chaining each stage
+    * through its stored predecessor so nothing recomputes, then
+    * return the read-back handles. This is the production framing:
+    * the artifacts are corpus-linear, so they live as stored tables
+    * (the [[curateState]] precedent), not driver memos.
+    */
+  def writeCurationArtifacts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      baseDir: String,
+      cfg: Config = Config(),
+      shingleSize: Int = 3,
+      k: Int = 9): CurationArtifacts = {
+    val spark = docs.sparkSession
+    val nTokens = TextAnalysis.tokenCount(col(textCol))
+    docs.filter(nTokens >= cfg.minTokens && nTokens <= cfg.maxTokens)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("n_tokens", nTokens)
+      .write.mode("overwrite").parquet(s"$baseDir/annotated")
+    val ann = spark.read.parquet(s"$baseDir/annotated")
+    Dedup.shingleRows(ann, idCol, textCol, shingleSize)
+      .write.mode("overwrite").parquet(s"$baseDir/shingles")
+    val sh = spark.read.parquet(s"$baseDir/shingles")
+    Dedup.minhashFromShingles(sh, idCol, k)
+      .write.mode("overwrite").parquet(s"$baseDir/sigs")
+    readCurationArtifacts(spark, baseDir)
+  }
+
+  /** Handles onto artifacts previously written by
+    * [[writeCurationArtifacts]].
+    */
+  def readCurationArtifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      baseDir: String): CurationArtifacts =
+    CurationArtifacts(
+      spark.read.parquet(s"$baseDir/annotated"),
+      spark.read.parquet(s"$baseDir/shingles"),
+      spark.read.parquet(s"$baseDir/sigs"))
+
+  /** [[curate]] over stored family artifacts: applies the consumer's
+    * model gate to the annotated corpus, exact-dedups on the stored
+    * fingerprint, semi-filters the stored shingle/signature tables to
+    * the survivors, and runs banding + verification + stages 4-8 on
+    * exactly that slice — result identical to [[curate]] on the same
+    * gated corpus (asserted in CurateSpec), but the dominant
+    * per-document work is read, not recomputed.
+    */
+  def curateFromArtifacts(
+      art: CurationArtifacts,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config(),
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      nShards: Int = 4,
+      contaminationThreshold: Double = 0.5,
+      strictShingles: Boolean = false): DataFrame =
+    curateFromArtifactsCached(art, evalDocs, idCol, textCol, cfg, splits,
+      nShards, contaminationThreshold, strictShingles).df
+
+  /** [[curateFromArtifacts]] plus its persisted intermediates for
+    * caller release.
+    */
+  def curateFromArtifactsCached(
+      art: CurationArtifacts,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config(),
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      nShards: Int = 4,
+      contaminationThreshold: Double = 0.5,
+      strictShingles: Boolean = false): Dedup.CachedDF = {
+    import org.apache.spark.storage.StorageLevel
+    // 1-2 replayed on the stored annotation: the consumer's gate +
+    // exact dedup — per-document quality bounds are already baked in
+    val cleaned = Dedup.exact(
+        art.annotated.filter(modelOk(cfg, textCol)), Seq("__fp"), idCol)
+      .drop("__fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = cleaned.select(col(idCol))
+    // 3. the survivors' slice of the stored per-doc tables; banding,
+    // caps and the verify join run on exactly this slice
+    val sh = art.shingles.join(ids, Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = art.sigs.join(ids, Seq(idCol), "left_semi")
+    val nd = Dedup.nearDupArtifactsFromSigs(sh, sigs, idCol,
+      threshold = cfg.jaccardThreshold)
+    curateTail(cleaned, nd, evalDocs, idCol, textCol, cfg, splits,
+      nShards, contaminationThreshold, strictShingles)
   }
 
   /** The per-document ingest STATE a curation run persists so future

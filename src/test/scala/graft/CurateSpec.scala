@@ -168,4 +168,39 @@ class CurateSpec extends AnyFunSuite {
       assert(cached.df.agg(sum("n_docs")).as[Long].head() == 40L)
     } finally cached.unpersist()
   }
+
+  test("curateFromArtifacts equals curate, with and without the model gate") {
+    import graft.operators.QualityClassifier
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (10L, good),
+      (12L, good),                      // exact dup of 10
+      (13L, good + " lambda"),          // near-dup of 10
+      (14L, "the quick brown fox jumps over the lazy dog today"), // contaminated
+      (15L, "completely different words about trains planes and automobiles entirely"),
+      (16L, "junk junk junk spam words that the model gate rejects entirely today"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("curate-art").toString
+    val art = DocPipeline.writeCurationArtifacts(corpus, "doc_id", "text", dir)
+    // negative weight on "junk", positive bias: doc 16 scores below
+    // the gate, every other doc above it
+    val model = QualityClassifier.LinearModel(
+      Seq("junk" -> -1000000L), biasMilli = 100L, threshold = 0.0)
+    val manifests = Seq(
+      DocPipeline.Config(), DocPipeline.Config(model = Some(model))).map { cfg =>
+      val direct = DocPipeline.curate(
+          corpus, evalDocs, "doc_id", "text", cfg, nShards = 2)
+        .collect().map(_.toSeq).toSeq
+      val viaArt = DocPipeline.curateFromArtifacts(
+          art, evalDocs, "doc_id", "text", cfg, nShards = 2)
+        .collect().map(_.toSeq).toSeq
+      assert(viaArt == direct, s"artifact path diverged for cfg $cfg")
+      direct
+    }
+    // the gate actually bites — the two manifests must differ
+    assert(manifests(0) != manifests(1), "model gate changed nothing")
+  }
 }
