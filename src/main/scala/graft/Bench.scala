@@ -303,17 +303,21 @@ object Bench {
       // FULL-SIZE: AQE shapes full-size plans differently, so 40-doc
       // state did not transfer.
       val leg_cascade = leg("cascade", 90) {
-        val curWarm = operators.DocPipeline.curateIncrementCached(
-          operators.DocPipeline.curateState(docsWarm, "doc_id", "text"),
-          docsWarm, docsWarm.limit(5), "doc_id", "text")
-        curWarm.df.count()
-        curWarm.unpersist()
         // build the STORED-INPUT artifacts (q137 state, q134/q143
         // family tables) outside the measured window — input tables a
         // production run reads, not result memos (which warmup must
         // never fill; the measured queries still run all their own
         // joins/gates against these)
         SparkEntry.prewarmStoredInputs(spark, sfDir)
+        // then warm the cascade's ~800-node plan by running the REAL
+        // q137 shape (parquet-state joins + local-relation planted
+        // batch): the previous computed-state approximation stopped
+        // matching the measured plan's generated classes when the
+        // state moved to a stored table, and the cold tax returned
+        // (r13 run1: 12.9s vs 4.7s warm). No result memo exists for
+        // q137 — the measured run still does all its own work.
+        SparkEntry.queries("q137_curate_increment")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
       }
       // the FULL verified near-dup path (q22/q23/q63/q100/q121/q126):
       // shingle -> md5 -> minhash -> LSH self-join -> jaccard verify ->
@@ -393,6 +397,20 @@ object Bench {
           embWarm.limit(5), embWarm, "vec_id", "embedding", dims = 64,
           warmCents, warmBooks, nProbe = 2, k = 2, refine = 2).count()
       }
+      // classifier-training codegen (q162/q167/q171/q174/q175's GD
+      // loop): one epoch at full corpus size under a throwaway seed —
+      // warms the featurize/epoch generated classes WITHOUT touching
+      // the trained-model result memos (different seed, result
+      // discarded), so the measured payer still pays its real
+      // training (r13 run1: q175 11.1s cold vs ~4.5s warm)
+      val leg_train = leg("train", 120) {
+        operators.QualityClassifier.trainHashed(
+          docsWarm, "doc_id", "text",
+          label = array_contains(
+            operators.TextAnalysis.tokens(col("text")), "spark"),
+          buckets = 64, seed = "warm:", epochs = 1, lrNum = 20L, lrDen = 1L)
+        ()
+      }
       // three lanes: the ensemble (the single longest leg, ~15-23s)
       // rides alone so the heavy lane's wall is max(cascade+neardup,
       // ensemble, cheap) ≈ ~25s instead of their 37s sum; 3 lanes ≈
@@ -407,7 +425,7 @@ object Bench {
         // cheap lane order = how early measurement reaches the family:
         // TPC-H feeds the first four priority queries, codecs feeds
         // q136 (priority block), PQ's queries order mid-run
-        runLane(Seq(leg_base, leg_tpch, leg_codecs, leg_pq)) })
+        runLane(Seq(leg_base, leg_tpch, leg_codecs, leg_pq, leg_train)) })
       pool.shutdown()
       // bounded join: warmth must never outbid coverage. On a healthy
       // day the lanes join in ~35-40s; if 120s pass the VM is degraded
