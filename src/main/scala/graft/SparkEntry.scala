@@ -254,6 +254,12 @@ object SparkEntry {
     * banding/verify joins — previously each query re-shingled and
     * re-minhashed the full corpus. Corpus-linear, hence parquet-spilled
     * like [[curateStateMemo]], never driver rows.
+    *
+    * Written over the FULL corpus with the loosest family gate
+    * (default token bounds): members TIGHTEN per-document filters on
+    * the stored `annotated`/`n_tokens` columns (q134/q143 slice to
+    * doc_id >= 10; q41 raises minTokens to 10) — valid because every
+    * stored table is per-document.
     */
   private val curationArtifactsMemo = new SessionMemo[String, String]
 
@@ -263,11 +269,22 @@ object SparkEntry {
       val p = java.nio.file.Files
         .createTempDirectory("graft-curation-art").toString
       operators.DocPipeline.writeCurationArtifacts(
-        T(s, dir, "documents").filter(col("doc_id") >= 10),
-        "doc_id", "text", p)
+        T(s, dir, "documents"), "doc_id", "text", p)
       p
     }
     operators.DocPipeline.readCurationArtifacts(s, base)
+  }
+
+  /** The q134/q143 slice of the family artifacts (corpus = doc_id >=
+    * 10, q129's convention): the per-document filter rides the stored
+    * annotated table; shingle/signature tables need no pre-filter —
+    * [[operators.DocPipeline.curateFromArtifacts]] semi-filters them
+    * to the gated survivors anyway.
+    */
+  private def curateArtifactsSlice(
+      s: SparkSession, dir: String): operators.DocPipeline.CurationArtifacts = {
+    val art = curationFamilyArtifacts(s, dir)
+    art.copy(annotated = art.annotated.filter(col("doc_id") >= 10))
   }
 
   /** Build the STORED-INPUT artifacts (q137's curation state, the
@@ -1090,7 +1107,7 @@ object SparkEntry {
     // eval = doc_id < 10 (q129's convention), corpus = the rest
     "q134_curate_pipeline" -> ((s, dir) => {
       operators.DocPipeline.curateFromArtifacts(
-        curationFamilyArtifacts(s, dir),
+        curateArtifactsSlice(s, dir),
         T(s, dir, "documents").filter(col("doc_id") < 10),
         "doc_id", "text")
     }),
@@ -1103,7 +1120,7 @@ object SparkEntry {
     // computed once per JVM); each pays only its own joins + gate
     "q143_curate_model" -> ((s, dir) => {
       operators.DocPipeline.curateFromArtifacts(
-        curationFamilyArtifacts(s, dir),
+        curateArtifactsSlice(s, dir),
         T(s, dir, "documents").filter(col("doc_id") < 10),
         "doc_id", "text",
         cfg = operators.DocPipeline.Config(
@@ -2205,8 +2222,11 @@ object SparkEntry {
 
     // ---- extension: full corpus-cleaning composition ----
     "q41_clean_corpus" -> ((s, dir) => {
-      operators.DocPipeline.clean(
-          T(s, dir, "documents"), "doc_id", "text",
+      // rides the stored family artifacts: minTokens TIGHTENS from the
+      // written bound via the stored n_tokens column; shingles and
+      // signatures are read, not recomputed
+      operators.DocPipeline.cleanFromArtifacts(
+          curationFamilyArtifacts(s, dir), "doc_id", "text",
           operators.DocPipeline.Config(minTokens = 10, jaccardThreshold = 0.5))
         .select("doc_id", "source")
         .orderBy("doc_id")

@@ -312,6 +312,36 @@ object DocPipeline {
       spark.read.parquet(s"$baseDir/shingles"),
       spark.read.parquet(s"$baseDir/sigs"))
 
+  /** [[clean]] over stored family artifacts: the consumer's quality
+    * gate (token bounds via the stored `n_tokens`, stopword ratio,
+    * model) re-applied to the annotated corpus — consumers may
+    * TIGHTEN the bounds the artifacts were written with, never loosen
+    * them (a doc dropped at write time cannot come back) — then exact
+    * dedup on the stored fingerprint, the near-dup pair drop on the
+    * semi-filtered shingle/signature slice, and the survivors'
+    * original columns. Result identical to [[clean]] on the same
+    * corpus and config (asserted in CurateSpec).
+    */
+  def cleanFromArtifacts(
+      art: CurationArtifacts,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val stopR = TextAnalysis.stopwordRatio(col(textCol))
+    val quality = art.annotated.filter(
+      col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&
+        stopR >= cfg.minStopRatio && modelOk(cfg, textCol))
+    val exact = Dedup.exact(quality, Seq("__fp"), idCol)
+    val ids = exact.select(col(idCol))
+    val sh = art.shingles.join(ids, Seq(idCol), "left_semi")
+    val sigs = art.sigs.join(ids, Seq(idCol), "left_semi")
+    val nd = Dedup.nearDupArtifactsFromSigs(sh, sigs, idCol,
+      threshold = cfg.jaccardThreshold)
+    val losers = nd.pairs.select(col("d2").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+      .drop("__fp", "n_tokens")
+  }
+
   /** [[curate]] over stored family artifacts: applies the consumer's
     * model gate to the annotated corpus, exact-dedups on the stored
     * fingerprint, semi-filters the stored shingle/signature tables to

@@ -203,4 +203,26 @@ class CurateSpec extends AnyFunSuite {
     // the gate actually bites — the two manifests must differ
     assert(manifests(0) != manifests(1), "model gate changed nothing")
   }
+
+  test("cleanFromArtifacts equals clean when the consumer tightens the bounds") {
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (10L, good),
+      (12L, good),             // exact dup of 10
+      (13L, good + " lambda"), // near-dup of 10
+      (14L, "short doc here"), // 3 tokens: survives write gate, fails minTokens=5
+      (15L, "completely different words about trains planes and automobiles entirely"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("clean-art").toString
+    // written with the LOOSEST bound; the consumer tightens to 5
+    val art = DocPipeline.writeCurationArtifacts(
+      corpus, "doc_id", "text", dir, DocPipeline.Config(minTokens = 1))
+    val cfg = DocPipeline.Config(minTokens = 5)
+    val direct = DocPipeline.clean(corpus, "doc_id", "text", cfg)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaArt = DocPipeline.cleanFromArtifacts(art, "doc_id", "text", cfg)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaArt == direct)
+    assert(direct.map(_.head) == Seq(10L, 15L), direct.toString)
+  }
 }
