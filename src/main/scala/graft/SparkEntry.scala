@@ -169,8 +169,10 @@ object SparkEntry {
 
   private def ensemblePairs(s: SparkSession, dir: String): DataFrame =
     ensemblePairsMemo.get(s, dir) {
-      val cached = Dedup.ensembleNearDupCached(
-        T(s, dir, "documents"), "doc_id", "text")
+      val art = curationFamilyArtifacts(s, dir)
+      val cached = Dedup.ensembleNearDupFromSigsCached(
+        art.annotated, art.shingles, art.sigs, art.simhash64,
+        "doc_id", "text")
       val out = localFrame(cached.df)
       cached.unpersist()
       out
@@ -197,8 +199,9 @@ object SparkEntry {
       : (DataFrame, DataFrame, DataFrame) = {
     val (p, g, c) = nearDupMemo.get(s, dir) {
       val docs = T(s, dir, "documents")
-      val a = Dedup.nearDupArtifacts(docs, "doc_id", "text",
-        k = 9, bands = 3, shingleSize = 3, threshold = 0.5)
+      val art = curationFamilyArtifacts(s, dir)
+      val a = Dedup.nearDupArtifactsFromSigs(art.shingles, art.sigs,
+        "doc_id", bands = 3, threshold = 0.5)
       val pairs = a.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val localPairs = localFrame(pairs)
       val clustersC = Dedup.dupClustersCached(
@@ -332,8 +335,8 @@ object SparkEntry {
               "fk")
             .select(expr(s"fk div ${span}L").as("doc_id"), col("simhash"))
           Multimodal.majorityHash(perFrame, "doc_id")
-        case "text" => Dedup.simhash64(
-          docs.filter(col("doc_id") < 250), "doc_id", "text")
+        case "text" => curationFamilyArtifacts(s, dir).simhash64
+          .filter(col("doc_id") < 250)
       })
     }.toDF(s)
 

@@ -1202,15 +1202,45 @@ object Dedup {
       threshold: Double = 0.5): CachedDF = {
     val sh = shingleRows(docs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val lshC = lshCandidatePairs(
-        minhashFromShingles(sh, idCol, k), idCol, k, bands)
-      .select(col("d1"), col("d2")).distinct()
-      .withColumn("__src", lit(1))
     // 64-bit SimHash is the corpus-scale fingerprint here: the 16-bit
     // variant's 16-bucket bands saturate at a few thousand docs and
     // its pigeonhole join goes quasi-quadratic (measured 135 s at
     // sf0.1 inside this ensemble; see PLANS "SimHash width")
-    val sigs64 = simhash64(docs, idCol, textCol)
+    val out = ensembleNearDupFromSigsCached(docs, sh,
+      minhashFromShingles(sh, idCol, k), simhash64(docs, idCol, textCol),
+      idCol, textCol, bands, maxHamming, snmBucketLen, snmSortLen,
+      snmWindow, threshold)
+    sh.unpersist(false) // FromSigs materialized the verified frame
+    out
+  }
+
+  /** [[ensembleNearDupCached]] from PRECOMPUTED per-document inputs:
+    * the shingle rows, MinHash signatures and 64-bit SimHash
+    * fingerprints of the SAME document set (e.g.
+    * [[DocPipeline.CurationArtifacts]]' stored tables) — every
+    * blocker's per-document reduction is read, not recomputed, and
+    * the call pays only the banding/pigeonhole/rank joins plus the
+    * exact-Jaccard verification. `sh` must be persisted or a cheap
+    * re-read (a stored parquet table): it feeds both the size count
+    * and the intersection join.
+    */
+  def ensembleNearDupFromSigsCached(
+      docs: DataFrame,
+      sh: DataFrame,
+      sigs: DataFrame,
+      sigs64: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 3,
+      maxHamming: Int = 3,
+      snmBucketLen: Int = 4,
+      snmSortLen: Int = 40,
+      snmWindow: Int = 5,
+      threshold: Double = 0.5): CachedDF = {
+    val k = sigs.columns.count(_.matches("sig\\d+"))
+    val lshC = lshCandidatePairs(sigs, idCol, k, bands)
+      .select(col("d1"), col("d2")).distinct()
+      .withColumn("__src", lit(1))
     val shC = simhashIncrementalPairsFromSigs(sigs64, sigs64, idCol,
         maxHamming, sigChars = 64)
       .filter(col("old_id") < col("new_id"))
@@ -1258,8 +1288,7 @@ object Dedup {
         (col("__mask").bitwiseAND(lit(4)) > 0).as("by_snm"))
       .orderBy("d1", "d2")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    verified.count() // materialize so the shingle persist can go now
-    sh.unpersist(false)
+    verified.count() // materialize so any caller-held shingle persist can go now
     CachedDF(verified, Seq(verified))
   }
 

@@ -250,47 +250,50 @@ object DocPipeline {
       Seq(cleaned) ++ nd.handles ++ cl.handles, cl.cleanups)
   }
 
-  /** The stored per-DOCUMENT artifacts a curation family shares:
-    * the quality-gated annotated corpus (original columns plus
+  /** The stored per-DOCUMENT artifacts a dedup/curation family
+    * shares: the UNGATED annotated corpus (original columns plus
     * `n_tokens` and the `__fp` exact-dup fingerprint), its shingle
-    * rows, and its MinHash signatures. All three are per-document
-    * properties — independent of which OTHER documents survive any
-    * downstream gate — so pipeline variants that differ only in a
-    * per-document filter (e.g. [[curate]] with vs without a model
-    * gate) read the same stored tables and pay only their own joins;
+    * rows, its MinHash signatures, and its 64-bit SimHash
+    * fingerprints. All are per-document properties — independent of
+    * which OTHER documents survive any downstream gate — so pipeline
+    * variants that differ only in per-document filters ([[curate]]
+    * with vs without a model gate, [[clean]] with tighter token
+    * bounds, the ensemble and near-dup pair families with no gate at
+    * all) read the same stored tables and pay only their own joins;
     * the corpus-scale work (tokenize → shingle → k hash-min
-    * aggregations) happens once, at [[writeCurationArtifacts]] time.
+    * aggregations → 64 bit-average aggregations) happens once, at
+    * [[writeCurationArtifacts]] time.
     *
-    * The artifacts are only valid for consumers whose `cfg` token
-    * bounds and shingle/MinHash parameters match the ones they were
-    * written with — the model gate is deliberately NOT applied here
-    * (it is the per-consumer variable).
+    * NOTHING is gated at write time — every consumer owns its whole
+    * gate (over the stored `n_tokens`/text columns), which is what
+    * makes one artifact set valid for gated and ungated consumers
+    * alike. Only the shingle width and MinHash k are baked in.
     */
   final case class CurationArtifacts(
       annotated: DataFrame,
       shingles: DataFrame,
-      sigs: DataFrame)
+      sigs: DataFrame,
+      simhash64: DataFrame)
 
   /** Build and STORE the family artifacts under `baseDir` (parquet
-    * tables `annotated/`, `shingles/`, `sigs/`), chaining each stage
-    * through its stored predecessor so nothing recomputes, then
-    * return the read-back handles. This is the production framing:
-    * the artifacts are corpus-linear, so they live as stored tables
-    * (the [[curateState]] precedent), not driver memos.
+    * tables `annotated/`, `shingles/`, `sigs/`, `simhash64/`),
+    * chaining each stage through its stored predecessor so nothing
+    * recomputes, then return the read-back handles. This is the
+    * production framing: the artifacts are corpus-linear, so they
+    * live as stored tables (the [[curateState]] precedent), not
+    * driver memos.
     */
   def writeCurationArtifacts(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       baseDir: String,
-      cfg: Config = Config(),
       shingleSize: Int = 3,
       k: Int = 9): CurationArtifacts = {
     val spark = docs.sparkSession
-    val nTokens = TextAnalysis.tokenCount(col(textCol))
-    docs.filter(nTokens >= cfg.minTokens && nTokens <= cfg.maxTokens)
+    docs
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("n_tokens", nTokens)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .write.mode("overwrite").parquet(s"$baseDir/annotated")
     val ann = spark.read.parquet(s"$baseDir/annotated")
     Dedup.shingleRows(ann, idCol, textCol, shingleSize)
@@ -298,6 +301,8 @@ object DocPipeline {
     val sh = spark.read.parquet(s"$baseDir/shingles")
     Dedup.minhashFromShingles(sh, idCol, k)
       .write.mode("overwrite").parquet(s"$baseDir/sigs")
+    Dedup.simhash64(ann, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$baseDir/simhash64")
     readCurationArtifacts(spark, baseDir)
   }
 
@@ -310,7 +315,8 @@ object DocPipeline {
     CurationArtifacts(
       spark.read.parquet(s"$baseDir/annotated"),
       spark.read.parquet(s"$baseDir/shingles"),
-      spark.read.parquet(s"$baseDir/sigs"))
+      spark.read.parquet(s"$baseDir/sigs"),
+      spark.read.parquet(s"$baseDir/simhash64"))
 
   /** [[clean]] over stored family artifacts: the consumer's quality
     * gate (token bounds via the stored `n_tokens`, stopword ratio,
@@ -377,10 +383,14 @@ object DocPipeline {
       contaminationThreshold: Double = 0.5,
       strictShingles: Boolean = false): Dedup.CachedDF = {
     import org.apache.spark.storage.StorageLevel
-    // 1-2 replayed on the stored annotation: the consumer's gate +
-    // exact dedup — per-document quality bounds are already baked in
+    // 1-2 replayed on the stored annotation: the consumer's FULL gate
+    // (token bounds over the stored n_tokens + the model) + exact
+    // dedup — artifacts are written ungated
     val cleaned = Dedup.exact(
-        art.annotated.filter(modelOk(cfg, textCol)), Seq("__fp"), idCol)
+        art.annotated.filter(
+          col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&
+            modelOk(cfg, textCol)),
+        Seq("__fp"), idCol)
       .drop("__fp")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ids = cleaned.select(col(idCol))

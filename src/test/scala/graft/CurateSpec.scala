@@ -214,9 +214,8 @@ class CurateSpec extends AnyFunSuite {
       (15L, "completely different words about trains planes and automobiles entirely"))
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("clean-art").toString
-    // written with the LOOSEST bound; the consumer tightens to 5
-    val art = DocPipeline.writeCurationArtifacts(
-      corpus, "doc_id", "text", dir, DocPipeline.Config(minTokens = 1))
+    // written ungated; the consumer owns the minTokens=5 bound
+    val art = DocPipeline.writeCurationArtifacts(corpus, "doc_id", "text", dir)
     val cfg = DocPipeline.Config(minTokens = 5)
     val direct = DocPipeline.clean(corpus, "doc_id", "text", cfg)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
