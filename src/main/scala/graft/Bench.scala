@@ -302,14 +302,16 @@ object Bench {
       // (r9 driver run: q137 42.8s gate-skipped vs 12.6s steady).
       // FULL-SIZE: AQE shapes full-size plans differently, so 40-doc
       // state did not transfer.
+      // The stored-INPUT artifacts (q137 state, q134/q143/q41 family
+      // tables) build BEFORE the lanes fork: input tables a production
+      // run reads, not result memos (which warmup must never fill; the
+      // measured queries still run all their own joins/gates against
+      // these), and three legs warm the exact artifact-reading plans,
+      // so the build must not race across lanes.
+      SparkEntry.prewarmStoredInputs(spark, sfDir)
+      System.err.println(s"[bench] stored-input prewarm done at ${fmt2(elapsedS)}s")
       val leg_cascade = leg("cascade", 90) {
-        // build the STORED-INPUT artifacts (q137 state, q134/q143
-        // family tables) outside the measured window — input tables a
-        // production run reads, not result memos (which warmup must
-        // never fill; the measured queries still run all their own
-        // joins/gates against these)
-        SparkEntry.prewarmStoredInputs(spark, sfDir)
-        // then warm the cascade's ~800-node plan by running the REAL
+        // warm the cascade's ~800-node plan by running the REAL
         // q137 shape (parquet-state joins + local-relation planted
         // batch): the previous computed-state approximation stopped
         // matching the measured plan's generated classes when the
@@ -325,12 +327,16 @@ object Bench {
       // 5-8x steady (q63 19.7s cold vs ~5s warm). Full-size for the
       // same AQE-shape reason as the cascade.
       val leg_neardup = leg("neardup", 90) {
-        val pairsWarm = operators.Dedup.jaccardNearDupPairsCached(
-          docsWarm, "doc_id", "text", 9, 3, threshold = 0.5)
+        // the measured family reads the stored shingle/signature
+        // tables (nearDupArtifactsFromSigs) — warm exactly that plan;
+        // the pair/cluster RESULT memo stays unfilled, so the measured
+        // payer still runs the whole pipeline, just warm
+        val art = SparkEntry.curationFamilyArtifacts(spark, sfDir)
+        val a = operators.Dedup.nearDupArtifactsFromSigs(
+          art.shingles, art.sigs, "doc_id", bands = 3, threshold = 0.5)
         operators.Dedup.dupClusters(
-          docsWarm.select(col("doc_id")), pairsWarm.df, "doc_id").count()
-        pairsWarm.unpersist()
-        operators.Dedup.simhash64(docsWarm.limit(30), "doc_id", "text").count()
+          docsWarm.select(col("doc_id")), a.pairs.select("d1", "d2"), "doc_id").count()
+        a.unpersist()
       }
       // the ENSEMBLE family (q152/q155): SNM (sort + rank-band +
       // threshold-levenshtein) and SimHash-pair blockers share
@@ -339,8 +345,13 @@ object Bench {
       // warm). The memoized artifact is NOT filled here, so the
       // measured payer still runs the whole pipeline — just warm.
       val leg_ensemble = leg("ensemble", 90) {
-        val ensWarm = operators.Dedup.ensembleNearDupCached(
-          docsWarm, "doc_id", "text")
+        // same discipline: the measured q152 reads the stored
+        // per-document tables, so warm the FromSigs plan; the result
+        // is discarded and the ensemble pair memo stays unfilled
+        val art = SparkEntry.curationFamilyArtifacts(spark, sfDir)
+        val ensWarm = operators.Dedup.ensembleNearDupFromSigsCached(
+          art.annotated, art.shingles, art.sigs, art.simhash64,
+          "doc_id", "text")
         ensWarm.df.count()
         ensWarm.unpersist()
       }

@@ -266,7 +266,7 @@ object SparkEntry {
     */
   private val curationArtifactsMemo = new SessionMemo[String, String]
 
-  private def curationFamilyArtifacts(
+  private[graft] def curationFamilyArtifacts(
       s: SparkSession, dir: String): operators.DocPipeline.CurationArtifacts = {
     val base = curationArtifactsMemo.get(s, dir) {
       val p = java.nio.file.Files
