@@ -1405,6 +1405,29 @@ object SparkEntry {
         nProbes = Seq(1, 2, 4, 8), k = 3, refine = 3)
     }),
 
+    // ---- extension: sweep → select → search (the ANN closed loop) ----
+    // q176's composition for the OTHER tuned artifact: the q172 sweep
+    // collapses to the cheapest nProbe meeting the recall target (a
+    // bounded driver step between two distributed jobs; falls back to
+    // the widest MEASURED setting rather than deploying an unmeasured
+    // one), then the cell-probed search runs at exactly that width —
+    // the oracle derives the same selection as a scalar subquery over
+    // the replayed sweep
+    "q177_probe_select" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val (cents, books) = pqIndex(s, dir)
+      val qs = e.filter(col("vec_id") < 20)
+      val np = Similarity.selectNProbe(qs, e, "vec_id", "embedding",
+        dims = 64, cents, books, nProbes = Seq(1, 2, 4, 8), k = 3,
+        refine = 3, targetRecallPpm = 900000L)
+      Similarity.ivfPqTopKWithIndex(qs, e, "vec_id", "embedding",
+          dims = 64, cents, books, nProbe = np, k = 3, refine = 3)
+        .withColumn("n_probe", lit(np.toLong))
+        .withColumn("sim", round(col("sim"), 5))
+        .select("n_probe", "qid", "rank", "nbr", "sim")
+        .orderBy("qid", "rank")
+    }),
+
     // ---- extension: hot-cell split (IVF rebalance) ----
     // the REMEDIATION q170 prices: cells past 1.1x the mean occupancy
     // split into 2 sub-cells trained on their own members only (cold
@@ -3117,6 +3140,48 @@ object SparkEntry {
     */
   private def ivfPqRecallSweepOracle(
       m: Int, ks: Int, pqIters: Int, sub: Int, nCells: Int, ivfIters: Int,
+      probes: Seq[Int], nQueries: Int, k: Int, refine: Int): String =
+    ivfPqRecallSweepChain(m, ks, pqIters, sub, nCells, ivfIters, probes,
+      nQueries, k, refine) +
+      """
+        |SELECT CAST(p.n_probe AS BIGINT) AS n_probe, tot.n_queries,
+        |  COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits, tot.possible,
+        |  CAST(COALESCE(h.hits, 0) * 1000000 // tot.possible AS BIGINT) AS recall_ppm
+        |FROM probes p CROSS JOIN tot LEFT JOIN h ON h.n_probe = p.n_probe
+        |ORDER BY 1""".stripMargin
+
+  /** q177: the sweep chain closed with probe SELECTION — the minimum
+    * n_probe whose recall meets the target (ppm), falling back to the
+    * widest swept setting when none does — and the ANN top-k at
+    * exactly that setting, re-ranked from the chain's own per-point
+    * candidates (the chain already searched every sweep point; the
+    * deployed search is the selected point's rows).
+    */
+  private def ivfPqProbeSelectOracle(
+      m: Int, ks: Int, pqIters: Int, sub: Int, nCells: Int, ivfIters: Int,
+      probes: Seq[Int], nQueries: Int, k: Int, refine: Int,
+      targetRecallPpm: Long): String =
+    ivfPqRecallSweepChain(m, ks, pqIters, sub, nCells, ivfIters, probes,
+      nQueries, k, refine) +
+      s""",
+         |rep AS (SELECT CAST(p.n_probe AS BIGINT) AS n_probe,
+         |    CAST(COALESCE(h.hits, 0) * 1000000 // tot.possible AS BIGINT) AS recall_ppm
+         |  FROM probes p CROSS JOIN tot LEFT JOIN h ON h.n_probe = p.n_probe),
+         |best AS (SELECT CAST(COALESCE(
+         |    (SELECT min(n_probe) FROM rep WHERE recall_ppm >= $targetRecallPpm),
+         |    (SELECT max(n_probe) FROM rep)) AS BIGINT) AS np),
+         |sel AS (SELECT a.qid, a.nbr, e.sim
+         |  FROM ann a JOIN ex e ON e.n_probe = a.n_probe
+         |    AND e.qid = a.qid AND e.nbr = a.nbr
+         |  WHERE a.n_probe = (SELECT np FROM best)),
+         |rr AS (SELECT qid, nbr, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+         |  FROM sel)
+         |SELECT (SELECT np FROM best) AS n_probe, qid, rank, nbr, round(sim, 5) AS sim
+         |FROM rr ORDER BY qid, rank""".stripMargin
+
+  private def ivfPqRecallSweepChain(
+      m: Int, ks: Int, pqIters: Int, sub: Int, nCells: Int, ivfIters: Int,
       probes: Seq[Int], nQueries: Int, k: Int, refine: Int): String = {
     val maxProbe = probes.max
     val books = (0 until m)
@@ -3183,12 +3248,7 @@ object SparkEntry {
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible,
        |               CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries FROM gt),
        |h AS (SELECT a.n_probe, CAST(COUNT(*) AS BIGINT) AS hits
-       |      FROM ann a JOIN gt ON a.qid = gt.qid AND a.nbr = gt.nbr GROUP BY 1)
-       |SELECT CAST(p.n_probe AS BIGINT) AS n_probe, tot.n_queries,
-       |  COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits, tot.possible,
-       |  CAST(COALESCE(h.hits, 0) * 1000000 // tot.possible AS BIGINT) AS recall_ppm
-       |FROM probes p CROSS JOIN tot LEFT JOIN h ON h.n_probe = p.n_probe
-       |ORDER BY 1""".stripMargin
+       |      FROM ann a JOIN gt ON a.qid = gt.qid AND a.nbr = gt.nbr GROUP BY 1)""".stripMargin
   }
 
   /** q173: the q170 assignment/occupancy CTEs, a hot-cell selection,
@@ -4016,6 +4076,13 @@ object SparkEntry {
       ivfPqRecallSweepOracle(m = 4, ks = 16, pqIters = 3, sub = 16,
         nCells = 8, ivfIters = 3, probes = Seq(1, 2, 4, 8),
         nQueries = 20, k = 3, refine = 3),
+
+    // probe auto-selection: the sweep chain + min-probe-meeting-target
+    // scalar subquery + the deployed search at exactly that setting
+    "q177_probe_select" ->
+      ivfPqProbeSelectOracle(m = 4, ks = 16, pqIters = 3, sub = 16,
+        nCells = 8, ivfIters = 3, probes = Seq(1, 2, 4, 8),
+        nQueries = 20, k = 3, refine = 3, targetRecallPpm = 900000L),
 
     // hot-cell split: grouped Lloyd replay + before/after health rows
     "q173_cell_rebalance" ->

@@ -1919,4 +1919,43 @@ object Similarity {
         expr("coalesce(hits, 0) * 1000000 div possible").as("recall_ppm"))
       .orderBy("n_probe")
   }
+
+  /** Probe-width SELECTION from the sweep: the minimum swept `nProbe`
+    * whose exact-ppm recall meets `targetRecallPpm`, falling back to
+    * the widest swept setting when none does (the sweep told you the
+    * index can't hit the target — searching wider than you measured
+    * would deploy an unmeasured setting). Collects one bounded row
+    * per sweep point — the q176 pattern (a bounded driver step
+    * between two distributed jobs) applied to the ANN knob.
+    */
+  def selectNProbe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      cents: Seq[(Long, Array[Double])],
+      books: Seq[Seq[(Long, Array[Double])]],
+      nProbes: Seq[Int],
+      k: Int,
+      refine: Int,
+      targetRecallPpm: Long): Int = {
+    val sweep = ivfPqRecallSweep(queries, corpus, idCol, vecCol, dims,
+        cents, books, nProbes, k, refine)
+      .select(col("n_probe"), col("recall_ppm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pickProbe(sweep.toSeq, targetRecallPpm)
+  }
+
+  /** The pure selection rule of [[selectNProbe]], unit-tested in
+    * isolation: smallest probe meeting the target, else the widest
+    * measured one.
+    */
+  private[graft] def pickProbe(
+      sweep: Seq[(Long, Long)], targetRecallPpm: Long): Int = {
+    require(sweep.nonEmpty, "empty sweep")
+    val meeting = sweep.collect { case (np, rec) if rec >= targetRecallPpm => np }
+    (if (meeting.nonEmpty) meeting.min else sweep.map(_._1).max).toInt
+  }
 }

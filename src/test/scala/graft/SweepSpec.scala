@@ -32,4 +32,15 @@ class SweepSpec extends AnyFunSuite {
       .select("bucket", "tp", "fp", "fn").as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 2L, 1L, 0L)))
   }
+
+  test("probe selection: smallest meeting the target, widest-measured fallback") {
+    import graft.operators.Similarity
+    val sweep = Seq(1L -> 500000L, 2L -> 880000L, 4L -> 930000L, 8L -> 990000L)
+    assert(Similarity.pickProbe(sweep, 900000L) == 4)
+    assert(Similarity.pickProbe(sweep, 100000L) == 1)
+    // nothing meets the bar: deploy the widest MEASURED setting, not
+    // an unmeasured wider one
+    assert(Similarity.pickProbe(sweep, 999999L) == 8)
+    intercept[IllegalArgumentException](Similarity.pickProbe(Nil, 1L))
+  }
 }
