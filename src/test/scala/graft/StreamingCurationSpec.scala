@@ -93,4 +93,36 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(afterCompact.toSeq == Seq("exact_dup_base"),
       "post-compaction batch still sees the admitted corpus")
   }
+
+  test("model gate rides streaming ingest: gated docs label model_filtered") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-curate-model").toString
+    val (stateDir, decDir, ckDir) = (s"$dir/state", s"$dir/decisions", s"$dir/ck")
+    val eval = Seq(Doc(9000L, "held out benchmark sentence nobody may train on ever"))
+      .toDF()
+    // negative weight on "junk", positive bias: the junk doc scores
+    // below the gate, everything else above — q143's model shape
+    val cfg = DocPipeline.Config(minTokens = 5,
+      model = Some(graft.operators.QualityClassifier.LinearModel(
+        Seq("junk" -> -1000000L), biasMilli = 100L, threshold = 0.0)))
+
+    val stream = MemoryStream[Doc]
+    val q = StreamingCuration.start(stream.toDF(), eval, "doc_id", "text",
+      stateDir, decDir, ckDir, cfg = cfg, maxHamming = 0)
+    try {
+      stream.addData(
+        Doc(1L, textA),
+        Doc(2L, "junk junk junk spam words the model gate must reject here"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(decDir)
+      .select("doc_id", "decision").as[(Long, String)].collect().toMap
+    assert(dec(1L) == "kept")
+    assert(dec(2L) == "model_filtered")
+    // gated docs never enter the state table
+    assert(spark.read.parquet(stateDir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
 }
