@@ -1872,6 +1872,19 @@ object SparkEntry {
         trainedHeldoutModel(s, dir), "qtrain:", nCandidates = 16)
     }),
 
+    // ---- extension: held-out calibration (reliability) report ----
+    // the property q175's selection silently leans on, as data: does
+    // "scores X" MEAN X-fraction positive — 10 equi-width score bins
+    // over the eval fold, per-bin exact count / positives / empirical
+    // rate in ppm / mean score in micro-units
+    "q178_calibration" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      operators.QualityClassifier.calibrationReportMicro(
+        docs.filter(evalFold(col("doc_id"))), "doc_id", "text",
+        label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
+        trainedHeldoutModel(s, dir), "qtrain:", nBuckets = 10)
+    }),
+
     // ---- extension: train → select → deploy (the closed loop) ----
     // the composition everything since q162 builds toward: train on
     // the train fold, pick the F1-optimal gate on the held-out fold
@@ -4849,6 +4862,32 @@ object SparkEntry {
          |  precision_ppm, recall_ppm, f1_ppm,
          |  (ROW_NUMBER() OVER (ORDER BY f1_ppm DESC, cand ASC) = 1) AS is_best
          |FROM z ORDER BY cand""".stripMargin,
+
+    // calibration: the sweep chain's per-doc (score, label) grain
+    // re-binned as a plain histogram — per-bin exact counts, ppm rate,
+    // sign-split integer mean (truncating vs floor division disagree
+    // on negatives across engines)
+    "q178_calibration" ->
+      s"""$gateSweepCtes,
+         |cal AS (SELECT CASE WHEN st.mx = st.mn THEN 0
+         |    ELSE least(9, ((m.s - st.mn) * 10) // (st.mx - st.mn)) END AS b,
+         |    m.y AS y, m.s AS s FROM m, st),
+         |cg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(y) AS BIGINT) AS n_pos,
+         |         CAST(SUM(s) AS BIGINT) AS ssum
+         |       FROM cal GROUP BY 1),
+         |cb AS (SELECT unnest(generate_series(0, 9)) AS b)
+         |SELECT CAST(cb.b AS BIGINT) AS bucket,
+         |  CAST(st.mn + ((st.mx - st.mn) * cb.b) // 10 AS BIGINT) AS lo_micro,
+         |  CAST(COALESCE(cg.n, 0) AS BIGINT) AS n,
+         |  CAST(COALESCE(cg.n_pos, 0) AS BIGINT) AS n_pos,
+         |  CAST(CASE WHEN COALESCE(cg.n, 0) = 0 THEN 0
+         |       ELSE cg.n_pos * 1000000 // cg.n END AS BIGINT) AS pos_rate_ppm,
+         |  CAST(CASE WHEN COALESCE(cg.n, 0) = 0 THEN 0
+         |       ELSE (CASE WHEN cg.ssum < 0 THEN -1 ELSE 1 END) *
+         |            (abs(cg.ssum) // cg.n) END AS BIGINT) AS mean_score_micro
+         |FROM cb CROSS JOIN st LEFT JOIN cg ON cg.b = cb.b
+         |ORDER BY bucket""".stripMargin,
 
     // the deployed composition: the sweep's best threshold (scalar
     // subquery) gates the FULL corpus through the q167 scoring tail

@@ -476,6 +476,67 @@ object QualityClassifier {
       .orderBy("cand")
   }
 
+  /** Calibration (reliability) report of a trained model on the
+    * held-out fold: scores bucket into `nBuckets` equi-width integer
+    * bins across the fold's range, and each bin reports its exact
+    * count, positive count, empirical positive rate in ppm, and mean
+    * score in micro-units — the table that says whether "scores 0.8"
+    * MEANS 80% positive, the property threshold selection
+    * ([[gateThresholdSweepMicro]]) silently leans on. Everything is
+    * exact integers (bin by `min(N-1, (s-mn)·N div (mx-mn))`, rate
+    * `pos·10^6 div n`, mean `sign·(|Σs| div n)` — sign-split because
+    * truncating and floor division disagree on negatives across
+    * engines); empty bins emit zero rows, degenerate range
+    * (`mx == mn`) collapses to bin 0. One pass over the fold, a
+    * bounded-width groupBy — the q120 histogram shape.
+    *
+    * Output: `(bucket, lo_micro, n, n_pos, pos_rate_ppm,
+    * mean_score_micro)`, one row per bin, ordered by bucket.
+    */
+  def calibrationReportMicro(
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      model: TrainedHashedModel,
+      seed: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    val n = nBuckets
+    val s = scoreHashedWithWeightsMicro(
+        evalDocs, idCol, textCol, model, seed, thresholdMicro = 0L)
+      .select(col(idCol), col("score_micro"))
+      .join(evalDocs.select(col(idCol), label.cast("long").as("__y")), Seq(idCol))
+    val mm = s.agg(
+      min(col("score_micro")).as("__mn"), max(col("score_micro")).as("__mx"))
+    val grouped = s.crossJoin(broadcast(mm))
+      .withColumn("__b",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit((n - 1).toLong),
+            expr(s"((score_micro - __mn) * $n) div (__mx - __mn)"))))
+      .groupBy(col("__b"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__y")).as("__pos"),
+        sum(col("score_micro")).as("__ssum"))
+    (0 until n).map(_.toLong).toDF("bucket")
+      .crossJoin(broadcast(mm))
+      .join(grouped, col("bucket") === col("__b"), "left")
+      .select(
+        col("bucket"),
+        (col("__mn") + expr(s"((__mx - __mn) * bucket) div $n")).as("lo_micro"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        coalesce(col("__pos"), lit(0L)).as("n_pos"),
+        expr("""CASE WHEN coalesce(__n, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE __pos * 1000000 div __n END""").as("pos_rate_ppm"),
+        expr("""CASE WHEN coalesce(__n, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (CASE WHEN __ssum < 0 THEN -1L ELSE 1L END) *
+                     (abs(__ssum) div __n) END""").as("mean_score_micro"))
+      .orderBy("bucket")
+  }
+
   /** The selected gate as a VALUE — [[gateThresholdSweepMicro]]'s
     * `is_best` row's threshold, the number [[DocPipeline.Config]]'s
     * model stage consumes. One-row collect of a bounded sweep.

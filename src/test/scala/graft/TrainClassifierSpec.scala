@@ -258,6 +258,30 @@ class TrainClassifierSpec extends AnyFunSuite {
       docs, "doc_id", "text", col("is_good"), m, "spec:", nCandidates = 4) == 3250L)
   }
 
+  test("calibration report: closed-form bins, rates, and sign-split means") {
+    val m = QualityClassifier.TrainedHashedModel(Seq.fill(8)(1L), biasMilli = 6L)
+    // scores 7000/4000/3000/2000 (see the sweep case); 5 bins over
+    // [2000, 7000]: lows 2000/3000/4000/5000/6000
+    val docs = Seq(
+      (1L, "a", true),
+      (2L, "a b", true),
+      (3L, "a b c", false),
+      (4L, "a b c d e f", false))
+      .toDF("doc_id", "text", "is_good")
+    val rows = QualityClassifier.calibrationReportMicro(
+        docs, "doc_id", "text", col("is_good"), m, "spec:", nBuckets = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(rows == Seq(
+      (0L, 2000L, 1L, 0L, 0L, 2000L),
+      (1L, 3000L, 1L, 0L, 0L, 3000L),
+      (2L, 4000L, 1L, 1L, 1000000L, 4000L),
+      (3L, 5000L, 0L, 0L, 0L, 0L),
+      (4L, 6000L, 1L, 1L, 1000000L, 7000L)))
+  }
+
   test("gate-threshold sweep: degenerate single-score range stays well-defined") {
     val m = QualityClassifier.TrainedHashedModel(Seq.fill(8)(1L), biasMilli = 6L)
     val docs = Seq((1L, "a b", true), (2L, "c d", false))
