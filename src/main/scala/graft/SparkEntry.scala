@@ -395,6 +395,12 @@ object SparkEntry {
     * through `z` (per-candidate confusion + ppm rates). q175 selects
     * the sweep table; q176 appends the best-threshold scalar subquery
     * and gates the full corpus with it.
+    *
+    * Multi-referenced CTEs are `AS MATERIALIZED`: DuckDB inlines plain
+    * CTEs per reference, so the training chain re-evaluated many times
+    * over cost the round-13 oracle run 519 s for q176 alone (0.6 s
+    * materialized) and zeroed the driver's correctness artifact. See
+    * [[operators.QualityClassifier.trainLinearCtes]].
     */
   private lazy val gateSweepCtes: String = {
     val ctes = operators.QualityClassifier.trainHashedCtes("trainset",
@@ -402,15 +408,15 @@ object SparkEntry {
       epochs = 3, lrNum = 20L, lrDen = 1L)
     val toksList = operators.TextAnalysis.tokensSql("text")
     val hex = operators.Sampling.hexPrefixSql("md5('qtrain:' || term)")
-    s"""WITH trainset AS (SELECT * FROM documents WHERE NOT ($evalFoldSql)),
+    s"""WITH trainset AS MATERIALIZED (SELECT * FROM documents WHERE NOT ($evalFoldSql)),
        |$ctes,
-       |evalset AS (SELECT * FROM documents WHERE $evalFoldSql),
-       |etoks AS (SELECT doc_id, unnest($toksList) AS term FROM evalset),
-       |efeat AS (SELECT doc_id, CAST(($hex) % 64 AS BIGINT) AS b,
+       |evalset AS MATERIALIZED (SELECT * FROM documents WHERE $evalFoldSql),
+       |etoks AS MATERIALIZED (SELECT doc_id, unnest($toksList) AS term FROM evalset),
+       |efeat AS MATERIALIZED (SELECT doc_id, CAST(($hex) % 64 AS BIGINT) AS b,
        |            CAST(count(*) AS BIGINT) AS tf
        |          FROM etoks GROUP BY 1, 2),
-       |wts AS (SELECT b, wm FROM w3 WHERE b >= 0),
-       |bias AS (SELECT wm FROM w3 WHERE b = -1),
+       |wts AS MATERIALIZED (SELECT b, wm FROM w3 WHERE b >= 0),
+       |bias AS MATERIALIZED (SELECT wm FROM w3 WHERE b = -1),
        |sc AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS raw
        |       FROM efeat f JOIN wts w ON w.b = f.b GROUP BY 1),
        |dlt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM etoks GROUP BY 1),
@@ -420,12 +426,12 @@ object SparkEntry {
        |        CAST(list_contains($toksList, 'spark') AS BIGINT) AS y
        |      FROM evalset d LEFT JOIN dlt ON dlt.doc_id = d.doc_id
        |                     LEFT JOIN sc ON sc.doc_id = d.doc_id),
-       |m AS (SELECT doc_id, y,
+       |m AS MATERIALIZED (SELECT doc_id, y,
        |        CAST((CASE WHEN n < 0 THEN -1 ELSE 1 END) *
        |          ((CAST(abs(n) AS HUGEINT) * 1000000 + dd // 2) // dd)
        |          AS BIGINT) AS s
        |      FROM r),
-       |st AS (SELECT min(s) AS mn, max(s) AS mx,
+       |st AS MATERIALIZED (SELECT min(s) AS mn, max(s) AS mx,
        |         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pt,
        |         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt
        |       FROM m),
@@ -447,7 +453,7 @@ object SparkEntry {
        |      FROM c CROSS JOIN st LEFT JOIN g ON g.b = c.cand),
        |f AS (SELECT cand, threshold_micro, tp, fp,
        |        COALESCE(pt, 0) - tp AS fn, COALESCE(nt, 0) - fp AS tn FROM j),
-       |z AS (SELECT *,
+       |z AS MATERIALIZED (SELECT *,
        |        CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
        |        CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
        |        CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
@@ -4813,15 +4819,15 @@ object SparkEntry {
         epochs = 3, lrNum = 20L, lrDen = 1L)
       val toksList = operators.TextAnalysis.tokensSql("text")
       val hex = operators.Sampling.hexPrefixSql("md5('qtrain:' || term)")
-      s"""WITH trainset AS (SELECT * FROM documents WHERE NOT ($evalFoldSql)),
+      s"""WITH trainset AS MATERIALIZED (SELECT * FROM documents WHERE NOT ($evalFoldSql)),
          |$ctes,
-         |evalset AS (SELECT * FROM documents WHERE $evalFoldSql),
-         |etoks AS (SELECT doc_id, unnest($toksList) AS term FROM evalset),
-         |efeat AS (SELECT doc_id, CAST(($hex) % 64 AS BIGINT) AS b,
+         |evalset AS MATERIALIZED (SELECT * FROM documents WHERE $evalFoldSql),
+         |etoks AS MATERIALIZED (SELECT doc_id, unnest($toksList) AS term FROM evalset),
+         |efeat AS MATERIALIZED (SELECT doc_id, CAST(($hex) % 64 AS BIGINT) AS b,
          |            CAST(count(*) AS BIGINT) AS tf
          |          FROM etoks GROUP BY 1, 2),
-         |wts AS (SELECT b, wm FROM w3 WHERE b >= 0),
-         |bias AS (SELECT wm FROM w3 WHERE b = -1),
+         |wts AS MATERIALIZED (SELECT b, wm FROM w3 WHERE b >= 0),
+         |bias AS MATERIALIZED (SELECT wm FROM w3 WHERE b = -1),
          |sc AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS raw
          |       FROM efeat f JOIN wts w ON w.b = f.b GROUP BY 1),
          |dlt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM etoks GROUP BY 1),
@@ -4831,7 +4837,7 @@ object SparkEntry {
          |        CAST(list_contains($toksList, 'spark') AS BIGINT) AS y
          |      FROM evalset d LEFT JOIN dlt ON dlt.doc_id = d.doc_id
          |                     LEFT JOIN sc ON sc.doc_id = d.doc_id),
-         |m AS (SELECT doc_id, y,
+         |m AS MATERIALIZED (SELECT doc_id, y,
          |        CAST((CASE WHEN n < 0 THEN -1 ELSE 1 END) *
          |          ((CAST(abs(n) AS HUGEINT) * 1000000 + dd // 2) // dd)
          |          AS BIGINT) >= 520000 AS keep
@@ -4895,12 +4901,12 @@ object SparkEntry {
       val toksList = operators.TextAnalysis.tokensSql("text")
       val hex = operators.Sampling.hexPrefixSql("md5('qtrain:' || term)")
       s"""$gateSweepCtes,
-         |best AS (SELECT threshold_micro FROM (
+         |best AS MATERIALIZED (SELECT threshold_micro FROM (
          |    SELECT threshold_micro,
          |      ROW_NUMBER() OVER (ORDER BY f1_ppm DESC, cand ASC) AS rn FROM z)
          |  WHERE rn = 1),
-         |atoks AS (SELECT doc_id, unnest($toksList) AS term FROM documents),
-         |afeat AS (SELECT doc_id, CAST(($hex) % 64 AS BIGINT) AS b,
+         |atoks AS MATERIALIZED (SELECT doc_id, unnest($toksList) AS term FROM documents),
+         |afeat AS MATERIALIZED (SELECT doc_id, CAST(($hex) % 64 AS BIGINT) AS b,
          |            CAST(count(*) AS BIGINT) AS tf
          |          FROM atoks GROUP BY 1, 2),
          |asc0 AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS raw
@@ -4911,7 +4917,7 @@ object SparkEntry {
          |         1000 * greatest(COALESCE(adlt.dl, 0), 1) AS dd
          |       FROM documents d LEFT JOIN adlt ON adlt.doc_id = d.doc_id
          |                        LEFT JOIN asc0 ON asc0.doc_id = d.doc_id),
-         |am AS (SELECT doc_id, dl,
+         |am AS MATERIALIZED (SELECT doc_id, dl,
          |         CAST((CASE WHEN n < 0 THEN -1 ELSE 1 END) *
          |           ((CAST(abs(n) AS HUGEINT) * 1000000 + dd // 2) // dd)
          |           AS BIGINT) AS score_micro

@@ -706,6 +706,13 @@ object QualityClassifier {
   /** The CTE chain of [[trainLinearSql]] WITHOUT the final SELECT, so
     * composed oracles (train-then-score) can read the trained
     * `w<epochs>` table and the `toks`/`feat` frames it already built.
+    *
+    * Every CTE is emitted `AS MATERIALIZED`: DuckDB inlines plain CTEs
+    * per reference, so the epoch chain (each `w\$k` referenced three
+    * times by epoch k+1, `feat`/`meta` by every epoch) otherwise
+    * re-evaluates the whole training replay exponentially — the
+    * round-13 oracle suite spent 94% of its ~950 s wall in exactly
+    * this (q175/q176/q178 at 519/184/185 s; materialized: <1 s each).
     */
   def trainLinearCtes(
       table: String,
@@ -717,22 +724,22 @@ object QualityClassifier {
     val toksList = TextAnalysis.tokensSql("text")
     val vocabVals = vocab.map(t => s"('${t.replace("'", "''")}')").mkString(", ")
     val base =
-      s"""vocab(term) AS (VALUES $vocabVals),
-         |toks AS (SELECT doc_id, unnest($toksList) AS term FROM $table),
-         |feat AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      s"""vocab(term) AS MATERIALIZED (VALUES $vocabVals),
+         |toks AS MATERIALIZED (SELECT doc_id, unnest($toksList) AS term FROM $table),
+         |feat AS MATERIALIZED (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
          |         FROM toks t JOIN vocab v ON v.term = t.term GROUP BY 1, 2),
-         |meta AS (SELECT doc_id,
+         |meta AS MATERIALIZED (SELECT doc_id,
          |           greatest(CAST(len($toksList) AS BIGINT), 1) AS dl,
          |           CAST(list_contains($toksList, '$labelTokenSql') AS BIGINT) AS y
          |         FROM $table),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
-         |w0 AS (SELECT term, CAST(0 AS BIGINT) AS wm FROM vocab
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
+         |w0 AS MATERIALIZED (SELECT term, CAST(0 AS BIGINT) AS wm FROM vocab
          |       UNION ALL SELECT '', CAST(0 AS BIGINT))""".stripMargin
     val epochCtes = (1 to epochs).map { k =>
       val p = k - 1
-      s"""d$k AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS dot
+      s"""d$k AS MATERIALIZED (SELECT f.doc_id, SUM(f.tf * w.wm) AS dot
          |        FROM feat f JOIN w$p w ON w.term = f.term GROUP BY 1),
-         |r$k AS (SELECT doc_id, CAST(round(round(
+         |r$k AS MATERIALIZED (SELECT doc_id, CAST(round(round(
          |          ((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) / dl, 6) * 1e6)
          |          AS BIGINT) AS r
          |        FROM (SELECT m.doc_id, m.y, CAST(m.dl AS DOUBLE) AS dl,
@@ -740,12 +747,12 @@ object QualityClassifier {
          |                    + COALESCE(d.dot, 0) AS DOUBLE)
          |                 / (1000.0 * m.dl) AS z
          |              FROM meta m LEFT JOIN d$k d ON d.doc_id = m.doc_id)),
-         |g$k AS (SELECT term, SUM(g) AS g FROM (
+         |g$k AS MATERIALIZED (SELECT term, SUM(g) AS g FROM (
          |          SELECT f.term, f.tf * r.r AS g
          |          FROM feat f JOIN r$k r ON r.doc_id = f.doc_id
          |          UNION ALL SELECT '' AS term, r AS g FROM r$k)
          |        GROUP BY 1),
-         |w$k AS (SELECT w.term, w.wm - CASE
+         |w$k AS MATERIALIZED (SELECT w.term, w.wm - CASE
          |          WHEN COALESCE(g.g, 0) > 0
          |            THEN (abs(g.g) * $lrNum) // (nn.n * 1000 * $lrDen)
          |          WHEN COALESCE(g.g, 0) < 0
@@ -777,6 +784,9 @@ object QualityClassifier {
   /** The CTE chain of [[trainHashedSql]] WITHOUT the final SELECT, so
     * composed oracles (train-then-gate) can read the trained `w<epochs>`
     * table and the `toks`/`feat` frames it already built.
+    *
+    * Every CTE is `AS MATERIALIZED` — see [[trainLinearCtes]] for the
+    * DuckDB re-inlining rationale (the round-13 oracle-cost incident).
     */
   def trainHashedCtes(
       table: String,
@@ -789,22 +799,22 @@ object QualityClassifier {
     val toksList = TextAnalysis.tokensSql("text")
     val hex = Sampling.hexPrefixSql(s"md5('$seed' || term)")
     val base =
-      s"""toks AS (SELECT doc_id, unnest($toksList) AS term FROM $table),
-         |feat AS (SELECT doc_id, CAST(($hex) % $buckets AS BIGINT) AS b,
+      s"""toks AS MATERIALIZED (SELECT doc_id, unnest($toksList) AS term FROM $table),
+         |feat AS MATERIALIZED (SELECT doc_id, CAST(($hex) % $buckets AS BIGINT) AS b,
          |           CAST(count(*) AS BIGINT) AS tf
          |         FROM toks GROUP BY 1, 2),
-         |meta AS (SELECT doc_id,
+         |meta AS MATERIALIZED (SELECT doc_id,
          |           greatest(CAST(len($toksList) AS BIGINT), 1) AS dl,
          |           CAST(list_contains($toksList, '$labelTokenSql') AS BIGINT) AS y
          |         FROM $table),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
-         |w0 AS (SELECT CAST(range AS BIGINT) - 1 AS b, CAST(0 AS BIGINT) AS wm
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
+         |w0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) - 1 AS b, CAST(0 AS BIGINT) AS wm
          |       FROM range(0, ${buckets + 1}))""".stripMargin
     val epochCtes = (1 to epochs).map { k =>
       val p = k - 1
-      s"""d$k AS (SELECT f.doc_id, SUM(f.tf * w.wm) AS dot
+      s"""d$k AS MATERIALIZED (SELECT f.doc_id, SUM(f.tf * w.wm) AS dot
          |        FROM feat f JOIN w$p w ON w.b = f.b GROUP BY 1),
-         |r$k AS (SELECT doc_id, CAST(round(round(
+         |r$k AS MATERIALIZED (SELECT doc_id, CAST(round(round(
          |          ((0.5 + z / (2.0 * (1.0 + abs(z)))) - y) / dl, 6) * 1e6)
          |          AS BIGINT) AS r
          |        FROM (SELECT m.doc_id, m.y, CAST(m.dl AS DOUBLE) AS dl,
@@ -812,12 +822,12 @@ object QualityClassifier {
          |                    + COALESCE(d.dot, 0) AS DOUBLE)
          |                 / (1000.0 * m.dl) AS z
          |              FROM meta m LEFT JOIN d$k d ON d.doc_id = m.doc_id)),
-         |g$k AS (SELECT b, SUM(g) AS g FROM (
+         |g$k AS MATERIALIZED (SELECT b, SUM(g) AS g FROM (
          |          SELECT f.b, f.tf * r.r AS g
          |          FROM feat f JOIN r$k r ON r.doc_id = f.doc_id
          |          UNION ALL SELECT CAST(-1 AS BIGINT) AS b, r AS g FROM r$k)
          |        GROUP BY 1),
-         |w$k AS (SELECT w.b, w.wm - CASE
+         |w$k AS MATERIALIZED (SELECT w.b, w.wm - CASE
          |          WHEN COALESCE(g.g, 0) > 0
          |            THEN (abs(g.g) * $lrNum) // (nn.n * 1000 * $lrDen)
          |          WHEN COALESCE(g.g, 0) < 0
