@@ -26,23 +26,64 @@ object DocPipeline {
     * [[QualityClassifier.scoreExpr]], a pure per-row expression, so
     * the gate rides inside the corpus scan the pipeline already pays:
     * no extra shuffle, no join, whatever the corpus size.
+    *
+    * `hashedGate`: the trained-hashed-model twin, whose threshold is a
+    * MEASURED number — selected on held-out data and typically read
+    * from a stored sweep artifact at config-build time
+    * ([[HashedModelGate.fromStoredSweep]]), so re-measuring the sweep
+    * re-gates batch and streaming curation with no code change.
     */
   final case class Config(
       minTokens: Long = 5,
       maxTokens: Long = 100000,
       minStopRatio: Double = 0.0,
       jaccardThreshold: Double = 0.5,
-      model: Option[QualityClassifier.LinearModel] = None)
+      model: Option[QualityClassifier.LinearModel] = None,
+      hashedGate: Option[HashedModelGate] = None)
+
+  /** A trained hashed quality model plus the gate threshold selected
+    * on held-out data ([[QualityClassifier.gateThresholdSweepMicro]]).
+    * Applied per-row ([[QualityClassifier.scoreHashedExprMicro]]), so
+    * like the linear gate it rides inside the corpus scan — no extra
+    * shuffle, batch and streaming alike.
+    */
+  final case class HashedModelGate(
+      model: QualityClassifier.TrainedHashedModel,
+      seed: String,
+      thresholdMicro: Long)
+
+  object HashedModelGate {
+    /** The gate at the threshold a STORED sweep artifact selects
+      * ([[QualityClassifier.readSelectedGateMicro]]) — the config-time
+      * read that makes the deployed gate a measurement: overwrite the
+      * sweep (a re-run on fresh held-out data) and the next pipeline
+      * build gates at the new number, code untouched.
+      */
+    def fromStoredSweep(
+        spark: org.apache.spark.sql.SparkSession,
+        sweepPath: String,
+        model: QualityClassifier.TrainedHashedModel,
+        seed: String): HashedModelGate =
+      HashedModelGate(model, seed,
+        QualityClassifier.readSelectedGateMicro(spark, sweepPath))
+  }
 
   /** The model gate of `cfg` as a per-row predicate (`true` when no
-    * model is configured).
+    * model is configured); linear and hashed gates AND together.
     */
-  private def modelOk(cfg: Config, textCol: String): Column =
-    cfg.model match {
+  private def modelOk(cfg: Config, textCol: String): Column = {
+    val lin = cfg.model match {
       case Some(m) =>
         QualityClassifier.scoreExpr(col(textCol), m) >= m.threshold
       case None => lit(true)
     }
+    cfg.hashedGate match {
+      case Some(g) =>
+        lin && QualityClassifier.scoreHashedExprMicro(
+          col(textCol), g.model, g.seed) >= g.thresholdMicro
+      case None => lin
+    }
+  }
 
   /** PII-style redaction: emails and long digit runs are masked. The
     * pattern set is deployment-specific; these two are the
@@ -282,6 +323,13 @@ object DocPipeline {
     * production framing: the artifacts are corpus-linear, so they
     * live as stored tables (the [[curateState]] precedent), not
     * driver memos.
+    *
+    * The write MUST stay UNGATED — pass the full corpus, never a
+    * pre-filtered slice. A gate applied here silently invalidates the
+    * artifact set for every looser consumer (a document dropped at
+    * write time can never come back); consumers own their whole gate
+    * over the stored `n_tokens`/text columns instead (the
+    * [[CurationArtifacts]] invariant).
     */
   def writeCurationArtifacts(
       docs: DataFrame,
@@ -332,7 +380,21 @@ object DocPipeline {
       art: CurationArtifacts,
       idCol: String,
       textCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    cleanFromArtifactsCached(art, idCol, textCol, cfg).df
+
+  /** [[cleanFromArtifacts]] plus the persisted candidate-pair handles
+    * ([[cleanCached]]'s contract applied to the artifact path): the
+    * LSH pair frame persists inside [[Dedup.nearDupArtifactsFromSigs]],
+    * so a long-lived session cleaning corpus after corpus must
+    * `.unpersist()` after its terminal action or the cached blocks
+    * accumulate unreleasable.
+    */
+  def cleanFromArtifactsCached(
+      art: CurationArtifacts,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config()): Dedup.CachedDF = {
     val stopR = TextAnalysis.stopwordRatio(col(textCol))
     val quality = art.annotated.filter(
       col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens &&
@@ -344,8 +406,9 @@ object DocPipeline {
     val nd = Dedup.nearDupArtifactsFromSigs(sh, sigs, idCol,
       threshold = cfg.jaccardThreshold)
     val losers = nd.pairs.select(col("d2").as(idCol)).distinct()
-    exact.join(losers, Seq(idCol), "left_anti")
+    val kept = exact.join(losers, Seq(idCol), "left_anti")
       .drop("__fp", "n_tokens")
+    Dedup.CachedDF(kept, nd.handles)
   }
 
   /** [[curate]] over stored family artifacts: applies the consumer's

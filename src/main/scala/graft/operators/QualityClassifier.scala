@@ -555,6 +555,74 @@ object QualityClassifier {
       .select(col("threshold_micro"))
       .collect()(0).getLong(0)
 
+  /** Integral divide (`div`) on arbitrary Columns — `IntegralDivide`
+    * through the graftbridge, because `functions._` has no operator
+    * form and `expr("a div b")` can only reference NAMED columns (a
+    * per-row gate expression has no select to name intermediates in).
+    * The analyzer applies the same type coercion as parsed `div`.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.expression(a),
+        org.apache.spark.sql.graftbridge.expression(b)))
+
+  /** [[scoreHashedWithWeightsMicro]]'s score as a SINGLE per-row
+    * expression — the hashed twin of [[scoreExpr]], for FILTER stages
+    * ([[DocPipeline.Config.hashedGate]]): `aggregate` over the token
+    * array with the trained weights riding as an array-literal LUT,
+    * then the exact integer micro finish. Pure codegen — no explode,
+    * no shuffle, no join — so the gate rides inside the corpus scan
+    * the pipeline already pays, whatever the corpus size. Identical
+    * arithmetic to the groupBy scorer bit-for-bit (integer milli
+    * accumulation is order-independent; the decimal(38,0)-widened
+    * rounding matches `finishMicro` term for term — asserted against
+    * the groupBy scorer in TrainClassifierSpec).
+    */
+  def scoreHashedExprMicro(
+      textCol: Column,
+      model: TrainedHashedModel,
+      seed: String): Column = {
+    val buckets = model.weightsMilli.size
+    require(buckets > 0, "empty weight array")
+    val wArr = typedLit(model.weightsMilli)
+    val toks = TextAnalysis.tokens(textCol)
+    val raw = aggregate(toks, lit(model.biasMilli), (acc, t) =>
+      acc + element_at(wArr,
+        (Sampling.hexPrefixValue(md5(concat(lit(seed), t))) % buckets + 1)
+          .cast("int")))
+    val d = lit(1000L) * greatest(size(toks).cast("long"), lit(1L))
+    val q = idiv(
+      abs(raw).cast("decimal(38,0)") * lit(1000000L) + idiv(d, lit(2L)), d)
+    (when(raw < 0, lit(-1L)).otherwise(lit(1L)) * q).cast("long")
+  }
+
+  /** Persist a [[gateThresholdSweepMicro]] result as a STORED selection
+    * artifact (a small parquet table, like the IVF index's centroid
+    * table): the measured sweep a pipeline config reads its gate from,
+    * so batch AND streaming curation gate at a MEASURED threshold
+    * rather than a hand-set literal — and re-measuring (overwriting
+    * the artifact) re-gates every consumer with no code change.
+    */
+  def writeGateSelection(sweep: DataFrame, path: String): Unit =
+    sweep.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** The selected gate read from a stored sweep artifact. The selection
+    * RULE (max F1, ties to the smallest candidate = the loosest gate)
+    * is RE-DERIVED from the stored rows rather than trusting a stored
+    * flag, so the artifact stays a measurement, not a frozen decision:
+    * edit the sweep rows and the selection follows. One ≤(N+1)-row
+    * collect of an artifact-sized table.
+    */
+  def readSelectedGateMicro(spark: SparkSession, path: String): Long = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("f1_ppm").desc, col("cand").asc)
+      .select(col("threshold_micro"))
+      .limit(1).collect()
+    require(rows.nonEmpty, s"empty gate-selection artifact at $path")
+    rows(0).getLong(0)
+  }
+
   /** A trained EXPLICIT-VOCABULARY linear model: term → milli-weight
     * pairs in vocabulary order plus the bias — exactly the shape
     * [[scoreLinear]]/[[scoreExpr]] consume, so training round-trips

@@ -224,4 +224,40 @@ class CurateSpec extends AnyFunSuite {
     assert(viaArt == direct)
     assert(direct.map(_.head) == Seq(10L, 15L), direct.toString)
   }
+
+  test("stored sweep artifact drives the hashed gate: re-measuring re-gates with no code change") {
+    import graft.operators.QualityClassifier
+    // all-equal weights make the bucket irrelevant:
+    // score_micro = (6 + dl)·1000 / dl — 7000 at dl=1, 4000 at dl=2,
+    // 2000 at dl=6 (the TrainClassifierSpec sweep fixture)
+    val m = QualityClassifier.TrainedHashedModel(Seq.fill(8)(1L), biasMilli = 6L)
+    val corpus = Seq(
+      (1L, "a"), (2L, "b c"), (3L, "d e f g h i")).toDF("doc_id", "text")
+    val labeled = Seq(
+      (11L, "a", true), (12L, "a b", true),
+      (13L, "a b c", false), (14L, "a b c d e f", false))
+      .toDF("doc_id", "text", "is_good")
+    val path = java.nio.file.Files
+      .createTempDirectory("curate-gate-sweep").resolve("sweep").toString
+    // the pipeline build: its gate is read from the stored artifact at
+    // config time — nothing in here changes between measurements
+    def keptDocs(): Seq[Long] = {
+      val gate = DocPipeline.HashedModelGate.fromStoredSweep(
+        spark, path, m, "spec:")
+      DocPipeline.clean(corpus, "doc_id", "text",
+          DocPipeline.Config(minTokens = 1, hashedGate = Some(gate)))
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    val sweep = QualityClassifier.gateThresholdSweepMicro(
+      labeled, "doc_id", "text", col("is_good"), m, "spec:", nCandidates = 4)
+    QualityClassifier.writeGateSelection(sweep, path)
+    // the measured gate (3250): dl <= 2 survives
+    assert(keptDocs() == Seq(1L, 2L))
+    // a re-measured sweep whose F1 peak moved to cand 3 (gate 5750):
+    // the SAME pipeline build now keeps only the dl=1 doc
+    QualityClassifier.writeGateSelection(sweep.withColumn("f1_ppm",
+      when(col("cand") === 3L, lit(2000000L)).otherwise(col("f1_ppm"))), path)
+    assert(keptDocs() == Seq(1L),
+      "overwriting the stored sweep must re-gate the pipeline with no code change")
+  }
 }

@@ -66,4 +66,19 @@ class EntrySpec extends AnyFunSuite {
         s"$name must end in a global ORDER BY — its memo's row order is unspecified")
     }
   }
+
+  test("temp artifact dirs register for shutdown deletion; per-dir delete is recursive") {
+    import java.nio.file.Files
+    val d = SparkEntry.tempArtifactDir("spec-temp-art")
+    Files.writeString(d.resolve("x.txt"), "x")
+    val sub = Files.createDirectory(d.resolve("sub"))
+    Files.writeString(sub.resolve("y.txt"), "y")
+    // the shutdown hook's per-directory body — exercised on this
+    // test's OWN dir only (the all-dirs sweep would tear the live
+    // memos' stored artifacts out from under the suite)
+    SparkEntry.deleteTempArtifact(d)
+    assert(!Files.exists(d), "temp artifact tree must delete recursively")
+    // idempotent on an already-deleted dir (hook may race a manual clean)
+    SparkEntry.deleteTempArtifact(d)
+  }
 }

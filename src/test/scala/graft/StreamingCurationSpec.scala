@@ -125,4 +125,44 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(spark.read.parquet(stateDir)
       .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
+
+  test("hashed gate from the stored sweep rides streaming ingest; re-measuring re-gates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import graft.operators.QualityClassifier
+    val dir = Files.createTempDirectory("stream-curate-sweep").toString
+    val (stateDir, decDir, path) = (s"$dir/state", s"$dir/decisions", s"$dir/sweep")
+    val eval = Seq(Doc(9000L, "held out benchmark sentence nobody may train on ever"))
+      .toDF()
+    // score_micro = (6 + dl)·1000 / dl (the CurateSpec fixture):
+    // 7000 at dl=1, 4000 at dl=2, 2000 at dl=6
+    val m = QualityClassifier.TrainedHashedModel(Seq.fill(8)(1L), biasMilli = 6L)
+    val labeled = Seq(
+      (11L, "a", true), (12L, "a b", true),
+      (13L, "a b c", false), (14L, "a b c d e f", false))
+      .toDF("doc_id", "text", "is_good")
+    val sweep = QualityClassifier.gateThresholdSweepMicro(
+      labeled, "doc_id", "text", col("is_good"), m, "spec:", nCandidates = 4)
+    // the batch runner: the gate is read from the stored artifact at
+    // config-build time — identical code for both measurements
+    def runBatch(batchId: Long, docs: Seq[Doc]): Map[Long, String] = {
+      val cfg = DocPipeline.Config(minTokens = 1, hashedGate = Some(
+        DocPipeline.HashedModelGate.fromStoredSweep(spark, path, m, "spec:")))
+      StreamingCuration.curateBatch(docs.toDF(), eval, "doc_id", "text",
+        stateDir, decDir, batchId, cfg = cfg, maxHamming = 0)
+      spark.read.parquet(decDir).filter($"batch_id" === batchId)
+        .select("doc_id", "decision").as[(Long, String)].collect().toMap
+    }
+    QualityClassifier.writeGateSelection(sweep, path)
+    // measured gate 3250: the dl=2 doc passes, the dl=6 doc gates
+    val d1 = runBatch(1L, Seq(Doc(1L, "b c"), Doc(2L, "d e f g h i")))
+    assert(d1 == Map(1L -> "kept", 2L -> "model_filtered"))
+    // re-measured sweep (F1 peak at cand 3 → gate 5750): a fresh dl=2
+    // doc now gates through the SAME batch code
+    QualityClassifier.writeGateSelection(sweep.withColumn("f1_ppm",
+      when(col("cand") === 3L, lit(2000000L)).otherwise(col("f1_ppm"))), path)
+    val d2 = runBatch(2L, Seq(Doc(3L, "x y")))
+    assert(d2 == Map(3L -> "model_filtered"),
+      "overwriting the stored sweep must re-gate streaming ingest with no code change")
+  }
 }

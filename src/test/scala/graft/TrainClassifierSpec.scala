@@ -295,4 +295,48 @@ class TrainClassifierSpec extends AnyFunSuite {
     // reports the keep-everything confusion; best = loosest gate
     assert(rows == (0L to 4L).map(i => (i, 4000L, 1L, 1L, i == 0L)))
   }
+
+  test("scoreHashedExprMicro equals the groupBy micro scorer bit-for-bit") {
+    val m = QualityClassifier.trainHashed(corpus, "doc_id", "text",
+      label = col("is_good"), buckets = 64, seed = "spec:",
+      epochs = 2, lrNum = 50L, lrDen = 1L)
+    // include a zero-token doc: dl clamps to 1, score = bias-micro
+    val docs = corpus.select("doc_id", "text")
+      .unionByName(Seq((9999L, "   ")).toDF("doc_id", "text"))
+    val viaGroupBy = QualityClassifier
+      .scoreHashedWithWeightsMicro(docs, "doc_id", "text", m, "spec:", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val viaExpr = docs.select(col("doc_id"),
+        QualityClassifier.scoreHashedExprMicro(col("text"), m, "spec:").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaGroupBy,
+      "the per-row expression scorer must be bit-identical to the groupBy path")
+  }
+
+  test("stored gate-selection artifact: write, re-derived read, and re-measure swap") {
+    val m = QualityClassifier.TrainedHashedModel(Seq.fill(8)(1L), biasMilli = 6L)
+    val docs = Seq(
+      (1L, "a", true),
+      (2L, "a b", true),
+      (3L, "a b c", false),
+      (4L, "a b c d e f", false))
+      .toDF("doc_id", "text", "is_good")
+    val sweep = QualityClassifier.gateThresholdSweepMicro(
+      docs, "doc_id", "text", col("is_good"), m, "spec:", nCandidates = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("spec-gate-sweep").resolve("sweep").toString
+    QualityClassifier.writeGateSelection(sweep, path)
+    // the stored sweep selects what the inline selection selects
+    assert(QualityClassifier.readSelectedGateMicro(spark, path) == 3250L)
+    // the selection rule is RE-DERIVED from the stored rows, not read
+    // from the frozen is_best flag: overwrite the artifact with a
+    // re-measured sweep whose F1 peak moved (cand 3 now wins; the
+    // stale is_best still points at cand 1) and the read follows the
+    // measurements
+    val remeasured = sweep.withColumn("f1_ppm",
+      when(col("cand") === 3L, lit(2000000L)).otherwise(col("f1_ppm")))
+    QualityClassifier.writeGateSelection(remeasured, path)
+    assert(QualityClassifier.readSelectedGateMicro(spark, path) == 5750L,
+      "re-measured sweep rows must change the selected gate; a frozen flag must not pin it")
+  }
 }
