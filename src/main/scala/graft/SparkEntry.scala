@@ -347,6 +347,7 @@ object SparkEntry {
     curateStateShared(s, dir)
     curationFamilyArtifacts(s, dir)
     gateSweepArtifact(s, dir)
+    probeSweepArtifact(s, dir)
   }
 
   /** JVM-level memo of the four modality fingerprint tables over the
@@ -506,6 +507,16 @@ object SparkEntry {
        |      FROM f)""".stripMargin
   }
 
+  /** The shared q177/q180 oracle: the recall-sweep chain, the
+    * min-probe-meeting-target (else widest-measured) scalar subquery,
+    * and the deployed search at exactly that setting. q180 reads the
+    * width from the stored sweep artifact instead of sweeping inline.
+    */
+  private lazy val probeSelectOracleSql: String =
+    ivfPqProbeSelectOracle(m = 4, ks = 16, pqIters = 3, sub = 16,
+      nCells = 8, ivfIters = 3, probes = Seq(1, 2, 4, 8),
+      nQueries = 20, k = 3, refine = 3, targetRecallPpm = 900000L)
+
   /** The shared q176/q179 oracle: the sweep's best threshold
     * (re-derived from `z` by the max-F1 / loosest-tie rule) gates the
     * FULL corpus through the q167 scoring tail. q179 deploys the same
@@ -581,6 +592,29 @@ object SparkEntry {
           "doc_id", "text",
           label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
           trainedHeldoutModel(s, dir), "qtrain:", nCandidates = 16), p)
+      p
+    }
+
+  /** The STORED probe-selection artifact — [[gateSweepArtifact]]'s ANN
+    * twin: q172's recall-vs-nProbe sweep written once per JVM next to
+    * the index artifacts ([[operators.Similarity.writeProbeSweep]]).
+    * q180 reads the deployed width from it
+    * ([[operators.Similarity.readSelectedNProbe]] — the pickProbe rule
+    * re-derived from the stored rows), so the search fleet's knob is a
+    * stored measurement: re-measure the sweep and every consumer
+    * re-tunes with no code change.
+    */
+  private val probeSweepArtifactMemo = new SessionMemo[String, String]
+
+  private def probeSweepArtifact(s: SparkSession, dir: String): String =
+    probeSweepArtifactMemo.get(s, dir) {
+      val p = tempArtifactDir("graft-probe-sweep").resolve("sweep").toString
+      val e = T(s, dir, "embeddings")
+      val (cents, books) = pqIndex(s, dir)
+      operators.Similarity.writeProbeSweep(
+        Similarity.ivfPqRecallSweep(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", dims = 64, cents, books,
+          nProbes = Seq(1, 2, 4, 8), k = 3, refine = 3), p)
       p
     }
 
@@ -1534,6 +1568,27 @@ object SparkEntry {
         refine = 3, targetRecallPpm = 900000L)
       Similarity.ivfPqTopKWithIndex(qs, e, "vec_id", "embedding",
           dims = 64, cents, books, nProbe = np, k = 3, refine = 3)
+        .withColumn("n_probe", lit(np.toLong))
+        .withColumn("sim", round(col("sim"), 5))
+        .select("n_probe", "qid", "rank", "nbr", "sim")
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- extension: search at the STORED probe selection ----
+    // q177 through the production path (q179's pattern on the ANN
+    // knob): the deployed nProbe is READ from the stored q172 sweep —
+    // pickProbe's min-meeting-target/widest-measured rule re-derived
+    // from the stored rows, never a frozen flag — and only the search
+    // itself runs. Same oracle as q177: the stored-artifact read must
+    // deploy exactly the width the inline sweep selects
+    "q180_stored_probe" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val (cents, books) = pqIndex(s, dir)
+      val np = operators.Similarity.readSelectedNProbe(
+        s, probeSweepArtifact(s, dir), targetRecallPpm = 900000L)
+      Similarity.ivfPqTopKWithIndex(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", dims = 64, cents, books,
+          nProbe = np, k = 3, refine = 3)
         .withColumn("n_probe", lit(np.toLong))
         .withColumn("sim", round(col("sim"), 5))
         .select("n_probe", "qid", "rank", "nbr", "sim")
@@ -3009,24 +3064,24 @@ object SparkEntry {
     */
   private def kmeansCtesSql(k: Int, iters: Int, dims: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""nn AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-              |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
-              |c0 AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM nn WHERE vec_id < $k),
+    sb ++= s"""nn AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |n2 AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
+              |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM nn WHERE vec_id < $k),
               |""".stripMargin
     for (i <- 1 to iters) {
-      sb ++= s"""a$i AS (SELECT vec_id, v, cid FROM (
+      sb ++= s"""a$i AS MATERIALIZED (SELECT vec_id, v, cid FROM (
                 |  SELECT n2.vec_id, n2.v, c.cid,
                 |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
                 |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
                 |  FROM n2 CROSS JOIN c${i - 1} c) t WHERE rn = 1),
-                |m$i AS (SELECT cid, dim,
+                |m$i AS MATERIALIZED (SELECT cid, dim,
                 |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) * CAST((2 * abs(s) + cnt) // (2 * cnt) AS BIGINT) AS cm
                 |  FROM (SELECT cid, CAST(d.dim AS BIGINT) AS dim,
                 |      CAST(SUM(CAST(round(round(v[d.dim + 1], 6) * 1000000) AS BIGINT)) AS BIGINT) AS s,
                 |      COUNT(*) AS cnt
                 |    FROM a$i CROSS JOIN (SELECT unnest(range($dims)) AS dim) d
                 |    WHERE d.dim < len(v) GROUP BY 1, 2) t),
-                |c$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+                |c$i AS MATERIALIZED (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
                 |  SELECT cid, list_transform(list(cm ORDER BY dim), m -> CAST(m AS DOUBLE) / 1000000) AS cv
                 |  FROM m$i GROUP BY cid) t),
                 |""".stripMargin
@@ -3081,24 +3136,24 @@ object SparkEntry {
       ks: Int, iters: Int, sub: Int, off: Int, p: String,
       trainFilter: String = "TRUE"): String = {
     val sb = new StringBuilder
-    sb ++= s"""${p}nn AS (SELECT vec_id, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${off + 1}, ${off + sub}) AS v FROM embeddings WHERE $trainFilter),
-              |${p}n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ${p}nn),
-              |${p}c0 AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM ${p}nn WHERE vec_id < $ks),
+    sb ++= s"""${p}nn AS MATERIALIZED (SELECT vec_id, list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${off + 1}, ${off + sub}) AS v FROM embeddings WHERE $trainFilter),
+              |${p}n2 AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ${p}nn),
+              |${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn FROM ${p}nn WHERE vec_id < $ks),
               |""".stripMargin
     for (i <- 1 to iters) {
-      sb ++= s"""${p}a$i AS (SELECT vec_id, v, cid FROM (
+      sb ++= s"""${p}a$i AS MATERIALIZED (SELECT vec_id, v, cid FROM (
                 |  SELECT n2.vec_id, n2.v, c.cid,
                 |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
                 |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
                 |  FROM ${p}n2 n2 CROSS JOIN ${p}c${i - 1} c) t WHERE rn = 1),
-                |${p}m$i AS (SELECT cid, dim,
+                |${p}m$i AS MATERIALIZED (SELECT cid, dim,
                 |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) * CAST((2 * abs(s) + cnt) // (2 * cnt) AS BIGINT) AS cm
                 |  FROM (SELECT cid, CAST(d.dim AS BIGINT) AS dim,
                 |      CAST(SUM(CAST(round(round(v[d.dim + 1], 6) * 1000000) AS BIGINT)) AS BIGINT) AS s,
                 |      COUNT(*) AS cnt
                 |    FROM ${p}a$i CROSS JOIN (SELECT unnest(range($sub)) AS dim) d
                 |    WHERE d.dim < len(v) GROUP BY 1, 2) t),
-                |${p}c$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+                |${p}c$i AS MATERIALIZED (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
                 |  SELECT cid, list_transform(list(cm ORDER BY dim), m -> CAST(m AS DOUBLE) / 1000000) AS cv
                 |  FROM ${p}m$i GROUP BY cid) t),
                 |""".stripMargin
@@ -3314,13 +3369,13 @@ object SparkEntry {
     ivfPqRecallSweepChain(m, ks, pqIters, sub, nCells, ivfIters, probes,
       nQueries, k, refine) +
       s""",
-         |rep AS (SELECT CAST(p.n_probe AS BIGINT) AS n_probe,
+         |rep AS MATERIALIZED (SELECT CAST(p.n_probe AS BIGINT) AS n_probe,
          |    CAST(COALESCE(h.hits, 0) * 1000000 // tot.possible AS BIGINT) AS recall_ppm
          |  FROM probes p CROSS JOIN tot LEFT JOIN h ON h.n_probe = p.n_probe),
          |best AS (SELECT CAST(COALESCE(
          |    (SELECT min(n_probe) FROM rep WHERE recall_ppm >= $targetRecallPpm),
          |    (SELECT max(n_probe) FROM rep)) AS BIGINT) AS np),
-         |sel AS (SELECT a.qid, a.nbr, e.sim
+         |sel AS MATERIALIZED (SELECT a.qid, a.nbr, e.sim
          |  FROM ann a JOIN ex e ON e.n_probe = a.n_probe
          |    AND e.qid = a.qid AND e.nbr = a.nbr
          |  WHERE a.n_probe = (SELECT np FROM best)),
@@ -3339,7 +3394,7 @@ object SparkEntry {
       .mkString(",\n")
     // same NaN-to--Infinity guard as pqAdcOracle's enc CTEs
     val encs = (0 until m).map { mi =>
-      s"""enc$mi AS (SELECT vec_id, cid AS code, cnn FROM (
+      s"""enc$mi AS MATERIALIZED (SELECT vec_id, cid AS code, cnn FROM (
          |  SELECT n.vec_id, c.cid, list_dot_product(c.cv, c.cv) AS cnn,
          |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
          |      ORDER BY CASE WHEN isnan(list_dot_product(n.v, c.cv) / (n.nrm * c.cn))
@@ -3358,19 +3413,19 @@ object SparkEntry {
     s"""WITH ${kmeansCtesSql(nCells, ivfIters, 64)},
        |$books,
        |$encs,
-       |ca AS (SELECT vec_id AS nbr, cid AS cell FROM (
+       |ca AS MATERIALIZED (SELECT vec_id AS nbr, cid AS cell FROM (
        |  SELECT n2.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
        |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
        |  FROM n2 CROSS JOIN c$ivfIters c) t WHERE rn = 1),
-       |qa AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell,
+       |qa AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS cell,
        |    CAST(rn AS BIGINT) AS probe_rank FROM (
        |  SELECT n2.vec_id, n2.v, n2.nrm, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
        |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
        |  FROM n2 CROSS JOIN c$ivfIters c WHERE n2.vec_id < $nQueries) t WHERE rn <= $maxProbe),
        |probes(n_probe) AS (VALUES $probeRows),
-       |coarse AS (SELECT q.qid, q.probe_rank, x.nbr,
+       |coarse AS MATERIALIZED (SELECT q.qid, q.probe_rank, x.nbr,
        |    ($adExpr) / (q.qn * sqrt($cnnExpr)) AS asim
        |  FROM qa q
        |  JOIN ca x ON x.cell = q.cell AND x.nbr <> q.qid
@@ -3381,15 +3436,15 @@ object SparkEntry {
        |      ORDER BY c.asim DESC, c.nbr) AS rn
        |  FROM coarse c JOIN probes p ON c.probe_rank <= p.n_probe) t
        |  WHERE rn <= ${k * refine}),
-       |ex AS (SELECT cand.n_probe, cand.qid, cand.nbr,
+       |ex AS MATERIALIZED (SELECT cand.n_probe, cand.qid, cand.nbr,
        |         list_dot_product(q2.v, x2.v) / (q2.nrm * x2.nrm) AS sim
        |       FROM cand JOIN n2 q2 ON q2.vec_id = cand.qid
        |                 JOIN n2 x2 ON x2.vec_id = cand.nbr),
-       |ann AS (SELECT n_probe, qid, nbr FROM (
+       |ann AS MATERIALIZED (SELECT n_probe, qid, nbr FROM (
        |  SELECT n_probe, qid, nbr,
        |    ROW_NUMBER() OVER (PARTITION BY n_probe, qid ORDER BY sim DESC, nbr) AS r
        |  FROM ex) t WHERE r <= $k),
-       |gt AS (SELECT qid, nbr FROM (
+       |gt AS MATERIALIZED (SELECT qid, nbr FROM (
        |  SELECT q.vec_id AS qid, x.vec_id AS nbr,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |      ORDER BY list_dot_product(q.v, x.v) / (q.nrm * x.nrm) DESC, x.vec_id) AS r
@@ -4228,11 +4283,11 @@ object SparkEntry {
         nQueries = 20, k = 3, refine = 3),
 
     // probe auto-selection: the sweep chain + min-probe-meeting-target
-    // scalar subquery + the deployed search at exactly that setting
-    "q177_probe_select" ->
-      ivfPqProbeSelectOracle(m = 4, ks = 16, pqIters = 3, sub = 16,
-        nCells = 8, ivfIters = 3, probes = Seq(1, 2, 4, 8),
-        nQueries = 20, k = 3, refine = 3, targetRecallPpm = 900000L),
+    // scalar subquery + the deployed search at exactly that setting.
+    // q180 shares the oracle verbatim: the stored-sweep read must
+    // deploy exactly the width the inline selection picks
+    "q177_probe_select" -> probeSelectOracleSql,
+    "q180_stored_probe" -> probeSelectOracleSql,
 
     // hot-cell split: grouped Lloyd replay + before/after health rows
     "q173_cell_rebalance" ->

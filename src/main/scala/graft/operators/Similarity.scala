@@ -1958,4 +1958,29 @@ object Similarity {
     val meeting = sweep.collect { case (np, rec) if rec >= targetRecallPpm => np }
     (if (meeting.nonEmpty) meeting.min else sweep.map(_._1).max).toInt
   }
+
+  /** Persist an [[ivfPqRecallSweep]] as a STORED selection artifact —
+    * the ANN twin of [[QualityClassifier.writeGateSelection]]: the
+    * recall-vs-cost measurement lives next to the index's centroid and
+    * codebook tables, and the deployed probe width is read from it at
+    * search-config time, so re-measuring the sweep (fresh queries, a
+    * re-trained index) re-tunes every consumer with no code change.
+    */
+  def writeProbeSweep(sweep: DataFrame, path: String): Unit =
+    sweep.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** The deployed probe width read from a stored sweep artifact:
+    * [[pickProbe]]'s rule (minimum measured probe meeting the recall
+    * target, else the widest MEASURED one — never an unmeasured
+    * setting) re-derived from the stored `(n_probe, recall_ppm)` rows,
+    * never from a frozen flag, so edited measurements change the
+    * selection. One bounded collect of an artifact-sized table.
+    */
+  def readSelectedNProbe(
+      spark: SparkSession, path: String, targetRecallPpm: Long): Int = {
+    val rows = spark.read.parquet(path)
+      .select(col("n_probe"), col("recall_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    pickProbe(rows, targetRecallPpm)
+  }
 }

@@ -43,4 +43,29 @@ class SweepSpec extends AnyFunSuite {
     assert(Similarity.pickProbe(sweep, 999999L) == 8)
     intercept[IllegalArgumentException](Similarity.pickProbe(Nil, 1L))
   }
+
+  test("stored probe sweep: write, re-derived read, and re-measure swap") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import graft.operators.Similarity
+    val sweep = Seq(
+      (1L, 20L, 10L, 60L, 500000L),
+      (2L, 20L, 53L, 60L, 880000L),
+      (4L, 20L, 56L, 60L, 930000L),
+      (8L, 20L, 59L, 60L, 990000L))
+      .toDF("n_probe", "n_queries", "hits", "possible", "recall_ppm")
+    val path = java.nio.file.Files
+      .createTempDirectory("spec-probe-sweep").resolve("sweep").toString
+    Similarity.writeProbeSweep(sweep, path)
+    assert(Similarity.readSelectedNProbe(spark, path, 900000L) == 4)
+    assert(Similarity.readSelectedNProbe(spark, path, 999999L) == 8,
+      "widest-measured fallback must hold through the stored path")
+    // a re-measured sweep (probe 2 now meets the bar) changes the
+    // deployed width through the SAME read — the selection rule is
+    // re-derived from the stored rows, never frozen into the artifact
+    Similarity.writeProbeSweep(sweep.withColumn("recall_ppm",
+      when(col("n_probe") === 2L, lit(950000L))
+        .otherwise(col("recall_ppm"))), path)
+    assert(Similarity.readSelectedNProbe(spark, path, 900000L) == 2,
+      "overwriting the stored sweep must re-tune the deployed probe width")
+  }
 }
