@@ -350,7 +350,7 @@ object SparkEntry {
   private[graft] def prewarmStoredInputs(s: SparkSession, dir: String): Unit = {
     curateStateShared(s, dir)
     curationFamilyArtifacts(s, dir)
-    gateSweepArtifact(s, dir)
+    gateDeployArtifacts(s, dir)
     probeSweepArtifact(s, dir)
   }
 
@@ -575,42 +575,49 @@ object SparkEntry {
         buckets = 64, seed = "qtrain:", epochs = 3, lrNum = 20L, lrDen = 1L)
     }
 
-  /** The STORED gate-selection artifact: q175's sweep over the
-    * held-out fold, written once per JVM as a parquet table
-    * ([[operators.QualityClassifier.writeGateSelection]]) — the
-    * measured-threshold twin of the IVF centroid table. q179 and the
-    * pipeline-config path ([[operators.DocPipeline.HashedModelGate
-    * .fromStoredSweep]]) read the selected gate from it, so the
-    * deployed threshold is a stored MEASUREMENT: overwrite the sweep
-    * and every consumer re-gates with no code change (CurateSpec /
-    * StreamingCurationSpec assert exactly that swap).
+  /** The STORED gate-deploy artifacts: the held-out-trained model
+    * (q162's report shape, [[operators.QualityClassifier
+    * .writeHashedModel]]) and q175's sweep over the held-out fold
+    * ([[operators.QualityClassifier.writeGateSelection]]), written
+    * once per JVM under one base dir — the measured-gate twin of the
+    * IVF index artifacts. q179 and the pipeline-config path
+    * ([[operators.DocPipeline.HashedModelGate.fromStoredSweep]]) read
+    * BOTH tables and retrain nothing: the deployed model and threshold
+    * are stored measurements, so overwriting either re-deploys every
+    * consumer with no code change (CurateSpec / StreamingCurationSpec
+    * assert the sweep swap).
+    *
+    * Returns `(modelPath, sweepPath)`.
     */
-  private val gateSweepArtifactMemo = new SessionMemo[String, String]
+  private val gateArtifactsMemo = new SessionMemo[String, (String, String)]
 
-  private def gateSweepArtifact(s: SparkSession, dir: String): String =
-    gateSweepArtifactMemo.get(s, dir) {
-      val p = tempArtifactDir("graft-gate-sweep").resolve("sweep").toString
-      // train the sweep's model DIRECTLY, not through the
-      // trainedHeldoutModel memo: this builder runs in Bench's
-      // stored-input prewarm, and filling a shared RESULT memo there
-      // would silently relieve q174/q175/q176/q178 of the held-out
-      // training they are measured paying (the warmup-never-fills-
-      // result-memos rule). The duplicate training is untimed prewarm
-      // cost; identical params, so the sweep rows are identical.
+  private def gateDeployArtifacts(
+      s: SparkSession, dir: String): (String, String) =
+    gateArtifactsMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-gate-deploy")
+      val (mp, sp) = (base.resolve("model").toString, base.resolve("sweep").toString)
+      // train the model DIRECTLY, not through the trainedHeldoutModel
+      // memo: this builder runs in Bench's stored-input prewarm, and
+      // filling a shared RESULT memo there would silently relieve
+      // q174/q175/q176/q178 of the held-out training they are measured
+      // paying (the warmup-never-fills-result-memos rule). The
+      // duplicate training is untimed prewarm cost; identical params,
+      // so the stored tables are identical.
       val docs = T(s, dir, "documents")
       val m = operators.QualityClassifier.trainHashed(
         docs.filter(!evalFold(col("doc_id"))), "doc_id", "text",
         label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
         buckets = 64, seed = "qtrain:", epochs = 3, lrNum = 20L, lrDen = 1L)
+      operators.QualityClassifier.writeHashedModel(s, m, mp)
       operators.QualityClassifier.writeGateSelection(
         operators.QualityClassifier.gateThresholdSweepMicro(
           docs.filter(evalFold(col("doc_id"))), "doc_id", "text",
           label = array_contains(TextAnalysis.tokens(col("text")), "spark"),
-          m, "qtrain:", nCandidates = 16), p)
-      p
+          m, "qtrain:", nCandidates = 16), sp)
+      (mp, sp)
     }
 
-  /** The STORED probe-selection artifact — [[gateSweepArtifact]]'s ANN
+  /** The STORED probe-selection artifact — [[gateDeployArtifacts]]'s ANN
     * twin: q172's recall-vs-nProbe sweep written once per JVM next to
     * the index artifacts ([[operators.Similarity.writeProbeSweep]]).
     * q180 reads the deployed width from it
@@ -625,7 +632,7 @@ object SparkEntry {
     probeSweepArtifactMemo.get(s, dir) {
       val p = tempArtifactDir("graft-probe-sweep").resolve("sweep").toString
       val e = T(s, dir, "embeddings")
-      // same rationale as gateSweepArtifact: train the index layers
+      // same rationale as gateDeployArtifacts: train the index layers
       // directly rather than through the pqIndex memo, so the prewarm
       // build never relieves q144/q149 of the training they measure.
       val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
@@ -2092,19 +2099,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- extension: deploy from the STORED selection artifact ----
-    // q176's tail through the production path: the gate threshold is
-    // READ from the stored q175 sweep (re-deriving the max-F1 /
-    // loosest-tie rule from the stored rows, never trusting a frozen
-    // flag), and the full corpus is scored by the per-row expression
-    // scorer — the same pure-codegen gate DocPipeline.Config.hashedGate
-    // rides inside a curation scan. Same oracle as q176: the two paths
-    // must agree bit-for-bit on every (dl, score_micro, keep)
+    // ---- extension: deploy from the STORED artifacts ----
+    // q176's tail through the production path: the model AND the gate
+    // threshold are READ from stored tables (weights in q162's report
+    // shape; the threshold by re-deriving the max-F1/loosest-tie rule
+    // from the stored q175 sweep rows, never a frozen flag) — nothing
+    // retrains — and the full corpus is scored by the per-row
+    // expression scorer, the same pure-codegen gate
+    // DocPipeline.Config.hashedGate rides inside a curation scan. Same
+    // oracle as q176: the deploy path must agree bit-for-bit on every
+    // (dl, score_micro, keep)
     "q179_stored_gate" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val m = trainedHeldoutModel(s, dir)
-      val thr = operators.QualityClassifier.readSelectedGateMicro(
-        s, gateSweepArtifact(s, dir))
+      val (modelPath, sweepPath) = gateDeployArtifacts(s, dir)
+      val m = operators.QualityClassifier.readHashedModel(s, modelPath)
+      val thr = operators.QualityClassifier.readSelectedGateMicro(s, sweepPath)
       docs.select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"),
           operators.QualityClassifier.scoreHashedExprMicro(

@@ -607,6 +607,37 @@ object QualityClassifier {
   def writeGateSelection(sweep: DataFrame, path: String): Unit =
     sweep.coalesce(1).write.mode("overwrite").parquet(path)
 
+  /** Persist a trained hashed model as a STORED artifact — q162's
+    * report shape exactly (`(bucket, weight_milli)`, bias at bucket
+    * −1), so the table a pipeline run publishes IS the table a deploy
+    * reads back. A production gate consumes two stored tables (model +
+    * sweep) and retrains nothing.
+    */
+  def writeHashedModel(
+      spark: SparkSession, model: TrainedHashedModel, path: String): Unit = {
+    import spark.implicits._
+    ((-1L, model.biasMilli) +: model.weightsMilli.zipWithIndex.map {
+        case (w, b) => (b.toLong, w)
+      })
+      .toDF("bucket", "weight_milli")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read back a [[writeHashedModel]] artifact. Fails with a named
+    * error on a gapped bucket range (a partial write would otherwise
+    * silently shift every weight one bucket left).
+    */
+  def readHashedModel(spark: SparkSession, path: String): TrainedHashedModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("bucket"), col("weight_milli"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val buckets = rows.size - 1
+    require(rows.contains(-1L), s"model artifact at $path has no bias row")
+    require((0L until buckets.toLong).forall(rows.contains),
+      s"model artifact at $path has a gapped bucket range (${rows.size} rows)")
+    TrainedHashedModel((0 until buckets).map(b => rows(b.toLong)), rows(-1L))
+  }
+
   /** The selected gate read from a stored sweep artifact. The selection
     * RULE (max F1, ties to the smallest candidate = the loosest gate)
     * is RE-DERIVED from the stored rows rather than trusting a stored

@@ -313,6 +313,25 @@ class TrainClassifierSpec extends AnyFunSuite {
       "the per-row expression scorer must be bit-identical to the groupBy path")
   }
 
+  test("stored hashed model round-trips through the q162 report shape") {
+    val m = QualityClassifier.trainHashed(corpus, "doc_id", "text",
+      label = col("is_good"), buckets = 16, seed = "spec:",
+      epochs = 2, lrNum = 50L, lrDen = 1L)
+    val path = java.nio.file.Files
+      .createTempDirectory("spec-model-art").resolve("model").toString
+    QualityClassifier.writeHashedModel(spark, m, path)
+    assert(QualityClassifier.readHashedModel(spark, path) == m,
+      "stored model must read back bit-identical")
+    // a gapped bucket range (partial write) fails with a named error,
+    // never a silently shifted weight array
+    val gapped = spark.read.parquet(path).filter(col("bucket") =!= 7L)
+    gapped.coalesce(1).write.mode("overwrite").parquet(path + "2")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.readHashedModel(spark, path + "2")
+    }
+    assert(e.getMessage.contains("gapped bucket range"))
+  }
+
   test("stored gate-selection artifact: write, re-derived read, and re-measure swap") {
     val m = QualityClassifier.TrainedHashedModel(Seq.fill(8)(1L), biasMilli = 6L)
     val docs = Seq(
