@@ -66,6 +66,20 @@ object DocPipeline {
         seed: String): HashedModelGate =
       HashedModelGate(model, seed,
         QualityClassifier.readSelectedGateMicro(spark, sweepPath))
+
+    /** The fully-stored deploy: model weights AND threshold read from
+      * their artifacts ([[QualityClassifier.readHashedModel]] /
+      * [[QualityClassifier.readSelectedGateMicro]]) — the pipeline
+      * config retrains and hand-tunes nothing.
+      */
+    def fromStoredArtifacts(
+        spark: org.apache.spark.sql.SparkSession,
+        modelPath: String,
+        sweepPath: String,
+        seed: String): HashedModelGate =
+      HashedModelGate(
+        QualityClassifier.readHashedModel(spark, modelPath), seed,
+        QualityClassifier.readSelectedGateMicro(spark, sweepPath))
   }
 
   /** The model gate of `cfg` as a per-row predicate (`true` when no

@@ -237,13 +237,16 @@ class CurateSpec extends AnyFunSuite {
       (11L, "a", true), (12L, "a b", true),
       (13L, "a b c", false), (14L, "a b c d e f", false))
       .toDF("doc_id", "text", "is_good")
-    val path = java.nio.file.Files
-      .createTempDirectory("curate-gate-sweep").resolve("sweep").toString
-    // the pipeline build: its gate is read from the stored artifact at
-    // config time — nothing in here changes between measurements
+    val base = java.nio.file.Files.createTempDirectory("curate-gate-art")
+    val (modelPath, path) =
+      (base.resolve("model").toString, base.resolve("sweep").toString)
+    QualityClassifier.writeHashedModel(spark, m, modelPath)
+    // the pipeline build: model AND gate are read from the stored
+    // artifacts at config time — nothing in here changes between
+    // measurements, and nothing retrains
     def keptDocs(): Seq[Long] = {
-      val gate = DocPipeline.HashedModelGate.fromStoredSweep(
-        spark, path, m, "spec:")
+      val gate = DocPipeline.HashedModelGate.fromStoredArtifacts(
+        spark, modelPath, path, "spec:")
       DocPipeline.clean(corpus, "doc_id", "text",
           DocPipeline.Config(minTokens = 1, hashedGate = Some(gate)))
         .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
