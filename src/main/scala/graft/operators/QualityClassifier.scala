@@ -586,15 +586,26 @@ object QualityClassifier {
     val buckets = model.weightsMilli.size
     require(buckets > 0, "empty weight array")
     val wArr = typedLit(model.weightsMilli)
-    val toks = TextAnalysis.tokens(textCol)
-    val raw = aggregate(toks, lit(model.biasMilli), (acc, t) =>
-      acc + element_at(wArr,
-        (Sampling.hexPrefixValue(md5(concat(lit(seed), t))) % buckets + 1)
-          .cast("int")))
-    val d = lit(1000L) * greatest(size(toks).cast("long"), lit(1L))
-    val q = idiv(
-      abs(raw).cast("decimal(38,0)") * lit(1000000L) + idiv(d, lit(2L)), d)
-    (when(raw < 0, lit(-1L)).otherwise(lit(1L)) * q).cast("long")
+    // the whole micro finish lives in the aggregate's FINISH lambda,
+    // where the accumulator is a bound VARIABLE: higher-order
+    // functions get no common-subexpression elimination, so a finish
+    // built OUTSIDE the aggregate (sign test + abs both referencing
+    // the aggregate) re-ran the per-token md5 work once per reference
+    // (~2x the scan cost, measured in-bench). The accumulator carries
+    // (raw, dl) so document length needs no second tokenize either.
+    aggregate(TextAnalysis.tokens(textCol),
+      struct(lit(model.biasMilli).as("n"), lit(0L).as("dl")),
+      (acc, t) => struct(
+        (acc("n") + element_at(wArr,
+          (Sampling.hexPrefixValue(md5(concat(lit(seed), t))) % buckets + 1)
+            .cast("int"))).as("n"),
+        (acc("dl") + lit(1L)).as("dl")),
+      acc => {
+        val d = lit(1000L) * greatest(acc("dl"), lit(1L))
+        val q = idiv(abs(acc("n")).cast("decimal(38,0)") * lit(1000000L) +
+          idiv(d, lit(2L)), d)
+        (when(acc("n") < 0, lit(-1L)).otherwise(lit(1L)) * q).cast("long")
+      })
   }
 
   /** Persist a [[gateThresholdSweepMicro]] result as a STORED selection
