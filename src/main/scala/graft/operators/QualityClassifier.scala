@@ -555,18 +555,6 @@ object QualityClassifier {
       .select(col("threshold_micro"))
       .collect()(0).getLong(0)
 
-  /** Integral divide (`div`) on arbitrary Columns — `IntegralDivide`
-    * through the graftbridge, because `functions._` has no operator
-    * form and `expr("a div b")` can only reference NAMED columns (a
-    * per-row gate expression has no select to name intermediates in).
-    * The analyzer applies the same type coercion as parsed `div`.
-    */
-  private def idiv(a: Column, b: Column): Column =
-    org.apache.spark.sql.graftbridge.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.graftbridge.expression(a),
-        org.apache.spark.sql.graftbridge.expression(b)))
-
   /** [[scoreHashedWithWeightsMicro]]'s score as a SINGLE per-row
     * expression — the hashed twin of [[scoreExpr]], for FILTER stages
     * ([[DocPipeline.Config.hashedGate]]): `aggregate` over the token
@@ -583,29 +571,16 @@ object QualityClassifier {
       textCol: Column,
       model: TrainedHashedModel,
       seed: String): Column = {
-    val buckets = model.weightsMilli.size
-    require(buckets > 0, "empty weight array")
-    val wArr = typedLit(model.weightsMilli)
-    // the whole micro finish lives in the aggregate's FINISH lambda,
-    // where the accumulator is a bound VARIABLE: higher-order
-    // functions get no common-subexpression elimination, so a finish
-    // built OUTSIDE the aggregate (sign test + abs both referencing
-    // the aggregate) re-ran the per-token md5 work once per reference
-    // (~2x the scan cost, measured in-bench). The accumulator carries
-    // (raw, dl) so document length needs no second tokenize either.
-    aggregate(TextAnalysis.tokens(textCol),
-      struct(lit(model.biasMilli).as("n"), lit(0L).as("dl")),
-      (acc, t) => struct(
-        (acc("n") + element_at(wArr,
-          (Sampling.hexPrefixValue(md5(concat(lit(seed), t))) % buckets + 1)
-            .cast("int"))).as("n"),
-        (acc("dl") + lit(1L)).as("dl")),
-      acc => {
-        val d = lit(1000L) * greatest(acc("dl"), lit(1L))
-        val q = idiv(abs(acc("n")).cast("decimal(38,0)") * lit(1000000L) +
-          idiv(d, lit(2L)), d)
-        (when(acc("n") < 0, lit(-1L)).otherwise(lit(1L)) * q).cast("long")
-      })
+    require(model.weightsMilli.nonEmpty, "empty weight array")
+    // one fused codegen node (graft.functions.HashedMicroScore): a
+    // higher-order `aggregate` spelling of the same arithmetic runs
+    // interpreted (HOFs get no whole-stage codegen) and measured ~3x
+    // the codegen'd explode path on the same corpus; the fused kernel
+    // tokenizes the UTF8 bytes in place and hashes each token once.
+    // Bit-identical to the groupBy scorer (TrainClassifierSpec) and
+    // the DuckDB oracle replay (q179).
+    graft.functions.HashedMicroScore.scoreMicro(
+      textCol, model.weightsMilli, model.biasMilli, seed)
   }
 
   /** Persist a [[gateThresholdSweepMicro]] result as a STORED selection
