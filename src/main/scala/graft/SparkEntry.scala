@@ -352,6 +352,7 @@ object SparkEntry {
     curationFamilyArtifacts(s, dir)
     gateDeployArtifacts(s, dir)
     probeSweepArtifact(s, dir)
+    refLmArtifact(s, dir)
   }
 
   /** JVM-level memo of the four modality fingerprint tables over the
@@ -527,6 +528,16 @@ object SparkEntry {
     * semantics through the stored artifact + per-row expression
     * scorer, so the two queries must agree bit-for-bit.
     */
+  /** The shared q182/q183 oracle: the reference LM trained on the
+    * lang='en' slice, the whole pool scored under the λ=0.7
+    * interpolated model, and the head/middle/tail value-cutoff
+    * buckets. q183 reads the STORED model instead of training — the
+    * counts are exact integers, so the two paths must agree
+    * bit-for-bit.
+    */
+  private lazy val refLmBucketsOracleSql: String =
+    operators.Ranking.refLmBucketsSql("documents", "doc_id", "text", "lang = 'en'")
+
   private lazy val selectGateOracleSql: String = {
     val toksList = operators.TextAnalysis.tokensSql("text")
     val hex = operators.Sampling.hexPrefixSql("md5('qtrain:' || term)")
@@ -643,6 +654,30 @@ object SparkEntry {
         Similarity.ivfPqRecallSweep(e.filter(col("vec_id") < 20), e,
           "vec_id", "embedding", dims = 64, cents, books,
           nProbes = Seq(1, 2, 4, 8), k = 3, refine = 3), p)
+      p
+    }
+
+  /** The STORED reference-LM artifact — [[gateDeployArtifacts]]'s
+    * pattern for the perplexity-filter stage: the CCNet-style
+    * interpolated bigram LM trains ONCE on the reference slice
+    * (lang = 'en' — the per-language trusted partition) and persists
+    * as four count tables ([[operators.Ranking.writeRefLm]]).
+    * q183 scores the pool by READING them
+    * ([[operators.Ranking.readRefLm]]) — retrain/overwrite the stored
+    * counts and every consumer re-scores with no code change. Built
+    * directly (not through a result memo) for the same prewarm-
+    * isolation reason as the gate artifacts: q181/q182 are measured
+    * paying their own training.
+    */
+  private val refLmArtifactMemo = new SessionMemo[String, String]
+
+  private def refLmArtifact(s: SparkSession, dir: String): String =
+    refLmArtifactMemo.get(s, dir) {
+      val p = tempArtifactDir("graft-reflm").resolve("model").toString
+      operators.Ranking.writeRefLm(
+        operators.Ranking.refLmTrain(
+          T(s, dir, "documents"), "doc_id", "text", col("lang") === "en"),
+        p)
       p
     }
 
@@ -2120,6 +2155,52 @@ object SparkEntry {
             col("text"), m, "qtrain:").as("score_micro"))
         .withColumn("keep", col("score_micro") >= thr)
         .orderBy("doc_id")
+    }),
+
+    // ---- extension: reference LM training (CCNet perplexity stage) ----
+    // the LM the perplexity filter scores against: interpolated bigram
+    // counts trained on the trusted reference slice (lang = 'en' — the
+    // per-language Wikipedia stand-in). Pure partial-aggregated counts
+    // over one tokenized scan; the report is the 25 heaviest bigrams
+    // with their context/unigram counts plus the model totals
+    "q181_reflm_train" -> ((s, dir) => {
+      val m = operators.Ranking.refLmTrain(
+        T(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+      m.bigrams
+        .join(m.contexts, "w1")
+        .join(m.unigrams.withColumnRenamed("term", "w2")
+          .withColumnRenamed("c1", "c1_w2"), "w2")
+        .crossJoin(broadcast(m.totals))
+        .select("w1", "w2", "cb", "ctx", "c1_w2", "n_ref_tokens", "vocab")
+        .orderBy(col("cb").desc, col("w1"), col("w2"))
+        .limit(25)
+    }),
+
+    // ---- extension: perplexity bucketing under the reference LM ----
+    // CCNet's head/middle/tail split: every pool document's mean
+    // bigram log-prob under the lang='en' reference LM (Jelinek-Mercer
+    // λ=0.7 with add-1 unigram smoothing, so OOV pool text scores
+    // finite), bucketed by VALUE cutoffs at the exact tertile ranks —
+    // the order statistics come from a histogram of distinct rounded
+    // scores, never a global row_number over the corpus
+    "q182_perplexity_bucket" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val m = operators.Ranking.refLmTrain(
+        docs, "doc_id", "text", col("lang") === "en")
+      operators.Ranking.refLmPerplexityBuckets(
+        operators.Ranking.refLmScore(docs, "doc_id", "text", m))
+    }),
+
+    // ---- extension: perplexity filter from the STORED reference LM ----
+    // q182 through the production path (the q179/q180 pattern on the
+    // LM stage): the scoring fleet READS the stored count tables and
+    // trains nothing. Same oracle as q182: the stored-artifact read
+    // must reproduce the inline-trained buckets bit-for-bit
+    "q183_stored_reflm" -> ((s, dir) => {
+      val m = operators.Ranking.readRefLm(s, refLmArtifact(s, dir))
+      operators.Ranking.refLmPerplexityBuckets(
+        operators.Ranking.refLmScore(
+          T(s, dir, "documents"), "doc_id", "text", m))
     }),
 
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
@@ -5118,6 +5199,14 @@ object SparkEntry {
     // inline selection + groupBy scorer
     "q176_select_gate" -> selectGateOracleSql,
     "q179_stored_gate" -> selectGateOracleSql,
+
+    "q181_reflm_train" ->
+      operators.Ranking.refLmTrainSql("documents", "doc_id", "text", "lang = 'en'", k = 25),
+
+    // q183 shares this oracle verbatim: the stored-LM read + scoring
+    // must reproduce the inline-trained buckets bit-for-bit
+    "q182_perplexity_bucket" -> refLmBucketsOracleSql,
+    "q183_stored_reflm" -> refLmBucketsOracleSql,
 
     "q157_chunk_plan" ->
       """WITH tk AS (SELECT doc_id,

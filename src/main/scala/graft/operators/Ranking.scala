@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.TopKPerKey
@@ -342,6 +343,281 @@ object Ranking {
        |      FROM tf JOIN lr USING (term) WHERE NOT tf.t GROUP BY 1)
        |SELECT $idCol, n_tokens, round(CAST(slr AS DOUBLE) / n_tokens, 6) AS logw
        |FROM d ORDER BY logw DESC, $idCol LIMIT $k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Reference-trained interpolated bigram LM (CCNet-style perplexity
+  // filtering — Wenzek et al. 2020, "CCNet: Extracting High Quality
+  // Monolingual Datasets from Web Crawl Data", arXiv:1911.00359).
+  //
+  // [[unigramLogProb]]/[[bigramLogProb]] score a corpus against ITSELF
+  // (MLE, no smoothing needed). The production filtering step is
+  // different: the LM is trained on a trusted REFERENCE slice (CCNet:
+  // per-language Wikipedia) and scores the whole POOL — so unseen pool
+  // bigrams/tokens are the norm, and the model must smooth. This family
+  // is that step, plus the suite's stored-artifact deploy pattern: the
+  // trained counts persist as parquet tables ([[writeRefLm]]) and the
+  // scoring fleet reads them ([[readRefLm]]) — retrain the reference LM
+  // and every consumer re-scores with no code change.
+  // --------------------------------------------------------------------
+
+  /** A reference LM as four count tables — exactly what [[refLmScore]]
+    * consumes, and exactly what persists to parquet:
+    *  - `unigrams`: (term, c1) token counts over the reference slice;
+    *  - `contexts`: (w1, ctx)  bigram-context totals `c(w1 ·)`;
+    *  - `bigrams` : (w1, w2, cb) bigram counts;
+    *  - `totals`  : 1 row (n_ref_tokens, vocab).
+    * All integers — the model is exact, so training, storing and
+    * re-reading cannot drift.
+    */
+  final case class RefLmModel(
+      unigrams: DataFrame, contexts: DataFrame,
+      bigrams: DataFrame, totals: DataFrame)
+
+  /** The adjacent-pair stream of a token array column `__a` — pairing
+    * happens inside the scan projection (a per-row `transform`), so
+    * bigram adjacency never shuffles.
+    */
+  private def bigramPairs: Column = explode(expr(
+    "transform(slice(__a, 1, greatest(size(__a) - 1, 0)), " +
+      "(w, i) -> struct(w AS w1, element_at(__a, i + 2) AS w2))"))
+
+  /** TRAIN the reference LM: count unigrams, bigrams and bigram
+    * contexts over the `isRef` slice of `docs`. Pure partial-aggregated
+    * groupBys over the tokenized scan — one shuffle per count table,
+    * nothing driver-side. Precondition: the reference slice is
+    * non-empty (an empty slice trains a null-total model that scores
+    * everything NULL; [[readRefLm]] fails fast on it).
+    */
+  def refLmTrain(
+      docs: DataFrame, idCol: String, textCol: String, isRef: Column): RefLmModel = {
+    val toks = docs.filter(isRef)
+      .select(TextAnalysis.tokens(col(textCol)).as("__a"))
+    val uni = toks.select(explode(col("__a")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val big = toks.select(bigramPairs.as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy("w1").agg(sum("cb").as("ctx"))
+    val tot = uni.agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+    RefLmModel(uni, ctx, big, tot)
+  }
+
+  /** Score every pool document under the reference LM with
+    * Jelinek-Mercer interpolation
+    * `P(w2|w1) = λ·c(w1 w2)/c(w1 ·) + (1−λ)·(c(w2)+1)/(N+V)`
+    * (λ = lamNum/lamDen; the unigram leg is add-1 smoothed over the
+    * reference vocabulary, so out-of-vocabulary pool tokens still get
+    * finite mass). Returns (id, n_bigrams, logprob = mean bigram
+    * log-probability, rounded to 6) for every pool doc with ≥ 2
+    * tokens. Lower logprob = higher perplexity = less reference-like.
+    *
+    * Scale shape: pool bigrams partial-agg to per-doc (id, w1, w2, bf)
+    * counts; the model joins happen once per DISTINCT pool pair (the
+    * model tables are vocabulary-sized — no broadcast hint, AQE
+    * broadcasts them when it measures small); per-doc totals are one
+    * more partial agg. Determinism: the λ-mixture is a fixed IEEE
+    * expression tree over exact integer counts, its ln() is rounded to
+    * 9 decimals once per distinct PAIR, per-doc sums are exact decimal
+    * `bf · logp9`, and one final double division rounds to 6 — the
+    * [[unigramLogProb]] scheme.
+    */
+  def refLmScore(
+      pool: DataFrame, idCol: String, textCol: String, model: RefLmModel,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(lamNum > 0 && lamNum < lamDen, s"need 0 < λ < 1, got $lamNum/$lamDen")
+    val id = col(idCol)
+    val lam1 = lamNum.toDouble / lamDen
+    val lam2 = (lamDen - lamNum).toDouble / lamDen
+    val bf = pool
+      .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
+      .select(id, bigramPairs.as("__bg"))
+      .select(id, col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(id, col("w1"), col("w2")).agg(count(lit(1)).as("bf"))
+    val pairs = bf.select("w1", "w2").distinct()
+    val pB = coalesce(col("cb"), lit(0L)).cast("double")
+    val pC = coalesce(col("ctx"), lit(0L))
+    val pU = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double")
+    val nv = (col("n_ref_tokens") + col("vocab")).cast("double")
+    val mix = lit(lam1) * when(pC > lit(0L), pB / pC.cast("double")).otherwise(lit(0.0)) +
+      lit(lam2) * (pU / nv)
+    val logp = pairs
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .join(model.unigrams.withColumnRenamed("term", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(model.totals))
+      .select(col("w1"), col("w2"),
+        round(log(mix), 9).cast("decimal(18,9)").as("logp9"))
+    bf.join(logp, Seq("w1", "w2"))
+      .groupBy(id)
+      .agg(sum(col("bf")).as("n_bigrams"),
+        // decimal(18,0) cast: see unigramLogProb — keeps the product
+        // at exact scale 9 instead of a clamped decimal(38,8)
+        sum(col("bf").cast("decimal(18,0)") * col("logp9")).as("__slp"))
+      .select(id, col("n_bigrams"),
+        round(col("__slp").cast("double") / col("n_bigrams"), 6).as("logprob"))
+  }
+
+  /** CCNet's head/middle/tail perplexity buckets over a [[refLmScore]]
+    * frame, by VALUE cutoffs at the exact tertile ranks: v_head is the
+    * score of the rank-⌈n/3⌉ doc (ordered by logprob desc), v_mid the
+    * rank-⌈2n/3⌉ score; head = logprob ≥ v_head, middle = [v_mid,
+    * v_head), tail = the rest. Tied scores land in one bucket — the
+    * cutoff is a value, not a row split — so the rule needs NO global
+    * row-number over the corpus: the order statistics come from a
+    * cumulative window over the HISTOGRAM of distinct rounded scores
+    * (≪ corpus-sized), and the bucketing itself is a broadcast of two
+    * scalars into the scan. Returns one row per non-empty bucket:
+    * (bucket, n_docs, min_logprob, max_logprob, n_bigrams), ordered by
+    * bucket name (head < middle < tail alphabetically).
+    */
+  def refLmPerplexityBuckets(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy("logprob").agg(count(lit(1)).as("nv"))
+    val cum = hist.withColumn("cumn",
+      sum("nv").over(Window.orderBy(col("logprob").desc)))
+    val tot = hist.agg(sum("nv").as("n"))
+    val cumt = cum.crossJoin(broadcast(tot))
+    val vHead = cumt.filter(col("cumn") >= expr("(n + 2) div 3"))
+      .agg(max("logprob").as("v_head"))
+    val vMid = cumt.filter(col("cumn") >= expr("(2 * n + 2) div 3"))
+      .agg(max("logprob").as("v_mid"))
+    scored.crossJoin(broadcast(vHead.crossJoin(vMid)))
+      .select(
+        when(col("logprob") >= col("v_head"), lit("head"))
+          .when(col("logprob") >= col("v_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("logprob"), col("n_bigrams"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("logprob").as("min_logprob"),
+        max("logprob").as("max_logprob"),
+        sum("n_bigrams").as("n_bigrams"))
+      .orderBy("bucket")
+  }
+
+  /** Persist a [[RefLmModel]] as four parquet tables under `path` —
+    * the stored-artifact deploy pattern (the IVF centroid-table /
+    * stored-gate shape applied to the reference LM): the scoring fleet
+    * reads counts, never retrains.
+    */
+  def writeRefLm(model: RefLmModel, path: String): Unit = {
+    model.unigrams.write.mode("overwrite").parquet(s"$path/unigram")
+    model.contexts.write.mode("overwrite").parquet(s"$path/ctx")
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigram")
+    model.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  /** Read back a [[writeRefLm]] artifact. Fails fast on a totals table
+    * that is not exactly one non-null row (the signature of an empty
+    * or partially-written model, which would otherwise silently score
+    * every document NULL).
+    */
+  def readRefLm(spark: SparkSession, path: String): RefLmModel = {
+    val tot = spark.read.parquet(s"$path/totals")
+    val rows = tot.collect()
+    require(rows.length == 1 && !rows(0).isNullAt(0) && rows(0).getLong(0) > 0,
+      s"reference-LM artifact at $path has an empty or invalid totals table")
+    RefLmModel(
+      spark.read.parquet(s"$path/unigram"),
+      spark.read.parquet(s"$path/ctx"),
+      spark.read.parquet(s"$path/bigram"),
+      tot)
+  }
+
+  /** The shared DuckDB CTE chain for the reference-LM family: trains
+    * the model on `refPred` rows of `src`, scores the whole pool, and
+    * leaves `scored(id, n_bigrams, logprob)` plus the model tables in
+    * scope. Multi-referenced CTEs are `AS MATERIALIZED` — the round-13
+    * lesson: DuckDB re-inlines plain CTEs per reference.
+    */
+  def refLmCtes(src: String, idCol: String, textCol: String,
+      refPred: String, lamNum: Int = 7, lamDen: Int = 10): String =
+    s"""reft AS MATERIALIZED (
+       |  SELECT ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src WHERE ($refPred)),
+       |runi AS MATERIALIZED (
+       |  SELECT term, COUNT(*) AS c1 FROM (SELECT unnest(a) AS term FROM reft)
+       |  GROUP BY 1),
+       |rbig AS MATERIALIZED (
+       |  SELECT w1, w2, COUNT(*) AS cb FROM (
+       |    SELECT unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM reft WHERE len(a) >= 2)
+       |  GROUP BY 1, 2),
+       |rctx AS MATERIALIZED (
+       |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS ctx FROM rbig GROUP BY 1),
+       |rtot AS MATERIALIZED (
+       |  SELECT CAST(SUM(c1) AS BIGINT) AS n_ref_tokens, COUNT(*) AS vocab
+       |  FROM runi),
+       |pt AS (
+       |  SELECT $idCol, ${TextAnalysis.tokensSql(textCol)} AS a FROM $src),
+       |pbf AS MATERIALIZED (
+       |  SELECT $idCol, w1, w2, COUNT(*) AS bf FROM (
+       |    SELECT $idCol, unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM pt WHERE len(a) >= 2)
+       |  GROUP BY 1, 2, 3),
+       |ppairs AS (SELECT DISTINCT w1, w2 FROM pbf),
+       |plp AS MATERIALIZED (
+       |  SELECT ppairs.w1, ppairs.w2,
+       |    CAST(round(ln(
+       |      CAST($lamNum AS DOUBLE) / $lamDen *
+       |        (CASE WHEN COALESCE(rctx.ctx, 0) > 0
+       |              THEN CAST(COALESCE(rbig.cb, 0) AS DOUBLE) / COALESCE(rctx.ctx, 0)
+       |              ELSE 0.0 END) +
+       |      CAST(${lamDen - lamNum} AS DOUBLE) / $lamDen *
+       |        (CAST(COALESCE(runi.c1, 0) + 1 AS DOUBLE) / (rtot.n_ref_tokens + rtot.vocab))
+       |    ), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM ppairs
+       |  LEFT JOIN rbig ON ppairs.w1 = rbig.w1 AND ppairs.w2 = rbig.w2
+       |  LEFT JOIN rctx ON ppairs.w1 = rctx.w1
+       |  LEFT JOIN runi ON ppairs.w2 = runi.term
+       |  CROSS JOIN rtot),
+       |scored AS MATERIALIZED (
+       |  SELECT pbf.$idCol, CAST(SUM(pbf.bf) AS BIGINT) AS n_bigrams,
+       |    round(CAST(SUM(CAST(pbf.bf AS DECIMAL(18,0)) * plp.logp9) AS DOUBLE)
+       |          / CAST(SUM(pbf.bf) AS BIGINT), 6) AS logprob
+       |  FROM pbf JOIN plp ON pbf.w1 = plp.w1 AND pbf.w2 = plp.w2
+       |  GROUP BY 1)""".stripMargin
+
+  /** DuckDB SQL equivalent of the [[refLmTrain]] report query (top-k
+    * bigrams with their context/unigram counts and the model totals).
+    */
+  def refLmTrainSql(src: String, idCol: String, textCol: String,
+      refPred: String, k: Int = 25): String =
+    s"""WITH ${refLmCtes(src, idCol, textCol, refPred)}
+       |SELECT rbig.w1, rbig.w2, rbig.cb, rctx.ctx, runi.c1 AS c1_w2,
+       |  rtot.n_ref_tokens, rtot.vocab
+       |FROM rbig
+       |JOIN rctx ON rbig.w1 = rctx.w1
+       |JOIN runi ON rbig.w2 = runi.term
+       |CROSS JOIN rtot
+       |ORDER BY rbig.cb DESC, rbig.w1, rbig.w2 LIMIT $k""".stripMargin
+
+  /** DuckDB SQL equivalent of [[refLmScore]] →
+    * [[refLmPerplexityBuckets]] — the shared oracle of the inline and
+    * stored-deploy bucket reports (they must match bit-for-bit).
+    */
+  def refLmBucketsSql(src: String, idCol: String, textCol: String,
+      refPred: String, lamNum: Int = 7, lamDen: Int = 10): String =
+    s"""WITH ${refLmCtes(src, idCol, textCol, refPred, lamNum, lamDen)},
+       |hist AS MATERIALIZED (
+       |  SELECT logprob, COUNT(*) AS nv FROM scored GROUP BY 1),
+       |cum AS MATERIALIZED (
+       |  SELECT logprob,
+       |    SUM(nv) OVER (ORDER BY logprob DESC) AS cumn
+       |  FROM hist),
+       |tot2 AS (SELECT SUM(nv) AS n FROM hist),
+       |cuts AS (SELECT
+       |    (SELECT MAX(logprob) FROM cum
+       |      WHERE cumn >= (SELECT (n + 2) // 3 FROM tot2)) AS v_head,
+       |    (SELECT MAX(logprob) FROM cum
+       |      WHERE cumn >= (SELECT (2 * n + 2) // 3 FROM tot2)) AS v_mid)
+       |SELECT CASE WHEN logprob >= v_head THEN 'head'
+       |            WHEN logprob >= v_mid THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+       |FROM scored CROSS JOIN cuts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB SQL equivalent of [[unigramLogProb]]. */
   def unigramLogProbSql(src: String, idCol: String, textCol: String, k: Int = 20): String =

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ranking
+
+/** Round-14 extension: reference-trained interpolated bigram LM
+  * (CCNet-style perplexity filtering) — train on a trusted slice,
+  * score the pool with λ-interpolated add-1 smoothing, bucket by
+  * value cutoffs at the exact tertile ranks, deploy from the stored
+  * count tables (q181/q182/q183).
+  */
+class RefLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // reference corpus: "a b a b a" (+ one "b c" doc) — known counts:
+  //   unigrams: a->3, b->3, c->1 (N=7, V=3)
+  //   bigrams : (a,b)->2, (b,a)->2, (b,c)->1; contexts: a->2, b->3
+  private def refPoolDocs = Seq(
+    (1L, "a b a b a", true),
+    (2L, "b c", true),
+    (3L, "a b x", false), // pool: one trained pair, one OOV pair
+    (4L, "x y", false),   // pool: fully OOV
+    (5L, "a", false)      // pool: <2 tokens — not scored
+  ).toDF("id", "text", "is_ref")
+
+  private def expectedLogp(b: Long, c: Long, u: Long, nTok: Long, v: Long): BigDecimal = {
+    val mix = 0.7 * (if (c > 0) b.toDouble / c else 0.0) +
+      0.3 * ((u + 1).toDouble / (nTok + v))
+    BigDecimal(math.log(mix)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+  }
+
+  test("trained counts are the exact reference statistics") {
+    val m = Ranking.refLmTrain(refPoolDocs, "id", "text", col("is_ref"))
+    assert(m.unigrams.as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 1L))
+    assert(m.bigrams.as[(String, String, Long)].collect().toSet ==
+      Set(("a", "b", 2L), ("b", "a", 2L), ("b", "c", 1L)))
+    assert(m.contexts.as[(String, Long)].collect().toMap ==
+      Map("a" -> 2L, "b" -> 3L))
+    assert(m.totals.as[(Long, Long)].collect().toSeq == Seq((7L, 3L)))
+  }
+
+  test("scores are the hand-computed λ-mixture, finite on OOV") {
+    val m = Ranking.refLmTrain(refPoolDocs, "id", "text", col("is_ref"))
+    val got = Ranking.refLmScore(
+        refPoolDocs.filter(!col("is_ref")), "id", "text", m)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // mirror the engine arithmetic exactly: exact decimal logp9 sum,
+    // ONE double division by n_bigrams, then the 6-digit round
+    def mean6(lps: Seq[BigDecimal]): Double =
+      BigDecimal(lps.sum.toDouble / lps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 3: pairs (a,b) [b=2,c=2,u(b)=3] and (b,x) [b=0,c=3,u(x)=0]
+    val lp3 = mean6(Seq(expectedLogp(2, 2, 3, 7, 3), expectedLogp(0, 3, 0, 7, 3)))
+    // doc 4: pair (x,y): context unseen, unigram add-1 floor 1/(N+V)
+    val lp4 = mean6(Seq(expectedLogp(0, 0, 0, 7, 3)))
+    assert(got.keySet == Set(3L, 4L)) // doc 5 has no bigram
+    assert(got(3L) == ((2L, lp3)))
+    assert(got(4L) == ((1L, lp4)))
+    // the OOV-only doc scores strictly below the in-vocabulary one
+    assert(got(4L)._2 < got(3L)._2)
+  }
+
+  test("value-cutoff buckets: ties land in one bucket, order statistics exact") {
+    // 6 scored docs with scores (desc): -1, -2, -2, -2, -3, -4
+    // n=6 -> r1=ceil(6/3)=2 (v_head = score of rank 2 = -2),
+    //        r2=ceil(12/3)=4 (v_mid = rank-4 score = -2 as well)
+    // => head = {-1, -2 x3} (ties ride the cutoff value), middle empty,
+    //    tail = {-3, -4}
+    val scored = Seq(
+      (1L, 2L, -1.0), (2L, 2L, -2.0), (3L, 2L, -2.0),
+      (4L, 2L, -2.0), (5L, 2L, -3.0), (6L, 2L, -4.0)
+    ).toDF("id", "n_bigrams", "logprob")
+    val got = Ranking.refLmPerplexityBuckets(scored)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("head", 4L, -2.0, -1.0, 8L),
+      ("tail", 2L, -4.0, -3.0, 4L)))
+  }
+
+  test("stored round-trip: deploy path reproduces inline scoring bit-for-bit") {
+    val m = Ranking.refLmTrain(refPoolDocs, "id", "text", col("is_ref"))
+    val dir = Files.createTempDirectory("reflm-spec").toString
+    Ranking.writeRefLm(m, s"$dir/model")
+    val m2 = Ranking.readRefLm(spark, s"$dir/model")
+    val pool = refPoolDocs.filter(!col("is_ref"))
+    val inline = Ranking.refLmScore(pool, "id", "text", m)
+      .as[(Long, Long, Double)].collect().toSet
+    val stored = Ranking.refLmScore(pool, "id", "text", m2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inline == stored)
+  }
+
+  test("re-measure swap: overwriting the stored model re-scores consumers") {
+    val dir = Files.createTempDirectory("reflm-swap").toString
+    val pool = Seq((10L, "a b c")).toDF("id", "text")
+    Ranking.writeRefLm(
+      Ranking.refLmTrain(refPoolDocs, "id", "text", col("is_ref")),
+      s"$dir/model")
+    val before = Ranking.refLmScore(pool, "id", "text",
+        Ranking.readRefLm(spark, s"$dir/model"))
+      .as[(Long, Long, Double)].collect().head
+    // retrain on a DIFFERENT reference (only doc 2: "b c") and overwrite
+    Ranking.writeRefLm(
+      Ranking.refLmTrain(refPoolDocs, "id", "text", col("id") === 2L),
+      s"$dir/model")
+    val after = Ranking.refLmScore(pool, "id", "text",
+        Ranking.readRefLm(spark, s"$dir/model"))
+      .as[(Long, Long, Double)].collect().head
+    assert(before._3 != after._3) // the consumer re-tuned with no code change
+  }
+
+  test("readRefLm fails fast on an empty-reference artifact") {
+    val dir = Files.createTempDirectory("reflm-empty").toString
+    Ranking.writeRefLm(
+      Ranking.refLmTrain(refPoolDocs, "id", "text", lit(false)),
+      s"$dir/model")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.readRefLm(spark, s"$dir/model")
+    }
+    assert(e.getMessage.contains("totals"))
+  }
+}
