@@ -470,17 +470,8 @@ object Ranking {
     * (bucket, n_docs, min_logprob, max_logprob, n_bigrams), ordered by
     * bucket name (head < middle < tail alphabetically).
     */
-  def refLmPerplexityBuckets(scored: DataFrame): DataFrame = {
-    val hist = scored.groupBy("logprob").agg(count(lit(1)).as("nv"))
-    val cum = hist.withColumn("cumn",
-      sum("nv").over(Window.orderBy(col("logprob").desc)))
-    val tot = hist.agg(sum("nv").as("n"))
-    val cumt = cum.crossJoin(broadcast(tot))
-    val vHead = cumt.filter(col("cumn") >= expr("(n + 2) div 3"))
-      .agg(max("logprob").as("v_head"))
-    val vMid = cumt.filter(col("cumn") >= expr("(2 * n + 2) div 3"))
-      .agg(max("logprob").as("v_mid"))
-    scored.crossJoin(broadcast(vHead.crossJoin(vMid)))
+  def refLmPerplexityBuckets(scored: DataFrame): DataFrame =
+    scored.crossJoin(refLmCutoffs(scored))
       .select(
         when(col("logprob") >= col("v_head"), lit("head"))
           .when(col("logprob") >= col("v_mid"), lit("middle"))
@@ -492,6 +483,43 @@ object Ranking {
         max("logprob").as("max_logprob"),
         sum("n_bigrams").as("n_bigrams"))
       .orderBy("bucket")
+
+  /** The two [[refLmPerplexityBuckets]] value cutoffs as one row
+    * (v_head, v_mid) — the MEASURED numbers a streaming ingest gates
+    * at ([[writeRefLmCutoffs]] persists them next to the model; the
+    * stream must not recompute corpus tertiles per micro-batch).
+    */
+  def refLmCutoffs(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy("logprob").agg(count(lit(1)).as("nv"))
+    val cum = hist.withColumn("cumn",
+      sum("nv").over(Window.orderBy(col("logprob").desc)))
+    val tot = hist.agg(sum("nv").as("n"))
+    val cumt = cum.crossJoin(broadcast(tot))
+    val vHead = cumt.filter(col("cumn") >= expr("(n + 2) div 3"))
+      .agg(max("logprob").as("v_head"))
+    val vMid = cumt.filter(col("cumn") >= expr("(2 * n + 2) div 3"))
+      .agg(max("logprob").as("v_mid"))
+    broadcast(vHead.crossJoin(vMid))
+  }
+
+  /** Persist the [[refLmCutoffs]] row beside the stored LM — the
+    * measured-threshold artifact of the perplexity stage (the
+    * stored-gate/probe-sweep pattern): re-measure the corpus and
+    * overwrite, and every streaming consumer re-tunes with no code
+    * change.
+    */
+  def writeRefLmCutoffs(cutoffs: DataFrame, path: String): Unit =
+    cutoffs.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Read back a [[writeRefLmCutoffs]] artifact as (v_head, v_mid).
+    * Fails fast unless the table is exactly one non-null row.
+    */
+  def readRefLmCutoffs(spark: SparkSession, path: String): (Double, Double) = {
+    val rows = spark.read.parquet(path)
+      .select(col("v_head"), col("v_mid")).collect()
+    require(rows.length == 1 && !rows(0).isNullAt(0) && !rows(0).isNullAt(1),
+      s"reference-LM cutoff artifact at $path is not exactly one non-null row")
+    (rows(0).getDouble(0), rows(0).getDouble(1))
   }
 
   /** Persist a [[RefLmModel]] as four parquet tables under `path` —

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ranking
+import graft.streaming.StreamingPerplexity
+
+/** Streaming ingest-time perplexity gating: micro-batches scored under
+  * the STORED reference LM and bucketed at the STORED cutoffs — the
+  * stream gates at measured numbers, and re-measuring re-tunes it with
+  * no code change.
+  */
+class StreamingPerplexitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // reference: prose-like bigram structure over {a,b}; "x"/"y" are OOV
+  private def refDocs = Seq(
+    (1L, "a b a b a b a"),
+    (2L, "a b a")
+  ).toDF("id", "text")
+
+  test("micro-batches gate at stored artifacts; decisions match the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-ppl").toString
+    val (modelPath, cutPath) = (s"$dir/model", s"$dir/cutoffs")
+    val model = Ranking.refLmTrain(refDocs, "id", "text", lit(true))
+    Ranking.writeRefLm(model, modelPath)
+    // cutoffs measured on a calibration pool the batch pipeline owns
+    val calib = Seq(
+      (10L, "a b a b"), (11L, "a b x"), (12L, "x y x")
+    ).toDF("id", "text")
+    Ranking.writeRefLmCutoffs(
+      Ranking.refLmCutoffs(Ranking.refLmScore(calib, "id", "text", model)),
+      cutPath)
+    val (vHead, vMid) = Ranking.readRefLmCutoffs(spark, cutPath)
+
+    val stream = MemoryStream[Doc]
+    val decDir = s"$dir/decisions"
+    val q = StreamingPerplexity.start(stream.toDF(), "doc_id", "text",
+      modelPath, cutPath, decDir, s"$dir/ck")
+    try {
+      stream.addData(Doc(100L, "a b a b a"), Doc(101L, "x y"))
+      q.processAllAvailable()
+      stream.addData(Doc(102L, "a b x y"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(decDir)
+      .select("doc_id", "logprob", "bucket", "batch_id")
+      .as[(Long, Double, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(dec.keySet == Set(100L, 101L, 102L))
+    assert(dec(100L)._3 == 0L && dec(102L)._3 == 1L)
+
+    // every decision must agree with the batch scorer at the stored cutoffs
+    val expect = Ranking.refLmScore(
+        Seq((100L, "a b a b a"), (101L, "x y"), (102L, "a b x y"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", Ranking.readRefLm(spark, modelPath))
+      .as[(Long, Long, Double)].collect().map { case (id, _, lp) =>
+        id -> ((lp, if (lp >= vHead) "head" else if (lp >= vMid) "middle" else "tail"))
+      }.toMap
+    dec.foreach { case (id, (lp, bucket, _)) =>
+      assert((lp, bucket) == expect(id), s"doc $id")
+    }
+    // the reference-like doc outranks the OOV doc
+    assert(dec(100L)._1 > dec(101L)._1)
+  }
+
+  test("re-measure swap: overwriting the stored cutoffs re-tunes the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-ppl-swap").toString
+    val (modelPath, cutPath) = (s"$dir/model", s"$dir/cutoffs")
+    Ranking.writeRefLm(
+      Ranking.refLmTrain(refDocs, "id", "text", lit(true)), modelPath)
+    // generous cutoffs: everything is head
+    Ranking.writeRefLmCutoffs(
+      Seq((-100.0, -100.0)).toDF("v_head", "v_mid"), cutPath)
+
+    val stream = MemoryStream[Doc]
+    val decDir = s"$dir/decisions"
+    val q = StreamingPerplexity.start(stream.toDF(), "doc_id", "text",
+      modelPath, cutPath, decDir, s"$dir/ck")
+    try {
+      stream.addData(Doc(1L, "x y"))
+      q.processAllAvailable()
+      // the batch pipeline re-measures: now nothing clears head/middle
+      Ranking.writeRefLmCutoffs(
+        Seq((100.0, 100.0)).toDF("v_head", "v_mid"), cutPath)
+      stream.addData(Doc(2L, "x y"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(decDir)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(dec == Map(1L -> "head", 2L -> "tail"))
+  }
+}
