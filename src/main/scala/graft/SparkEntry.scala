@@ -674,10 +674,15 @@ object SparkEntry {
   private def refLmArtifact(s: SparkSession, dir: String): String =
     refLmArtifactMemo.get(s, dir) {
       val p = tempArtifactDir("graft-reflm").resolve("model").toString
+      val docs = T(s, dir, "documents")
       operators.Ranking.writeRefLm(
         operators.Ranking.refLmTrain(
-          T(s, dir, "documents"), "doc_id", "text", col("lang") === "en"),
-        p)
+          docs, "doc_id", "text", col("lang") === "en"), p)
+      // the corpus snapshot stamp rides beside the count tables: the
+      // deploy paths (q183/q184) verify it against the live corpus
+      // before serving — a changed source can never silently serve
+      // stale counts
+      core.SnapshotStamp.write(docs, "doc_id", s"$p/stamp")
       p
     }
 
@@ -2197,10 +2202,29 @@ object SparkEntry {
     // trains nothing. Same oracle as q182: the stored-artifact read
     // must reproduce the inline-trained buckets bit-for-bit
     "q183_stored_reflm" -> ((s, dir) => {
-      val m = operators.Ranking.readRefLm(s, refLmArtifact(s, dir))
+      val docs = T(s, dir, "documents")
+      val p = refLmArtifact(s, dir)
+      // the full production deploy: verify the stored counts are a
+      // measurement of THIS corpus before serving them
+      core.SnapshotStamp.assertFresh(docs, "doc_id", s"$p/stamp")
+      val m = operators.Ranking.readRefLm(s, p)
       operators.Ranking.refLmPerplexityBuckets(
-        operators.Ranking.refLmScore(
-          T(s, dir, "documents"), "doc_id", "text", m))
+        operators.Ranking.refLmScore(docs, "doc_id", "text", m))
+    }),
+
+    // ---- extension: corpus snapshot stamp (artifact staleness guard) ----
+    // the fingerprint every stored artifact writes at build time: row
+    // count + the exact integer sum of per-id salted md5 prefixes —
+    // order/partitioning-independent, one partial-aggregated pass,
+    // decimal(38,0) so a trillion-row corpus cannot overflow it. The
+    // report recomputes the live stamp and confirms the stored one
+    // (written beside the reference-LM counts) still matches
+    "q184_corpus_stamp" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val fresh = core.SnapshotStamp.isFresh(
+        docs, "doc_id", s"${refLmArtifact(s, dir)}/stamp")
+      core.SnapshotStamp.stamp(docs, "doc_id")
+        .withColumn("fresh", lit(fresh))
     }),
 
     // ---- extension: concat-then-chunk packing plan (GPT loader) ----
@@ -5207,6 +5231,13 @@ object SparkEntry {
     // must reproduce the inline-trained buckets bit-for-bit
     "q182_perplexity_bucket" -> refLmBucketsOracleSql,
     "q183_stored_reflm" -> refLmBucketsOracleSql,
+
+    // the stamp values are fully derivable from the live table; the
+    // `fresh` flag is the Spark-side stored-vs-live comparison, which
+    // must hold on the immutable testdata
+    "q184_corpus_stamp" ->
+      s"""SELECT n_rows, id_hash, TRUE AS fresh
+         |FROM (${core.SnapshotStamp.stampSql("documents", "doc_id")}) t""".stripMargin,
 
     "q157_chunk_plan" ->
       """WITH tk AS (SELECT doc_id,
