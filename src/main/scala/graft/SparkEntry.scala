@@ -2212,6 +2212,25 @@ object SparkEntry {
         operators.Ranking.refLmScore(docs, "doc_id", "text", m))
     }),
 
+    // ---- extension: per-language perplexity buckets (one-pass multi-LM) ----
+    // the CCNet deployment shape proper: one reference LM PER LANGUAGE
+    // (trusted slice = the src0/src1 sources), all five trained in ONE
+    // pass (the language key rides every count table — no per-language
+    // job loop, which is the point at 100 TB with a hundred
+    // languages), every document scored under ITS language's model,
+    // and head/middle/tail cutoffs measured per language, with the
+    // cumulative window partitioned by language — no single-partition
+    // window anywhere
+    "q185_perplexity_by_lang" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val m = operators.Ranking.refLmTrainByKey(
+        docs, "doc_id", "text", "lang",
+        col("source").isin("src0", "src1"))
+      operators.Ranking.refLmPerplexityBucketsByKey(
+        operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m),
+        "lang")
+    }),
+
     // ---- extension: corpus snapshot stamp (artifact staleness guard) ----
     // the fingerprint every stored artifact writes at build time: row
     // count + the exact integer sum of per-id salted md5 prefixes —
@@ -5231,6 +5250,10 @@ object SparkEntry {
     // must reproduce the inline-trained buckets bit-for-bit
     "q182_perplexity_bucket" -> refLmBucketsOracleSql,
     "q183_stored_reflm" -> refLmBucketsOracleSql,
+
+    "q185_perplexity_by_lang" ->
+      operators.Ranking.refLmBucketsByKeySql(
+        "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
 
     // the stamp values are fully derivable from the live table; the
     // `fresh` flag is the Spark-side stored-vs-live comparison, which

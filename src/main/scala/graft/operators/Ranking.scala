@@ -605,6 +605,195 @@ object Ranking {
        |  FROM pbf JOIN plp ON pbf.w1 = plp.w1 AND pbf.w2 = plp.w2
        |  GROUP BY 1)""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Per-key reference LMs — the actual CCNet deployment shape: one LM
+  // per LANGUAGE, every model trained in ONE pass (the key rides every
+  // count table; there is no per-language job loop, which is the whole
+  // point at 100 TB with a hundred languages), and every pool document
+  // scored under ITS OWN key's model.
+  // --------------------------------------------------------------------
+
+  /** [[RefLmModel]] with the partition key as the leading column of
+    * every table: unigrams (__k, term, c1), contexts (__k, w1, ctx),
+    * bigrams (__k, w1, w2, cb), totals (__k, n_ref_tokens, vocab).
+    */
+  final case class KeyedRefLmModel(
+      unigrams: DataFrame, contexts: DataFrame,
+      bigrams: DataFrame, totals: DataFrame)
+
+  /** [[refLmTrain]] keyed by `keyCol`: all keys' models in one pass —
+    * the key simply joins every groupBy key, so the count tables stay
+    * partial-aggregated and shuffle once each regardless of how many
+    * models train.
+    */
+  def refLmTrainByKey(docs: DataFrame, idCol: String, textCol: String,
+      keyCol: String, isRef: Column): KeyedRefLmModel = {
+    val toks = docs.filter(isRef)
+      .select(col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
+    val uni = toks.select(col("__k"), explode(col("__a")).as("term"))
+      .groupBy("__k", "term").agg(count(lit(1)).as("c1"))
+    val big = toks.select(col("__k"), bigramPairs.as("__bg"))
+      .select(col("__k"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("__k", "w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy("__k", "w1").agg(sum("cb").as("ctx"))
+    val tot = uni.groupBy("__k")
+      .agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+    KeyedRefLmModel(uni, ctx, big, tot)
+  }
+
+  /** [[refLmScore]] keyed: each pool document scores under the model
+    * of ITS `keyCol` value. Same λ-mixture, same determinism scheme;
+    * the totals join is INNER on the key, so documents whose key has
+    * no reference model are UNSCORED (absent from the output) rather
+    * than scored against nothing. Returns (id, keyCol, n_bigrams,
+    * logprob).
+    */
+  def refLmScoreByKey(pool: DataFrame, idCol: String, textCol: String,
+      keyCol: String, model: KeyedRefLmModel,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(lamNum > 0 && lamNum < lamDen, s"need 0 < λ < 1, got $lamNum/$lamDen")
+    val id = col(idCol)
+    val lam1 = lamNum.toDouble / lamDen
+    val lam2 = (lamDen - lamNum).toDouble / lamDen
+    val bf = pool
+      .select(id, col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
+      .select(id, col("__k"), bigramPairs.as("__bg"))
+      .select(id, col("__k"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(id, col("__k"), col("w1"), col("w2")).agg(count(lit(1)).as("bf"))
+    val pairs = bf.select("__k", "w1", "w2").distinct()
+    val pB = coalesce(col("cb"), lit(0L)).cast("double")
+    val pC = coalesce(col("ctx"), lit(0L))
+    val pU = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double")
+    val nv = (col("n_ref_tokens") + col("vocab")).cast("double")
+    val mix = lit(lam1) * when(pC > lit(0L), pB / pC.cast("double")).otherwise(lit(0.0)) +
+      lit(lam2) * (pU / nv)
+    val logp = pairs
+      .join(model.bigrams, Seq("__k", "w1", "w2"), "left")
+      .join(model.contexts, Seq("__k", "w1"), "left")
+      .join(model.unigrams.withColumnRenamed("term", "w2"), Seq("__k", "w2"), "left")
+      // INNER on the key: the totals table is #keys rows (broadcast)
+      .join(broadcast(model.totals), Seq("__k"))
+      .select(col("__k"), col("w1"), col("w2"),
+        round(log(mix), 9).cast("decimal(18,9)").as("logp9"))
+    bf.join(logp, Seq("__k", "w1", "w2"))
+      .groupBy(id, col("__k"))
+      .agg(sum(col("bf")).as("n_bigrams"),
+        sum(col("bf").cast("decimal(18,0)") * col("logp9")).as("__slp"))
+      .select(id, col("__k").as(keyCol), col("n_bigrams"),
+        round(col("__slp").cast("double") / col("n_bigrams"), 6).as("logprob"))
+  }
+
+  /** [[refLmPerplexityBuckets]] keyed: head/middle/tail cutoffs are
+    * PER KEY (each language gets its own tertile values — CCNet's
+    * per-language percentiles), from the same histogram-of-rounded-
+    * scores order statistics, with the cumulative window PARTITIONED
+    * by the key — no single-partition window anywhere. Returns one row
+    * per (keyCol, non-empty bucket).
+    */
+  def refLmPerplexityBucketsByKey(scored: DataFrame, keyCol: String): DataFrame = {
+    val k = col(keyCol)
+    val hist = scored.groupBy(k, col("logprob")).agg(count(lit(1)).as("nv"))
+    val cum = hist.withColumn("cumn",
+      sum("nv").over(Window.partitionBy(k).orderBy(col("logprob").desc)))
+    val tot = hist.groupBy(k).agg(sum("nv").as("n"))
+    val cumt = cum.join(broadcast(tot), keyCol)
+    val vHead = cumt.filter(col("cumn") >= expr("(n + 2) div 3"))
+      .groupBy(k).agg(max("logprob").as("v_head"))
+    val vMid = cumt.filter(col("cumn") >= expr("(2 * n + 2) div 3"))
+      .groupBy(k).agg(max("logprob").as("v_mid"))
+    scored.join(broadcast(vHead.join(vMid, keyCol)), keyCol)
+      .select(k,
+        when(col("logprob") >= col("v_head"), lit("head"))
+          .when(col("logprob") >= col("v_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("logprob"), col("n_bigrams"))
+      .groupBy(k, col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("logprob").as("min_logprob"),
+        max("logprob").as("max_logprob"),
+        sum("n_bigrams").as("n_bigrams"))
+      .orderBy(k, col("bucket"))
+  }
+
+  /** DuckDB SQL twin of [[refLmTrainByKey]] → [[refLmScoreByKey]] →
+    * [[refLmPerplexityBucketsByKey]] over `keyCol` (surfaced under its
+    * own name). Shared-chain CTEs are `AS MATERIALIZED`.
+    */
+  def refLmBucketsByKeySql(src: String, idCol: String, textCol: String,
+      keyCol: String, refPred: String,
+      lamNum: Int = 7, lamDen: Int = 10): String =
+    s"""WITH reft AS MATERIALIZED (
+       |  SELECT $keyCol AS k, ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src WHERE ($refPred)),
+       |runi AS MATERIALIZED (
+       |  SELECT k, term, COUNT(*) AS c1
+       |  FROM (SELECT k, unnest(a) AS term FROM reft) GROUP BY 1, 2),
+       |rbig AS MATERIALIZED (
+       |  SELECT k, w1, w2, COUNT(*) AS cb FROM (
+       |    SELECT k, unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM reft WHERE len(a) >= 2)
+       |  GROUP BY 1, 2, 3),
+       |rctx AS MATERIALIZED (
+       |  SELECT k, w1, CAST(SUM(cb) AS BIGINT) AS ctx FROM rbig GROUP BY 1, 2),
+       |rtot AS MATERIALIZED (
+       |  SELECT k, CAST(SUM(c1) AS BIGINT) AS n_ref_tokens, COUNT(*) AS vocab
+       |  FROM runi GROUP BY 1),
+       |pt AS (
+       |  SELECT $idCol, $keyCol AS k, ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src),
+       |pbf AS MATERIALIZED (
+       |  SELECT $idCol, k, w1, w2, COUNT(*) AS bf FROM (
+       |    SELECT $idCol, k,
+       |      unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM pt WHERE len(a) >= 2)
+       |  GROUP BY 1, 2, 3, 4),
+       |ppairs AS (SELECT DISTINCT k, w1, w2 FROM pbf),
+       |plp AS MATERIALIZED (
+       |  SELECT ppairs.k, ppairs.w1, ppairs.w2,
+       |    CAST(round(ln(
+       |      CAST($lamNum AS DOUBLE) / $lamDen *
+       |        (CASE WHEN COALESCE(rctx.ctx, 0) > 0
+       |              THEN CAST(COALESCE(rbig.cb, 0) AS DOUBLE) / COALESCE(rctx.ctx, 0)
+       |              ELSE 0.0 END) +
+       |      CAST(${lamDen - lamNum} AS DOUBLE) / $lamDen *
+       |        (CAST(COALESCE(runi.c1, 0) + 1 AS DOUBLE) / (rtot.n_ref_tokens + rtot.vocab))
+       |    ), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM ppairs
+       |  LEFT JOIN rbig ON ppairs.k = rbig.k AND ppairs.w1 = rbig.w1 AND ppairs.w2 = rbig.w2
+       |  LEFT JOIN rctx ON ppairs.k = rctx.k AND ppairs.w1 = rctx.w1
+       |  LEFT JOIN runi ON ppairs.k = runi.k AND ppairs.w2 = runi.term
+       |  JOIN rtot ON ppairs.k = rtot.k),
+       |scored AS MATERIALIZED (
+       |  SELECT pbf.$idCol, pbf.k, CAST(SUM(pbf.bf) AS BIGINT) AS n_bigrams,
+       |    round(CAST(SUM(CAST(pbf.bf AS DECIMAL(18,0)) * plp.logp9) AS DOUBLE)
+       |          / CAST(SUM(pbf.bf) AS BIGINT), 6) AS logprob
+       |  FROM pbf JOIN plp ON pbf.k = plp.k AND pbf.w1 = plp.w1 AND pbf.w2 = plp.w2
+       |  GROUP BY 1, 2),
+       |hist AS MATERIALIZED (
+       |  SELECT k, logprob, COUNT(*) AS nv FROM scored GROUP BY 1, 2),
+       |cum AS MATERIALIZED (
+       |  SELECT k, logprob,
+       |    SUM(nv) OVER (PARTITION BY k ORDER BY logprob DESC) AS cumn
+       |  FROM hist),
+       |tot2 AS MATERIALIZED (SELECT k, SUM(nv) AS n FROM hist GROUP BY 1),
+       |vhead AS (SELECT cum.k, MAX(logprob) AS v_head
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (n + 2) // 3 GROUP BY 1),
+       |vmid AS (SELECT cum.k, MAX(logprob) AS v_mid
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (2 * n + 2) // 3 GROUP BY 1)
+       |SELECT scored.k AS $keyCol,
+       |  CASE WHEN logprob >= v_head THEN 'head'
+       |       WHEN logprob >= v_mid THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+       |FROM scored
+       |JOIN vhead ON scored.k = vhead.k
+       |JOIN vmid ON scored.k = vmid.k
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** DuckDB SQL equivalent of the [[refLmTrain]] report query (top-k
     * bigrams with their context/unigram counts and the model totals).
     */

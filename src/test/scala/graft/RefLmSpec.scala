@@ -116,6 +116,61 @@ class RefLmSpec extends AnyFunSuite {
     assert(before._3 != after._3) // the consumer re-tuned with no code change
   }
 
+  test("keyed: each doc scores under ITS key's model; keyless langs unscored") {
+    // two languages with disjoint reference statistics over shared tokens:
+    //   L1 reference: "a b a b a"  (bigrams ab/ba seen)
+    //   L2 reference: "b a"        (only ba seen)
+    // plus pool docs, including one in a language with NO reference
+    val docs = Seq(
+      (1L, "a b a b a", "L1", true),
+      (2L, "b a", "L2", true),
+      (3L, "a b", "L1", false),
+      (4L, "a b", "L2", false),
+      (5L, "a b", "L3", false)
+    ).toDF("id", "text", "lang", "is_ref")
+    val m = Ranking.refLmTrainByKey(docs, "id", "text", "lang", col("is_ref"))
+
+    // one-pass training produced BOTH models
+    assert(m.totals.as[(String, Long, Long)].collect().toSet ==
+      Set(("L1", 5L, 2L), ("L2", 2L, 2L)))
+
+    val got = Ranking.refLmScoreByKey(
+        docs.filter(!col("is_ref")), "id", "text", "lang", m)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    // L3 has no reference model -> doc 5 is unscored
+    assert(got.keySet == Set(3L, 4L))
+    // same text, different models: "a b" is a seen bigram under L1
+    // (score high) but unseen under L2 (unigram floor only)
+    assert(got(3L)._2 > got(4L)._2)
+    // and each equals the UNKEYED scorer run against that slice alone
+    def single(lang: String, poolId: Long): Double =
+      Ranking.refLmScore(
+          docs.filter(col("id") === poolId), "id", "text",
+          Ranking.refLmTrain(docs.filter(col("lang") === lang && col("is_ref")),
+            "id", "text", lit(true)))
+        .as[(Long, Long, Double)].collect().head._3
+    assert(got(3L)._2 == single("L1", 3L))
+    assert(got(4L)._2 == single("L2", 4L))
+  }
+
+  test("keyed buckets: per-key cutoffs, keys never mix") {
+    // L1: 3 distinct scores -> one per bucket; L2: 2 docs -> by the
+    // rank rule r1=ceil(2/3)=1, r2=ceil(6/3)=2: head + middle
+    val scored = Seq(
+      (1L, "L1", 2L, -1.0), (2L, "L1", 2L, -2.0), (3L, "L1", 2L, -3.0),
+      (4L, "L2", 2L, -10.0), (5L, "L2", 2L, -20.0)
+    ).toDF("id", "lang", "n_bigrams", "logprob")
+    val got = Ranking.refLmPerplexityBucketsByKey(scored, "lang")
+      .as[(String, String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("L1", "head", 1L, -1.0, -1.0, 2L),
+      ("L1", "middle", 1L, -2.0, -2.0, 2L),
+      ("L1", "tail", 1L, -3.0, -3.0, 2L),
+      ("L2", "head", 1L, -10.0, -10.0, 2L),
+      ("L2", "middle", 1L, -20.0, -20.0, 2L)))
+  }
+
   test("readRefLm fails fast on an empty-reference artifact") {
     val dir = Files.createTempDirectory("reflm-empty").toString
     Ranking.writeRefLm(
