@@ -2231,6 +2231,33 @@ object SparkEntry {
         "lang")
     }),
 
+    // ---- extension: tokenizer fit by language (BPE compression ratio) ----
+    // the coverage report a tokenizer team reads before training: the
+    // q151 merges encode every document (q154's path), and per
+    // LANGUAGE the corpus compression ratio chars-per-token lands in
+    // exact integer milli — a language the merge table under-serves
+    // shows an inflated ratio. One encode pass + one groupBy; the
+    // merge replay is the bounded 8-step driver loop q151 audited
+    "q186_bpe_fit_by_lang" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val m = operators.BpeTrainer.trainMerges(d, "text", nMerges = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val toks = operators.BpeTrainer.encodeDocTokenCounts(d, "doc_id", "text", m)
+      d.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("__chars"))
+        .join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__chars")).as("n_chars"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_bpe_tokens"),
+          expr("""CASE WHEN n_bpe_tokens = 0 THEN 0
+                  ELSE (cast(n_chars AS decimal(38,0)) * 1000) div n_bpe_tokens
+                  END""").cast("long").as("chars_per_token_milli"))
+        .orderBy("lang")
+    }),
+
     // ---- extension: corpus snapshot stamp (artifact staleness guard) ----
     // the fingerprint every stored artifact writes at build time: row
     // count + the exact integer sum of per-id salted md5 prefixes —
@@ -5254,6 +5281,23 @@ object SparkEntry {
     "q185_perplexity_by_lang" ->
       operators.Ranking.refLmBucketsByKeySql(
         "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
+
+    "q186_bpe_fit_by_lang" ->
+      s"""WITH ${bpeChainSql("documents", 8, carryWord = true)},
+         |wl AS (SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n FROM s8),
+         |oc AS (SELECT doc_id, unnest(${operators.TextAnalysis.tokensSql("text")}) AS word FROM documents),
+         |dc AS (SELECT oc.doc_id, SUM(wl.n) AS n FROM oc JOIN wl USING (word) GROUP BY 1),
+         |base AS (SELECT d.doc_id, d.lang,
+         |    CAST(length(d.text) AS BIGINT) AS chars,
+         |    CAST(COALESCE(dc.n, 0) AS BIGINT) AS toks
+         |  FROM documents d LEFT JOIN dc USING (doc_id))
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(toks) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(CASE WHEN SUM(toks) = 0 THEN 0
+         |       ELSE (SUM(chars) * 1000) // SUM(toks) END AS BIGINT)
+         |    AS chars_per_token_milli
+         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the stamp values are fully derivable from the live table; the
     // `fresh` flag is the Spark-side stored-vs-live comparison, which
