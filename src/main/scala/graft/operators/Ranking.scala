@@ -470,37 +470,59 @@ object Ranking {
     * (bucket, n_docs, min_logprob, max_logprob, n_bigrams), ordered by
     * bucket name (head < middle < tail alphabetically).
     */
-  def refLmPerplexityBuckets(scored: DataFrame): DataFrame =
-    scored.crossJoin(refLmCutoffs(scored))
+  def refLmPerplexityBuckets(scored: DataFrame): DataFrame = {
+    val hist = scoreHist(scored)
+    hist.crossJoin(cutoffsFromHist(hist))
       .select(
         when(col("logprob") >= col("v_head"), lit("head"))
           .when(col("logprob") >= col("v_mid"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"),
-        col("logprob"), col("n_bigrams"))
+        col("logprob"), col("nv"), col("snb"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum("nv").as("n_docs"),
         min("logprob").as("min_logprob"),
         max("logprob").as("max_logprob"),
-        sum("n_bigrams").as("n_bigrams"))
+        sum("snb").as("n_bigrams"))
       .orderBy("bucket")
+  }
+
+  /** The HISTOGRAM of a [[refLmScore]] frame — (logprob, nv = docs at
+    * that score, snb = their bigram total), PERSISTED: every
+    * downstream consumer (cumulative ranks, totals, the bucket report
+    * itself) works off these rows, so the expensive scoring pipeline
+    * executes exactly ONCE no matter how many plan branches read it.
+    * The histogram is bounded by the 6-decimal score value space, not
+    * the corpus, so caching it is artifact-sized; the per-query
+    * `clearCache` in Verify/Bench releases it (the near-dup
+    * candidate-pair precedent).
+    */
+  private def scoreHist(scored: DataFrame): DataFrame =
+    scored.groupBy("logprob")
+      .agg(count(lit(1)).as("nv"), sum("n_bigrams").as("snb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (v_head, v_mid) from a [[scoreHist]] frame — one cumulative
+    * window over the histogram plus one conditional-max aggregate.
+    */
+  private def cutoffsFromHist(hist: DataFrame): DataFrame = {
+    val cum = hist.withColumn("cumn",
+      sum("nv").over(Window.orderBy(col("logprob").desc)))
+    val tot = hist.agg(sum("nv").as("n"))
+    broadcast(cum.crossJoin(broadcast(tot))
+      .agg(
+        max(when(col("cumn") >= expr("(n + 2) div 3"), col("logprob")))
+          .as("v_head"),
+        max(when(col("cumn") >= expr("(2 * n + 2) div 3"), col("logprob")))
+          .as("v_mid")))
+  }
 
   /** The two [[refLmPerplexityBuckets]] value cutoffs as one row
     * (v_head, v_mid) — the MEASURED numbers a streaming ingest gates
     * at ([[writeRefLmCutoffs]] persists them next to the model; the
     * stream must not recompute corpus tertiles per micro-batch).
     */
-  def refLmCutoffs(scored: DataFrame): DataFrame = {
-    val hist = scored.groupBy("logprob").agg(count(lit(1)).as("nv"))
-    val cum = hist.withColumn("cumn",
-      sum("nv").over(Window.orderBy(col("logprob").desc)))
-    val tot = hist.agg(sum("nv").as("n"))
-    val cumt = cum.crossJoin(broadcast(tot))
-    val vHead = cumt.filter(col("cumn") >= expr("(n + 2) div 3"))
-      .agg(max("logprob").as("v_head"))
-    val vMid = cumt.filter(col("cumn") >= expr("(2 * n + 2) div 3"))
-      .agg(max("logprob").as("v_mid"))
-    broadcast(vHead.crossJoin(vMid))
-  }
+  def refLmCutoffs(scored: DataFrame): DataFrame =
+    cutoffsFromHist(scoreHist(scored))
 
   /** Persist the [[refLmCutoffs]] row beside the stored LM — the
     * measured-threshold artifact of the perplexity stage (the
@@ -692,26 +714,32 @@ object Ranking {
     */
   def refLmPerplexityBucketsByKey(scored: DataFrame, keyCol: String): DataFrame = {
     val k = col(keyCol)
-    val hist = scored.groupBy(k, col("logprob")).agg(count(lit(1)).as("nv"))
+    // the keyed twin of [[scoreHist]]: one persisted histogram per
+    // (key, score) — scoring executes once; every branch reads rows
+    val hist = scored.groupBy(k, col("logprob"))
+      .agg(count(lit(1)).as("nv"), sum("n_bigrams").as("snb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cum = hist.withColumn("cumn",
       sum("nv").over(Window.partitionBy(k).orderBy(col("logprob").desc)))
     val tot = hist.groupBy(k).agg(sum("nv").as("n"))
-    val cumt = cum.join(broadcast(tot), keyCol)
-    val vHead = cumt.filter(col("cumn") >= expr("(n + 2) div 3"))
-      .groupBy(k).agg(max("logprob").as("v_head"))
-    val vMid = cumt.filter(col("cumn") >= expr("(2 * n + 2) div 3"))
-      .groupBy(k).agg(max("logprob").as("v_mid"))
-    scored.join(broadcast(vHead.join(vMid, keyCol)), keyCol)
+    val cuts = cum.join(broadcast(tot), keyCol)
+      .groupBy(k)
+      .agg(
+        max(when(col("cumn") >= expr("(n + 2) div 3"), col("logprob")))
+          .as("v_head"),
+        max(when(col("cumn") >= expr("(2 * n + 2) div 3"), col("logprob")))
+          .as("v_mid"))
+    hist.join(broadcast(cuts), keyCol)
       .select(k,
         when(col("logprob") >= col("v_head"), lit("head"))
           .when(col("logprob") >= col("v_mid"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"),
-        col("logprob"), col("n_bigrams"))
+        col("logprob"), col("nv"), col("snb"))
       .groupBy(k, col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum("nv").as("n_docs"),
         min("logprob").as("min_logprob"),
         max("logprob").as("max_logprob"),
-        sum("n_bigrams").as("n_bigrams"))
+        sum("snb").as("n_bigrams"))
       .orderBy(k, col("bucket"))
   }
 
