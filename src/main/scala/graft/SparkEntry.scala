@@ -318,6 +318,8 @@ object SparkEntry {
       val p = tempArtifactDir("graft-curation-art").toString
       operators.DocPipeline.writeCurationArtifacts(
         T(s, dir, "documents"), "doc_id", "text", p)
+      // provenance stamp of the source corpus beside the family tables
+      core.SnapshotStamp.write(T(s, dir, "documents"), "doc_id", s"$p/stamp")
       p
     }
     operators.DocPipeline.readCurationArtifacts(s, base)
@@ -607,6 +609,11 @@ object SparkEntry {
     gateArtifactsMemo.get(s, dir) {
       val base = tempArtifactDir("graft-gate-deploy")
       val (mp, sp) = (base.resolve("model").toString, base.resolve("sweep").toString)
+      // provenance stamp of the source corpus beside the artifact
+      // tables (the SnapshotStamp contract; q183's deploy shows the
+      // read-side assert)
+      core.SnapshotStamp.write(
+        T(s, dir, "documents"), "doc_id", base.resolve("stamp").toString)
       // train the model DIRECTLY, not through the trainedHeldoutModel
       // memo: this builder runs in Bench's stored-input prewarm, and
       // filling a shared RESULT memo there would silently relieve
@@ -643,6 +650,8 @@ object SparkEntry {
     probeSweepArtifactMemo.get(s, dir) {
       val p = tempArtifactDir("graft-probe-sweep").resolve("sweep").toString
       val e = T(s, dir, "embeddings")
+      // provenance stamp of the source vectors beside the sweep
+      core.SnapshotStamp.write(e, "vec_id", s"$p-stamp")
       // same rationale as gateDeployArtifacts: train the index layers
       // directly rather than through the pqIndex memo, so the prewarm
       // build never relieves q144/q149 of the training they measure.
