@@ -2267,6 +2267,42 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- extension: token budget plan (epochs per domain) ----
+    // the planning table every pretraining run writes before touching
+    // data: q161's temperature mixture extended with the oversampling
+    // factor — epochs_milli = allocated/available tokens per domain in
+    // exact integer milli, `upsampled` when a domain must repeat
+    // (epochs > 1). Pure aggregate composition; the #domains-row
+    // total joins by broadcast
+    "q187_token_budget_plan" -> ((s, dir) => {
+      operators.Sampling.temperatureMixture(
+          T(s, dir, "documents"), "source", "text", budgetTokens = 1000000L)
+        .withColumn("epochs_milli",
+          when(col("n_tokens") === 0L, lit(0L))
+            .otherwise(expr(
+              "(cast(alloc_tokens AS decimal(38,0)) * 1000) div n_tokens"))
+            .cast("long"))
+        .withColumn("upsampled", col("epochs_milli") > 1000L)
+        .orderBy("source")
+    }),
+
+    // ---- extension: duplication profile (cluster-size histogram) ----
+    // the "how duplicated is this corpus" figure (Lee et al. 2022,
+    // arXiv:2107.06499): near-dup connected components reduced to a
+    // histogram of cluster sizes — size 1 = unique docs, the tail =
+    // boilerplate families. Rides the shared near-dup clusters (the
+    // q121/q134 memo); the histogram itself is two partial-aggregated
+    // groupBys over (doc, cluster) rows
+    "q188_dup_cluster_sizes" -> ((s, dir) => {
+      nearDupShared(s, dir)._3
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
     // ---- extension: corpus snapshot stamp (artifact staleness guard) ----
     // the fingerprint every stored artifact writes at build time: row
     // count + the exact integer sum of per-id salted md5 prefixes —
@@ -5290,6 +5326,46 @@ object SparkEntry {
     "q185_perplexity_by_lang" ->
       operators.Ranking.refLmBucketsByKeySql(
         "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
+
+    "q187_token_budget_plan" ->
+      s"""WITH pd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(${operators.TextAnalysis.tokensSql("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |sq AS (SELECT source, n_docs, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s FROM pd),
+         |tt AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM sq),
+         |m AS (SELECT source, n_docs, n_tokens,
+         |    CASE WHEN st = 0 THEN 0.0
+         |         ELSE round(CAST(s AS DOUBLE) / st, 6) END AS weight,
+         |    CASE WHEN st = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST((1000000 * s) // st AS BIGINT) END AS alloc_tokens
+         |  FROM sq, tt)
+         |SELECT source, n_docs, n_tokens, weight, alloc_tokens,
+         |  CAST(CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE (alloc_tokens * 1000) // n_tokens END AS BIGINT) AS epochs_milli,
+         |  (CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE (alloc_tokens * 1000) // n_tokens END) > 1000 AS upsampled
+         |FROM m ORDER BY source""".stripMargin,
+
+    "q188_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${sigsCte("documents")},
+         |j AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(len(list_distinct(list_intersect(a.shl, b.shl))) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.shl, b.shl))) AS jac
+         |  FROM cand c JOIN shd a ON a.doc_id = c.d1 JOIN shd b ON b.doc_id = c.d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |reach(a, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a),
+         |cl AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM cl GROUP BY 1)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q186_bpe_fit_by_lang" ->
       s"""WITH ${bpeChainSql("documents", 8, carryWord = true)},
