@@ -355,6 +355,7 @@ object SparkEntry {
     gateDeployArtifacts(s, dir)
     probeSweepArtifact(s, dir)
     refLmArtifact(s, dir)
+    keyedRefLmArtifacts(s, dir)
   }
 
   /** JVM-level memo of the four modality fingerprint tables over the
@@ -693,6 +694,30 @@ object SparkEntry {
       // stale counts
       core.SnapshotStamp.write(docs, "doc_id", s"$p/stamp")
       p
+    }
+
+  /** The STORED per-language reference-LM artifacts — [[refLmArtifact]]
+    * keyed by `lang` (trusted slice = src0/src1 per language), plus
+    * the per-language cutoff table measured on the full corpus: the
+    * artifact pair the per-language streaming gate and q189's batch
+    * deploy read. Returns `(modelPath, cutoffsPath)`.
+    */
+  private val keyedRefLmArtifactMemo = new SessionMemo[String, (String, String)]
+
+  private def keyedRefLmArtifacts(s: SparkSession, dir: String): (String, String) =
+    keyedRefLmArtifactMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-reflm-keyed")
+      val (mp, cp) = (base.resolve("model").toString, base.resolve("cutoffs").toString)
+      val docs = T(s, dir, "documents")
+      val m = operators.Ranking.refLmTrainByKey(
+        docs, "doc_id", "text", "lang", col("source").isin("src0", "src1"))
+      operators.Ranking.writeKeyedRefLm(m, mp)
+      operators.Ranking.writeRefLmCutoffsByKey(
+        operators.Ranking.refLmCutoffsByKey(
+          operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m),
+          "lang"), cp)
+      core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
+      (mp, cp)
     }
 
   /** The trained EXPLICIT-VOCAB quality model: q171 trains over the
@@ -2265,6 +2290,22 @@ object SparkEntry {
                   ELSE (cast(n_chars AS decimal(38,0)) * 1000) div n_bpe_tokens
                   END""").cast("long").as("chars_per_token_milli"))
         .orderBy("lang")
+    }),
+
+    // ---- extension: per-language deploy from the STORED keyed LM ----
+    // q185 through the production path: all five language models and
+    // the per-language cutoffs are READ from the stored keyed tables
+    // (freshness-stamped), nothing retrains, and the bucket report
+    // must reproduce the inline-trained q185 bit-for-bit
+    "q189_stored_reflm_by_lang" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (mp, _) = keyedRefLmArtifacts(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(mp).getParent + "/stamp")
+      val m = operators.Ranking.readKeyedRefLm(s, mp)
+      operators.Ranking.refLmPerplexityBucketsByKey(
+        operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m),
+        "lang")
     }),
 
     // ---- extension: token budget plan (epochs per domain) ----
@@ -5324,6 +5365,12 @@ object SparkEntry {
     "q183_stored_reflm" -> refLmBucketsOracleSql,
 
     "q185_perplexity_by_lang" ->
+      operators.Ranking.refLmBucketsByKeySql(
+        "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
+
+    // q189 shares q185's oracle verbatim: the stored keyed-LM read
+    // must deploy exactly what the one-pass inline training measured
+    "q189_stored_reflm_by_lang" ->
       operators.Ranking.refLmBucketsByKeySql(
         "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
 

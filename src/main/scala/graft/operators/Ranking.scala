@@ -714,21 +714,8 @@ object Ranking {
     */
   def refLmPerplexityBucketsByKey(scored: DataFrame, keyCol: String): DataFrame = {
     val k = col(keyCol)
-    // the keyed twin of [[scoreHist]]: one persisted histogram per
-    // (key, score) — scoring executes once; every branch reads rows
-    val hist = scored.groupBy(k, col("logprob"))
-      .agg(count(lit(1)).as("nv"), sum("n_bigrams").as("snb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cum = hist.withColumn("cumn",
-      sum("nv").over(Window.partitionBy(k).orderBy(col("logprob").desc)))
-    val tot = hist.groupBy(k).agg(sum("nv").as("n"))
-    val cuts = cum.join(broadcast(tot), keyCol)
-      .groupBy(k)
-      .agg(
-        max(when(col("cumn") >= expr("(n + 2) div 3"), col("logprob")))
-          .as("v_head"),
-        max(when(col("cumn") >= expr("(2 * n + 2) div 3"), col("logprob")))
-          .as("v_mid"))
+    val hist = keyedScoreHist(scored, keyCol)
+    val cuts = cutoffsFromKeyedHist(hist, keyCol)
     hist.join(broadcast(cuts), keyCol)
       .select(k,
         when(col("logprob") >= col("v_head"), lit("head"))
@@ -741,6 +728,78 @@ object Ranking {
         max("logprob").as("max_logprob"),
         sum("snb").as("n_bigrams"))
       .orderBy(k, col("bucket"))
+  }
+
+  /** The keyed twin of [[scoreHist]]: one persisted histogram per
+    * (key, score) — scoring executes once; every branch reads rows.
+    */
+  private def keyedScoreHist(scored: DataFrame, keyCol: String): DataFrame =
+    scored.groupBy(col(keyCol), col("logprob"))
+      .agg(count(lit(1)).as("nv"), sum("n_bigrams").as("snb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Per-key (v_head, v_mid) from a [[keyedScoreHist]] frame — the
+    * cumulative window is PARTITIONED by the key.
+    */
+  private def cutoffsFromKeyedHist(hist: DataFrame, keyCol: String): DataFrame = {
+    val k = col(keyCol)
+    val cum = hist.withColumn("cumn",
+      sum("nv").over(Window.partitionBy(k).orderBy(col("logprob").desc)))
+    val tot = hist.groupBy(k).agg(sum("nv").as("n"))
+    cum.join(broadcast(tot), keyCol)
+      .groupBy(k)
+      .agg(
+        max(when(col("cumn") >= expr("(n + 2) div 3"), col("logprob")))
+          .as("v_head"),
+        max(when(col("cumn") >= expr("(2 * n + 2) div 3"), col("logprob")))
+          .as("v_mid"))
+  }
+
+  /** Per-key cutoff rows (keyCol, v_head, v_mid) of a
+    * [[refLmScoreByKey]] frame — what a per-language streaming ingest
+    * gates at ([[writeRefLmCutoffsByKey]] persists them beside the
+    * keyed model).
+    */
+  def refLmCutoffsByKey(scored: DataFrame, keyCol: String): DataFrame =
+    cutoffsFromKeyedHist(keyedScoreHist(scored, keyCol), keyCol)
+
+  /** Persist per-key cutoffs ([[refLmCutoffsByKey]]'s shape). */
+  def writeRefLmCutoffsByKey(cutoffs: DataFrame, path: String): Unit =
+    cutoffs.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Read back a [[writeRefLmCutoffsByKey]] artifact. Fails fast on an
+    * empty table (a gate with no measured cutoffs must not silently
+    * label everything).
+    */
+  def readRefLmCutoffsByKey(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(!df.isEmpty, s"keyed cutoff artifact at $path is empty")
+    df
+  }
+
+  /** Persist a [[KeyedRefLmModel]] as four parquet tables under
+    * `path` — the stored-artifact deploy pattern for the per-language
+    * LM fleet.
+    */
+  def writeKeyedRefLm(model: KeyedRefLmModel, path: String): Unit = {
+    model.unigrams.write.mode("overwrite").parquet(s"$path/unigram")
+    model.contexts.write.mode("overwrite").parquet(s"$path/ctx")
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigram")
+    model.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  /** Read back a [[writeKeyedRefLm]] artifact. Fails fast on an empty
+    * totals table (no key trained a model).
+    */
+  def readKeyedRefLm(spark: SparkSession, path: String): KeyedRefLmModel = {
+    val tot = spark.read.parquet(s"$path/totals")
+    require(!tot.isEmpty,
+      s"keyed reference-LM artifact at $path has an empty totals table")
+    KeyedRefLmModel(
+      spark.read.parquet(s"$path/unigram"),
+      spark.read.parquet(s"$path/ctx"),
+      spark.read.parquet(s"$path/bigram"),
+      tot)
   }
 
   /** DuckDB SQL twin of [[refLmTrainByKey]] → [[refLmScoreByKey]] →

@@ -58,6 +58,68 @@ object StreamingPerplexity {
       .write.mode("append").parquet(decisionsDir)
   }
 
+  /** The PER-LANGUAGE twin of [[gateBatch]]: every micro-batch doc is
+    * scored under ITS `keyCol` value's model from the stored KEYED
+    * artifacts and labeled at that key's stored cutoffs. Documents
+    * whose key has no trained model (or no measured cutoffs) are
+    * emitted with bucket `unmodeled` and NULL score rather than
+    * silently dropped — at ingest time an unmodeled language is a
+    * routing decision the downstream consumer must see, not a row
+    * that vanishes. Appends
+    * (id, keyCol, n_bigrams, logprob, bucket, batch_id).
+    */
+  def gateBatchByKey(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val model = Ranking.readKeyedRefLm(spark, modelPath)
+    val cuts = Ranking.readRefLmCutoffsByKey(spark, cutoffsPath)
+    val scored = Ranking.refLmScoreByKey(batch, idCol, textCol, keyCol, model)
+    val labeled = scored.join(broadcast(cuts), Seq(keyCol), "left")
+      .select(col(idCol), col(keyCol), col("n_bigrams"), col("logprob"),
+        when(col("v_head").isNull, lit("unmodeled"))
+          .when(col("logprob") >= col("v_head"), lit("head"))
+          .when(col("logprob") >= col("v_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    // docs the keyed scorer dropped: key has no model, or the doc has
+    // no bigram — surfaced as unmodeled/unscored rows, never lost
+    val missing = batch
+      .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(keyCol),
+        lit(null).cast("long").as("n_bigrams"),
+        lit(null).cast("double").as("logprob"),
+        lit("unmodeled").as("bucket"))
+    labeled.unionByName(missing)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(decisionsDir)
+  }
+
+  /** [[start]] for the per-language gate — every micro-batch flows
+    * through [[gateBatchByKey]].
+    */
+  def startByKey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatchByKey(batch, idCol, textCol, keyCol, modelPath,
+          cutoffsPath, decisionsDir, batchId)
+      }
+      .start()
+
   /** Start the streaming gate: `docs` is a streaming frame carrying
     * `idCol` + `textCol`; every micro-batch flows through
     * [[gateBatch]]. `checkpointDir` makes replay semantics real

@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Ranking
 import graft.streaming.StreamingPerplexity
 
+final case class LangDoc(doc_id: Long, text: String, lang: String)
+
 /** Streaming ingest-time perplexity gating: micro-batches scored under
   * the STORED reference LM and bucketed at the STORED cutoffs — the
   * stream gates at measured numbers, and re-measuring re-tunes it with
@@ -70,6 +72,59 @@ class StreamingPerplexitySpec extends AnyFunSuite {
     }
     // the reference-like doc outranks the OOV doc
     assert(dec(100L)._1 > dec(101L)._1)
+  }
+
+  test("keyed gate: per-language models and cutoffs; unmodeled languages surface, never vanish") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-ppl-keyed").toString
+    val (modelPath, cutPath) = (s"$dir/model", s"$dir/cutoffs")
+    // L1's reference knows bigram "a b"; L2's ONLY bigram is "b a"
+    val refs = Seq(
+      (1L, "a b a b a", "L1"), (2L, "b a", "L2")
+    ).toDF("id", "text", "lang")
+    val m = Ranking.refLmTrainByKey(refs, "id", "text", "lang", lit(true))
+    Ranking.writeKeyedRefLm(m, modelPath)
+    val calib = Seq(
+      (10L, "a b a", "L1"), (11L, "x y", "L1"),
+      (12L, "b a b", "L2"), (13L, "x y", "L2")
+    ).toDF("id", "text", "lang")
+    Ranking.writeRefLmCutoffsByKey(
+      Ranking.refLmCutoffsByKey(
+        Ranking.refLmScoreByKey(calib, "id", "text", "lang", m), "lang"),
+      cutPath)
+
+    val stream = MemoryStream[LangDoc]
+    val decDir = s"$dir/decisions"
+    val q = StreamingPerplexity.startByKey(stream.toDF(), "doc_id", "text",
+      "lang", modelPath, cutPath, decDir, s"$dir/ck")
+    try {
+      stream.addData(
+        LangDoc(100L, "a b a b", "L1"),   // reference-like under L1
+        LangDoc(101L, "a b a b", "L2"),   // same text, L2's model: unseen pair
+        LangDoc(102L, "a b", "L9"),       // no L9 model -> unmodeled
+        LangDoc(103L, "a", "L1"))         // no bigram -> unmodeled
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(decDir)
+      .select("doc_id", "lang", "logprob", "bucket")
+      .as[(Long, String, Option[Double], String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(dec.keySet == Set(100L, 101L, 102L, 103L))
+    assert(dec(102L) == (("L9", None, "unmodeled")))
+    assert(dec(103L) == (("L1", None, "unmodeled")))
+    // same text, different language models: L1 scores it higher
+    assert(dec(100L)._2.get > dec(101L)._2.get)
+    // labels agree with the batch keyed scorer at the stored cutoffs
+    val cuts = Ranking.readRefLmCutoffsByKey(spark, cutPath)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq(100L -> "L1", 101L -> "L2").foreach { case (id, lang) =>
+      val (vh, vm) = cuts(lang)
+      val lp = dec(id)._2.get
+      val expect = if (lp >= vh) "head" else if (lp >= vm) "middle" else "tail"
+      assert(dec(id)._3 == expect, s"doc $id")
+    }
   }
 
   test("re-measure swap: overwriting the stored cutoffs re-tunes the next batch") {
