@@ -2308,6 +2308,29 @@ object SparkEntry {
         "lang")
     }),
 
+    // ---- extension: incremental reference-LM update ----
+    // the lifecycle leg between train and deploy: a stored model built
+    // from HALF the reference slice absorbs the other half by count
+    // MERGE (additive integers, staged atomic swap) — one delta-sized
+    // training pass plus a model-sized union-aggregate, never a
+    // re-read of the historical corpus. Shares q182's oracle: the
+    // merged model must score the pool exactly as the one-shot model
+    "q190_reflm_increment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // per-invocation dir: the merge mutates its model, so the query
+      // must own a fresh copy to stay idempotent across reruns
+      val p = tempArtifactDir("graft-reflm-inc").resolve("model").toString
+      operators.Ranking.writeRefLm(
+        operators.Ranking.refLmTrain(docs, "doc_id", "text",
+          col("lang") === "en" && col("doc_id") % 2 === 0), p)
+      operators.Ranking.mergeIntoStoredRefLm(s, p,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        isRef = col("lang") === "en")
+      operators.Ranking.refLmPerplexityBuckets(
+        operators.Ranking.refLmScore(docs, "doc_id", "text",
+          operators.Ranking.readRefLm(s, p)))
+    }),
+
     // ---- extension: token budget plan (epochs per domain) ----
     // the planning table every pretraining run writes before touching
     // data: q161's temperature mixture extended with the oversampling
@@ -5363,6 +5386,8 @@ object SparkEntry {
     // must reproduce the inline-trained buckets bit-for-bit
     "q182_perplexity_bucket" -> refLmBucketsOracleSql,
     "q183_stored_reflm" -> refLmBucketsOracleSql,
+    // q190: the half-trained-then-merged model must equal the one-shot
+    "q190_reflm_increment" -> refLmBucketsOracleSql,
 
     "q185_perplexity_by_lang" ->
       operators.Ranking.refLmBucketsByKeySql(

@@ -573,6 +573,53 @@ object Ranking {
       tot)
   }
 
+  /** Merge a NEW reference slice into a stored [[writeRefLm]] artifact
+    * in place — the incremental-update leg of the LM lifecycle: counts
+    * are additive, so the merged model is EXACTLY the model a from-
+    * scratch retrain on the union would produce (RefLmSpec asserts the
+    * bit-for-bit equality), at the cost of one delta-sized training
+    * pass plus a model-sized union-aggregate — never a re-read of the
+    * historical corpus. Context totals and (n, vocab) are re-derived
+    * from the merged tables (vocab is NOT additive across overlapping
+    * vocabularies).
+    *
+    * Crash safety: the merged tables stage into a sibling directory
+    * and swap in by rename (the state-compaction discipline) — a crash
+    * mid-merge leaves either the old or the new model, never a mix.
+    * NOT safe concurrently with another writer of `path`; quiesce
+    * first.
+    */
+  def mergeIntoStoredRefLm(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, textCol: String,
+      isRef: Column = lit(true)): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stored = readRefLm(spark, path)
+    val d = refLmTrain(delta, idCol, textCol, isRef)
+    val uni = stored.unigrams.unionByName(d.unigrams)
+      .groupBy("term").agg(sum("c1").as("c1"))
+    val big = stored.bigrams.unionByName(d.bigrams)
+      .groupBy("w1", "w2").agg(sum("cb").as("cb"))
+    val ctx = big.groupBy("w1").agg(sum("cb").as("ctx"))
+    val tot = uni.agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sibling(suffix: String) = new Path(live.getParent, live.getName + suffix)
+    val staged = sibling("__merging")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    writeRefLm(RefLmModel(uni, ctx, big, tot), staged.toString)
+    val old = sibling("__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"mergeIntoStoredRefLm: could not stage out $path")
+    if (!fs.rename(staged, live)) {
+      // restore the original model before failing — the swap is
+      // all-or-nothing from the reader's perspective
+      fs.rename(old, live)
+      throw new java.io.IOException(s"mergeIntoStoredRefLm: could not swap in $staged")
+    }
+    fs.delete(old, true)
+  }
+
   /** The shared DuckDB CTE chain for the reference-LM family: trains
     * the model on `refPred` rows of `src`, scores the whole pool, and
     * leaves `scored(id, n_bigrams, logprob)` plus the model tables in

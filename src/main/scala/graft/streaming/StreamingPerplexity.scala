@@ -120,6 +120,38 @@ object StreamingPerplexity {
       }
       .start()
 
+  /** Continuously GROW the stored reference LM from a stream of newly
+    * trusted documents: every micro-batch merges its counts into the
+    * model at `modelPath` ([[Ranking.mergeIntoStoredRefLm]] — additive
+    * counts, staged swap, bit-identical to a from-scratch retrain on
+    * the union). The scoring fleet re-reads the model per batch/query,
+    * so it serves the grown model at its next read; the CUTOFF
+    * artifact is deliberately untouched — cutoffs are corpus
+    * measurements the batch pipeline owns and re-measures on its own
+    * cadence.
+    *
+    * Delivery semantics: merging is NOT idempotent under replay (a
+    * replayed batch adds its counts twice), so this sink is exactly-
+    * once only to the extent the checkpoint prevents replay — feed it
+    * from a source with committed offsets, and on crash-between-merge-
+    * and-commit REBUILD the model from the corpus (the from-scratch
+    * twin is the recovery path, and the stamp beside the model dates
+    * it).
+    */
+  def ingestReference(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ranking.mergeIntoStoredRefLm(batch.sparkSession, modelPath,
+          batch, idCol, textCol)
+      }
+      .start()
+
   /** Start the streaming gate: `docs` is a streaming frame carrying
     * `idCol` + `textCol`; every micro-batch flows through
     * [[gateBatch]]. `checkpointDir` makes replay semantics real

@@ -171,6 +171,61 @@ class RefLmSpec extends AnyFunSuite {
       ("L2", "middle", 1L, -20.0, -20.0, 2L)))
   }
 
+  test("incremental merge is bit-identical to a from-scratch retrain on the union") {
+    val dir = Files.createTempDirectory("reflm-merge").toString
+    val p = s"$dir/model"
+    // base = docs 1 only; delta = doc 2 (overlapping vocabulary)
+    Ranking.writeRefLm(
+      Ranking.refLmTrain(refPoolDocs, "id", "text",
+        col("is_ref") && col("id") === 1L), p)
+    Ranking.mergeIntoStoredRefLm(spark, p,
+      refPoolDocs.filter(col("id") === 2L), "id", "text")
+    val merged = Ranking.readRefLm(spark, p)
+    val full = Ranking.refLmTrain(refPoolDocs, "id", "text", col("is_ref"))
+    assert(merged.unigrams.as[(String, Long)].collect().toSet ==
+      full.unigrams.as[(String, Long)].collect().toSet)
+    assert(merged.bigrams.as[(String, String, Long)].collect().toSet ==
+      full.bigrams.as[(String, String, Long)].collect().toSet)
+    assert(merged.contexts.as[(String, Long)].collect().toSet ==
+      full.contexts.as[(String, Long)].collect().toSet)
+    assert(merged.totals.as[(Long, Long)].collect().toSeq ==
+      full.totals.as[(Long, Long)].collect().toSeq)
+    // and scoring under either is identical
+    val pool = refPoolDocs.filter(!col("is_ref"))
+    assert(Ranking.refLmScore(pool, "id", "text", merged)
+        .as[(Long, Long, Double)].collect().toSet ==
+      Ranking.refLmScore(pool, "id", "text", full)
+        .as[(Long, Long, Double)].collect().toSet)
+    // the staging/old siblings are gone after the swap
+    val base = new java.io.File(dir)
+    assert(base.list().toSet == Set("model"))
+  }
+
+  test("streaming reference ingest grows the stored model batch by batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("reflm-ingest").toString
+    val p = s"$dir/model"
+    Ranking.writeRefLm(
+      Ranking.refLmTrain(Seq((1L, "a b a b a")).toDF("id", "text"),
+        "id", "text", lit(true)), p)
+    val stream = MemoryStream[Doc]
+    val q = graft.streaming.StreamingPerplexity.ingestReference(
+      stream.toDF(), "doc_id", "text", p, s"$dir/ck")
+    try {
+      stream.addData(Doc(2L, "b c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val grown = Ranking.readRefLm(spark, p)
+    val full = Ranking.refLmTrain(
+      Seq((1L, "a b a b a"), (2L, "b c")).toDF("id", "text"),
+      "id", "text", lit(true))
+    assert(grown.unigrams.as[(String, Long)].collect().toSet ==
+      full.unigrams.as[(String, Long)].collect().toSet)
+    assert(grown.totals.as[(Long, Long)].collect().toSeq ==
+      full.totals.as[(Long, Long)].collect().toSeq)
+  }
+
   test("readRefLm fails fast on an empty-reference artifact") {
     val dir = Files.createTempDirectory("reflm-empty").toString
     Ranking.writeRefLm(
