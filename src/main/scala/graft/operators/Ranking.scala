@@ -595,10 +595,15 @@ object Ranking {
     import org.apache.hadoop.fs.Path
     val stored = readRefLm(spark, path)
     val d = refLmTrain(delta, idCol, textCol, isRef)
+    // persist the two merged count frames: each feeds TWO of the four
+    // staged writes (uni → unigram+totals, big → bigram+ctx), and
+    // without the pin every write re-runs the delta tokenization
     val uni = stored.unigrams.unionByName(d.unigrams)
       .groupBy("term").agg(sum("c1").as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = stored.bigrams.unionByName(d.bigrams)
       .groupBy("w1", "w2").agg(sum("cb").as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = big.groupBy("w1").agg(sum("cb").as("ctx"))
     val tot = uni.agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
     val live = new Path(path)
@@ -606,7 +611,8 @@ object Ranking {
     def sibling(suffix: String) = new Path(live.getParent, live.getName + suffix)
     val staged = sibling("__merging")
     if (fs.exists(staged)) fs.delete(staged, true)
-    writeRefLm(RefLmModel(uni, ctx, big, tot), staged.toString)
+    try writeRefLm(RefLmModel(uni, ctx, big, tot), staged.toString)
+    finally { uni.unpersist(false); big.unpersist(false) }
     val old = sibling("__old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(live, old))
