@@ -470,9 +470,18 @@ object Ranking {
     * (bucket, n_docs, min_logprob, max_logprob, n_bigrams), ordered by
     * bucket name (head < middle < tail alphabetically).
     */
-  def refLmPerplexityBuckets(scored: DataFrame): DataFrame = {
+  def refLmPerplexityBuckets(scored: DataFrame): DataFrame =
+    refLmPerplexityBucketsCached(scored).df
+
+  /** [[refLmPerplexityBuckets]] exposing the persisted histogram
+    * handle (the [[Dedup.CachedDF]] contract): long-lived sessions
+    * calling the bucket report repeatedly must be able to release the
+    * cached block; Verify/Bench release via their per-query
+    * `clearCache`.
+    */
+  def refLmPerplexityBucketsCached(scored: DataFrame): Dedup.CachedDF = {
     val hist = scoreHist(scored)
-    hist.crossJoin(cutoffsFromHist(hist))
+    val df = hist.crossJoin(cutoffsFromHist(hist))
       .select(
         when(col("logprob") >= col("v_head"), lit("head"))
           .when(col("logprob") >= col("v_mid"), lit("middle"))
@@ -484,6 +493,7 @@ object Ranking {
         max("logprob").as("max_logprob"),
         sum("snb").as("n_bigrams"))
       .orderBy("bucket")
+    Dedup.CachedDF(df, Seq(hist))
   }
 
   /** The HISTOGRAM of a [[refLmScore]] frame — (logprob, nv = docs at
@@ -765,11 +775,18 @@ object Ranking {
     * by the key — no single-partition window anywhere. Returns one row
     * per (keyCol, non-empty bucket).
     */
-  def refLmPerplexityBucketsByKey(scored: DataFrame, keyCol: String): DataFrame = {
+  def refLmPerplexityBucketsByKey(scored: DataFrame, keyCol: String): DataFrame =
+    refLmPerplexityBucketsByKeyCached(scored, keyCol).df
+
+  /** [[refLmPerplexityBucketsByKey]] exposing the persisted histogram
+    * handle — see [[refLmPerplexityBucketsCached]].
+    */
+  def refLmPerplexityBucketsByKeyCached(
+      scored: DataFrame, keyCol: String): Dedup.CachedDF = {
     val k = col(keyCol)
     val hist = keyedScoreHist(scored, keyCol)
     val cuts = cutoffsFromKeyedHist(hist, keyCol)
-    hist.join(broadcast(cuts), keyCol)
+    val df = hist.join(broadcast(cuts), keyCol)
       .select(k,
         when(col("logprob") >= col("v_head"), lit("head"))
           .when(col("logprob") >= col("v_mid"), lit("middle"))
@@ -781,6 +798,7 @@ object Ranking {
         max("logprob").as("max_logprob"),
         sum("snb").as("n_bigrams"))
       .orderBy(k, col("bucket"))
+    Dedup.CachedDF(df, Seq(hist))
   }
 
   /** The keyed twin of [[scoreHist]]: one persisted histogram per

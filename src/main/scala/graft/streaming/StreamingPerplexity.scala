@@ -35,8 +35,10 @@ object StreamingPerplexity {
 
   /** Score and label one micro-batch; append
     * (id, n_bigrams, logprob, bucket, batch_id) to `decisionsDir`.
-    * Exposed for direct use and testing — [[start]]'s `foreachBatch`
-    * calls exactly this.
+    * Documents the scorer cannot score (< 2 tokens — no bigram) are
+    * emitted with bucket `unscored` and NULL score rather than
+    * silently dropped. Exposed for direct use and testing —
+    * [[start]]'s `foreachBatch` calls exactly this.
     */
   def gateBatch(
       batch: DataFrame,
@@ -49,11 +51,21 @@ object StreamingPerplexity {
     val spark = batch.sparkSession
     val model = Ranking.readRefLm(spark, modelPath)
     val (vHead, vMid) = Ranking.readRefLmCutoffs(spark, cutoffsPath)
-    Ranking.refLmScore(batch, idCol, textCol, model)
+    val scored = Ranking.refLmScore(batch, idCol, textCol, model)
+    val labeled = scored
       .withColumn("bucket",
         when(col("logprob") >= vHead, lit("head"))
           .when(col("logprob") >= vMid, lit("middle"))
           .otherwise(lit("tail")))
+    // docs the scorer cannot score (< 2 tokens, so no bigram) surface
+    // as `unscored` rows — the keyed gate's never-vanish contract
+    val missing = batch
+      .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol),
+        lit(null).cast("long").as("n_bigrams"),
+        lit(null).cast("double").as("logprob"),
+        lit("unscored").as("bucket"))
+    labeled.unionByName(missing)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(decisionsDir)
   }

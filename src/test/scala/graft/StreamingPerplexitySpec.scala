@@ -46,17 +46,20 @@ class StreamingPerplexitySpec extends AnyFunSuite {
     val q = StreamingPerplexity.start(stream.toDF(), "doc_id", "text",
       modelPath, cutPath, decDir, s"$dir/ck")
     try {
-      stream.addData(Doc(100L, "a b a b a"), Doc(101L, "x y"))
+      stream.addData(Doc(100L, "a b a b a"), Doc(101L, "x y"),
+        Doc(104L, "a")) // single token -> no bigram -> unscored
       q.processAllAvailable()
       stream.addData(Doc(102L, "a b x y"))
       q.processAllAvailable()
     } finally q.stop()
 
-    val dec = spark.read.parquet(decDir)
+    val all = spark.read.parquet(decDir)
       .select("doc_id", "logprob", "bucket", "batch_id")
-      .as[(Long, Double, String, Long)]
+      .as[(Long, Option[Double], String, Long)]
       .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(dec.keySet == Set(100L, 101L, 102L))
+    assert(all.keySet == Set(100L, 101L, 102L, 104L))
+    assert(all(104L)._1.isEmpty && all(104L)._2 == "unscored")
+    val dec = (all - 104L).map { case (k, (lp, b, bid)) => k -> ((lp.get, b, bid)) }
     assert(dec(100L)._3 == 0L && dec(102L)._3 == 1L)
 
     // every decision must agree with the batch scorer at the stored cutoffs
