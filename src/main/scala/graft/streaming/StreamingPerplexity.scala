@@ -51,23 +51,30 @@ object StreamingPerplexity {
     val spark = batch.sparkSession
     val model = Ranking.readRefLm(spark, modelPath)
     val (vHead, vMid) = Ranking.readRefLmCutoffs(spark, cutoffsPath)
+    // persisted for the batch write: the labeled branch AND the
+    // missing-doc anti-join both read `scored`, and without the pin
+    // the scoring pipeline (per-doc bigram groupBy + three model
+    // joins) would execute twice per micro-batch
     val scored = Ranking.refLmScore(batch, idCol, textCol, model)
-    val labeled = scored
-      .withColumn("bucket",
-        when(col("logprob") >= vHead, lit("head"))
-          .when(col("logprob") >= vMid, lit("middle"))
-          .otherwise(lit("tail")))
-    // docs the scorer cannot score (< 2 tokens, so no bigram) surface
-    // as `unscored` rows — the keyed gate's never-vanish contract
-    val missing = batch
-      .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol),
-        lit(null).cast("long").as("n_bigrams"),
-        lit(null).cast("double").as("logprob"),
-        lit("unscored").as("bucket"))
-    labeled.unionByName(missing)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(decisionsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labeled = scored
+        .withColumn("bucket",
+          when(col("logprob") >= vHead, lit("head"))
+            .when(col("logprob") >= vMid, lit("middle"))
+            .otherwise(lit("tail")))
+      // docs the scorer cannot score (< 2 tokens, so no bigram) surface
+      // as `unscored` rows — the keyed gate's never-vanish contract
+      val missing = batch
+        .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol),
+          lit(null).cast("long").as("n_bigrams"),
+          lit(null).cast("double").as("logprob"),
+          lit("unscored").as("bucket"))
+      labeled.unionByName(missing)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(decisionsDir)
+    } finally scored.unpersist(false)
   }
 
   /** The PER-LANGUAGE twin of [[gateBatch]]: every micro-batch doc is
@@ -77,7 +84,9 @@ object StreamingPerplexity {
     * emitted with bucket `unmodeled` and NULL score rather than
     * silently dropped — at ingest time an unmodeled language is a
     * routing decision the downstream consumer must see, not a row
-    * that vanishes. Appends
+    * that vanishes. A doc whose key IS modeled but that has no bigram
+    * (< 2 tokens) is `unscored`, the unkeyed gate's label — the two
+    * conditions demand different remediation. Appends
     * (id, keyCol, n_bigrams, logprob, bucket, batch_id).
     */
   def gateBatchByKey(
@@ -92,24 +101,38 @@ object StreamingPerplexity {
     val spark = batch.sparkSession
     val model = Ranking.readKeyedRefLm(spark, modelPath)
     val cuts = Ranking.readRefLmCutoffsByKey(spark, cutoffsPath)
+    // persisted for the batch write — see [[gateBatch]]: two branches
+    // read `scored`, the pin keeps scoring to one execution
     val scored = Ranking.refLmScoreByKey(batch, idCol, textCol, keyCol, model)
-    val labeled = scored.join(broadcast(cuts), Seq(keyCol), "left")
-      .select(col(idCol), col(keyCol), col("n_bigrams"), col("logprob"),
-        when(col("v_head").isNull, lit("unmodeled"))
-          .when(col("logprob") >= col("v_head"), lit("head"))
-          .when(col("logprob") >= col("v_mid"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
-    // docs the keyed scorer dropped: key has no model, or the doc has
-    // no bigram — surfaced as unmodeled/unscored rows, never lost
-    val missing = batch
-      .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol), col(keyCol),
-        lit(null).cast("long").as("n_bigrams"),
-        lit(null).cast("double").as("logprob"),
-        lit("unmodeled").as("bucket"))
-    labeled.unionByName(missing)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(decisionsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labeled = scored.join(broadcast(cuts), Seq(keyCol), "left")
+        .select(col(idCol), col(keyCol), col("n_bigrams"), col("logprob"),
+          when(col("v_head").isNull, lit("unmodeled"))
+            .when(col("logprob") >= col("v_head"), lit("head"))
+            .when(col("logprob") >= col("v_mid"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+      // docs the keyed scorer dropped, split by WHY: a doc under a key
+      // that HAS a stored model but itself has no bigram (< 2 tokens)
+      // is `unscored` (the unkeyed gate's label — too short to score),
+      // while a key absent from the stored totals is `unmodeled` (a
+      // routing decision: send this language to model training).
+      // Conflating them would hide short docs of modeled languages
+      // behind the train-a-new-model signal
+      val modeledKeys = model.totals.select(col("__k").as(keyCol))
+        .withColumn("__modeled", lit(true))
+      val missing = batch
+        .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+        .join(broadcast(modeledKeys), Seq(keyCol), "left")
+        .select(col(idCol), col(keyCol),
+          lit(null).cast("long").as("n_bigrams"),
+          lit(null).cast("double").as("logprob"),
+          when(col("__modeled"), lit("unscored"))
+            .otherwise(lit("unmodeled")).as("bucket"))
+      labeled.unionByName(missing)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(decisionsDir)
+    } finally scored.unpersist(false)
   }
 
   /** [[start]] for the per-language gate — every micro-batch flows
@@ -142,13 +165,14 @@ object StreamingPerplexity {
     * measurements the batch pipeline owns and re-measures on its own
     * cadence.
     *
-    * Delivery semantics: merging is NOT idempotent under replay (a
-    * replayed batch adds its counts twice), so this sink is exactly-
-    * once only to the extent the checkpoint prevents replay — feed it
-    * from a source with committed offsets, and on crash-between-merge-
-    * and-commit REBUILD the model from the corpus (the from-scratch
-    * twin is the recovery path, and the stamp beside the model dates
-    * it).
+    * Delivery semantics: replay-IDEMPOTENT — every micro-batch merges
+    * under its batch id, and the merge's applied-batch log (staged and
+    * swapped atomically WITH the count tables) makes a re-delivered
+    * batch a no-op: a crash between the merge and the checkpoint
+    * commit replays the batch, the log already contains its id, and
+    * the counts stay bit-identical (StreamingPerplexitySpec's replay
+    * case asserts it). The curation decision-log discipline applied to
+    * an additive model.
     */
   def ingestReference(
       docs: DataFrame,
@@ -158,11 +182,24 @@ object StreamingPerplexity {
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Ranking.mergeIntoStoredRefLm(batch.sparkSession, modelPath,
-          batch, idCol, textCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestReferenceBatch(batch, idCol, textCol, modelPath, batchId); ()
       }
       .start()
+
+  /** Merge one micro-batch of newly trusted docs into the stored LM
+    * under its replay guard — [[ingestReference]]'s `foreachBatch`
+    * body, exposed for direct use and testing. Returns true iff the
+    * batch was merged (false = already applied, a replay no-op).
+    */
+  def ingestReferenceBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      batchId: Long): Boolean =
+    Ranking.mergeIntoStoredRefLm(batch.sparkSession, modelPath,
+      batch, idCol, textCol, batchId = Some(batchId))
 
   /** Start the streaming gate: `docs` is a streaming frame carrying
     * `idCol` + `textCol`; every micro-batch flows through

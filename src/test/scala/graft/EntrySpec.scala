@@ -25,6 +25,49 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("stored-artifact deploys trip on a mutated corpus (q179/q180/q190 freshness gates)") {
+    import org.apache.spark.sql.functions._
+    // private writable copy of the corpus: the deploy queries build
+    // their stored artifacts (and stamps) against it, then the corpus
+    // mutates underneath the memoized artifacts — every stamped deploy
+    // path must refuse to serve
+    val dir = java.nio.file.Files.createTempDirectory("entry-stale").toString
+    val src = new java.io.File(sf)
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(dir, f.getName))
+    }
+    def fresh(name: String) = SparkEntry.queries(name)(spark, dir).count()
+    assert(fresh("q179_stored_gate") > 0)
+    assert(fresh("q180_stored_probe") > 0)
+    assert(fresh("q190_reflm_increment") > 0)
+    // mutate both source tables the artifacts measure (drop one row)
+    Seq("documents", "embeddings").foreach { t =>
+      val idCol = if (t == "documents") "doc_id" else "vec_id"
+      val rows = spark.read.parquet(s"$dir/$t.parquet")
+        .filter(col(idCol) =!= 0).collect()
+      val schema = spark.read.parquet(s"$dir/$t.parquet").schema
+      val mutated = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+      val tmp = s"$dir/__mut_$t"
+      mutated.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the replacement happened outside Spark's writers, so the
+      // shared FileStatusCache must be told the listing changed
+      spark.catalog.refreshByPath(s"$dir/$t.parquet")
+    }
+    Seq("q179_stored_gate", "q180_stored_probe", "q190_reflm_increment")
+      .foreach { name =>
+        val e = intercept[IllegalArgumentException] { fresh(name) }
+        assert(e.getMessage.contains("stale artifact stamp"),
+          s"$name must fail the freshness assert, got: ${e.getMessage}")
+      }
+  }
+
   test("localFrame memo guard: an over-cap artifact fails fast instead of OOMing the driver") {
     val big = spark.range(11).toDF("id")
     val e = intercept[IllegalStateException] {

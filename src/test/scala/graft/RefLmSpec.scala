@@ -201,6 +201,76 @@ class RefLmSpec extends AnyFunSuite {
     assert(base.list().toSet == Set("model"))
   }
 
+  test("merge under a batch id is replay-idempotent: re-delivery is a no-op") {
+    val dir = Files.createTempDirectory("reflm-replay").toString
+    val p = s"$dir/model"
+    Ranking.writeRefLm(
+      Ranking.refLmTrain(refPoolDocs, "id", "text",
+        col("is_ref") && col("id") === 1L), p)
+    def modelCounts() = (
+      Ranking.readRefLm(spark, p).unigrams.as[(String, Long)].collect().toSet,
+      Ranking.readRefLm(spark, p).bigrams.as[(String, String, Long)].collect().toSet,
+      Ranking.readRefLm(spark, p).totals.as[(Long, Long)].collect().toSeq)
+    val delta = refPoolDocs.filter(col("id") === 2L)
+    assert(Ranking.mergeIntoStoredRefLm(spark, p, delta, "id", "text",
+      batchId = Some(7L)))
+    val once = modelCounts()
+    // the crash-between-merge-and-checkpoint replay: same batch again
+    assert(!Ranking.mergeIntoStoredRefLm(spark, p, delta, "id", "text",
+      batchId = Some(7L)))
+    assert(modelCounts() == once, "replayed batch must not double-count")
+    // a NEW batch id still applies (the log guards ids, not contents)
+    assert(Ranking.mergeIntoStoredRefLm(spark, p,
+      refPoolDocs.filter(col("id") === 1L), "id", "text",
+      batchId = Some(8L)))
+    assert(modelCounts() != once)
+  }
+
+  test("merge self-heals the between-renames crash window from __old") {
+    val dir = Files.createTempDirectory("reflm-heal").toString
+    val p = s"$dir/model"
+    Ranking.writeRefLm(
+      Ranking.refLmTrain(refPoolDocs, "id", "text",
+        col("is_ref") && col("id") === 1L), p)
+    // simulate a crash after rename(live -> old), before
+    // rename(staged -> live): the complete model sits at __old
+    assert(new java.io.File(p).renameTo(new java.io.File(s"${p}__old")))
+    Ranking.mergeIntoStoredRefLm(spark, p,
+      refPoolDocs.filter(col("id") === 2L), "id", "text")
+    val merged = Ranking.readRefLm(spark, p)
+    val full = Ranking.refLmTrain(refPoolDocs, "id", "text", col("is_ref"))
+    assert(merged.unigrams.as[(String, Long)].collect().toSet ==
+      full.unigrams.as[(String, Long)].collect().toSet)
+    assert(new java.io.File(dir).list().toSet == Set("model"))
+  }
+
+  test("merge-returning frames equal the swapped-in stored model (no read-back)") {
+    val dir = Files.createTempDirectory("reflm-ret").toString
+    val p = s"$dir/model"
+    Ranking.writeRefLm(
+      Ranking.refLmTrain(refPoolDocs, "id", "text",
+        col("is_ref") && col("id") === 1L), p)
+    val ret = Ranking.mergeIntoStoredRefLmReturning(spark, p,
+      refPoolDocs.filter(col("id") === 2L), "id", "text").get
+    try {
+      val stored = Ranking.readRefLm(spark, p)
+      assert(ret.model.unigrams.as[(String, Long)].collect().toSet ==
+        stored.unigrams.as[(String, Long)].collect().toSet)
+      assert(ret.model.bigrams.as[(String, String, Long)].collect().toSet ==
+        stored.bigrams.as[(String, String, Long)].collect().toSet)
+      assert(ret.model.totals.as[(Long, Long)].collect().toSeq ==
+        stored.totals.as[(Long, Long)].collect().toSeq)
+      // and the scoring path off the returned frames matches q182's
+      // one-shot arithmetic (the frames ARE the model)
+      val pool = refPoolDocs.filter(!col("is_ref"))
+      val full = Ranking.refLmTrain(refPoolDocs, "id", "text", col("is_ref"))
+      assert(Ranking.refLmScore(pool, "id", "text", ret.model)
+          .as[(Long, Long, Double)].collect().toSet ==
+        Ranking.refLmScore(pool, "id", "text", full)
+          .as[(Long, Long, Double)].collect().toSet)
+    } finally ret.unpersist()
+  }
+
   test("streaming reference ingest grows the stored model batch by batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -105,7 +105,7 @@ class StreamingPerplexitySpec extends AnyFunSuite {
         LangDoc(100L, "a b a b", "L1"),   // reference-like under L1
         LangDoc(101L, "a b a b", "L2"),   // same text, L2's model: unseen pair
         LangDoc(102L, "a b", "L9"),       // no L9 model -> unmodeled
-        LangDoc(103L, "a", "L1"))         // no bigram -> unmodeled
+        LangDoc(103L, "a", "L1"))         // modeled key, no bigram -> unscored
       q.processAllAvailable()
     } finally q.stop()
 
@@ -115,7 +115,9 @@ class StreamingPerplexitySpec extends AnyFunSuite {
       .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(dec.keySet == Set(100L, 101L, 102L, 103L))
     assert(dec(102L) == (("L9", None, "unmodeled")))
-    assert(dec(103L) == (("L1", None, "unmodeled")))
+    // modeled language + bigram-less doc: too-short-to-score, NOT a
+    // route-to-training signal — the keyed gate distinguishes them
+    assert(dec(103L) == (("L1", None, "unscored")))
     // same text, different language models: L1 scores it higher
     assert(dec(100L)._2.get > dec(101L)._2.get)
     // labels agree with the batch keyed scorer at the stored cutoffs
@@ -157,5 +159,31 @@ class StreamingPerplexitySpec extends AnyFunSuite {
     val dec = spark.read.parquet(decDir)
       .select("doc_id", "bucket").as[(Long, String)].collect().toMap
     assert(dec == Map(1L -> "head", 2L -> "tail"))
+  }
+
+  test("reference ingest is replay-idempotent: a re-delivered batch cannot double-count") {
+    val dir = Files.createTempDirectory("stream-ppl-replay").toString
+    val p = s"$dir/model"
+    Ranking.writeRefLm(Ranking.refLmTrain(refDocs, "id", "text", lit(true)), p)
+    val batch = Seq((10L, "b c")).toDF("doc_id", "text")
+    // batch 0 merges; the crash-before-checkpoint-commit replay
+    // re-delivers the SAME batch id — the applied log (swapped
+    // atomically with the counts) makes it a no-op
+    assert(StreamingPerplexity.ingestReferenceBatch(
+      batch, "doc_id", "text", p, batchId = 0L))
+    val once = Ranking.readRefLm(spark, p)
+      .unigrams.as[(String, Long)].collect().toSet
+    assert(!StreamingPerplexity.ingestReferenceBatch(
+      batch, "doc_id", "text", p, batchId = 0L))
+    assert(Ranking.readRefLm(spark, p)
+      .unigrams.as[(String, Long)].collect().toSet == once)
+    // counts are bit-equal to one clean delivery over the union
+    val full = Ranking.refLmTrain(
+      refDocs.unionByName(batch.toDF("id", "text")), "id", "text", lit(true))
+    assert(once == full.unigrams.as[(String, Long)].collect().toSet)
+    // the next batch id still applies
+    assert(StreamingPerplexity.ingestReferenceBatch(
+      Seq((11L, "c d")).toDF("doc_id", "text"), "doc_id", "text", p,
+      batchId = 1L))
   }
 }
