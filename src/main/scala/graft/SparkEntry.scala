@@ -372,6 +372,7 @@ object SparkEntry {
     probeSweepArtifact(s, dir)
     refLmArtifact(s, dir)
     refLmBaseArtifact(s, dir)
+    refLm3Artifact(s, dir)
     keyedRefLmArtifacts(s, dir)
   }
 
@@ -558,6 +559,12 @@ object SparkEntry {
   private lazy val refLmBucketsOracleSql: String =
     operators.Ranking.refLmBucketsSql("documents", "doc_id", "text", "lang = 'en'")
 
+  /** The shared q191/q192 oracle — [[refLmBucketsOracleSql]] at
+    * order 3 (trigram backoff chain over the same trusted slice).
+    */
+  private lazy val refLm3BucketsOracleSql: String =
+    operators.Ranking.refLm3BucketsSql("documents", "doc_id", "text", "lang = 'en'")
+
   private lazy val selectGateOracleSql: String = {
     val toksList = operators.TextAnalysis.tokensSql("text")
     val hex = operators.Sampling.hexPrefixSql("md5('qtrain:' || term)")
@@ -732,6 +739,24 @@ object SparkEntry {
       operators.Ranking.writeRefLm(
         operators.Ranking.refLmTrain(docs, "doc_id", "text",
           col("lang") === "en" && col("doc_id") % 2 === 0), p)
+      core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
+      p
+    }
+
+  /** The STORED order-3 reference-LM artifact — [[refLmArtifact]] one
+    * order up: six count tables (q192 reads them, trains nothing),
+    * freshness-stamped like every corpus-derived stored artifact.
+    */
+  private val refLm3ArtifactMemo = new SessionMemo[String, String]
+
+  private def refLm3Artifact(s: SparkSession, dir: String): String =
+    refLm3ArtifactMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-reflm3")
+      val p = base.resolve("model").toString
+      val docs = T(s, dir, "documents")
+      operators.Ranking.writeRefLm3(
+        operators.Ranking.refLm3Train(
+          docs, "doc_id", "text", col("lang") === "en"), p)
       core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
       p
     }
@@ -2391,6 +2416,37 @@ object SparkEntry {
         .getOrElse(sys.error("q190: fresh clone reported batch already applied"))
       operators.Ranking.refLmPerplexityBuckets(
         operators.Ranking.refLmScore(docs, "doc_id", "text", merged.model))
+    }),
+
+    // ---- extension: order-3 reference LM (trigram backoff chain) ----
+    // the capability step toward CCNet's real 5-gram model: trigram
+    // counts over the lang='en' trusted slice, every pool doc scored
+    // with the Jelinek-Mercer backoff chain trigram→bigram→unigram
+    // (λ3=0.5 over the trigram ML leg, then q182's bigram mixture),
+    // bucketed by the same histogram-derived value tertiles. One more
+    // partial-aggregated count table and one wider distinct-triple
+    // join — the scale shape is q182's
+    "q191_reflm3_bucket" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val m = operators.Ranking.refLm3Train(
+        docs, "doc_id", "text", col("lang") === "en")
+      operators.Ranking.refLm3PerplexityBuckets(
+        operators.Ranking.refLm3Score(docs, "doc_id", "text", m))
+    }),
+
+    // ---- extension: deploy from the STORED order-3 LM ----
+    // q191 through the production path (q183's pattern at order 3):
+    // the scoring fleet READS the six stored count tables
+    // (freshness-stamped), trains nothing, and must reproduce the
+    // inline-trained buckets bit-for-bit (shared oracle)
+    "q192_stored_reflm3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val p = refLm3Artifact(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(p).getParent + "/stamp")
+      val m = operators.Ranking.readRefLm3(s, p)
+      operators.Ranking.refLm3PerplexityBuckets(
+        operators.Ranking.refLm3Score(docs, "doc_id", "text", m))
     }),
 
     // ---- extension: token budget plan (epochs per domain) ----
@@ -5450,6 +5506,11 @@ object SparkEntry {
     "q183_stored_reflm" -> refLmBucketsOracleSql,
     // q190: the half-trained-then-merged model must equal the one-shot
     "q190_reflm_increment" -> refLmBucketsOracleSql,
+
+    // q192 shares this oracle verbatim: the stored order-3 read must
+    // reproduce the inline-trained trigram buckets bit-for-bit
+    "q191_reflm3_bucket" -> refLm3BucketsOracleSql,
+    "q192_stored_reflm3" -> refLm3BucketsOracleSql,
 
     "q185_perplexity_by_lang" ->
       operators.Ranking.refLmBucketsByKeySql(

@@ -479,8 +479,17 @@ object Ranking {
     * cached block; Verify/Bench release via their per-query
     * `clearCache`.
     */
-  def refLmPerplexityBucketsCached(scored: DataFrame): Dedup.CachedDF = {
-    val hist = scoreHist(scored)
+  def refLmPerplexityBucketsCached(scored: DataFrame): Dedup.CachedDF =
+    bucketsFromScoredCached(scored, "n_bigrams")
+
+  /** The bucket-report body shared by the bigram and trigram families —
+    * parameterized only by the per-doc count column the scored frame
+    * carries (`n_bigrams` / `n_trigrams`), which is also the report's
+    * output column name.
+    */
+  private def bucketsFromScoredCached(
+      scored: DataFrame, cntCol: String): Dedup.CachedDF = {
+    val hist = scoreHist(scored, cntCol)
     val df = hist.crossJoin(cutoffsFromHist(hist))
       .select(
         when(col("logprob") >= col("v_head"), lit("head"))
@@ -491,7 +500,7 @@ object Ranking {
       .agg(sum("nv").as("n_docs"),
         min("logprob").as("min_logprob"),
         max("logprob").as("max_logprob"),
-        sum("snb").as("n_bigrams"))
+        sum("snb").as(cntCol))
       .orderBy("bucket")
     Dedup.CachedDF(df, Seq(hist))
   }
@@ -506,9 +515,10 @@ object Ranking {
     * `clearCache` in Verify/Bench releases it (the near-dup
     * candidate-pair precedent).
     */
-  private def scoreHist(scored: DataFrame): DataFrame =
+  private def scoreHist(
+      scored: DataFrame, cntCol: String = "n_bigrams"): DataFrame =
     scored.groupBy("logprob")
-      .agg(count(lit(1)).as("nv"), sum("n_bigrams").as("snb"))
+      .agg(count(lit(1)).as("nv"), sum(cntCol).as("snb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** (v_head, v_mid) from a [[scoreHist]] frame — cumulative counts by
@@ -587,24 +597,22 @@ object Ranking {
     * stored-gate shape applied to the reference LM): the scoring fleet
     * reads counts, never retrains.
     */
-  def writeRefLm(model: RefLmModel, path: String): Unit = inParallel(
-    () => model.unigrams.write.mode("overwrite").parquet(s"$path/unigram"),
-    () => model.contexts.write.mode("overwrite").parquet(s"$path/ctx"),
-    () => model.bigrams.write.mode("overwrite").parquet(s"$path/bigram"),
-    () => model.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals"))
-
-  /** Run independent Spark write jobs from concurrent threads — the
-    * four count tables of a stored LM share no lineage barrier, so
-    * serializing them just multiplies the per-job driver-latency floor
-    * (the q190 cap-kill lesson: ~30 sequential barriers amplify a
-    * degraded VM into a watchdog kill). Spark's scheduler accepts
-    * concurrent job submission from one session; failures propagate.
-    */
-  private def inParallel(tasks: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+  // The four writes are deliberately SEQUENTIAL. Submitting them from
+  // concurrent threads looks like a free barrier collapse (the tables
+  // share no lineage), but the DataFrames share expression-tree
+  // INSTANCES (the tokenize lambdas under every count table), and
+  // Catalyst's ConvertToLocalRelation folds projections over local
+  // relations EAGERLY during optimization with interpreted expression
+  // evaluation — concurrent optimization of plans sharing a
+  // higher-order function's LambdaVariable then races and silently
+  // corrupts counts (reproduced in this repo: impossible bigrams,
+  // redistributed unigram totals; 8/8 clean with the rule excluded).
+  // Correctness over barrier count: the model writes stay serial.
+  def writeRefLm(model: RefLmModel, path: String): Unit = {
+    model.unigrams.write.mode("overwrite").parquet(s"$path/unigram")
+    model.contexts.write.mode("overwrite").parquet(s"$path/ctx")
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigram")
+    model.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
   }
 
   /** Read back a [[writeRefLm]] artifact. Fails fast on a totals table
@@ -687,19 +695,10 @@ object Ranking {
     import org.apache.hadoop.fs.Path
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def sibling(suffix: String) = new Path(live.getParent, live.getName + suffix)
-    val old = sibling("__old")
-    // self-heal the between-renames crash window: a complete model at
-    // __old with nothing live is the only state the swap can strand
-    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+    healStranded(fs, live)
     val stored = readRefLm(spark, path)
-    val appliedPath = new Path(live, "applied")
-    val prevApplied =
-      if (fs.exists(appliedPath)) Some(spark.read.parquet(appliedPath.toString))
-      else None
-    val alreadyApplied = batchId.exists(id => prevApplied.exists(a =>
-      !a.filter(col("batch_id") === id).isEmpty))
-    if (alreadyApplied) return None
+    val prevApplied = readApplied(spark, fs, live)
+    if (isApplied(prevApplied, batchId)) return None
     val d = refLmTrain(delta, idCol, textCol, isRef)
     // persist the two merged count frames: each feeds TWO of the four
     // staged writes (uni → unigram+totals, big → bigram+ctx), and
@@ -712,38 +711,270 @@ object Ranking {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = big.groupBy("w1").agg(sum("cb").as("ctx"))
     val tot = uni.agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
-    val staged = sibling("__merging")
+    val staged = new Path(live.getParent, live.getName + "__merging")
     if (fs.exists(staged)) fs.delete(staged, true)
     val merged = RefLmModel(uni, ctx, big, tot)
     try {
       writeRefLm(merged, staged.toString)
-      // the applied log rides the staged dir so it swaps atomically
-      // with the counts it describes
-      val newApplied = (prevApplied, batchId) match {
-        case (p, Some(id)) =>
-          val row = spark.range(1).select(lit(id).as("batch_id"))
-          Some(p.fold(row.toDF())(_.unionByName(row)))
-        case (p, None) => p
-      }
-      newApplied.foreach(_.coalesce(1).write.mode("overwrite")
-        .parquet(new Path(staged, "applied").toString))
+      writeApplied(spark, staged, prevApplied, batchId)
+      stagedSwap(fs, live, staged)
     } catch {
       case e: Throwable => uni.unpersist(false); big.unpersist(false); throw e
     }
+    Some(MergedRefLm(merged, Seq(uni, big)))
+  }
+
+  /** Self-heal the between-renames crash window of [[stagedSwap]]: a
+    * complete model at `__old` with nothing live is the only state the
+    * swap can strand — restore it before reading.
+    */
+  private def healStranded(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(
+      live.getParent, live.getName + "__old")
+    if (!fs.exists(live) && fs.exists(old)) { fs.rename(old, live); () }
+  }
+
+  /** Swap a fully-written `staged` model dir in over `live` — two
+    * renames through `__old`, restore-on-failure, never a mixed model.
+    */
+  private def stagedSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      staged: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(
+      live.getParent, live.getName + "__old")
     if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(live, old)) {
-      uni.unpersist(false); big.unpersist(false)
-      throw new java.io.IOException(s"mergeIntoStoredRefLm: could not stage out $path")
-    }
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"stagedSwap: could not stage out $live")
     if (!fs.rename(staged, live)) {
       // restore the original model before failing — the swap is
       // all-or-nothing from the reader's perspective
       fs.rename(old, live)
-      uni.unpersist(false); big.unpersist(false)
-      throw new java.io.IOException(s"mergeIntoStoredRefLm: could not swap in $staged")
+      throw new java.io.IOException(s"stagedSwap: could not swap in $staged")
     }
     fs.delete(old, true)
-    Some(MergedRefLm(merged, Seq(uni, big)))
+    ()
+  }
+
+  /** The applied-batch log of a stored model dir, if one exists. */
+  private def readApplied(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(live, "applied")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def isApplied(
+      prevApplied: Option[DataFrame], batchId: Option[Long]): Boolean =
+    batchId.exists(id => prevApplied.exists(a =>
+      !a.filter(col("batch_id") === id).isEmpty))
+
+  /** Extend the applied-batch log INSIDE the staged dir so it swaps
+    * atomically with the counts it describes.
+    */
+  private def writeApplied(spark: SparkSession,
+      staged: org.apache.hadoop.fs.Path,
+      prevApplied: Option[DataFrame], batchId: Option[Long]): Unit = {
+    val newApplied = (prevApplied, batchId) match {
+      case (p, Some(id)) =>
+        val row = spark.range(1).select(lit(id).as("batch_id"))
+        Some(p.fold(row.toDF())(_.unionByName(row)))
+      case (p, None) => p
+    }
+    newApplied.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(staged, "applied").toString))
+  }
+
+  // --------------------------------------------------------------------
+  // Order-3 reference LM — the capability step toward CCNet's real
+  // 5-gram model: trigram counts over the same trusted slice, scored
+  // with a Jelinek-Mercer BACKOFF CHAIN trigram→bigram→unigram
+  //   P(w3|w1 w2) = λ3·c(w1w2w3)/c(w1w2·)
+  //               + (1−λ3)·[ λ·c(w2w3)/c(w2·) + (1−λ)·(c(w3)+1)/(N+V) ]
+  // — all counts exact additive integers, so the incremental
+  // count-merge's bit-equal-to-retrain property carries over to
+  // order 3 unchanged (RefLm3Spec asserts it).
+  // --------------------------------------------------------------------
+
+  /** An order-3 reference LM: the order-2 [[RefLmModel]] it backs off
+    * into, plus
+    *  - `trigrams`   : (w1, w2, w3, ct) trigram counts;
+    *  - `triContexts`: (w1, w2, ctx3)  trigram-context totals
+    *    `c(w1 w2 ·)` — NOT the bigram count `c(w1 w2)` (a document's
+    *    final bigram has no continuation), so it is its own derived
+    *    table, re-derivable from `trigrams` exactly like `contexts`
+    *    from `bigrams`.
+    */
+  final case class RefLm3Model(
+      base: RefLmModel, trigrams: DataFrame, triContexts: DataFrame)
+
+  /** The adjacent-triple stream of a token array column `__a` — the
+    * [[bigramPairs]] shape one order up; adjacency never shuffles.
+    */
+  private def trigramTriples: Column = explode(expr(
+    "transform(slice(__a, 1, greatest(size(__a) - 2, 0)), " +
+      "(w, i) -> struct(w AS w1, element_at(__a, i + 2) AS w2, " +
+      "element_at(__a, i + 3) AS w3))"))
+
+  /** TRAIN the order-3 reference LM: the order-2 counts plus trigram
+    * and trigram-context tables — one more partial-aggregated groupBy
+    * over the tokenized scan, same shuffle discipline as
+    * [[refLmTrain]].
+    */
+  def refLm3Train(docs: DataFrame, idCol: String, textCol: String,
+      isRef: Column): RefLm3Model = {
+    val base = refLmTrain(docs, idCol, textCol, isRef)
+    val toks = docs.filter(isRef)
+      .select(TextAnalysis.tokens(col(textCol)).as("__a"))
+    val tri = toks.select(trigramTriples.as("__tg"))
+      .select(col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val tctx = tri.groupBy("w1", "w2").agg(sum("ct").as("ctx3"))
+    RefLm3Model(base, tri, tctx)
+  }
+
+  /** Score every pool document under the order-3 reference LM with the
+    * trigram→bigram→unigram backoff chain (λ3 = lam3Num/lam3Den over
+    * the trigram ML leg, then the [[refLmScore]] bigram mixture).
+    * Returns (id, n_trigrams, logprob = mean trigram log-probability,
+    * rounded to 6) for every pool doc with ≥ 3 tokens.
+    *
+    * Scale shape and determinism exactly as [[refLmScore]]: per-doc
+    * triple frequencies partial-agg first, the model joins happen once
+    * per DISTINCT pool triple, ln() rounds to 9 decimals per triple,
+    * per-doc sums are exact decimal, one final double division rounds
+    * to 6.
+    */
+  def refLm3Score(pool: DataFrame, idCol: String, textCol: String,
+      model: RefLm3Model, lam3Num: Int = 5, lam3Den: Int = 10,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(lam3Num > 0 && lam3Num < lam3Den,
+      s"need 0 < λ3 < 1, got $lam3Num/$lam3Den")
+    require(lamNum > 0 && lamNum < lamDen, s"need 0 < λ < 1, got $lamNum/$lamDen")
+    val id = col(idCol)
+    val l3a = lam3Num.toDouble / lam3Den
+    val l3b = (lam3Den - lam3Num).toDouble / lam3Den
+    val lam1 = lamNum.toDouble / lamDen
+    val lam2 = (lamDen - lamNum).toDouble / lamDen
+    val tf = pool
+      .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
+      .select(id, trigramTriples.as("__tg"))
+      .select(id, col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+      .groupBy(id, col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tfq"))
+    val triples = tf.select("w1", "w2", "w3").distinct()
+    val pT = coalesce(col("ct"), lit(0L)).cast("double")
+    val pTC = coalesce(col("ctx3"), lit(0L))
+    val pB = coalesce(col("cb"), lit(0L)).cast("double")
+    val pC = coalesce(col("ctx"), lit(0L))
+    val pU = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double")
+    val nv = (col("n_ref_tokens") + col("vocab")).cast("double")
+    val bigMix =
+      lit(lam1) * when(pC > lit(0L), pB / pC.cast("double")).otherwise(lit(0.0)) +
+        lit(lam2) * (pU / nv)
+    val mix =
+      lit(l3a) * when(pTC > lit(0L), pT / pTC.cast("double")).otherwise(lit(0.0)) +
+        lit(l3b) * bigMix
+    val logp = triples
+      .join(model.trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(model.triContexts, Seq("w1", "w2"), "left")
+      // the backoff bigram of (w1,w2,w3) is (w2,w3); rename via select
+      // (withColumnRenamed would collide with the existing w2/w3)
+      .join(model.base.bigrams
+        .select(col("w1").as("w2"), col("w2").as("w3"), col("cb")),
+        Seq("w2", "w3"), "left")
+      .join(model.base.contexts.select(col("w1").as("w2"), col("ctx")),
+        Seq("w2"), "left")
+      .join(model.base.unigrams.select(col("term").as("w3"), col("c1")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(model.base.totals))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(log(mix), 9).cast("decimal(18,9)").as("logp9"))
+    tf.join(logp, Seq("w1", "w2", "w3"))
+      .groupBy(id)
+      .agg(sum(col("tfq")).as("n_trigrams"),
+        sum(col("tfq").cast("decimal(18,0)") * col("logp9")).as("__slp"))
+      .select(id, col("n_trigrams"),
+        round(col("__slp").cast("double") / col("n_trigrams"), 6).as("logprob"))
+  }
+
+  /** [[refLmPerplexityBuckets]] over an order-3 scored frame — same
+    * value-cutoff tertiles, reporting `n_trigrams`.
+    */
+  def refLm3PerplexityBuckets(scored: DataFrame): DataFrame =
+    refLm3PerplexityBucketsCached(scored).df
+
+  /** [[refLm3PerplexityBuckets]] exposing the persisted histogram
+    * handle — the [[Dedup.CachedDF]] contract.
+    */
+  def refLm3PerplexityBucketsCached(scored: DataFrame): Dedup.CachedDF =
+    bucketsFromScoredCached(scored, "n_trigrams")
+
+  /** Persist a [[RefLm3Model]] — the order-2 tables plus `trigram` and
+    * `tctx` (sequential like [[writeRefLm]] — see the
+    * ConvertToLocalRelation note there).
+    */
+  def writeRefLm3(model: RefLm3Model, path: String): Unit = {
+    writeRefLm(model.base, path)
+    model.trigrams.write.mode("overwrite").parquet(s"$path/trigram")
+    model.triContexts.write.mode("overwrite").parquet(s"$path/tctx")
+  }
+
+  /** Read back a [[writeRefLm3]] artifact ([[readRefLm]]'s fail-fast
+    * totals check included).
+    */
+  def readRefLm3(spark: SparkSession, path: String): RefLm3Model =
+    RefLm3Model(
+      readRefLm(spark, path),
+      spark.read.parquet(s"$path/trigram"),
+      spark.read.parquet(s"$path/tctx"))
+
+  /** [[mergeIntoStoredRefLm]] at order 3: unigram, bigram AND trigram
+    * counts are additive, context tables and totals re-derive from the
+    * merged counts, so the bit-equal-to-retrain property carries over
+    * unchanged (RefLm3Spec asserts it). Same staged swap, self-heal
+    * and applied-batch replay guard.
+    */
+  def mergeIntoStoredRefLm3(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, textCol: String,
+      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStranded(fs, live)
+    val stored = readRefLm3(spark, path)
+    val prevApplied = readApplied(spark, fs, live)
+    if (isApplied(prevApplied, batchId)) return false
+    val d = refLm3Train(delta, idCol, textCol, isRef)
+    // the three additive count frames persist for the staged writes:
+    // uni feeds unigram+totals, big feeds bigram+ctx, tri feeds
+    // trigram+tctx — without the pin every write re-tokenizes the delta
+    val uni = stored.base.unigrams.unionByName(d.base.unigrams)
+      .groupBy("term").agg(sum("c1").as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = stored.base.bigrams.unionByName(d.base.bigrams)
+      .groupBy("w1", "w2").agg(sum("cb").as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = stored.trigrams.unionByName(d.trigrams)
+      .groupBy("w1", "w2", "w3").agg(sum("ct").as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = big.groupBy("w1").agg(sum("cb").as("ctx"))
+    val tctx = tri.groupBy("w1", "w2").agg(sum("ct").as("ctx3"))
+    val tot = uni.agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+    val staged = new Path(live.getParent, live.getName + "__merging")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    try {
+      writeRefLm3(RefLm3Model(RefLmModel(uni, ctx, big, tot), tri, tctx),
+        staged.toString)
+      writeApplied(spark, staged, prevApplied, batchId)
+      stagedSwap(fs, live, staged)
+    } finally {
+      uni.unpersist(false); big.unpersist(false); tri.unpersist(false)
+    }
+    true
   }
 
   /** The shared DuckDB CTE chain for the reference-LM family: trains
@@ -980,11 +1211,13 @@ object Ranking {
     * `path` — the stored-artifact deploy pattern for the per-language
     * LM fleet.
     */
-  def writeKeyedRefLm(model: KeyedRefLmModel, path: String): Unit = inParallel(
-    () => model.unigrams.write.mode("overwrite").parquet(s"$path/unigram"),
-    () => model.contexts.write.mode("overwrite").parquet(s"$path/ctx"),
-    () => model.bigrams.write.mode("overwrite").parquet(s"$path/bigram"),
-    () => model.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals"))
+  def writeKeyedRefLm(model: KeyedRefLmModel, path: String): Unit = {
+    // sequential like writeRefLm — see the ConvertToLocalRelation note
+    model.unigrams.write.mode("overwrite").parquet(s"$path/unigram")
+    model.contexts.write.mode("overwrite").parquet(s"$path/ctx")
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigram")
+    model.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+  }
 
   /** Read back a [[writeKeyedRefLm]] artifact. Fails fast on an empty
     * totals table (no key trained a model).
@@ -1118,6 +1351,99 @@ object Ranking {
        |  COUNT(*) AS n_docs,
        |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
        |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+       |FROM scored CROSS JOIN cuts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB SQL equivalent of [[refLm3Train]] → [[refLm3Score]] →
+    * [[refLm3PerplexityBuckets]] — the shared oracle of the inline
+    * trigram report and its stored-deploy twin. Mirrors the engine's
+    * backoff-chain arithmetic exactly (same λ parenthesization, same
+    * 9-decimal per-triple round, same exact-decimal doc sums); every
+    * multi-referenced CTE is `AS MATERIALIZED`.
+    */
+  def refLm3BucketsSql(src: String, idCol: String, textCol: String,
+      refPred: String, lam3Num: Int = 5, lam3Den: Int = 10,
+      lamNum: Int = 7, lamDen: Int = 10): String =
+    s"""WITH reft AS MATERIALIZED (
+       |  SELECT ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src WHERE ($refPred)),
+       |runi AS MATERIALIZED (
+       |  SELECT term, COUNT(*) AS c1 FROM (SELECT unnest(a) AS term FROM reft)
+       |  GROUP BY 1),
+       |rbig AS MATERIALIZED (
+       |  SELECT w1, w2, COUNT(*) AS cb FROM (
+       |    SELECT unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM reft WHERE len(a) >= 2)
+       |  GROUP BY 1, 2),
+       |rctx AS MATERIALIZED (
+       |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS ctx FROM rbig GROUP BY 1),
+       |rtot AS MATERIALIZED (
+       |  SELECT CAST(SUM(c1) AS BIGINT) AS n_ref_tokens, COUNT(*) AS vocab
+       |  FROM runi),
+       |rtri AS MATERIALIZED (
+       |  SELECT w1, w2, w3, COUNT(*) AS ct FROM (
+       |    SELECT unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM reft WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3),
+       |rtctx AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(SUM(ct) AS BIGINT) AS ctx3 FROM rtri GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT $idCol, ${TextAnalysis.tokensSql(textCol)} AS a FROM $src),
+       |ptf AS MATERIALIZED (
+       |  SELECT $idCol, w1, w2, w3, COUNT(*) AS tfq FROM (
+       |    SELECT $idCol, unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM pt WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3, 4),
+       |ptrip AS (SELECT DISTINCT w1, w2, w3 FROM ptf),
+       |plp AS MATERIALIZED (
+       |  SELECT ptrip.w1, ptrip.w2, ptrip.w3,
+       |    CAST(round(ln(
+       |      CAST($lam3Num AS DOUBLE) / $lam3Den *
+       |        (CASE WHEN COALESCE(rtctx.ctx3, 0) > 0
+       |              THEN CAST(COALESCE(rtri.ct, 0) AS DOUBLE) / COALESCE(rtctx.ctx3, 0)
+       |              ELSE 0.0 END) +
+       |      CAST(${lam3Den - lam3Num} AS DOUBLE) / $lam3Den *
+       |        (CAST($lamNum AS DOUBLE) / $lamDen *
+       |           (CASE WHEN COALESCE(rctx.ctx, 0) > 0
+       |                 THEN CAST(COALESCE(rbig.cb, 0) AS DOUBLE) / COALESCE(rctx.ctx, 0)
+       |                 ELSE 0.0 END) +
+       |         CAST(${lamDen - lamNum} AS DOUBLE) / $lamDen *
+       |           (CAST(COALESCE(runi.c1, 0) + 1 AS DOUBLE) / (rtot.n_ref_tokens + rtot.vocab)))
+       |    ), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM ptrip
+       |  LEFT JOIN rtri ON ptrip.w1 = rtri.w1 AND ptrip.w2 = rtri.w2 AND ptrip.w3 = rtri.w3
+       |  LEFT JOIN rtctx ON ptrip.w1 = rtctx.w1 AND ptrip.w2 = rtctx.w2
+       |  LEFT JOIN rbig ON ptrip.w2 = rbig.w1 AND ptrip.w3 = rbig.w2
+       |  LEFT JOIN rctx ON ptrip.w2 = rctx.w1
+       |  LEFT JOIN runi ON ptrip.w3 = runi.term
+       |  CROSS JOIN rtot),
+       |scored AS MATERIALIZED (
+       |  SELECT ptf.$idCol, CAST(SUM(ptf.tfq) AS BIGINT) AS n_trigrams,
+       |    round(CAST(SUM(CAST(ptf.tfq AS DECIMAL(18,0)) * plp.logp9) AS DOUBLE)
+       |          / CAST(SUM(ptf.tfq) AS BIGINT), 6) AS logprob
+       |  FROM ptf JOIN plp
+       |    ON ptf.w1 = plp.w1 AND ptf.w2 = plp.w2 AND ptf.w3 = plp.w3
+       |  GROUP BY 1),
+       |hist AS MATERIALIZED (
+       |  SELECT logprob, COUNT(*) AS nv FROM scored GROUP BY 1),
+       |cum AS MATERIALIZED (
+       |  SELECT logprob,
+       |    SUM(nv) OVER (ORDER BY logprob DESC) AS cumn
+       |  FROM hist),
+       |tot2 AS (SELECT SUM(nv) AS n FROM hist),
+       |cuts AS (SELECT
+       |    (SELECT MAX(logprob) FROM cum
+       |      WHERE cumn >= (SELECT (n + 2) // 3 FROM tot2)) AS v_head,
+       |    (SELECT MAX(logprob) FROM cum
+       |      WHERE cumn >= (SELECT (2 * n + 2) // 3 FROM tot2)) AS v_mid)
+       |SELECT CASE WHEN logprob >= v_head THEN 'head'
+       |            WHEN logprob >= v_mid THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
+       |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
        |FROM scored CROSS JOIN cuts
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
