@@ -41,6 +41,7 @@ class EntrySpec extends AnyFunSuite {
     assert(fresh("q179_stored_gate") > 0)
     assert(fresh("q180_stored_probe") > 0)
     assert(fresh("q190_reflm_increment") > 0)
+    assert(fresh("q192_stored_reflm3") > 0)
     // mutate both source tables the artifacts measure (drop one row)
     Seq("documents", "embeddings").foreach { t =>
       val idCol = if (t == "documents") "doc_id" else "vec_id"
@@ -60,7 +61,8 @@ class EntrySpec extends AnyFunSuite {
       // shared FileStatusCache must be told the listing changed
       spark.catalog.refreshByPath(s"$dir/$t.parquet")
     }
-    Seq("q179_stored_gate", "q180_stored_probe", "q190_reflm_increment")
+    Seq("q179_stored_gate", "q180_stored_probe", "q190_reflm_increment",
+        "q192_stored_reflm3")
       .foreach { name =>
         val e = intercept[IllegalArgumentException] { fresh(name) }
         assert(e.getMessage.contains("stale artifact stamp"),
