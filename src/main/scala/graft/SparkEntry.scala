@@ -2601,6 +2601,20 @@ object SparkEntry {
         .orderBy("d1", "d2")
     }),
 
+    // ---- extension: SemDeDup (within-cluster semantic dedup) ----
+    // Abbas et al. 2023 (arXiv:2303.09540): embedding-level near-dup
+    // pruning made tractable by running pairwise cosine only INSIDE
+    // the cells of the stored k-means index (the q144/q149/q170
+    // artifact — production dedups with the index it already has).
+    // Deterministic keep-lowest-id rule; one row per vector with its
+    // max smaller-id same-cell cosine and the keep decision
+    "q193_semdedup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = pqIndex(s, dir)._1
+      Similarity.semDeDup(e, "vec_id", "embedding", cents, threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // ---- extension: linear quality-classifier scoring ----
     // the model-based filter stage (CCNet/DCLM-style): explicit
     // per-term milli-weights broadcast against the corpus tokens
@@ -4682,6 +4696,29 @@ object SparkEntry {
          |  CAST((COUNT(*) * SUM(n * n) * 1000000) // (SUM(n) * SUM(n)) AS BIGINT)
          |    AS imbalance_ppm
          |FROM per""".stripMargin,
+
+    // SemDeDup: the q170 frozen-index assignment replay, then the
+    // within-cell pairwise max-cosine against smaller ids and the
+    // keep-lowest-id rule on the rounded similarity
+    "q193_semdedup" ->
+      s"""WITH ${kmeansCtesSql(8, 3, 64)},
+         |ca AS (SELECT vec_id, cid FROM (
+         |  SELECT n2.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+         |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+         |  FROM n2 CROSS JOIN c3 c) t WHERE rn = 1),
+         |sdm AS MATERIALIZED (
+         |  SELECT ca.vec_id, ca.cid, n2.v, n2.nrm
+         |  FROM ca JOIN n2 ON ca.vec_id = n2.vec_id),
+         |sdnn AS (
+         |  SELECT b.vec_id,
+         |    round(MAX(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS nn_sim
+         |  FROM sdm a JOIN sdm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  GROUP BY 1)
+         |SELECT sdm.vec_id, CAST(sdm.cid AS BIGINT) AS cluster, sdnn.nn_sim,
+         |  (sdnn.nn_sim IS NULL OR sdnn.nn_sim < 0.4) AS keep
+         |FROM sdm LEFT JOIN sdnn ON sdm.vec_id = sdnn.vec_id
+         |ORDER BY sdm.vec_id""".stripMargin,
 
     // recall sweep: the q149 index CTEs, probe rank kept to maxProbe,
     // re-ranked per sweep point, scored against the exact top-k

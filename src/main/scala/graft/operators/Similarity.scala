@@ -401,6 +401,56 @@ object Similarity {
       .select(col("d1"), col("d2"), col("sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedding corpus WITHIN the cells of a stored
+    * k-means index — the paper's tractability move applied Spark-first:
+    * pairwise cosine runs only INSIDE a cluster (an equi-join on the
+    * cell id), never across the corpus, so the quadratic term is
+    * bounded by the largest cell (itself rebalanceable via the
+    * hot-cell split, q173) and nothing is ever corpus × corpus.
+    *
+    * Deterministic keep rule: a vector is dropped iff some SMALLER-id
+    * member of its cell matches it at `>= threshold` — keep-lowest-id,
+    * the greedy one-representative-per-ε-ball rule under a total
+    * order, so the output is reproducible across partitionings and
+    * engines (no "arbitrary representative"). Returns one row per
+    * vector: (idCol, cluster, nn_sim = max cosine to a smaller-id
+    * same-cell member rounded to 6 — NULL for the cell's smallest id,
+    * keep). The threshold compares against the ROUNDED nn_sim so the
+    * oracle twin agrees exactly at the boundary.
+    *
+    * Cell assignment reuses the frozen-index kernel
+    * ([[kmeansAssignWithCentroids]] — centroids inlined as literals,
+    * pure projection, no shuffle for assignment); the pairwise join
+    * carries (vector, norm) once per side keyed on the cell id.
+    */
+  def semDeDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])],
+      threshold: Double): DataFrame = {
+    val asg = kmeansAssignWithCentroids(df, idCol, vecCol, cents)
+      .select(col(idCol), col("cluster"))
+    val e = df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+    val m = e.join(asg, idCol)
+    val a = m.select(col("cluster"), col(idCol).as("__u"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = m.select(col("cluster"), col(idCol).as("__w"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val nn = a.join(b, Seq("cluster"))
+      .filter(col("__u") < col("__w"))
+      .select(col("__w").as(idCol),
+        cosineFromParts(dot(col("__va"), col("__vb")),
+          col("__na"), col("__nb")).as("__c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("__c")), 6).as("nn_sim"))
+    m.select(col(idCol), col("cluster"))
+      .join(nn, Seq(idCol), "left")
+      .withColumn("keep", col("nn_sim").isNull || col("nn_sim") < threshold)
+  }
+
   /** Per-dimension int8 scalar-quantization report: quantize each
     * dimension to 256 levels over its [min, max] range and report the
     * reconstruction error — the go/no-go numbers for shipping a

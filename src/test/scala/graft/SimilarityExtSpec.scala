@@ -108,4 +108,38 @@ class SimilarityExtSpec extends AnyFunSuite {
       .collect().map(r => r.getDouble(2))
     assert(got.forall(_ == 0.0))
   }
+
+  test("semDeDup: keep-lowest-id within cells, hand-computed cosines, cells never mix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two orthogonal cells; ids ordered so the keep rule is forced
+    val cents = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.0)),   // cell 0, smallest id -> keep, nn_sim NULL
+      (11L, Seq(0.9, 0.1)),   // cell 0, cos to v10 = .993884 -> drop
+      (12L, Seq(2.0, 0.0)),   // cell 0, cos to v10 = 1.0 -> drop
+      (20L, Seq(0.0, 1.0)),   // cell 1, smallest id -> keep
+      (21L, Seq(0.0, 5.0)),   // cell 1, cos to v20 = 1.0 -> drop
+      (22L, Seq(-1.0, 1.0))   // cell 1, cos .707107 < tau -> keep
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDeDup(vecs, "vec_id", "embedding", cents, 0.95)
+      .orderBy("vec_id")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val c1011 = cos(Seq(1.0, 0.0), Seq(0.9, 0.1))
+    val c2022 = cos(Seq(0.0, 1.0), Seq(-1.0, 1.0))
+    assert(got == Seq(
+      (10L, 0L, None, true),
+      (11L, 0L, Some(c1011), false),
+      (12L, 0L, Some(1.0), false),
+      (20L, 1L, None, true),
+      (21L, 1L, Some(1.0), false),
+      // v22's only smaller-id cell mates are 20/21, both at .707107 --
+      // cross-cell near-identity (v22 vs nothing in cell 0) never leaks
+      (22L, 1L, Some(c2022), true)))
+  }
 }
