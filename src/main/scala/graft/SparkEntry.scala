@@ -2615,6 +2615,23 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- extension: SemDeDup incremental ingest ----
+    // q193's production steady state: a NEW batch of vectors dedups
+    // against the already-ingested corpus through the stored index —
+    // assign (pure projection), compare only against same-cell
+    // existing members and smaller-id same-cell batch members. No
+    // existing x existing term ever: ingest cost is |batch| x cell
+    // occupancy at any corpus size. Oracle property: with the id
+    // split, the rows are exactly semDeDup-over-the-union's new rows
+    "q194_semdedup_ingest" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = pqIndex(s, dir)._1
+      Similarity.semDeDupIncrement(
+          e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400),
+          "vec_id", "embedding", cents, threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // ---- extension: linear quality-classifier scoring ----
     // the model-based filter stage (CCNet/DCLM-style): explicit
     // per-term milli-weights broadcast against the corpus tokens
@@ -4718,6 +4735,32 @@ object SparkEntry {
          |SELECT sdm.vec_id, CAST(sdm.cid AS BIGINT) AS cluster, sdnn.nn_sim,
          |  (sdnn.nn_sim IS NULL OR sdnn.nn_sim < 0.4) AS keep
          |FROM sdm LEFT JOIN sdnn ON sdm.vec_id = sdnn.vec_id
+         |ORDER BY sdm.vec_id""".stripMargin,
+
+    // SemDeDup incremental ingest: the q193 chain restricted to the
+    // new slice — with every existing id below every new id, "all
+    // smaller-id same-cell members" IS "existing ∪ smaller-id new",
+    // so the oracle is the union dedup filtered to the batch
+    "q194_semdedup_ingest" ->
+      s"""WITH ${kmeansCtesSql(8, 3, 64)},
+         |ca AS (SELECT vec_id, cid FROM (
+         |  SELECT n2.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+         |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+         |  FROM n2 CROSS JOIN c3 c) t WHERE rn = 1),
+         |sdm AS MATERIALIZED (
+         |  SELECT ca.vec_id, ca.cid, n2.v, n2.nrm
+         |  FROM ca JOIN n2 ON ca.vec_id = n2.vec_id),
+         |sdnn AS (
+         |  SELECT b.vec_id,
+         |    round(MAX(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS nn_sim
+         |  FROM sdm a JOIN sdm b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id AND b.vec_id >= 400
+         |  GROUP BY 1)
+         |SELECT sdm.vec_id, CAST(sdm.cid AS BIGINT) AS cluster, sdnn.nn_sim,
+         |  (sdnn.nn_sim IS NULL OR sdnn.nn_sim < 0.4) AS keep
+         |FROM sdm LEFT JOIN sdnn ON sdm.vec_id = sdnn.vec_id
+         |WHERE sdm.vec_id >= 400
          |ORDER BY sdm.vec_id""".stripMargin,
 
     // recall sweep: the q149 index CTEs, probe rank kept to maxProbe,

@@ -913,6 +913,23 @@ object Ranking {
   def refLm3PerplexityBucketsCached(scored: DataFrame): Dedup.CachedDF =
     bucketsFromScoredCached(scored, "n_trigrams")
 
+  /** The (v_head, v_mid) cutoff row of an order-3 scored frame — what
+    * [[writeRefLmCutoffs]] persists beside a stored [[RefLm3Model]] so
+    * the order-3 streaming gate
+    * ([[graft.streaming.StreamingPerplexity.gateBatch3]]) labels at
+    * measured numbers; same artifact format as the bigram family.
+    */
+  def refLm3Cutoffs(scored: DataFrame): DataFrame =
+    refLm3CutoffsCached(scored).df
+
+  /** [[refLm3Cutoffs]] exposing the persisted histogram handle — the
+    * [[Dedup.CachedDF]] contract.
+    */
+  def refLm3CutoffsCached(scored: DataFrame): Dedup.CachedDF = {
+    val hist = scoreHist(scored, "n_trigrams")
+    Dedup.CachedDF(cutoffsFromHist(hist), Seq(hist))
+  }
+
   /** Persist a [[RefLm3Model]] — the order-2 tables plus `trigram` and
     * `tctx` (sequential like [[writeRefLm]] — see the
     * ConvertToLocalRelation note there).

@@ -451,6 +451,68 @@ object Similarity {
       .withColumn("keep", col("nn_sim").isNull || col("nn_sim") < threshold)
   }
 
+  /** The INCREMENTAL leg of [[semDeDup]]: dedup a batch of NEW vectors
+    * against an already-ingested corpus through the same stored
+    * k-means index — the shape a production embedding ingest actually
+    * runs. Each new vector is assigned to its cell (a pure projection
+    * over the centroid literals, no shuffle) and compared against
+    *  (a) EVERY existing member of that cell, and
+    *  (b) the smaller-id NEW members of that cell (the [[semDeDup]]
+    *      keep-lowest-id rule applied within the batch),
+    * and NEVER against anything outside the cell. Crucially there is
+    * no existing × existing term: ingest cost is |batch| × cell
+    * occupancy however large the corpus has grown, which is what makes
+    * continuous semantic dedup affordable at 100 TB. Pass the KEPT
+    * representatives as `existing` for the paper's
+    * one-representative-per-ε-ball semantics, or the full corpus for
+    * exact parity with a from-scratch [[semDeDup]] over the union
+    * (when all existing ids are smaller than every new id, the output
+    * is bit-identical to [[semDeDup]]'s rows for the new ids — the
+    * oracle property q194 checks).
+    *
+    * Returns one row per NEW vector: (idCol, cluster, nn_sim = max
+    * cosine to any candidate rounded to 6 — NULL when the cell holds
+    * no candidate, keep = nn_sim below `threshold`).
+    */
+  def semDeDupIncrement(
+      existing: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])],
+      threshold: Double): DataFrame = {
+    def prep(df: DataFrame): DataFrame = {
+      val asg = kmeansAssignWithCentroids(df, idCol, vecCol, cents)
+        .select(col(idCol), col("cluster"))
+      df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
+        .withColumn("__n", l2Norm(col("__v")))
+        .join(asg, idCol)
+    }
+    val ex = prep(existing)
+    val nw = prep(fresh)
+    def aSide(df: DataFrame) = df.select(col("cluster"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val nwB = nw.select(col("cluster"), col(idCol).as("__w"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    // candidate pairs: new × existing (all of the cell) plus
+    // new × smaller-id new — the only quadratic term is within-batch
+    val vsExisting = aSide(ex).join(nwB, Seq("cluster"))
+    val vsFresh = nw.select(col("cluster"), col(idCol).as("__u"),
+        col("__v").as("__va"), col("__n").as("__na"))
+      .join(nwB, Seq("cluster"))
+      .filter(col("__u") < col("__w"))
+      .drop("__u")
+    val nn = vsExisting.unionByName(vsFresh)
+      .select(col("__w").as(idCol),
+        cosineFromParts(dot(col("__va"), col("__vb")),
+          col("__na"), col("__nb")).as("__c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("__c")), 6).as("nn_sim"))
+    nw.select(col(idCol), col("cluster"))
+      .join(nn, Seq(idCol), "left")
+      .withColumn("keep", col("nn_sim").isNull || col("nn_sim") < threshold)
+  }
+
   /** Per-dimension int8 scalar-quantization report: quantize each
     * dimension to 256 levels over its [min, max] range and report the
     * reconstruction error — the go/no-go numbers for shipping a

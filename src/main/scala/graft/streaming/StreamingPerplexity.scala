@@ -155,6 +155,67 @@ object StreamingPerplexity {
       }
       .start()
 
+  /** The ORDER-3 twin of [[gateBatch]]: score the micro-batch under
+    * the stored trigram-backoff model ([[Ranking.readRefLm3]]) and
+    * label at the stored cutoff values — the same artifact format as
+    * the bigram gate ((v_head, v_mid), [[Ranking.readRefLmCutoffs]]),
+    * measured by the batch pipeline over an order-3 scored pool.
+    * Documents with no trigram (< 3 tokens) surface as `unscored`
+    * with NULL score. Appends (id, n_trigrams, logprob, bucket,
+    * batch_id).
+    */
+  def gateBatch3(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val model = Ranking.readRefLm3(spark, modelPath)
+    val (vHead, vMid) = Ranking.readRefLmCutoffs(spark, cutoffsPath)
+    // persisted for the batch write — see [[gateBatch]]: the labeled
+    // branch and the missing-doc anti-join both read `scored`
+    val scored = Ranking.refLm3Score(batch, idCol, textCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labeled = scored
+        .withColumn("bucket",
+          when(col("logprob") >= vHead, lit("head"))
+            .when(col("logprob") >= vMid, lit("middle"))
+            .otherwise(lit("tail")))
+      val missing = batch
+        .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol),
+          lit(null).cast("long").as("n_trigrams"),
+          lit(null).cast("double").as("logprob"),
+          lit("unscored").as("bucket"))
+      labeled.unionByName(missing)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(decisionsDir)
+    } finally scored.unpersist(false)
+  }
+
+  /** [[start]] for the order-3 gate — every micro-batch flows through
+    * [[gateBatch3]].
+    */
+  def start3(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatch3(batch, idCol, textCol, modelPath, cutoffsPath,
+          decisionsDir, batchId)
+      }
+      .start()
+
   /** Continuously GROW the stored reference LM from a stream of newly
     * trusted documents: every micro-batch merges its counts into the
     * model at `modelPath` ([[Ranking.mergeIntoStoredRefLm]] — additive
@@ -199,6 +260,39 @@ object StreamingPerplexity {
       modelPath: String,
       batchId: Long): Boolean =
     Ranking.mergeIntoStoredRefLm(batch.sparkSession, modelPath,
+      batch, idCol, textCol, batchId = Some(batchId))
+
+  /** [[ingestReference]] at order 3: every micro-batch merges its
+    * unigram, bigram AND trigram counts into the stored
+    * [[Ranking.writeRefLm3]] artifact under the same replay guard —
+    * [[Ranking.mergeIntoStoredRefLm3]] keeps the applied-batch log
+    * staged and swapped atomically with all six count tables, so a
+    * re-delivered micro-batch is a no-op at order 3 too.
+    */
+  def ingestReference3(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestReference3Batch(batch, idCol, textCol, modelPath, batchId); ()
+      }
+      .start()
+
+  /** [[ingestReference3]]'s `foreachBatch` body, exposed for direct
+    * use and testing. Returns true iff the batch was merged (false =
+    * already applied, a replay no-op).
+    */
+  def ingestReference3Batch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelPath: String,
+      batchId: Long): Boolean =
+    Ranking.mergeIntoStoredRefLm3(batch.sparkSession, modelPath,
       batch, idCol, textCol, batchId = Some(batchId))
 
   /** Start the streaming gate: `docs` is a streaming frame carrying

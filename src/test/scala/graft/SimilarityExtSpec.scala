@@ -142,4 +142,40 @@ class SimilarityExtSpec extends AnyFunSuite {
       // cross-cell near-identity (v22 vs nothing in cell 0) never leaks
       (22L, 1L, Some(c2022), true)))
   }
+
+  test("semDeDupIncrement: batch vs corpus only, union parity, empty cells stay NULL") {
+    import spark.implicits._
+    val cents = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val existing = Seq(
+      (10L, Seq(1.0, 0.0)),   // cell 0
+      (11L, Seq(0.9, 0.1))    // cell 0 — cell 1 has NO existing member
+    ).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (40L, Seq(2.0, 0.0)),   // cell 0: dup of existing v10 -> drop
+      (41L, Seq(0.0, 1.0)),   // cell 1: no existing, smallest new -> NULL, keep
+      (42L, Seq(0.0, 3.0)),   // cell 1: dup of NEW v41 -> drop
+      (43L, Seq(-1.0, 1.0))   // cell 1: cos .707107 to 41/42 -> keep
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDeDupIncrement(
+        existing, fresh, "vec_id", "embedding", cents, 0.95)
+      .orderBy("vec_id")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (40L, 0L, Some(1.0), false),
+      (41L, 1L, None, true),
+      (42L, 1L, Some(1.0), false),
+      (43L, 1L, Some(0.707107), true)))
+    // union parity: with every existing id below every new id, the
+    // increment's rows are exactly the from-scratch union dedup's rows
+    // for the new ids — the q194 oracle property
+    val union = Similarity.semDeDup(
+        existing.unionByName(fresh), "vec_id", "embedding", cents, 0.95)
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= 40L)
+      .orderBy("vec_id")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(got == union)
+    // existing rows never appear in the output (no existing x existing
+    // work is even representable)
+    assert(got.map(_._1).forall(_ >= 40L))
+  }
 }

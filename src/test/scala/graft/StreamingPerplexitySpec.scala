@@ -186,4 +186,85 @@ class StreamingPerplexitySpec extends AnyFunSuite {
       Seq((11L, "c d")).toDF("doc_id", "text"), "doc_id", "text", p,
       batchId = 1L))
   }
+
+  test("order-3 gate: micro-batches score under the stored trigram model; trigram-less docs are unscored") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-ppl3").toString
+    val (modelPath, cutPath) = (s"$dir/model", s"$dir/cutoffs")
+    val model = Ranking.refLm3Train(refDocs, "id", "text", lit(true))
+    Ranking.writeRefLm3(model, modelPath)
+    val calib = Seq(
+      (10L, "a b a b"), (11L, "a b x"), (12L, "x y x")
+    ).toDF("id", "text")
+    Ranking.writeRefLmCutoffs(
+      Ranking.refLm3Cutoffs(Ranking.refLm3Score(calib, "id", "text", model)),
+      cutPath)
+    val (vHead, vMid) = Ranking.readRefLmCutoffs(spark, cutPath)
+
+    val stream = MemoryStream[Doc]
+    val decDir = s"$dir/decisions"
+    val q = StreamingPerplexity.start3(stream.toDF(), "doc_id", "text",
+      modelPath, cutPath, decDir, s"$dir/ck")
+    try {
+      stream.addData(Doc(100L, "a b a b a"), Doc(101L, "x y x"),
+        Doc(104L, "a b")) // a bigram but NO trigram -> unscored at order 3
+      q.processAllAvailable()
+      stream.addData(Doc(102L, "a b a x"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val all = spark.read.parquet(decDir)
+      .select("doc_id", "logprob", "bucket", "batch_id")
+      .as[(Long, Option[Double], String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(all.keySet == Set(100L, 101L, 102L, 104L))
+    assert(all(104L)._1.isEmpty && all(104L)._2 == "unscored")
+    val dec = (all - 104L).map { case (k, (lp, b, bid)) => k -> ((lp.get, b, bid)) }
+    assert(dec(100L)._3 == 0L && dec(102L)._3 == 1L)
+
+    // every decision agrees with the batch order-3 scorer at the
+    // stored cutoffs
+    val expect = Ranking.refLm3Score(
+        Seq((100L, "a b a b a"), (101L, "x y x"), (102L, "a b a x"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", Ranking.readRefLm3(spark, modelPath))
+      .as[(Long, Long, Double)].collect().map { case (id, _, lp) =>
+        id -> ((lp, if (lp >= vHead) "head" else if (lp >= vMid) "middle" else "tail"))
+      }.toMap
+    dec.foreach { case (id, (lp, bucket, _)) =>
+      assert((lp, bucket) == expect(id), s"doc $id")
+    }
+    // the reference-like doc outranks the OOV doc at order 3 too
+    assert(dec(100L)._1 > dec(101L)._1)
+  }
+
+  test("order-3 reference ingest is replay-idempotent across all six tables") {
+    val dir = Files.createTempDirectory("stream-ppl3-replay").toString
+    val p = s"$dir/model"
+    Ranking.writeRefLm3(
+      Ranking.refLm3Train(refDocs, "id", "text", lit(true)), p)
+    val batch = Seq((10L, "b c b")).toDF("doc_id", "text")
+    assert(StreamingPerplexity.ingestReference3Batch(
+      batch, "doc_id", "text", p, batchId = 0L))
+    def snap() = {
+      val m = Ranking.readRefLm3(spark, p)
+      (m.base.unigrams.as[(String, Long)].collect().toSet,
+        m.trigrams.as[(String, String, String, Long)].collect().toSet)
+    }
+    val once = snap()
+    // the re-delivered batch id is a no-op at order 3 too
+    assert(!StreamingPerplexity.ingestReference3Batch(
+      batch, "doc_id", "text", p, batchId = 0L))
+    assert(snap() == once)
+    // counts are bit-equal to one clean retrain over the union
+    val full = Ranking.refLm3Train(
+      refDocs.unionByName(batch.toDF("id", "text")), "id", "text", lit(true))
+    assert(once._1 == full.base.unigrams.as[(String, Long)].collect().toSet)
+    assert(once._2 ==
+      full.trigrams.as[(String, String, String, Long)].collect().toSet)
+    // the next batch id still applies
+    assert(StreamingPerplexity.ingestReference3Batch(
+      Seq((11L, "c d c")).toDF("doc_id", "text"), "doc_id", "text", p,
+      batchId = 1L))
+  }
 }
