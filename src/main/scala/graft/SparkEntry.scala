@@ -374,6 +374,7 @@ object SparkEntry {
     refLmBaseArtifact(s, dir)
     refLm3Artifact(s, dir)
     keyedRefLmArtifacts(s, dir)
+    keyedRefLm3Artifacts(s, dir)
   }
 
   /** JVM-level memo of the four modality fingerprint tables over the
@@ -782,6 +783,31 @@ object SparkEntry {
       // CachedDF discipline keeps the block from pinning regardless
       val cuts = operators.Ranking.refLmCutoffsByKeyCached(
         operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m),
+        "lang")
+      try operators.Ranking.writeRefLmCutoffsByKey(cuts.df, cp)
+      finally cuts.unpersist()
+      core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
+      (mp, cp)
+    }
+
+  /** The STORED per-language ORDER-3 reference-LM artifacts —
+    * [[keyedRefLmArtifacts]] one order up: the six keyed count tables
+    * plus the per-language cutoff table measured on the full corpus
+    * with the order-3 scorer. q196 reads the model; the keyed order-3
+    * streaming gate reads both. Returns `(modelPath, cutoffsPath)`.
+    */
+  private val keyedRefLm3ArtifactMemo = new SessionMemo[String, (String, String)]
+
+  private def keyedRefLm3Artifacts(s: SparkSession, dir: String): (String, String) =
+    keyedRefLm3ArtifactMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-reflm3-keyed")
+      val (mp, cp) = (base.resolve("model").toString, base.resolve("cutoffs").toString)
+      val docs = T(s, dir, "documents")
+      val m = operators.Ranking.refLm3TrainByKey(
+        docs, "doc_id", "text", "lang", col("source").isin("src0", "src1"))
+      operators.Ranking.writeKeyedRefLm3(m, mp)
+      val cuts = operators.Ranking.refLm3CutoffsByKeyCached(
+        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m),
         "lang")
       try operators.Ranking.writeRefLmCutoffsByKey(cuts.df, cp)
       finally cuts.unpersist()
@@ -2447,6 +2473,38 @@ object SparkEntry {
       val m = operators.Ranking.readRefLm3(s, p)
       operators.Ranking.refLm3PerplexityBuckets(
         operators.Ranking.refLm3Score(docs, "doc_id", "text", m))
+    }),
+
+    // ---- extension: per-language ORDER-3 perplexity buckets ----
+    // the full CCNet deployment matrix closed: one trigram-backoff
+    // model PER LANGUAGE, all trained in one pass (the key rides the
+    // trigram count tables too), every document scored under its own
+    // language's backoff chain, per-language tertile cutoffs with
+    // every window partitioned by (lang, centi-bin)
+    "q195_reflm3_by_lang" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val m = operators.Ranking.refLm3TrainByKey(
+        docs, "doc_id", "text", "lang",
+        col("source").isin("src0", "src1"))
+      operators.Ranking.refLm3PerplexityBucketsByKey(
+        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        "lang")
+    }),
+
+    // ---- extension: per-language deploy from the STORED keyed order-3 LM ----
+    // q195 through the production path (q189's pattern at order 3):
+    // all language trigram models READ from the six stored keyed
+    // tables (freshness-stamped), nothing retrains, bit-identical
+    // buckets (shared oracle)
+    "q196_stored_reflm3_by_lang" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (mp, _) = keyedRefLm3Artifacts(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(mp).getParent + "/stamp")
+      val m = operators.Ranking.readKeyedRefLm3(s, mp)
+      operators.Ranking.refLm3PerplexityBucketsByKey(
+        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        "lang")
     }),
 
     // ---- extension: token budget plan (epochs per domain) ----
@@ -5600,6 +5658,16 @@ object SparkEntry {
     // must deploy exactly what the one-pass inline training measured
     "q189_stored_reflm_by_lang" ->
       operators.Ranking.refLmBucketsByKeySql(
+        "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
+
+    // q196 shares q195's oracle verbatim: the stored keyed order-3
+    // read must deploy exactly what the one-pass inline training
+    // measured
+    "q195_reflm3_by_lang" ->
+      operators.Ranking.refLm3BucketsByKeySql(
+        "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
+    "q196_stored_reflm3_by_lang" ->
+      operators.Ranking.refLm3BucketsByKeySql(
         "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
 
     "q187_token_budget_plan" ->

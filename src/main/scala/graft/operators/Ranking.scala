@@ -1140,9 +1140,18 @@ object Ranking {
     * handle — see [[refLmPerplexityBucketsCached]].
     */
   def refLmPerplexityBucketsByKeyCached(
-      scored: DataFrame, keyCol: String): Dedup.CachedDF = {
+      scored: DataFrame, keyCol: String): Dedup.CachedDF =
+    bucketsByKeyFromScoredCached(scored, keyCol, "n_bigrams")
+
+  /** The keyed bucket-report body shared by the bigram and trigram
+    * families — [[bucketsFromScoredCached]]'s keyed twin,
+    * parameterized by the per-doc count column (`n_bigrams` /
+    * `n_trigrams`), which is also the report's output column name.
+    */
+  private def bucketsByKeyFromScoredCached(
+      scored: DataFrame, keyCol: String, cntCol: String): Dedup.CachedDF = {
     val k = col(keyCol)
-    val hist = keyedScoreHist(scored, keyCol)
+    val hist = keyedScoreHist(scored, keyCol, cntCol)
     val cuts = cutoffsFromKeyedHist(hist, keyCol)
     val df = hist.join(broadcast(cuts), keyCol)
       .select(k,
@@ -1154,7 +1163,7 @@ object Ranking {
       .agg(sum("nv").as("n_docs"),
         min("logprob").as("min_logprob"),
         max("logprob").as("max_logprob"),
-        sum("snb").as("n_bigrams"))
+        sum("snb").as(cntCol))
       .orderBy(k, col("bucket"))
     Dedup.CachedDF(df, Seq(hist))
   }
@@ -1162,9 +1171,10 @@ object Ranking {
   /** The keyed twin of [[scoreHist]]: one persisted histogram per
     * (key, score) — scoring executes once; every branch reads rows.
     */
-  private def keyedScoreHist(scored: DataFrame, keyCol: String): DataFrame =
+  private def keyedScoreHist(scored: DataFrame, keyCol: String,
+      cntCol: String = "n_bigrams"): DataFrame =
     scored.groupBy(col(keyCol), col("logprob"))
-      .agg(count(lit(1)).as("nv"), sum("n_bigrams").as("snb"))
+      .agg(count(lit(1)).as("nv"), sum(cntCol).as("snb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Per-key (v_head, v_mid) from a [[keyedScoreHist]] frame — the
@@ -1249,6 +1259,152 @@ object Ranking {
       spark.read.parquet(s"$path/bigram"),
       tot)
   }
+
+  // --------------------------------------------------------------------
+  // Keyed order-3 reference LMs — the full CCNet deployment matrix:
+  // one TRIGRAM-backoff model per language, all trained in one pass
+  // (the key rides every count table, including the trigram ones), and
+  // every pool document scored under its own key's backoff chain.
+  // --------------------------------------------------------------------
+
+  /** [[RefLm3Model]] keyed: the keyed order-2 model plus
+    *  - `trigrams`   : (__k, w1, w2, w3, ct)
+    *  - `triContexts`: (__k, w1, w2, ctx3)
+    */
+  final case class KeyedRefLm3Model(
+      base: KeyedRefLmModel, trigrams: DataFrame, triContexts: DataFrame)
+
+  /** [[refLm3Train]] keyed by `keyCol`: every language's trigram model
+    * in ONE pass — two more partial-aggregated groupBys (trigram +
+    * trigram-context) with the key riding them, no per-language job
+    * loop.
+    */
+  def refLm3TrainByKey(docs: DataFrame, idCol: String, textCol: String,
+      keyCol: String, isRef: Column): KeyedRefLm3Model = {
+    val base = refLmTrainByKey(docs, idCol, textCol, keyCol, isRef)
+    val toks = docs.filter(isRef)
+      .select(col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
+    val tri = toks.select(col("__k"), trigramTriples.as("__tg"))
+      .select(col("__k"), col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+      .groupBy("__k", "w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val tctx = tri.groupBy("__k", "w1", "w2").agg(sum("ct").as("ctx3"))
+    KeyedRefLm3Model(base, tri, tctx)
+  }
+
+  /** [[refLm3Score]] keyed: each pool document scores under ITS
+    * `keyCol` value's trigram→bigram→unigram backoff chain. The totals
+    * join is INNER on the key ([[refLmScoreByKey]]'s contract —
+    * documents of unmodeled keys are absent from the output), and the
+    * determinism scheme is unchanged: per-distinct (key, triple) ln
+    * rounded to 9, exact decimal doc sums, one final 6-round. Returns
+    * (id, keyCol, n_trigrams, logprob).
+    */
+  def refLm3ScoreByKey(pool: DataFrame, idCol: String, textCol: String,
+      keyCol: String, model: KeyedRefLm3Model,
+      lam3Num: Int = 5, lam3Den: Int = 10,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(lam3Num > 0 && lam3Num < lam3Den,
+      s"need 0 < λ3 < 1, got $lam3Num/$lam3Den")
+    require(lamNum > 0 && lamNum < lamDen, s"need 0 < λ < 1, got $lamNum/$lamDen")
+    val id = col(idCol)
+    val l3a = lam3Num.toDouble / lam3Den
+    val l3b = (lam3Den - lam3Num).toDouble / lam3Den
+    val lam1 = lamNum.toDouble / lamDen
+    val lam2 = (lamDen - lamNum).toDouble / lamDen
+    val tf = pool
+      .select(id, col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
+      .select(id, col("__k"), trigramTriples.as("__tg"))
+      .select(id, col("__k"), col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+      .groupBy(id, col("__k"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tfq"))
+    val triples = tf.select("__k", "w1", "w2", "w3").distinct()
+    val pT = coalesce(col("ct"), lit(0L)).cast("double")
+    val pTC = coalesce(col("ctx3"), lit(0L))
+    val pB = coalesce(col("cb"), lit(0L)).cast("double")
+    val pC = coalesce(col("ctx"), lit(0L))
+    val pU = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double")
+    val nv = (col("n_ref_tokens") + col("vocab")).cast("double")
+    val bigMix =
+      lit(lam1) * when(pC > lit(0L), pB / pC.cast("double")).otherwise(lit(0.0)) +
+        lit(lam2) * (pU / nv)
+    val mix =
+      lit(l3a) * when(pTC > lit(0L), pT / pTC.cast("double")).otherwise(lit(0.0)) +
+        lit(l3b) * bigMix
+    val logp = triples
+      .join(model.trigrams, Seq("__k", "w1", "w2", "w3"), "left")
+      .join(model.triContexts, Seq("__k", "w1", "w2"), "left")
+      // backoff bigram of (w1,w2,w3) is (w2,w3) — rename via select
+      .join(model.base.bigrams
+        .select(col("__k"), col("w1").as("w2"), col("w2").as("w3"), col("cb")),
+        Seq("__k", "w2", "w3"), "left")
+      .join(model.base.contexts
+        .select(col("__k"), col("w1").as("w2"), col("ctx")),
+        Seq("__k", "w2"), "left")
+      .join(model.base.unigrams
+        .select(col("__k"), col("term").as("w3"), col("c1")),
+        Seq("__k", "w3"), "left")
+      // INNER on the key: the totals table is #keys rows (broadcast)
+      .join(broadcast(model.base.totals), Seq("__k"))
+      .select(col("__k"), col("w1"), col("w2"), col("w3"),
+        round(log(mix), 9).cast("decimal(18,9)").as("logp9"))
+    tf.join(logp, Seq("__k", "w1", "w2", "w3"))
+      .groupBy(id, col("__k"))
+      .agg(sum(col("tfq")).as("n_trigrams"),
+        sum(col("tfq").cast("decimal(18,0)") * col("logp9")).as("__slp"))
+      .select(id, col("__k").as(keyCol), col("n_trigrams"),
+        round(col("__slp").cast("double") / col("n_trigrams"), 6).as("logprob"))
+  }
+
+  /** [[refLmPerplexityBucketsByKey]] over a keyed order-3 scored
+    * frame — per-key tertile cutoffs, reporting `n_trigrams`.
+    */
+  def refLm3PerplexityBucketsByKey(scored: DataFrame, keyCol: String): DataFrame =
+    refLm3PerplexityBucketsByKeyCached(scored, keyCol).df
+
+  /** [[refLm3PerplexityBucketsByKey]] exposing the persisted histogram
+    * handle — the [[Dedup.CachedDF]] contract.
+    */
+  def refLm3PerplexityBucketsByKeyCached(
+      scored: DataFrame, keyCol: String): Dedup.CachedDF =
+    bucketsByKeyFromScoredCached(scored, keyCol, "n_trigrams")
+
+  /** Per-key cutoff rows (keyCol, v_head, v_mid) of a
+    * [[refLm3ScoreByKey]] frame — what the keyed order-3 streaming
+    * gate labels at ([[writeRefLmCutoffsByKey]] persists them beside
+    * the keyed order-3 model).
+    */
+  def refLm3CutoffsByKey(scored: DataFrame, keyCol: String): DataFrame =
+    refLm3CutoffsByKeyCached(scored, keyCol).df
+
+  /** [[refLm3CutoffsByKey]] exposing the persisted histogram handle —
+    * the [[Dedup.CachedDF]] contract.
+    */
+  def refLm3CutoffsByKeyCached(
+      scored: DataFrame, keyCol: String): Dedup.CachedDF = {
+    val hist = keyedScoreHist(scored, keyCol, "n_trigrams")
+    Dedup.CachedDF(cutoffsFromKeyedHist(hist, keyCol), Seq(hist))
+  }
+
+  /** Persist a [[KeyedRefLm3Model]] — the keyed order-2 tables plus
+    * `trigram` and `tctx` (sequential — the ConvertToLocalRelation
+    * note on [[writeRefLm]]).
+    */
+  def writeKeyedRefLm3(model: KeyedRefLm3Model, path: String): Unit = {
+    writeKeyedRefLm(model.base, path)
+    model.trigrams.write.mode("overwrite").parquet(s"$path/trigram")
+    model.triContexts.write.mode("overwrite").parquet(s"$path/tctx")
+  }
+
+  /** Read back a [[writeKeyedRefLm3]] artifact ([[readKeyedRefLm]]'s
+    * empty-totals fail-fast included).
+    */
+  def readKeyedRefLm3(spark: SparkSession, path: String): KeyedRefLm3Model =
+    KeyedRefLm3Model(
+      readKeyedRefLm(spark, path),
+      spark.read.parquet(s"$path/trigram"),
+      spark.read.parquet(s"$path/tctx"))
 
   /** DuckDB SQL twin of [[refLmTrainByKey]] → [[refLmScoreByKey]] →
     * [[refLmPerplexityBucketsByKey]] over `keyCol` (surfaced under its
@@ -1463,6 +1619,108 @@ object Ranking {
        |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
        |FROM scored CROSS JOIN cuts
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB SQL twin of [[refLm3TrainByKey]] → [[refLm3ScoreByKey]] →
+    * [[refLm3PerplexityBucketsByKey]]: the keyed-bucket chain at
+    * order 3 — [[refLm3BucketsSql]]'s backoff arithmetic with the key
+    * riding every table and per-key tertile cutoffs. Shared-chain CTEs
+    * are `AS MATERIALIZED`.
+    */
+  def refLm3BucketsByKeySql(src: String, idCol: String, textCol: String,
+      keyCol: String, refPred: String,
+      lam3Num: Int = 5, lam3Den: Int = 10,
+      lamNum: Int = 7, lamDen: Int = 10): String =
+    s"""WITH reft AS MATERIALIZED (
+       |  SELECT $keyCol AS k, ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src WHERE ($refPred)),
+       |runi AS MATERIALIZED (
+       |  SELECT k, term, COUNT(*) AS c1
+       |  FROM (SELECT k, unnest(a) AS term FROM reft) GROUP BY 1, 2),
+       |rbig AS MATERIALIZED (
+       |  SELECT k, w1, w2, COUNT(*) AS cb FROM (
+       |    SELECT k, unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM reft WHERE len(a) >= 2)
+       |  GROUP BY 1, 2, 3),
+       |rctx AS MATERIALIZED (
+       |  SELECT k, w1, CAST(SUM(cb) AS BIGINT) AS ctx FROM rbig GROUP BY 1, 2),
+       |rtot AS MATERIALIZED (
+       |  SELECT k, CAST(SUM(c1) AS BIGINT) AS n_ref_tokens, COUNT(*) AS vocab
+       |  FROM runi GROUP BY 1),
+       |rtri AS MATERIALIZED (
+       |  SELECT k, w1, w2, w3, COUNT(*) AS ct FROM (
+       |    SELECT k, unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM reft WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3, 4),
+       |rtctx AS MATERIALIZED (
+       |  SELECT k, w1, w2, CAST(SUM(ct) AS BIGINT) AS ctx3
+       |  FROM rtri GROUP BY 1, 2, 3),
+       |pt AS (
+       |  SELECT $idCol, $keyCol AS k, ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src),
+       |ptf AS MATERIALIZED (
+       |  SELECT $idCol, k, w1, w2, w3, COUNT(*) AS tfq FROM (
+       |    SELECT $idCol, k, unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM pt WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |ptrip AS (SELECT DISTINCT k, w1, w2, w3 FROM ptf),
+       |plp AS MATERIALIZED (
+       |  SELECT ptrip.k, ptrip.w1, ptrip.w2, ptrip.w3,
+       |    CAST(round(ln(
+       |      CAST($lam3Num AS DOUBLE) / $lam3Den *
+       |        (CASE WHEN COALESCE(rtctx.ctx3, 0) > 0
+       |              THEN CAST(COALESCE(rtri.ct, 0) AS DOUBLE) / COALESCE(rtctx.ctx3, 0)
+       |              ELSE 0.0 END) +
+       |      CAST(${lam3Den - lam3Num} AS DOUBLE) / $lam3Den *
+       |        (CAST($lamNum AS DOUBLE) / $lamDen *
+       |           (CASE WHEN COALESCE(rctx.ctx, 0) > 0
+       |                 THEN CAST(COALESCE(rbig.cb, 0) AS DOUBLE) / COALESCE(rctx.ctx, 0)
+       |                 ELSE 0.0 END) +
+       |         CAST(${lamDen - lamNum} AS DOUBLE) / $lamDen *
+       |           (CAST(COALESCE(runi.c1, 0) + 1 AS DOUBLE) / (rtot.n_ref_tokens + rtot.vocab)))
+       |    ), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM ptrip
+       |  LEFT JOIN rtri ON ptrip.k = rtri.k AND ptrip.w1 = rtri.w1
+       |    AND ptrip.w2 = rtri.w2 AND ptrip.w3 = rtri.w3
+       |  LEFT JOIN rtctx ON ptrip.k = rtctx.k AND ptrip.w1 = rtctx.w1
+       |    AND ptrip.w2 = rtctx.w2
+       |  LEFT JOIN rbig ON ptrip.k = rbig.k AND ptrip.w2 = rbig.w1
+       |    AND ptrip.w3 = rbig.w2
+       |  LEFT JOIN rctx ON ptrip.k = rctx.k AND ptrip.w2 = rctx.w1
+       |  LEFT JOIN runi ON ptrip.k = runi.k AND ptrip.w3 = runi.term
+       |  JOIN rtot ON ptrip.k = rtot.k),
+       |scored AS MATERIALIZED (
+       |  SELECT ptf.$idCol, ptf.k, CAST(SUM(ptf.tfq) AS BIGINT) AS n_trigrams,
+       |    round(CAST(SUM(CAST(ptf.tfq AS DECIMAL(18,0)) * plp.logp9) AS DOUBLE)
+       |          / CAST(SUM(ptf.tfq) AS BIGINT), 6) AS logprob
+       |  FROM ptf JOIN plp ON ptf.k = plp.k AND ptf.w1 = plp.w1
+       |    AND ptf.w2 = plp.w2 AND ptf.w3 = plp.w3
+       |  GROUP BY 1, 2),
+       |hist AS MATERIALIZED (
+       |  SELECT k, logprob, COUNT(*) AS nv FROM scored GROUP BY 1, 2),
+       |cum AS MATERIALIZED (
+       |  SELECT k, logprob,
+       |    SUM(nv) OVER (PARTITION BY k ORDER BY logprob DESC) AS cumn
+       |  FROM hist),
+       |tot2 AS MATERIALIZED (SELECT k, SUM(nv) AS n FROM hist GROUP BY 1),
+       |vhead AS (SELECT cum.k, MAX(logprob) AS v_head
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (n + 2) // 3 GROUP BY 1),
+       |vmid AS (SELECT cum.k, MAX(logprob) AS v_mid
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (2 * n + 2) // 3 GROUP BY 1)
+       |SELECT scored.k AS $keyCol,
+       |  CASE WHEN logprob >= v_head THEN 'head'
+       |       WHEN logprob >= v_mid THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
+       |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
+       |FROM scored
+       |JOIN vhead ON scored.k = vhead.k
+       |JOIN vmid ON scored.k = vmid.k
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** DuckDB SQL equivalent of [[unigramLogProb]]. */
   def unigramLogProbSql(src: String, idCol: String, textCol: String, k: Int = 20): String =

@@ -216,6 +216,72 @@ object StreamingPerplexity {
       }
       .start()
 
+  /** The keyed ORDER-3 gate — [[gateBatchByKey]] under the stored
+    * per-language trigram-backoff models ([[Ranking.readKeyedRefLm3]])
+    * at each key's stored cutoffs. Label split as the bigram keyed
+    * gate: `unmodeled` = no model for the key (route to training),
+    * `unscored` = modeled key but no trigram (< 3 tokens). Appends
+    * (id, keyCol, n_trigrams, logprob, bucket, batch_id).
+    */
+  def gateBatch3ByKey(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val model = Ranking.readKeyedRefLm3(spark, modelPath)
+    val cuts = Ranking.readRefLmCutoffsByKey(spark, cutoffsPath)
+    // persisted for the batch write — see [[gateBatch]]: two branches
+    // read `scored`, the pin keeps scoring to one execution
+    val scored = Ranking.refLm3ScoreByKey(batch, idCol, textCol, keyCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labeled = scored.join(broadcast(cuts), Seq(keyCol), "left")
+        .select(col(idCol), col(keyCol), col("n_trigrams"), col("logprob"),
+          when(col("v_head").isNull, lit("unmodeled"))
+            .when(col("logprob") >= col("v_head"), lit("head"))
+            .when(col("logprob") >= col("v_mid"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+      val modeledKeys = model.base.totals.select(col("__k").as(keyCol))
+        .withColumn("__modeled", lit(true))
+      val missing = batch
+        .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+        .join(broadcast(modeledKeys), Seq(keyCol), "left")
+        .select(col(idCol), col(keyCol),
+          lit(null).cast("long").as("n_trigrams"),
+          lit(null).cast("double").as("logprob"),
+          when(col("__modeled"), lit("unscored"))
+            .otherwise(lit("unmodeled")).as("bucket"))
+      labeled.unionByName(missing)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(decisionsDir)
+    } finally scored.unpersist(false)
+  }
+
+  /** [[startByKey]] for the order-3 gate — every micro-batch flows
+    * through [[gateBatch3ByKey]].
+    */
+  def start3ByKey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatch3ByKey(batch, idCol, textCol, keyCol, modelPath,
+          cutoffsPath, decisionsDir, batchId)
+      }
+      .start()
+
   /** Continuously GROW the stored reference LM from a stream of newly
     * trusted documents: every micro-batch merges its counts into the
     * model at `modelPath` ([[Ranking.mergeIntoStoredRefLm]] — additive

@@ -119,4 +119,49 @@ class RefLm3Spec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Long)].collect().toSeq
     assert(inline == stored)
   }
+
+  // two languages sharing surface tokens — keyed isolation is only
+  // real if L2's counts never leak into L1's chain
+  private def keyedDocs = Seq(
+    (1L, "a b a b a", "L1", true),
+    (2L, "b c", "L1", true),
+    (10L, "a b a b a b", "L2", true), // same tokens, different stats
+    (3L, "a b a b", "L1", false),
+    (13L, "a b a b", "L2", false),    // same text as doc 3, other model
+    (9L, "a b c", "L9", false)        // no L9 reference -> unscored
+  ).toDF("id", "text", "lang", "is_ref")
+
+  test("keyed order-3: each doc scores under ITS language's chain, equal to the per-slice unkeyed model") {
+    val km = Ranking.refLm3TrainByKey(keyedDocs, "id", "text", "lang",
+      col("is_ref"))
+    val got = Ranking.refLm3ScoreByKey(keyedDocs.filter(!col("is_ref")),
+        "id", "text", "lang", km)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // unmodeled language: absent, never scored against nothing
+    assert(got.keySet == Set(3L, 13L))
+    // per-key equivalence: the keyed one-pass result for language K is
+    // bit-identical to the unkeyed engine trained on K's slice alone
+    Seq("L1", "L2").foreach { k =>
+      val slice = Ranking.refLm3Train(keyedDocs.filter(col("lang") === k),
+        "id", "text", col("is_ref"))
+      val solo = Ranking.refLm3Score(
+          keyedDocs.filter(!col("is_ref") && col("lang") === k),
+          "id", "text", slice)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((k, r._2, r._3))).toMap
+      solo.foreach { case (id, v) => assert(got(id) == v, s"doc $id ($k)") }
+    }
+    // the shared surface text scores DIFFERENTLY under the two models
+    assert(got(3L)._3 != got(13L)._3,
+      "L1 and L2 trained on different stats must disagree on the same text")
+    // keyed stored round-trip serves the same scores
+    val dir = Files.createTempDirectory("reflm3-keyed").toString
+    Ranking.writeKeyedRefLm3(km, s"$dir/model")
+    val back = Ranking.refLm3ScoreByKey(keyedDocs.filter(!col("is_ref")),
+        "id", "text", "lang", Ranking.readKeyedRefLm3(spark, s"$dir/model"))
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(back == got)
+  }
 }

@@ -238,6 +238,58 @@ class StreamingPerplexitySpec extends AnyFunSuite {
     assert(dec(100L)._1 > dec(101L)._1)
   }
 
+  test("keyed order-3 gate: per-language trigram models; unmodeled vs unscored split holds") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-ppl3-keyed").toString
+    val (modelPath, cutPath) = (s"$dir/model", s"$dir/cutoffs")
+    val refs = Seq(
+      (1L, "a b a b a", "L1"), (2L, "b a b", "L2")
+    ).toDF("id", "text", "lang")
+    val m = Ranking.refLm3TrainByKey(refs, "id", "text", "lang", lit(true))
+    Ranking.writeKeyedRefLm3(m, modelPath)
+    val calib = Seq(
+      (10L, "a b a b", "L1"), (11L, "x y z", "L1"),
+      (12L, "b a b a", "L2"), (13L, "x y z", "L2")
+    ).toDF("id", "text", "lang")
+    Ranking.writeRefLmCutoffsByKey(
+      Ranking.refLm3CutoffsByKey(
+        Ranking.refLm3ScoreByKey(calib, "id", "text", "lang", m), "lang"),
+      cutPath)
+
+    val stream = MemoryStream[LangDoc]
+    val decDir = s"$dir/decisions"
+    val q = StreamingPerplexity.start3ByKey(stream.toDF(), "doc_id", "text",
+      "lang", modelPath, cutPath, decDir, s"$dir/ck")
+    try {
+      stream.addData(
+        LangDoc(100L, "a b a b a", "L1"),  // reference-like under L1
+        LangDoc(101L, "a b a b a", "L2"),  // same text, L2's trigram stats
+        LangDoc(102L, "a b c", "L9"),      // no L9 model -> unmodeled
+        LangDoc(103L, "a b", "L1"))        // modeled key, no trigram -> unscored
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(decDir)
+      .select("doc_id", "lang", "logprob", "bucket")
+      .as[(Long, String, Option[Double], String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(dec.keySet == Set(100L, 101L, 102L, 103L))
+    assert(dec(102L) == (("L9", None, "unmodeled")))
+    assert(dec(103L) == (("L1", None, "unscored")))
+    // labels agree with the batch keyed order-3 scorer at stored cutoffs
+    val cuts = Ranking.readRefLmCutoffsByKey(spark, cutPath)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq(100L -> "L1", 101L -> "L2").foreach { case (id, lang) =>
+      val (vh, vm) = cuts(lang)
+      val lp = dec(id)._2.get
+      val expect = if (lp >= vh) "head" else if (lp >= vm) "middle" else "tail"
+      assert(dec(id)._3 == expect, s"doc $id")
+    }
+    // same surface text, different per-language trigram stats
+    assert(dec(100L)._2.get != dec(101L)._2.get)
+  }
+
   test("order-3 reference ingest is replay-idempotent across all six tables") {
     val dir = Files.createTempDirectory("stream-ppl3-replay").toString
     val p = s"$dir/model"
