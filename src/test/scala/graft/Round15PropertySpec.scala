@@ -151,4 +151,56 @@ class Round15PropertySpec extends AnyFunSuite {
       assert(got == expect, s"trial $trial")
     }
   }
+
+  test("semDeDupIncrement == union semDeDup restricted to the batch (4 trials)") {
+    import graft.operators.Similarity
+    for (trial <- 1 to 4) {
+      val dims = 3
+      val nCells = 1 + rng.nextInt(3)
+      val cents = (0L until nCells.toLong).map(c =>
+        c -> Array.fill(dims)(rng.nextDouble() * 2 - 1))
+      def vec() = Seq.fill(dims)(rng.nextDouble() * 2 - 1)
+      val split = 20L + rng.nextInt(15)
+      val rows = (1L to (30 + rng.nextInt(30)).toLong).map(i => (i, vec()))
+      val df = rows.toDF("vec_id", "embedding")
+      val thr = 0.3 + rng.nextDouble() * 0.6
+      val inc = Similarity.semDeDupIncrement(
+          df.filter(col("vec_id") < split), df.filter(col("vec_id") >= split),
+          "vec_id", "embedding", cents, thr)
+        .as[(Long, Long, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+      val union = Similarity.semDeDup(df, "vec_id", "embedding", cents, thr)
+        .filter(col("vec_id") >= split)
+        .as[(Long, Long, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+      assert(inc == union, s"trial $trial split=$split thr=$thr")
+    }
+  }
+
+  test("keyed order-3 one-pass == per-slice unkeyed engines (3 trials)") {
+    for (trial <- 1 to 3) {
+      val langs = Vector("L1", "L2", "L3")
+      val rows = (1L to (24 + rng.nextInt(24)).toLong).map { i =>
+        (i, randomDoc(8), langs(rng.nextInt(langs.size)), rng.nextBoolean())
+      }
+      // every key needs at least one non-empty reference doc for a
+      // valid model (the totals INNER join drops unmodeled keys — that
+      // path is spec-covered in RefLm3Spec; here we test equivalence)
+      val seeded = rows ++ langs.zipWithIndex.map { case (l, j) =>
+        (1000L + j, "a b c a b", l, true)
+      }
+      val docs = seeded.toDF("id", "text", "lang", "is_ref")
+      val km = Ranking.refLm3TrainByKey(docs, "id", "text", "lang", col("is_ref"))
+      val got = Ranking.refLm3ScoreByKey(
+          docs.filter(!col("is_ref")), "id", "text", "lang", km)
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expect = langs.flatMap { l =>
+        val slice = docs.filter(col("lang") === l)
+        val m = Ranking.refLm3Train(slice, "id", "text", col("is_ref"))
+        Ranking.refLm3Score(slice.filter(!col("is_ref")), "id", "text", m)
+          .as[(Long, Long, Double)].collect()
+          .map(r => r._1 -> ((l, r._2, r._3)))
+      }.toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
 }
