@@ -1406,6 +1406,95 @@ object Ranking {
       spark.read.parquet(s"$path/trigram"),
       spark.read.parquet(s"$path/tctx"))
 
+  /** [[mergeIntoStoredRefLm]] for the KEYED fleet: a delta of newly
+    * trusted documents (any mix of languages) merges into the stored
+    * [[writeKeyedRefLm]] artifact in ONE pass — per-key counts are
+    * additive exactly like the unkeyed ones, context totals and
+    * per-key (n, vocab) re-derive from the merged tables, and the
+    * result is bit-identical to a from-scratch [[refLmTrainByKey]] on
+    * the union (KeyedRefLmMergeSpec asserts it). This is the
+    * production pressure point the keyed fleet actually has:
+    * per-language reference corpora grow at different rates, and
+    * retraining a hundred languages because one grew is the
+    * anti-pattern. Same staged swap, self-heal and applied-batch
+    * replay guard as the unkeyed merge. Returns true iff applied.
+    */
+  def mergeIntoStoredKeyedRefLm(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, textCol: String, keyCol: String,
+      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStranded(fs, live)
+    val stored = readKeyedRefLm(spark, path)
+    val prevApplied = readApplied(spark, fs, live)
+    if (isApplied(prevApplied, batchId)) return false
+    val d = refLmTrainByKey(delta, idCol, textCol, keyCol, isRef)
+    // the two merged count frames persist for the staged writes: uni
+    // feeds unigram+totals, big feeds bigram+ctx — without the pin
+    // every write re-tokenizes the delta
+    val uni = stored.unigrams.unionByName(d.unigrams)
+      .groupBy("__k", "term").agg(sum("c1").as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = stored.bigrams.unionByName(d.bigrams)
+      .groupBy("__k", "w1", "w2").agg(sum("cb").as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = big.groupBy("__k", "w1").agg(sum("cb").as("ctx"))
+    val tot = uni.groupBy("__k")
+      .agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+    val staged = new Path(live.getParent, live.getName + "__merging")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    try {
+      writeKeyedRefLm(KeyedRefLmModel(uni, ctx, big, tot), staged.toString)
+      writeApplied(spark, staged, prevApplied, batchId)
+      stagedSwap(fs, live, staged)
+    } finally { uni.unpersist(false); big.unpersist(false) }
+    true
+  }
+
+  /** [[mergeIntoStoredKeyedRefLm]] at order 3: the keyed trigram and
+    * trigram-context tables merge additively alongside the order-2
+    * ones — six staged tables, one swap, same replay guard; bit-equal
+    * to [[refLm3TrainByKey]] on the union (KeyedRefLmMergeSpec).
+    */
+  def mergeIntoStoredKeyedRefLm3(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, textCol: String, keyCol: String,
+      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStranded(fs, live)
+    val stored = readKeyedRefLm3(spark, path)
+    val prevApplied = readApplied(spark, fs, live)
+    if (isApplied(prevApplied, batchId)) return false
+    val d = refLm3TrainByKey(delta, idCol, textCol, keyCol, isRef)
+    val uni = stored.base.unigrams.unionByName(d.base.unigrams)
+      .groupBy("__k", "term").agg(sum("c1").as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = stored.base.bigrams.unionByName(d.base.bigrams)
+      .groupBy("__k", "w1", "w2").agg(sum("cb").as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = stored.trigrams.unionByName(d.trigrams)
+      .groupBy("__k", "w1", "w2", "w3").agg(sum("ct").as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = big.groupBy("__k", "w1").agg(sum("cb").as("ctx"))
+    val tctx = tri.groupBy("__k", "w1", "w2").agg(sum("ct").as("ctx3"))
+    val tot = uni.groupBy("__k")
+      .agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+    val staged = new Path(live.getParent, live.getName + "__merging")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    try {
+      writeKeyedRefLm3(
+        KeyedRefLm3Model(KeyedRefLmModel(uni, ctx, big, tot), tri, tctx),
+        staged.toString)
+      writeApplied(spark, staged, prevApplied, batchId)
+      stagedSwap(fs, live, staged)
+    } finally {
+      uni.unpersist(false); big.unpersist(false); tri.unpersist(false)
+    }
+    true
+  }
+
   /** DuckDB SQL twin of [[refLmTrainByKey]] → [[refLmScoreByKey]] →
     * [[refLmPerplexityBucketsByKey]] over `keyCol` (surfaced under its
     * own name). Shared-chain CTEs are `AS MATERIALIZED`.

@@ -361,6 +361,42 @@ object StreamingPerplexity {
     Ranking.mergeIntoStoredRefLm3(batch.sparkSession, modelPath,
       batch, idCol, textCol, batchId = Some(batchId))
 
+  /** [[ingestReference]] for the KEYED fleet: a stream of newly
+    * trusted documents carrying their language key grows EVERY
+    * language's stored model in one merge per micro-batch
+    * ([[Ranking.mergeIntoStoredKeyedRefLm]] — the batch may mix
+    * languages freely; per-key counts merge additively in one pass).
+    * Same replay guard: the applied-batch log swaps atomically with
+    * the keyed count tables.
+    */
+  def ingestReferenceByKey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestReferenceByKeyBatch(batch, idCol, textCol, keyCol,
+          modelPath, batchId); ()
+      }
+      .start()
+
+  /** [[ingestReferenceByKey]]'s `foreachBatch` body, exposed for
+    * direct use and testing.
+    */
+  def ingestReferenceByKeyBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      batchId: Long): Boolean =
+    Ranking.mergeIntoStoredKeyedRefLm(batch.sparkSession, modelPath,
+      batch, idCol, textCol, keyCol, batchId = Some(batchId))
+
   /** Start the streaming gate: `docs` is a streaming frame carrying
     * `idCol` + `textCol`; every micro-batch flows through
     * [[gateBatch]]. `checkpointDir` makes replay semantics real
