@@ -757,8 +757,22 @@ object Bench {
       if (v >= 9.95) String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
       else fmt1(v)
     val finalResults = merged
-    val qs = finalResults.map { case (k, v) => "\"" + shortName(k) + "\":" + fmtQ(v) }
+    // Round-15 diet: the stdout map carries the TOP 170 queries by
+    // cost; the remainder (the trivial sub-tail — in a healthy run
+    // everything it holds is <~0.5 s) aggregates into "rest" with its
+    // count in "nrest", so the cap is self-describing, never silent.
+    // Rationale: at 195 queries the all-entries format hit the
+    // harness's ~2000-char stdout parse tail (measured: line budget =
+    // 2000 - 73 sbt suffix chars; worst-case all-entries line = 1920).
+    // Full 3-decimal per-query values for EVERY query stay in
+    // bench_full.json, which is committed alongside.
+    val (shown, hidden) = finalResults.toSeq.sortBy(-_._2).splitAt(170)
+    val qs = shown.sortBy(_._1)
+      .map { case (k, v) => "\"" + shortName(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
+    val restField =
+      if (hidden.isEmpty) ""
+      else s""","rest":${fmt1(hidden.map(_._2).sum)},"nrest":${hidden.size}"""
     val failedJson = failed.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     val cappedJson = capped.map(c => "\"" + shortName(c._1) + "\"").mkString("[", ",", "]")
@@ -779,7 +793,7 @@ object Bench {
     System.err.println(
       s"[bench] vh=${fmt2(vmHealthS)} vn=${fmt1(normTotal)} elapsed=${fmt2(elapsedS)}s")
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$taxonomy,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$restField$taxonomy,"sf":$sfNum}"""
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: final JSON line ${line.length} chars — may overflow the harness parse tail")
     // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to

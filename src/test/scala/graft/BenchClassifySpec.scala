@@ -156,26 +156,34 @@ class BenchClassifySpec extends AnyFunSuite {
 
   test("final stdout line fits the harness parse tail at the CURRENT query count") {
     // the harness parses the JSON metric line from the LAST ~2000
-    // chars of stdout; sbt's trailing [success] line eats ~75. Build
-    // the line exactly as Bench does — worst-case 4-char short names
-    // and 3-digit-plus-decimal timings — at the real query count and
-    // assert headroom under 1900 (r9 shipped parsed:null at 2063
-    // chars; this pins the diet to the query count per round).
+    // chars of stdout; the measured sbt trailing [success] line eats
+    // ~73, so the true line budget is ~1925 and we assert < 1900 for
+    // margin. Since round 15 the stdout map is CAPPED at the top 170
+    // queries by cost with the remainder aggregated into rest/nrest
+    // (at 195 queries the all-entries worst case measured 1920 —
+    // format floor reached; full per-query precision lives in
+    // bench_full.json). Build the worst-case line exactly as Bench
+    // does: 170 widest-rendering entries plus the rest fields.
     val names = SparkEntry.queries.keySet.toSeq.sorted
     def shortName(n: String) = n.takeWhile(_ != '_').stripPrefix("q")
     assert(names.map(shortName).distinct.size == names.size,
       "short names must stay unique or the stdout map silently merges queries")
-    // worst case per the format: every query lands in the widest
-    // rendering (1-decimal just under the 10s integer cutoff)
-    val qs = names.map(n => "\"" + shortName(n) + "\":9.9")
+    // worst case per the format: every SHOWN query lands in the widest
+    // rendering (1-decimal just under the 10s integer cutoff), and the
+    // cap forces the rest fields on
+    val shown = names.take(170)
+    val qs = shown.map(n => "\"" + shortName(n) + "\":9.9")
       .mkString("{", ",", "}")
+    val rest =
+      if (names.size > 170) s""","rest":9999.9,"nrest":${names.size - 170}"""
+      else ""
     val line =
-      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs,"sf":0.1}"""
+      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs$rest,"sf":0.1}"""
     assert(line.length < 1900,
       s"final line ${line.length} chars at ${names.size} queries — diet again " +
-        "(next lever: drop the unit field or move the taxonomy lists to stderr)")
+        "(next lever: lower the 170-entry cap or drop the unit field)")
     // the 10s+ integer rendering is never wider
-    val qsSlow = names.map(n => "\"" + shortName(n) + "\":60")
+    val qsSlow = shown.map(n => "\"" + shortName(n) + "\":60")
       .mkString("{", ",", "}")
     assert(qsSlow.length <= qs.length)
   }

@@ -42,6 +42,8 @@ class EntrySpec extends AnyFunSuite {
     assert(fresh("q180_stored_probe") > 0)
     assert(fresh("q190_reflm_increment") > 0)
     assert(fresh("q192_stored_reflm3") > 0)
+    assert(fresh("q189_stored_reflm_by_lang") > 0)
+    assert(fresh("q196_stored_reflm3_by_lang") > 0)
     // mutate both source tables the artifacts measure (drop one row)
     Seq("documents", "embeddings").foreach { t =>
       val idCol = if (t == "documents") "doc_id" else "vec_id"
@@ -62,7 +64,8 @@ class EntrySpec extends AnyFunSuite {
       spark.catalog.refreshByPath(s"$dir/$t.parquet")
     }
     Seq("q179_stored_gate", "q180_stored_probe", "q190_reflm_increment",
-        "q192_stored_reflm3")
+        "q192_stored_reflm3", "q189_stored_reflm_by_lang",
+        "q196_stored_reflm3_by_lang")
       .foreach { name =>
         val e = intercept[IllegalArgumentException] { fresh(name) }
         assert(e.getMessage.contains("stale artifact stamp"),
