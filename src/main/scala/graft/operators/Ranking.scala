@@ -724,6 +724,40 @@ object Ranking {
     Some(MergedRefLm(merged, Seq(uni, big)))
   }
 
+  /** The staged-merge skeleton shared by the Boolean count-merges
+    * ([[mergeIntoStoredRefLm3]], [[mergeIntoStoredKeyedRefLm]],
+    * [[mergeIntoStoredKeyedRefLm3]]; [[mergeIntoStoredRefLmReturning]]
+    * stays custom — it hands its persisted frames to the caller
+    * instead of releasing them): heal a stranded swap, consult the
+    * applied-batch log, then let `body` read the stored model and
+    * build the merged tables, returning the persisted frame handles
+    * plus a writer of the staged directory. The skeleton stages the
+    * write, extends the applied log INSIDE the staged dir (so it
+    * swaps atomically with the counts), swaps it in, and always
+    * releases the handles. One implementation of the crash-safety
+    * protocol — a fix here fixes every merge. Returns true iff
+    * applied (false = `batchId` already logged, a replay no-op).
+    */
+  private def stagedCountMerge(spark: SparkSession, path: String,
+      batchId: Option[Long])(
+      body: () => (Seq[DataFrame], String => Unit)): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healStranded(fs, live)
+    val prevApplied = readApplied(spark, fs, live)
+    if (isApplied(prevApplied, batchId)) return false
+    val (handles, writeStaged) = body()
+    val staged = new Path(live.getParent, live.getName + "__merging")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    try {
+      writeStaged(staged.toString)
+      writeApplied(spark, staged, prevApplied, batchId)
+      stagedSwap(fs, live, staged)
+    } finally handles.foreach(_.unpersist(false))
+    true
+  }
+
   /** Self-heal the between-renames crash window of [[stagedSwap]]: a
     * complete model at `__old` with nothing live is the only state the
     * swap can strand — restore it before reading.
@@ -957,42 +991,29 @@ object Ranking {
     */
   def mergeIntoStoredRefLm3(spark: SparkSession, path: String,
       delta: DataFrame, idCol: String, textCol: String,
-      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healStranded(fs, live)
-    val stored = readRefLm3(spark, path)
-    val prevApplied = readApplied(spark, fs, live)
-    if (isApplied(prevApplied, batchId)) return false
-    val d = refLm3Train(delta, idCol, textCol, isRef)
-    // the three additive count frames persist for the staged writes:
-    // uni feeds unigram+totals, big feeds bigram+ctx, tri feeds
-    // trigram+tctx — without the pin every write re-tokenizes the delta
-    val uni = stored.base.unigrams.unionByName(d.base.unigrams)
-      .groupBy("term").agg(sum("c1").as("c1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val big = stored.base.bigrams.unionByName(d.base.bigrams)
-      .groupBy("w1", "w2").agg(sum("cb").as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = stored.trigrams.unionByName(d.trigrams)
-      .groupBy("w1", "w2", "w3").agg(sum("ct").as("ct"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ctx = big.groupBy("w1").agg(sum("cb").as("ctx"))
-    val tctx = tri.groupBy("w1", "w2").agg(sum("ct").as("ctx3"))
-    val tot = uni.agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
-    val staged = new Path(live.getParent, live.getName + "__merging")
-    if (fs.exists(staged)) fs.delete(staged, true)
-    try {
-      writeRefLm3(RefLm3Model(RefLmModel(uni, ctx, big, tot), tri, tctx),
-        staged.toString)
-      writeApplied(spark, staged, prevApplied, batchId)
-      stagedSwap(fs, live, staged)
-    } finally {
-      uni.unpersist(false); big.unpersist(false); tri.unpersist(false)
+      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean =
+    stagedCountMerge(spark, path, batchId) { () =>
+      val stored = readRefLm3(spark, path)
+      val d = refLm3Train(delta, idCol, textCol, isRef)
+      // the three additive count frames persist for the staged writes:
+      // uni feeds unigram+totals, big feeds bigram+ctx, tri feeds
+      // trigram+tctx — without the pin every write re-tokenizes the delta
+      val uni = stored.base.unigrams.unionByName(d.base.unigrams)
+        .groupBy("term").agg(sum("c1").as("c1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val big = stored.base.bigrams.unionByName(d.base.bigrams)
+        .groupBy("w1", "w2").agg(sum("cb").as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tri = stored.trigrams.unionByName(d.trigrams)
+        .groupBy("w1", "w2", "w3").agg(sum("ct").as("ct"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ctx = big.groupBy("w1").agg(sum("cb").as("ctx"))
+      val tctx = tri.groupBy("w1", "w2").agg(sum("ct").as("ctx3"))
+      val tot = uni.agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+      (Seq(uni, big, tri), staged =>
+        writeRefLm3(RefLm3Model(RefLmModel(uni, ctx, big, tot), tri, tctx),
+          staged))
     }
-    true
-  }
 
   /** The shared DuckDB CTE chain for the reference-LM family: trains
     * the model on `refPred` rows of `src`, scores the whole pool, and
@@ -1421,36 +1442,25 @@ object Ranking {
     */
   def mergeIntoStoredKeyedRefLm(spark: SparkSession, path: String,
       delta: DataFrame, idCol: String, textCol: String, keyCol: String,
-      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healStranded(fs, live)
-    val stored = readKeyedRefLm(spark, path)
-    val prevApplied = readApplied(spark, fs, live)
-    if (isApplied(prevApplied, batchId)) return false
-    val d = refLmTrainByKey(delta, idCol, textCol, keyCol, isRef)
-    // the two merged count frames persist for the staged writes: uni
-    // feeds unigram+totals, big feeds bigram+ctx — without the pin
-    // every write re-tokenizes the delta
-    val uni = stored.unigrams.unionByName(d.unigrams)
-      .groupBy("__k", "term").agg(sum("c1").as("c1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val big = stored.bigrams.unionByName(d.bigrams)
-      .groupBy("__k", "w1", "w2").agg(sum("cb").as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ctx = big.groupBy("__k", "w1").agg(sum("cb").as("ctx"))
-    val tot = uni.groupBy("__k")
-      .agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
-    val staged = new Path(live.getParent, live.getName + "__merging")
-    if (fs.exists(staged)) fs.delete(staged, true)
-    try {
-      writeKeyedRefLm(KeyedRefLmModel(uni, ctx, big, tot), staged.toString)
-      writeApplied(spark, staged, prevApplied, batchId)
-      stagedSwap(fs, live, staged)
-    } finally { uni.unpersist(false); big.unpersist(false) }
-    true
-  }
+      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean =
+    stagedCountMerge(spark, path, batchId) { () =>
+      val stored = readKeyedRefLm(spark, path)
+      val d = refLmTrainByKey(delta, idCol, textCol, keyCol, isRef)
+      // the two merged count frames persist for the staged writes: uni
+      // feeds unigram+totals, big feeds bigram+ctx — without the pin
+      // every write re-tokenizes the delta
+      val uni = stored.unigrams.unionByName(d.unigrams)
+        .groupBy("__k", "term").agg(sum("c1").as("c1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val big = stored.bigrams.unionByName(d.bigrams)
+        .groupBy("__k", "w1", "w2").agg(sum("cb").as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ctx = big.groupBy("__k", "w1").agg(sum("cb").as("ctx"))
+      val tot = uni.groupBy("__k")
+        .agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+      (Seq(uni, big), staged =>
+        writeKeyedRefLm(KeyedRefLmModel(uni, ctx, big, tot), staged))
+    }
 
   /** [[mergeIntoStoredKeyedRefLm]] at order 3: the keyed trigram and
     * trigram-context tables merge additively alongside the order-2
@@ -1459,41 +1469,28 @@ object Ranking {
     */
   def mergeIntoStoredKeyedRefLm3(spark: SparkSession, path: String,
       delta: DataFrame, idCol: String, textCol: String, keyCol: String,
-      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healStranded(fs, live)
-    val stored = readKeyedRefLm3(spark, path)
-    val prevApplied = readApplied(spark, fs, live)
-    if (isApplied(prevApplied, batchId)) return false
-    val d = refLm3TrainByKey(delta, idCol, textCol, keyCol, isRef)
-    val uni = stored.base.unigrams.unionByName(d.base.unigrams)
-      .groupBy("__k", "term").agg(sum("c1").as("c1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val big = stored.base.bigrams.unionByName(d.base.bigrams)
-      .groupBy("__k", "w1", "w2").agg(sum("cb").as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = stored.trigrams.unionByName(d.trigrams)
-      .groupBy("__k", "w1", "w2", "w3").agg(sum("ct").as("ct"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ctx = big.groupBy("__k", "w1").agg(sum("cb").as("ctx"))
-    val tctx = tri.groupBy("__k", "w1", "w2").agg(sum("ct").as("ctx3"))
-    val tot = uni.groupBy("__k")
-      .agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
-    val staged = new Path(live.getParent, live.getName + "__merging")
-    if (fs.exists(staged)) fs.delete(staged, true)
-    try {
-      writeKeyedRefLm3(
-        KeyedRefLm3Model(KeyedRefLmModel(uni, ctx, big, tot), tri, tctx),
-        staged.toString)
-      writeApplied(spark, staged, prevApplied, batchId)
-      stagedSwap(fs, live, staged)
-    } finally {
-      uni.unpersist(false); big.unpersist(false); tri.unpersist(false)
+      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean =
+    stagedCountMerge(spark, path, batchId) { () =>
+      val stored = readKeyedRefLm3(spark, path)
+      val d = refLm3TrainByKey(delta, idCol, textCol, keyCol, isRef)
+      val uni = stored.base.unigrams.unionByName(d.base.unigrams)
+        .groupBy("__k", "term").agg(sum("c1").as("c1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val big = stored.base.bigrams.unionByName(d.base.bigrams)
+        .groupBy("__k", "w1", "w2").agg(sum("cb").as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tri = stored.trigrams.unionByName(d.trigrams)
+        .groupBy("__k", "w1", "w2", "w3").agg(sum("ct").as("ct"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ctx = big.groupBy("__k", "w1").agg(sum("cb").as("ctx"))
+      val tctx = tri.groupBy("__k", "w1", "w2").agg(sum("ct").as("ctx3"))
+      val tot = uni.groupBy("__k")
+        .agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+      (Seq(uni, big, tri), staged =>
+        writeKeyedRefLm3(
+          KeyedRefLm3Model(KeyedRefLmModel(uni, ctx, big, tot), tri, tctx),
+          staged))
     }
-    true
-  }
 
   /** DuckDB SQL twin of [[refLmTrainByKey]] → [[refLmScoreByKey]] →
     * [[refLmPerplexityBucketsByKey]] over `keyCol` (surfaced under its

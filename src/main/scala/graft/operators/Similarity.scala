@@ -480,16 +480,47 @@ object Similarity {
       idCol: String,
       vecCol: String,
       cents: Seq[(Long, Array[Double])],
+      threshold: Double): DataFrame =
+    semDeDupIncrementAssigned(
+      semDeDupAssign(existing, idCol, vecCol, cents),
+      fresh, idCol, vecCol, cents, threshold)
+
+  /** Assign vectors to their stored-index cells in the
+    * (idCol, vecCol, cluster) shape [[semDeDupIncrementAssigned]]
+    * consumes — a pure projection over the centroid literals. A
+    * continuous ingest persists THIS shape as its representative
+    * state so assignment is paid once per vector at admission, never
+    * re-run over the whole state per batch.
+    */
+  def semDeDupAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])]): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .join(kmeansAssignWithCentroids(df, idCol, vecCol, cents)
+        .select(col(idCol), col("cluster")), idCol)
+
+  /** [[semDeDupIncrement]] with the existing side PRE-ASSIGNED
+    * (carrying a `cluster` column, the [[semDeDupAssign]] shape): the
+    * batch assigns fresh vectors only, so per-batch work is exactly
+    * |batch| assignment projections plus the within-cell joins —
+    * nothing corpus-sized recomputes as the representative state
+    * grows.
+    */
+  def semDeDupIncrementAssigned(
+      existing: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])],
       threshold: Double): DataFrame = {
-    def prep(df: DataFrame): DataFrame = {
-      val asg = kmeansAssignWithCentroids(df, idCol, vecCol, cents)
-        .select(col(idCol), col("cluster"))
-      df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
-        .withColumn("__n", l2Norm(col("__v")))
-        .join(asg, idCol)
-    }
-    val ex = prep(existing)
-    val nw = prep(fresh)
+    val ex = existing
+      .select(col(idCol), toDoubleArray(col(vecCol)).as("__v"), col("cluster"))
+      .withColumn("__n", l2Norm(col("__v")))
+    val nw = semDeDupAssign(fresh, idCol, vecCol, cents)
+      .select(col(idCol), toDoubleArray(col(vecCol)).as("__v"), col("cluster"))
+      .withColumn("__n", l2Norm(col("__v")))
     def aSide(df: DataFrame) = df.select(col("cluster"),
       col("__v").as("__va"), col("__n").as("__na"))
     val nwB = nw.select(col("cluster"), col(idCol).as("__w"),

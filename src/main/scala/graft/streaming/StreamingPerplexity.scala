@@ -86,7 +86,10 @@ object StreamingPerplexity {
     * routing decision the downstream consumer must see, not a row
     * that vanishes. A doc whose key IS modeled but that has no bigram
     * (< 2 tokens) is `unscored`, the unkeyed gate's label — the two
-    * conditions demand different remediation. Appends
+    * conditions demand different remediation. A scored doc whose key
+    * HAS a model but no measured cutoffs row is `unmeasured` (with its
+    * real score): the remediation is to measure cutoffs for that key,
+    * not to train a model it already has. Appends
     * (id, keyCol, n_bigrams, logprob, bucket, batch_id).
     */
   def gateBatchByKey(
@@ -106,9 +109,13 @@ object StreamingPerplexity {
     val scored = Ranking.refLmScoreByKey(batch, idCol, textCol, keyCol, model)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // a row here SCORED, so its key has a model by construction
+      // (the scorer's totals join is inner) — a missing cutoffs row
+      // means the key is modeled but not yet measured, which is
+      // `unmeasured`, never `unmodeled`
       val labeled = scored.join(broadcast(cuts), Seq(keyCol), "left")
         .select(col(idCol), col(keyCol), col("n_bigrams"), col("logprob"),
-          when(col("v_head").isNull, lit("unmodeled"))
+          when(col("v_head").isNull, lit("unmeasured"))
             .when(col("logprob") >= col("v_head"), lit("head"))
             .when(col("logprob") >= col("v_mid"), lit("middle"))
             .otherwise(lit("tail")).as("bucket"))
@@ -220,7 +227,10 @@ object StreamingPerplexity {
     * per-language trigram-backoff models ([[Ranking.readKeyedRefLm3]])
     * at each key's stored cutoffs. Label split as the bigram keyed
     * gate: `unmodeled` = no model for the key (route to training),
-    * `unscored` = modeled key but no trigram (< 3 tokens). Appends
+    * `unscored` = modeled key but no trigram (< 3 tokens),
+    * `unmeasured` = scored under a modeled key that has no cutoffs
+    * row yet (route to cutoff measurement — likelier at order 3,
+    * where measuring needs ≥ 3-token calibration docs). Appends
     * (id, keyCol, n_trigrams, logprob, bucket, batch_id).
     */
   def gateBatch3ByKey(
@@ -240,9 +250,10 @@ object StreamingPerplexity {
     val scored = Ranking.refLm3ScoreByKey(batch, idCol, textCol, keyCol, model)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // scored rows have a model by construction — see [[gateBatchByKey]]
       val labeled = scored.join(broadcast(cuts), Seq(keyCol), "left")
         .select(col(idCol), col(keyCol), col("n_trigrams"), col("logprob"),
-          when(col("v_head").isNull, lit("unmodeled"))
+          when(col("v_head").isNull, lit("unmeasured"))
             .when(col("logprob") >= col("v_head"), lit("head"))
             .when(col("logprob") >= col("v_mid"), lit("middle"))
             .otherwise(lit("tail")).as("bucket"))

@@ -17,9 +17,11 @@ import graft.operators.Similarity
   * matching only a previously-DROPPED one is admitted — dropped
   * vectors never gate anything again.
   *
-  * Scale shape ([[Similarity.semDeDupIncrement]]'s): cell assignment is
-  * a stateless projection over the centroid literals, and the pairwise
-  * cosine runs only against same-cell representatives plus smaller-id
+  * Scale shape ([[Similarity.semDeDupIncrementAssigned]]'s): the state
+  * stores its cell assignment, so each batch assigns ONLY its own rows
+  * (a stateless projection over the centroid literals — never a
+  * re-assignment sweep of the grown state), and the pairwise cosine
+  * runs only against same-cell representatives plus smaller-id
   * same-batch members — per-batch cost is |batch| × cell occupancy at
   * any corpus size, never state × state. At 100 TB, bucket the state
   * table by `cluster` so the per-cell join co-locates without a
@@ -46,9 +48,13 @@ object StreamingSemDeDup {
 
   /** Gate one micro-batch: dedup against the representative state at
     * `stateDir`, append (id, cluster, nn_sim, keep, batch_id) to
-    * `decisionsDir`, and admit the kept vectors' (id, vec) rows into
-    * the state. Exposed for direct use and testing — [[start]]'s
-    * `foreachBatch` calls exactly this.
+    * `decisionsDir`, and admit the kept vectors' (id, vec, cluster)
+    * rows into the state. The state carries its CELL ASSIGNMENT
+    * ([[Similarity.semDeDupAssign]]'s shape), so assignment is paid
+    * once per vector at admission — a micro-batch never re-assigns
+    * the whole representative set, only its own rows. Exposed for
+    * direct use and testing — [[start]]'s `foreachBatch` calls
+    * exactly this.
     */
   def gateBatch(
       batch: DataFrame,
@@ -66,17 +72,19 @@ object StreamingSemDeDup {
     // vector types always agree with what the admission appends
     val state =
       if (fs.exists(new Path(stateDir))) spark.read.parquet(stateDir)
-      else batch.select(col(idCol), col(vecCol)).limit(0)
+      else Similarity.semDeDupAssign(batch.limit(0), idCol, vecCol, cents)
     // persisted for the batch write: the decisions append and the
     // kept-id filter for the state admission both read `dec`
-    val dec = Similarity.semDeDupIncrement(
+    val dec = Similarity.semDeDupIncrementAssigned(
         state, batch, idCol, vecCol, cents, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       dec.withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(decisionsDir)
+      // kept rows enter the state WITH the cluster dec already carries
       batch.select(col(idCol), col(vecCol))
-        .join(dec.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+        .join(dec.filter(col("keep")).select(col(idCol), col("cluster")),
+          Seq(idCol))
         .write.mode("append").parquet(stateDir)
     } finally dec.unpersist(false)
   }

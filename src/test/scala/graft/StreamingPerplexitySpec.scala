@@ -81,15 +81,18 @@ class StreamingPerplexitySpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream-ppl-keyed").toString
     val (modelPath, cutPath) = (s"$dir/model", s"$dir/cutoffs")
-    // L1's reference knows bigram "a b"; L2's ONLY bigram is "b a"
+    // L1's reference knows bigram "a b"; L2's ONLY bigram is "b a";
+    // L3 has a model but its calibration doc is too short to score,
+    // so the cutoffs artifact carries NO L3 row
     val refs = Seq(
-      (1L, "a b a b a", "L1"), (2L, "b a", "L2")
+      (1L, "a b a b a", "L1"), (2L, "b a", "L2"), (3L, "c d c", "L3")
     ).toDF("id", "text", "lang")
     val m = Ranking.refLmTrainByKey(refs, "id", "text", "lang", lit(true))
     Ranking.writeKeyedRefLm(m, modelPath)
     val calib = Seq(
       (10L, "a b a", "L1"), (11L, "x y", "L1"),
-      (12L, "b a b", "L2"), (13L, "x y", "L2")
+      (12L, "b a b", "L2"), (13L, "x y", "L2"),
+      (14L, "c", "L3")
     ).toDF("id", "text", "lang")
     Ranking.writeRefLmCutoffsByKey(
       Ranking.refLmCutoffsByKey(
@@ -105,7 +108,8 @@ class StreamingPerplexitySpec extends AnyFunSuite {
         LangDoc(100L, "a b a b", "L1"),   // reference-like under L1
         LangDoc(101L, "a b a b", "L2"),   // same text, L2's model: unseen pair
         LangDoc(102L, "a b", "L9"),       // no L9 model -> unmodeled
-        LangDoc(103L, "a", "L1"))         // modeled key, no bigram -> unscored
+        LangDoc(103L, "a", "L1"),         // modeled key, no bigram -> unscored
+        LangDoc(105L, "c d", "L3"))       // scores, but L3 has no cutoffs row
       q.processAllAvailable()
     } finally q.stop()
 
@@ -113,11 +117,16 @@ class StreamingPerplexitySpec extends AnyFunSuite {
       .select("doc_id", "lang", "logprob", "bucket")
       .as[(Long, String, Option[Double], String)]
       .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(dec.keySet == Set(100L, 101L, 102L, 103L))
+    assert(dec.keySet == Set(100L, 101L, 102L, 103L, 105L))
     assert(dec(102L) == (("L9", None, "unmodeled")))
     // modeled language + bigram-less doc: too-short-to-score, NOT a
     // route-to-training signal — the keyed gate distinguishes them
     assert(dec(103L) == (("L1", None, "unscored")))
+    // modeled + SCORED, but the key has no measured cutoffs:
+    // `unmeasured` with the real score — route to cutoff measurement,
+    // never back to training a model that already exists
+    assert(dec(105L)._1 == "L3" && dec(105L)._3 == "unmeasured"
+      && dec(105L)._2.isDefined)
     // same text, different language models: L1 scores it higher
     assert(dec(100L)._2.get > dec(101L)._2.get)
     // labels agree with the batch keyed scorer at the stored cutoffs

@@ -65,9 +65,11 @@ class StreamingSemDeDupSpec extends AnyFunSuite {
     assert(dec(30L) == ((30L, 0L, Some(1.0), false, 1L)))
     assert(dec(31L) == ((31L, 1L, Some(cos(v20, v31)), true, 1L)),
       "a vector matching only a dropped one must be admitted")
-    // state holds exactly the kept representatives
-    assert(spark.read.parquet(stateDir).select("vec_id")
-      .as[Long].collect().toSet == Set(10L, 20L, 31L))
+    // state holds exactly the kept representatives WITH their cell
+    // assignment (paid once at admission, never re-swept per batch)
+    assert(spark.read.parquet(stateDir).select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toSet ==
+      Set((10L, 0L), (20L, 1L), (31L, 1L)))
   }
 
   test("state admission is self-idempotent under batch replay") {
@@ -77,7 +79,7 @@ class StreamingSemDeDupSpec extends AnyFunSuite {
     StreamingSemDeDup.gateBatch(batch, "vec_id", "embedding", cents,
       threshold = 0.95, stateDir, decDir, batchId = 0L)
     val once = spark.read.parquet(stateDir)
-      .as[(Long, Seq[Double])].collect().toSet
+      .as[(Long, Seq[Double], Long)].collect().toSet
     assert(once.map(_._1) == Set(10L, 20L))
     // the crash-before-checkpoint-commit replay re-delivers batch 0:
     // each kept vector meets its own admitted copy at cosine 1.0 and is
@@ -85,7 +87,7 @@ class StreamingSemDeDupSpec extends AnyFunSuite {
     StreamingSemDeDup.gateBatch(batch, "vec_id", "embedding", cents,
       threshold = 0.95, stateDir, decDir, batchId = 0L)
     assert(spark.read.parquet(stateDir)
-      .as[(Long, Seq[Double])].collect().toSet == once)
+      .as[(Long, Seq[Double], Long)].collect().toSet == once)
     // decisions are the documented at-least-once append log: the replay
     // re-emits batch 0's rows (as drops against their own copies);
     // consumers dedup on (batch_id, id) keeping the first write
