@@ -184,6 +184,57 @@ object Bench {
       case (n, i) if probeFactor(series, i) < 1.0 => n
     }
 
+  /** SUSTAINED-degradation flag (round 16): queries above
+    * `SustainedBand` x their committed warm reference
+    * (BENCH_SCALING.json's `warm_sf0.1`, regenerated by
+    * tools/warm_ref.py from certified-clean closes). The probe series
+    * catches degradation SPIKES relative to the run's own floor, but a
+    * run that is uniformly ~2x its true warm level probes flat and
+    * passed as "clean" (the r15 artifact of record carried untouched
+    * queries at 2x their r14 levels this way). The reference comes
+    * from OUTSIDE the run, so a uniformly-slow window can no longer
+    * certify itself.
+    *
+    * The absolute guard (`ref + MinExcessS`) keeps sub-second queries
+    * from flagging on scheduler jitter: a 0.3 s query at 0.9 s is
+    * noise, a 6 s query at 13 s is the r15 incident. Values judged are
+    * the probe-NORMALIZED ones — a spike the probe series already
+    * corrected must not double-flag.
+    */
+  private[graft] val SustainedBand = 2.0
+  private[graft] val MinExcessS = 1.0
+
+  private[graft] def sustainedDegraded(
+      normByName: Seq[(String, Double)],
+      refs: Map[String, Double]): Seq[String] =
+    normByName.collect {
+      case (n, v) if refs.get(n).exists(r =>
+        v > math.max(SustainedBand * r, r + MinExcessS)) => n
+    }
+
+  /** The committed warm-reference map for sustained-degradation
+    * flagging — `warm_sf0.1` in BENCH_SCALING.json. Empty when the
+    * file or key is missing (new checkouts must not fail the bench)
+    * or when the run's SF dir is not the sf0.1 scoreboard scale the
+    * references were measured at.
+    */
+  private[graft] def readWarmRefs(path: String, sfDir: String): Map[String, Double] =
+    if (!sfDir.replaceAll("/+$", "").endsWith("sf0.1")) Map.empty
+    else try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      (j \ "warm_sf0.1") match {
+        case JObject(fields) => fields.flatMap {
+          case (k, JDouble(x)) => Some(k -> x)
+          case (k, JDecimal(x)) => Some(k -> x.toDouble)
+          case (k, JInt(x)) => Some(k -> x.toDouble)
+          case _ => None
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
   def main(args: Array[String]): Unit = {
     val jvmStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -191,6 +242,10 @@ object Bench {
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
     val queryCapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_S", "60").toDouble
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "/root/repo/BENCH_SCALING.json")
+    // committed warm references for the sustained-degradation flag —
+    // empty (flag disabled) off the sf0.1 scoreboard scale
+    val warmRefs = readWarmRefs(refPath, sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -632,8 +687,15 @@ object Bench {
       val dwq = degradedWindowQueries(vmSeries.toSeq, results.map(_._1).toSeq)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val taint = if (warmupTainted) ""","tainted":true""" else ""
+      // sustained-degradation flag: normalized values vs the committed
+      // warm references (carried values judged as carried — they were
+      // measured in a prior, usually certified, run)
+      val sdqFull = sustainedDegraded(
+        m.map { case (k, v) => k -> normByName.getOrElse(k, v) }, warmRefs)
+        .map(n => s"""{"name":"$n","norm_s":${fmt3(normByName.getOrElse(n, carried.getOrElse(n, 0.0)))},"ref_s":${fmt3(warmRefs(n))}}""")
+        .mkString("[", ",", "]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"capped":$cap,"carried":$c$cvh,"vm_health":${fmt3(vmHealthS)},"vm_health_series":$series,"queries_normalized":$qsNorm,"value_normalized":${fmt3(totalNorm)},"degraded_window_queries":$dwq$taint,"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt3(m.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$f,"skipped":$s,"capped":$cap,"carried":$c$cvh,"vm_health":${fmt3(vmHealthS)},"vm_health_series":$series,"queries_normalized":$qsNorm,"value_normalized":${fmt3(totalNorm)},"degraded_window_queries":$dwq,"sustained_degraded_queries":$sdqFull$taint,"elapsed":${fmt3(elapsedS)},"sf":"$sfDir"}""")
     } catch { case _: Throwable => () } // bench must not die on a dump
 
     // Prior-run per-query seconds, read from the LAST committed
@@ -766,7 +828,10 @@ object Bench {
     // 2000 - 73 sbt suffix chars; worst-case all-entries line = 1920).
     // Full 3-decimal per-query values for EVERY query stay in
     // bench_full.json, which is committed alongside.
-    val (shown, hidden) = finalResults.toSeq.sortBy(-_._2).splitAt(170)
+    // secondary name key: tied timings must land in shown vs rest
+    // deterministically, or the stdout map churns across identical runs
+    val (shown, hidden) = finalResults.toSeq
+      .sortBy { case (k, v) => (-v, k) }.splitAt(170)
     val qs = shown.sortBy(_._1)
       .map { case (k, v) => "\"" + shortName(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
@@ -787,13 +852,23 @@ object Bench {
       (if (failed.nonEmpty) s""","failed":$failedJson""" else "") +
       (if (skipped.nonEmpty) s""","skipped":$skippedJson""" else "") +
       (if (capped.nonEmpty) s""","capped":$cappedJson""" else "")
+    // sustained-degradation flag, ALWAYS present on the stdout line
+    // (the certification criterion is "present and empty", so its
+    // absence must be distinguishable from a clean run); normalized
+    // values vs the committed warm references
+    val normByNameFinal = results.zipWithIndex
+      .map { case ((k, v), i) => k -> v * probeFactor(i) }.toMap
+    val sdqNames = sustainedDegraded(
+      finalResults.map { case (k, v) => k -> normByNameFinal.getOrElse(k, v) },
+      warmRefs)
+    val sdqJson = sdqNames.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
     // round-11 diet: vh/vn moved OFF the stdout line (to stderr here,
     // full precision in bench_full.json) — at 171 queries the line was
     // back inside ~50 chars of the 1900-char parse-tail budget
     System.err.println(
       s"[bench] vh=${fmt2(vmHealthS)} vn=${fmt1(normTotal)} elapsed=${fmt2(elapsedS)}s")
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$restField$taxonomy,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$restField$taxonomy,"sdq":$sdqJson,"sf":$sfNum}"""
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: final JSON line ${line.length} chars — may overflow the harness parse tail")
     // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to

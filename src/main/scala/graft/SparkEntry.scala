@@ -2507,6 +2507,25 @@ object SparkEntry {
         "lang")
     }),
 
+    // ---- extension: curation with the SEMANTIC-dedup stage ----
+    // q134's composed pipeline plus SemDeDup at the paper's position
+    // (Abbas 2023: after lexical dedup, before decontamination): the
+    // cluster representatives' embeddings dedup within the cells of
+    // the STORED k-means index (the q193 kernel over the rep slice —
+    // assignment reuses the stored index, shingles/signatures come
+    // from the stored artifacts untouched), and non-representatives
+    // drop before the decontamination join. Reps without an embedding
+    // row are kept — the stage drops only what it can see
+    "q197_curate_semantic" -> ((s, dir) => {
+      operators.DocPipeline.curateFromArtifacts(
+        curateArtifactsSlice(s, dir),
+        T(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text",
+        semantic = Some(operators.DocPipeline.SemanticStage(
+          T(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", pqIndex(s, dir)._1, threshold = 0.4)))
+    }),
+
     // ---- extension: token budget plan (epochs per domain) ----
     // the planning table every pretraining run writes before touching
     // data: q161's temperature mixture extended with the oversampling
@@ -5669,6 +5688,70 @@ object SparkEntry {
     "q196_stored_reflm3_by_lang" ->
       operators.Ranking.refLm3BucketsByKeySql(
         "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
+
+    // composed curation with the semantic stage: q134's chain with the
+    // q193 SemDeDup CTEs spliced between reps and decontamination —
+    // the frozen-index assignment replay restricted to the rep slice,
+    // keep-lowest-id within a cell at the rounded similarity
+    "q197_curate_semantic" -> {
+      val splitCase = operators.Sampling.splitCaseSql("cluster_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      s"""WITH RECURSIVE ${kmeansCtesSql(8, 3, 64)},
+         |k0 AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+         |  FROM documents WHERE doc_id >= 10),
+         |q0 AS (SELECT * FROM k0 WHERE n_tokens BETWEEN 5 AND 100000),
+         |ex AS (SELECT doc_id, text, n_tokens FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nrm ORDER BY doc_id) AS rn
+         |    FROM q0) WHERE rn = 1),
+         |${sigsCte("ex")},
+         |$jaccardCte,
+         |p AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |reach(a, lbl) AS (
+         |  SELECT doc_id, doc_id FROM ex
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a),
+         |cl AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |m AS (SELECT cl.cluster_id, cl.doc_id, e.n_tokens,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                           ORDER BY n_tokens DESC, doc_id) AS rn
+         |      FROM cl JOIN ex e USING (doc_id)),
+         |reps AS (SELECT doc_id, cluster_id, n_tokens FROM m WHERE rn = 1),
+         |ca AS (SELECT vec_id, cid FROM (
+         |  SELECT n2.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+         |      ORDER BY list_dot_product(n2.v, c.cv) / (n2.nrm * c.cn) DESC, c.cid) AS rn
+         |  FROM n2 CROSS JOIN c3 c) t WHERE rn = 1),
+         |sdm AS MATERIALIZED (
+         |  SELECT r.doc_id, ca.cid, n2.v, n2.nrm
+         |  FROM reps r JOIN ca ON ca.vec_id = r.doc_id
+         |              JOIN n2 ON n2.vec_id = r.doc_id),
+         |sdnn AS (
+         |  SELECT b.doc_id,
+         |    round(MAX(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS nn_sim
+         |  FROM sdm a JOIN sdm b ON a.cid = b.cid AND a.doc_id < b.doc_id
+         |  GROUP BY 1),
+         |sreps AS (SELECT * FROM reps WHERE doc_id NOT IN (
+         |  SELECT doc_id FROM sdnn WHERE nn_sim >= 0.4)),
+         |${ngramCtes("documents WHERE doc_id < 10", 3, "e")},
+         |ez AS (SELECT doc_id AS eid, COUNT(*) AS ne FROM esh GROUP BY 1),
+         |shr AS (SELECT sh.doc_id AS cid, esh.doc_id AS eid, COUNT(*) AS ns
+         |        FROM sh JOIN esh ON sh.s = esh.s GROUP BY 1, 2),
+         |cont AS (SELECT DISTINCT cid AS doc_id FROM shr JOIN ez USING (eid)
+         |         WHERE CAST(ns AS DOUBLE) / ne >= 0.5),
+         |surv AS (SELECT * FROM sreps
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |asgn AS (SELECT doc_id, n_tokens, $splitCase AS split FROM surv),
+         |shv AS (SELECT doc_id, n_tokens, split,
+         |          md5('shard:' || CAST(doc_id AS VARCHAR)) AS hh FROM asgn)
+         |SELECT split, CAST((${operators.Sampling.hexPrefixSql("hh")}) % 4 AS BIGINT) AS shard,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM shv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q187_token_budget_plan" ->
       s"""WITH pd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

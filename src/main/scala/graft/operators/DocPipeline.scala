@@ -52,6 +52,32 @@ object DocPipeline {
       seed: String,
       thresholdMicro: Long)
 
+  /** The OPTIONAL semantic-dedup stage of [[curate]] (SemDeDup — Abbas
+    * et al. 2023, arXiv:2303.09540, which positions semantic dedup
+    * inside the curation flow after lexical dedup): the cluster
+    * representatives' embeddings dedup within the cells of a STORED
+    * k-means index (`cents` — the q144/q149/q170 artifact, reused, not
+    * retrained) under [[Similarity.semDeDup]]'s deterministic
+    * keep-lowest-id rule, and non-representatives drop between
+    * near-dup dedup and decontamination.
+    *
+    * `embeddings` maps `vecIdCol` (the document id's value space) to
+    * `vecCol`; a representative with NO embedding row is KEPT — the
+    * stage can only drop what it can see, and silently dropping
+    * unembedded docs would turn a lagging embedding pipeline into
+    * corpus loss. The quadratic term is bounded by the largest index
+    * cell, exactly as in standalone SemDeDup (q193); enforce it with
+    * [[Similarity.semDeDupCellGuard]] (remediation:
+    * [[Similarity.ivfSplitHotCells]], the q173 path) when the index
+    * may carry hot cells.
+    */
+  final case class SemanticStage(
+      embeddings: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])],
+      threshold: Double)
+
   object HashedModelGate {
     /** The gate at the threshold a STORED sweep artifact selects
       * ([[QualityClassifier.readSelectedGateMicro]]) — the config-time
@@ -174,9 +200,10 @@ object DocPipeline {
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
       nShards: Int = 4,
       contaminationThreshold: Double = 0.5,
-      strictShingles: Boolean = false): DataFrame =
+      strictShingles: Boolean = false,
+      semantic: Option[SemanticStage] = None): DataFrame =
     curateCached(docs, evalDocs, idCol, textCol, cfg, splits, nShards,
-      contaminationThreshold, strictShingles).df
+      contaminationThreshold, strictShingles, semantic).df
 
   /** [[curate]] plus its persisted intermediates for caller release.
     *
@@ -217,7 +244,8 @@ object DocPipeline {
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
       nShards: Int = 4,
       contaminationThreshold: Double = 0.5,
-      strictShingles: Boolean = false): Dedup.CachedDF = {
+      strictShingles: Boolean = false,
+      semantic: Option[SemanticStage] = None): Dedup.CachedDF = {
     import org.apache.spark.storage.StorageLevel
     val nTokens = TextAnalysis.tokenCount(col(textCol))
     // 1-2. quality gate + exact dedup, persisted: the ONE scan of raw
@@ -234,7 +262,7 @@ object DocPipeline {
     val nd = Dedup.nearDupArtifacts(cleaned, idCol, textCol,
       threshold = cfg.jaccardThreshold)
     curateTail(cleaned, nd, evalDocs, idCol, textCol, cfg, splits,
-      nShards, contaminationThreshold, strictShingles)
+      nShards, contaminationThreshold, strictShingles, semantic)
   }
 
   /** Stages 4-8 of curation — everything downstream of the cleaned
@@ -254,7 +282,8 @@ object DocPipeline {
       splits: Seq[(String, Double)],
       nShards: Int,
       contaminationThreshold: Double,
-      strictShingles: Boolean): Dedup.CachedDF = {
+      strictShingles: Boolean,
+      semantic: Option[SemanticStage] = None): Dedup.CachedDF = {
     // 4. connected components over the verified pairs
     val cl = Dedup.dupClustersCached(
       cleaned.select(col(idCol)), nd.pairs.select("d1", "d2"), idCol)
@@ -290,7 +319,23 @@ object DocPipeline {
       .filter(col("__shared").cast("double") / col("__ne") >= contaminationThreshold)
       .select(col(idCol))
       .distinct()
-    val surviving = reps.join(contaminated, Seq(idCol), "left_anti")
+    // 5b. OPTIONAL semantic dedup among the representatives (the
+    // SemDeDup paper's pipeline position: after lexical dedup, before
+    // decontamination): the reps' embeddings dedup within the stored
+    // index cells under the keep-lowest-id rule; reps with no
+    // embedding row are kept (drop only what the stage can see). The
+    // within-cell join runs over the REPRESENTATIVE slice only — both
+    // sides semi-filtered before any pairwise work.
+    val semReps = semantic.fold(reps) { st =>
+      val repVecs = st.embeddings.join(
+        reps.select(col(idCol).as(st.vecIdCol)), Seq(st.vecIdCol), "left_semi")
+      val semDropped = Similarity.semDeDup(
+          repVecs, st.vecIdCol, st.vecCol, st.cents, st.threshold)
+        .filter(!col("keep"))
+        .select(col(st.vecIdCol).as(idCol))
+      reps.join(semDropped, Seq(idCol), "left_anti")
+    }
+    val surviving = semReps.join(contaminated, Seq(idCol), "left_anti")
     // 7-8. leakage-safe split (hash of CLUSTER id, so near-dups land
     // together) + deterministic shard, then the (split, shard) manifest
     val assigned = Sampling.assignSplit(surviving, "cluster_id", splits)
@@ -442,9 +487,10 @@ object DocPipeline {
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
       nShards: Int = 4,
       contaminationThreshold: Double = 0.5,
-      strictShingles: Boolean = false): DataFrame =
+      strictShingles: Boolean = false,
+      semantic: Option[SemanticStage] = None): DataFrame =
     curateFromArtifactsCached(art, evalDocs, idCol, textCol, cfg, splits,
-      nShards, contaminationThreshold, strictShingles).df
+      nShards, contaminationThreshold, strictShingles, semantic).df
 
   /** [[curateFromArtifacts]] plus its persisted intermediates for
     * caller release.
@@ -458,7 +504,8 @@ object DocPipeline {
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
       nShards: Int = 4,
       contaminationThreshold: Double = 0.5,
-      strictShingles: Boolean = false): Dedup.CachedDF = {
+      strictShingles: Boolean = false,
+      semantic: Option[SemanticStage] = None): Dedup.CachedDF = {
     import org.apache.spark.storage.StorageLevel
     // 1-2 replayed on the stored annotation: the consumer's FULL gate
     // (token bounds over the stored n_tokens + the model) + exact
@@ -479,7 +526,7 @@ object DocPipeline {
     val nd = Dedup.nearDupArtifactsFromSigs(sh, sigs, idCol,
       threshold = cfg.jaccardThreshold)
     curateTail(cleaned, nd, evalDocs, idCol, textCol, cfg, splits,
-      nShards, contaminationThreshold, strictShingles)
+      nShards, contaminationThreshold, strictShingles, semantic)
   }
 
   /** The per-document ingest STATE a curation run persists so future

@@ -203,10 +203,22 @@ object QualityClassifier {
     *    discipline), with the per-sample 1/n average folded in so one
     *    learning rate works across scale factors.
     *
-    * Scale shape: the corpus is featurized ONCE into a checkpointed
-    * `(id, bucket, tf)` frame (re-read per epoch, never re-tokenized);
-    * each epoch is two partial-aggregated shuffles (per-doc margins,
-    * per-bucket gradients) and moves `buckets+1` longs to the driver.
+    * Scale shape (round 16 — the q167 driver-bench incident): the
+    * corpus featurizes ONCE into a checkpointed one-row-per-document
+    * frame `(id, dl, y, sparse bucket-tf list)`, and each epoch is a
+    * SINGLE join-free scan of it — the per-doc dot and residual
+    * compute inline over the tf list (the weight array rides as a
+    * literal), and the gradient is one partial-aggregated shuffle of
+    * ≤ `(buckets+1) × partitions` rows straight to a
+    * `buckets+1`-row collect. The previous shape ran TWO shuffled
+    * joins per epoch (per-doc margins joined back to the feature
+    * rows); under a degraded scheduler every extra barrier stretched,
+    * and q167 measured 4x its warm level in two consecutive driver
+    * artifacts while probes read healthy. Fewer barriers, same exact
+    * integers: per-doc dot order is irrelevant (integer adds), the
+    * residual/update arithmetic is unchanged term for term, so the
+    * trained weights are bit-identical (TrainClassifierSpec pins this
+    * against the unrolled-CTE oracle replay).
     */
   def trainHashed(
       docs: DataFrame,
@@ -225,37 +237,46 @@ object QualityClassifier {
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val bucket =
       Sampling.hexPrefixValue(md5(concat(lit(seed), col("term")))) % buckets
-    val feat = toks.withColumn("__b", bucket)
+    val bucketTf = toks.withColumn("__b", bucket)
       .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint()
-    val meta = docs.select(col(idCol).as("__id"),
+      .groupBy(col("__id"))
+      .agg(collect_list(struct(col("__b"), col("__tf"))).as("__f"))
+    // one row per document; zero-token docs carry an empty tf list
+    val dense = docs.select(col(idCol).as("__id"),
         greatest(TextAnalysis.tokenCount(col(textCol)), lit(1L)).as("__dl"),
         label.cast("long").as("__y"))
+      .join(bucketTf, Seq("__id"), "left")
+      .withColumn("__f", coalesce(col("__f"), array()))
       .localCheckpoint()
     try {
-      val n = meta.count()
+      val n = dense.count()
       val w = Array.fill(buckets)(0L)
       var b = 0L
       val den = n * 1000L * lrDen
       for (_ <- 1 to epochs) {
         val wArr = typedLit(w.toSeq)
-        val dots = feat.groupBy(col("__id"))
-          .agg(sum(col("__tf") *
-            element_at(wArr, (col("__b") + 1).cast("int"))).as("__dot"))
-        val z = (lit(b) + coalesce(col("__dot"), lit(0L))).cast("double") /
+        val dot = aggregate(col("__f"), lit(0L), (acc, s) =>
+          acc + s.getField("__tf") *
+            element_at(wArr, (s.getField("__b") + 1).cast("int")))
+        val z = (lit(b) + dot).cast("double") /
           (lit(1000.0) * col("__dl").cast("double"))
-        val resid = meta.join(dots, Seq("__id"), "left")
+        val grads = dense
           .withColumn("__z", z)
           .withColumn("__s",
             lit(0.5) + col("__z") / (lit(2.0) * (lit(1.0) + abs(col("__z")))))
           .withColumn("__r", round(
             round((col("__s") - col("__y")) / col("__dl").cast("double"), 6)
               * 1e6).cast("long"))
-          .select(col("__id"), col("__r"))
-        val grads = feat.join(resid, "__id")
-          .select(col("__b"), (col("__tf") * col("__r")).as("__g"))
-          .unionByName(resid.select(lit(-1L).as("__b"), col("__r").as("__g")))
-          .groupBy(col("__b")).agg(sum(col("__g")).as("__g"))
+          // per-row gradient rows (bucket, tf·r) plus the bias row
+          // (-1, r) — exploded in the SAME scan, so the epoch has no
+          // join anywhere; the groupBy partial-aggregates map-side
+          .select(explode(concat(
+            transform(col("__f"), s => struct(
+              s.getField("__b").as("__b"),
+              (s.getField("__tf") * col("__r")).as("__g"))),
+            array(struct(lit(-1L).as("__b"), col("__r").as("__g"))))).as("__e"))
+          .groupBy(col("__e.__b").as("__b"))
+          .agg(sum(col("__e.__g")).as("__g"))
           .collect()
         grads.foreach { r =>
           val bk = r.getLong(0)
@@ -267,8 +288,7 @@ object QualityClassifier {
       }
       TrainedHashedModel(w.toSeq, b)
     } finally {
-      org.apache.spark.sql.graftbridge.unpersistCheckpointed(feat)
-      org.apache.spark.sql.graftbridge.unpersistCheckpointed(meta)
+      org.apache.spark.sql.graftbridge.unpersistCheckpointed(dense)
     }
   }
 

@@ -296,7 +296,7 @@ object Similarity {
     }
     e.withColumn("__sims", sims)
       .withColumn("__best", array_min(array(entries: _*)))
-      .select(col("__id"), col("__v"),
+      .select(col("__id"), col("__v"), col("__n"),
         col("__best.cid").as("__cid"),
         col("__best.sim").as("__csim"))
   }
@@ -430,11 +430,11 @@ object Similarity {
       vecCol: String,
       cents: Seq[(Long, Array[Double])],
       threshold: Double): DataFrame = {
-    val asg = kmeansAssignWithCentroids(df, idCol, vecCol, cents)
-      .select(col(idCol), col("cluster"))
-    val e = df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
-      .withColumn("__n", l2Norm(col("__v")))
-    val m = e.join(asg, idCol)
+    // single projection per join side: assignment carries the vector
+    // and its norm through (kmeansAssigned keeps __v/__n), so there is
+    // no id-keyed join of df against its own assignment — the round-15
+    // shape double-evaluated df and could shuffle on the id
+    val m = assignedWithVec(df, idCol, vecCol, cents)
     val a = m.select(col("cluster"), col(idCol).as("__u"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = m.select(col("cluster"), col(idCol).as("__w"),
@@ -487,7 +487,12 @@ object Similarity {
 
   /** Assign vectors to their stored-index cells in the
     * (idCol, vecCol, cluster) shape [[semDeDupIncrementAssigned]]
-    * consumes — a pure projection over the centroid literals. A
+    * consumes — truly ONE projection over the centroid literals now
+    * (round-16 fix: the previous body joined df against its own
+    * assignment, double-evaluating df with a possible id shuffle;
+    * [[kmeansAssigned]] carries the vector through instead). The
+    * vector column comes back as `array<double>` whatever the input
+    * width — the normalized form every consumer re-derives anyway. A
     * continuous ingest persists THIS shape as its representative
     * state so assignment is paid once per vector at admission, never
     * re-run over the whole state per batch.
@@ -497,9 +502,25 @@ object Similarity {
       idCol: String,
       vecCol: String,
       cents: Seq[(Long, Array[Double])]): DataFrame =
-    df.select(col(idCol), col(vecCol))
-      .join(kmeansAssignWithCentroids(df, idCol, vecCol, cents)
-        .select(col(idCol), col("cluster")), idCol)
+    assignedWithVec(df, idCol, vecCol, cents)
+      .select(col(idCol), col("__v").as(vecCol), col("cluster"))
+
+  /** The shared assignment projection of the SemDeDup family:
+    * (idCol, __v, __n, cluster), one pass, no join — assignment,
+    * vector and norm all ride the same row.
+    */
+  private def assignedWithVec(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "empty centroid set")
+    kmeansAssigned(
+        df.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
+          .withColumn("__n", l2Norm(col("__v"))), cents)
+      .select(col("__id").as(idCol), col("__v"), col("__n"),
+        col("__cid").as("cluster"))
+  }
 
   /** [[semDeDupIncrement]] with the existing side PRE-ASSIGNED
     * (carrying a `cluster` column, the [[semDeDupAssign]] shape): the
@@ -518,9 +539,11 @@ object Similarity {
     val ex = existing
       .select(col(idCol), toDoubleArray(col(vecCol)).as("__v"), col("cluster"))
       .withColumn("__n", l2Norm(col("__v")))
-    val nw = semDeDupAssign(fresh, idCol, vecCol, cents)
-      .select(col(idCol), toDoubleArray(col(vecCol)).as("__v"), col("cluster"))
-      .withColumn("__n", l2Norm(col("__v")))
+    // assignedWithVec is one projection (no join), so the three plan
+    // branches over nw below each re-run only a scan + the centroid
+    // projection of the BATCH — cheap enough that persisting every
+    // micro-batch would cost more than it saves
+    val nw = assignedWithVec(fresh, idCol, vecCol, cents)
     def aSide(df: DataFrame) = df.select(col("cluster"),
       col("__v").as("__va"), col("__n").as("__na"))
     val nwB = nw.select(col("cluster"), col(idCol).as("__w"),
@@ -542,6 +565,45 @@ object Similarity {
     nw.select(col(idCol), col("cluster"))
       .join(nn, Seq(idCol), "left")
       .withColumn("keep", col("nn_sim").isNull || col("nn_sim") < threshold)
+  }
+
+  /** Fail-fast bound on the SemDeDup family's quadratic term (round
+    * 16): the within-cell pairwise cosine costs `Σ_cell n·(n−1)/2`
+    * comparisons, "bounded by the largest cell" — but nothing enforced
+    * that bound until now, so a skewed index (90% of vectors in one
+    * cell) would silently melt the one task that cell lands on.
+    * This guard assigns the corpus through the same stored-centroid
+    * projection (one pass, a #cells-row aggregate — no pairwise work)
+    * and throws a NAMED error when any single cell's pair count
+    * exceeds `maxCellPairs`, pointing at the remediation the suite
+    * already ships: the q173 hot-cell split (re-quantize the hot cell
+    * into sub-cells and atomically commit the rebalanced index) or an
+    * index retrain at larger k. Run it before [[semDeDup]] /
+    * [[semDeDupIncrement]] whenever the index is not known-balanced
+    * (the [[graft.operators.Dedup]] hot-bucket-cap discipline applied
+    * to the embedding side).
+    */
+  def semDeDupCellGuard(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Array[Double])],
+      maxCellPairs: Long): Unit = {
+    require(maxCellPairs > 0, "maxCellPairs must be positive")
+    val occ = assignedWithVec(df, idCol, vecCol, cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+      .collect()
+    occ.foreach { r =>
+      val cid = r.getLong(0)
+      val n = r.getLong(1)
+      val pairs = n * (n - 1) / 2
+      if (pairs > maxCellPairs) throw new IllegalStateException(
+        s"SemDeDup hot cell: cluster $cid holds $n vectors " +
+          s"(${pairs} within-cell pairs > cap $maxCellPairs) — " +
+          "rebalance before deduping: split the hot cell " +
+          "(Similarity.ivfSplitHotCells, the q173 path) or retrain " +
+          "the stored index at larger k")
+    }
   }
 
   /** Per-dimension int8 scalar-quantization report: quantize each

@@ -170,15 +170,20 @@ class BenchClassifySpec extends AnyFunSuite {
       "short names must stay unique or the stdout map silently merges queries")
     // worst case per the format: every SHOWN query lands in the widest
     // rendering (1-decimal just under the 10s integer cutoff), and the
-    // cap forces the rest fields on
-    val shown = names.take(170)
+    // cap forces the rest fields on. Bench picks the 170 by COST, so
+    // the true worst case is the 170 LONGEST-rendering short names —
+    // not an alphabetical prefix, which can undercount by a few chars
+    val shown = names.sortBy(n => (-shortName(n).length, n)).take(170)
     val qs = shown.map(n => "\"" + shortName(n) + "\":9.9")
       .mkString("{", ",", "}")
     val rest =
       if (names.size > 170) s""","rest":9999.9,"nrest":${names.size - 170}"""
       else ""
+    // sdq rides the line even when empty (certification = present and
+    // empty); a degraded run may list names, but a run that would be
+    // committed is the empty case this budget models
     val line =
-      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs$rest,"sf":0.1}"""
+      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs$rest,"sdq":[],"sf":0.1}"""
     assert(line.length < 1900,
       s"final line ${line.length} chars at ${names.size} queries — diet again " +
         "(next lever: lower the 170-entry cap or drop the unit field)")
@@ -186,5 +191,49 @@ class BenchClassifySpec extends AnyFunSuite {
     val qsSlow = shown.map(n => "\"" + shortName(n) + "\":60")
       .mkString("{", ",", "}")
     assert(qsSlow.length <= qs.length)
+  }
+
+  test("sustained-degradation flag: 2x warm reference with an absolute-excess guard") {
+    val refs = Map("q1_big" -> 6.0, "q2_small" -> 0.3, "q3_mid" -> 2.0)
+    // the r15 incident shape: a heavy query at ~2.2x its warm level
+    assert(Bench.sustainedDegraded(Seq("q1_big" -> 13.2), refs) === Seq("q1_big"))
+    // at exactly 2x it is NOT flagged (band is strict-greater)
+    assert(Bench.sustainedDegraded(Seq("q1_big" -> 12.0), refs).isEmpty)
+    // a sub-second query tripling is scheduler jitter, not degradation:
+    // the ref + MinExcessS guard keeps it quiet
+    assert(Bench.sustainedDegraded(Seq("q2_small" -> 0.9), refs).isEmpty)
+    // ... but a sub-second query blowing past the absolute guard flags
+    assert(Bench.sustainedDegraded(Seq("q2_small" -> 1.5), refs) === Seq("q2_small"))
+    // no reference -> no flag (new queries wait for their first clean close)
+    assert(Bench.sustainedDegraded(Seq("q9_new" -> 99.0), refs).isEmpty)
+    // mixed run preserves input order of the flagged subset
+    assert(Bench.sustainedDegraded(
+      Seq("q3_mid" -> 5.1, "q1_big" -> 13.0, "q2_small" -> 0.2), refs) ===
+      Seq("q3_mid", "q1_big"))
+  }
+
+  test("warm references load from BENCH_SCALING.json and gate on the sf0.1 scale") {
+    val p = java.nio.file.Files.createTempFile("scaling", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"queries":{},"warm_sf0.1":{"q1_a":1.25,"q2_b":3,"bad":"x"}}""")
+    val refs = Bench.readWarmRefs(p.toString, "/root/testdata/sf0.1")
+    assert(refs === Map("q1_a" -> 1.25, "q2_b" -> 3.0))
+    // flag disabled off the scoreboard scale and on unreadable files
+    assert(Bench.readWarmRefs(p.toString, "/root/testdata/sf0.01").isEmpty)
+    assert(Bench.readWarmRefs("/nonexistent.json", "/root/testdata/sf0.1").isEmpty)
+    // trailing slash on the sf dir must not defeat the gate
+    assert(Bench.readWarmRefs(p.toString, "/root/testdata/sf0.1/").nonEmpty)
+    java.nio.file.Files.delete(p)
+  }
+
+  test("repo warm references cover the current query inventory") {
+    // every query present at the last clean close has a reference; new
+    // queries (no clean history yet) are the only allowed gaps
+    val refs = Bench.readWarmRefs("BENCH_SCALING.json", "sf0.1")
+    assert(refs.nonEmpty, "BENCH_SCALING.json must carry warm_sf0.1 refs")
+    val missing = SparkEntry.queries.keySet -- refs.keySet
+    val newThisRound = missing.filter(_ >= "q197")
+    assert(missing === newThisRound,
+      s"queries missing a warm reference that are not new: ${missing -- newThisRound}")
   }
 }
