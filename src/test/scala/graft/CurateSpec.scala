@@ -204,6 +204,50 @@ class CurateSpec extends AnyFunSuite {
     assert(manifests(0) != manifests(1), "model gate changed nothing")
   }
 
+  test("semantic stage drops exactly standalone semDeDup's losers; unembedded reps survive") {
+    import graft.operators.Similarity
+    // 5 distinct docs so quality/exact/near-dup stages pass everything
+    // through (jaccardThreshold > 1 disables near-dup pairs): the reps
+    // set IS the corpus, and the composed stage must agree with
+    // standalone semDeDup over the same embeddings — the q197-vs-q193
+    // equivalence the oracle checks at suite scale
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine"),
+      (12L, "red orange yellow green blue indigo violet colors"),
+      (13L, "north south east west compass points direction words"),
+      (14L, "doc with no embedding row at all survives stage"))
+      .toDF("doc_id", "text")
+    val evalDocs = corpus.filter(lit(false))
+    val cents = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val embeddings = Seq(
+      (10L, Seq(1.0, 0.0)),  // cell 0, smallest -> keep
+      (11L, Seq(2.0, 0.0)),  // cell 0, cos 1.0 to 10 -> drop
+      (12L, Seq(0.0, 1.0)),  // cell 1, smallest -> keep
+      (13L, Seq(-1.0, 1.0))  // cell 1, cos .707 < tau -> keep
+      // 14 has NO embedding -> kept by contract
+    ).toDF("vec_id", "embedding")
+    val cfg = DocPipeline.Config(minTokens = 1, jaccardThreshold = 1.01)
+    val st = DocPipeline.SemanticStage(
+      embeddings, "vec_id", "embedding", cents, threshold = 0.95)
+    val manifest = DocPipeline.curate(
+      corpus, evalDocs, "doc_id", "text", cfg, nShards = 1, semantic = Some(st))
+    val rows = manifest.collect()
+    val nDocs = rows.map(_.getLong(2)).sum
+    // standalone semDeDup says drop 11 only; 14 (unembedded) survives
+    val standaloneDrops = Similarity.semDeDup(
+        embeddings, "vec_id", "embedding", cents, 0.95)
+      .filter(!col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(standaloneDrops == Set(11L))
+    assert(nDocs == 4, rows.mkString("; "))
+    // without the stage, all 5 survive — the stage is what bit
+    val baseline = DocPipeline.curate(
+        corpus, evalDocs, "doc_id", "text", cfg, nShards = 1)
+      .collect().map(_.getLong(2)).sum
+    assert(baseline == 5)
+  }
+
   test("cleanFromArtifacts equals clean when the consumer tightens the bounds") {
     val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val corpus = Seq(

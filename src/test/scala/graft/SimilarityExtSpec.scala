@@ -178,4 +178,25 @@ class SimilarityExtSpec extends AnyFunSuite {
     // work is even representable)
     assert(got.map(_._1).forall(_ >= 40L))
   }
+
+  test("semDeDupCellGuard: a planted hot cell fails fast with the named cap error") {
+    import spark.implicits._
+    val cents = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    // 6 vectors in cell 0 (15 pairs), 1 in cell 1 (0 pairs)
+    val vecs = ((0L until 6L).map(i => (i, Seq(1.0, 0.01 * i))) :+
+      (9L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    // cap below the hot cell's pair count -> named error citing the
+    // cell, its occupancy, and the q173 remediation
+    val e = intercept[IllegalStateException] {
+      Similarity.semDeDupCellGuard(vecs, "vec_id", "embedding", cents,
+        maxCellPairs = 10L)
+    }
+    assert(e.getMessage.contains("hot cell"), e.getMessage)
+    assert(e.getMessage.contains("cluster 0"), e.getMessage)
+    assert(e.getMessage.contains("15 within-cell pairs"), e.getMessage)
+    assert(e.getMessage.contains("ivfSplitHotCells"), e.getMessage)
+    // at or above the exact pair count the guard passes silently
+    Similarity.semDeDupCellGuard(vecs, "vec_id", "embedding", cents,
+      maxCellPairs = 15L)
+  }
 }
