@@ -2526,6 +2526,23 @@ object SparkEntry {
           "vec_id", "embedding", pqIndex(s, dir)._1, threshold = 0.4)))
     }),
 
+    // ---- extension: Kneser-Ney order-3 perplexity buckets ----
+    // CCNet's actual smoothing (KenLM is interpolated KN, not JM):
+    // absolute discount 3/4 with CONTINUATION-count lower orders, all
+    // derived from the SAME six stored count tables q192 deploys from
+    // (freshness-stamped; nothing retrains, no new artifact format —
+    // continuation tables are groupBys over the stored counts, so the
+    // bit-equal incremental merge carries over to KN unchanged)
+    "q198_kn3_buckets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val p = refLm3Artifact(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(p).getParent + "/stamp")
+      val m = operators.Ranking.readRefLm3(s, p)
+      operators.Ranking.refLm3PerplexityBuckets(
+        operators.Ranking.refLmKn3Score(docs, "doc_id", "text", m))
+    }),
+
     // ---- extension: token budget plan (epochs per domain) ----
     // the planning table every pretraining run writes before touching
     // data: q161's temperature mixture extended with the oversampling
@@ -5668,6 +5685,13 @@ object SparkEntry {
     // reproduce the inline-trained trigram buckets bit-for-bit
     "q191_reflm3_bucket" -> refLm3BucketsOracleSql,
     "q192_stored_reflm3" -> refLm3BucketsOracleSql,
+
+    // Kneser-Ney chain replayed from the same trusted slice: the
+    // continuation-count tables derive in SQL exactly as the engine
+    // derives them from the stored counts
+    "q198_kn3_buckets" ->
+      operators.Ranking.refLmKn3BucketsSql(
+        "documents", "doc_id", "text", "lang = 'en'"),
 
     "q185_perplexity_by_lang" ->
       operators.Ranking.refLmBucketsByKeySql(

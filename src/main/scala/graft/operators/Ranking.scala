@@ -964,6 +964,106 @@ object Ranking {
     Dedup.CachedDF(cutoffsFromHist(hist), Seq(hist))
   }
 
+  /** Score every pool document under the order-3 reference LM with
+    * INTERPOLATED KNESER-NEY smoothing (Kneser & Ney 1995; the
+    * interpolated formulation of Chen & Goodman 1998, "An Empirical
+    * Study of Smoothing Techniques for Language Modeling") — the
+    * smoothing CCNet's actual KenLM models use, vs the Jelinek-Mercer
+    * mixture of [[refLm3Score]]. Absolute discount `D = dNum/dDen`
+    * (default 3/4 — exactly representable in IEEE, so the replay is
+    * bit-portable):
+    *
+    *   P₃(w3|w1w2) = (max(c(w1w2w3)−D, 0) + D·T3(w1w2)·P₂(w3|w2)) / C3(w1w2)
+    *                 — backing off entirely to P₂ when C3 = 0;
+    *   P₂(w3|w2)   = (max(c'(w2w3)−D, 0) + D·T2(w2)·Pc(w3)) / C2(w2)
+    *                 — backing off entirely to Pc when C2 = 0;
+    *   Pc(w3)      = (N1+(·w3) + 1) / (B + V)
+    *
+    * where the LOWER orders use CONTINUATION counts (KN's defining
+    * move — "how many contexts has this word completed", not raw
+    * frequency): `c'(w2w3) = N1+(·w2w3)` = distinct w1 preceding the
+    * bigram in a trigram, `C2(w2) = Σ_x c'(w2x)`, `T2(w2)` = distinct
+    * continuations of w2, `T3(w1w2)` = distinct continuations of the
+    * context, `N1+(·w3)` = distinct left-neighbors of w3 in the bigram
+    * table, `B` = distinct bigram types, `V` = vocabulary. The bottom
+    * level is add-1 smoothed over B+V (textbook KN gives an unseen
+    * word zero mass; the pool contains OOV tokens by construction, so
+    * the unigram leg keeps the [[refLmScore]] convention of finite
+    * mass everywhere).
+    *
+    * EVERY table here derives from the [[RefLm3Model]]'s base counts
+    * (trigrams, bigrams, unigrams — all exact additive integers), so
+    * the stored deploy ([[writeRefLm3]]/[[readRefLm3]]) and the
+    * bit-equal-to-retrain incremental merge
+    * ([[mergeIntoStoredRefLm3]]) carry over to KN UNCHANGED: merge the
+    * counts, and the KN probabilities re-derive from the merged tables
+    * exactly as a from-scratch retrain would (RefLmKn3Spec asserts
+    * it). No new artifact format, no new merge path.
+    *
+    * Scale shape and determinism exactly as [[refLm3Score]]: per-doc
+    * triple frequencies partial-agg first; the continuation tables are
+    * one groupBy each over the model tables (model-sized, never
+    * corpus-sized); model joins happen once per DISTINCT pool triple;
+    * ln() rounds to 9 decimals per triple; per-doc sums are exact
+    * decimal; one final double division rounds to 6. Returns
+    * (id, n_trigrams, logprob) for every pool doc with ≥ 3 tokens.
+    */
+  def refLmKn3Score(pool: DataFrame, idCol: String, textCol: String,
+      model: RefLm3Model, dNum: Int = 3, dDen: Int = 4): DataFrame = {
+    require(dNum > 0 && dNum < dDen, s"need 0 < D < 1, got $dNum/$dDen")
+    val id = col(idCol)
+    val d = dNum.toDouble / dDen
+    val tf = pool
+      .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
+      .select(id, trigramTriples.as("__tg"))
+      .select(id, col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+      .groupBy(id, col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tfq"))
+    val triples = tf.select("w1", "w2", "w3").distinct()
+    // continuation tables, each one partial-aggregated groupBy over a
+    // MODEL table (trigram/bigram rows are distinct per key, so
+    // count(*) IS the distinct-continuation count)
+    val t3 = model.trigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__t3"))
+    val cbig = model.trigrams.groupBy("w2", "w3").agg(count(lit(1)).as("__cc"))
+    val c2 = cbig.groupBy("w2")
+      .agg(sum("__cc").as("__c2"), count(lit(1)).as("__t2"))
+    val cu = model.base.bigrams.groupBy("w2").agg(count(lit(1)).as("__cu"))
+    val btot = model.base.bigrams.agg(count(lit(1)).as("__nbig"))
+    val pT = coalesce(col("ct"), lit(0L)).cast("double")
+    val pC3 = coalesce(col("ctx3"), lit(0L))
+    val pT3 = coalesce(col("__t3"), lit(0L)).cast("double")
+    val pCC = coalesce(col("__cc"), lit(0L)).cast("double")
+    val pC2 = coalesce(col("__c2"), lit(0L))
+    val pT2 = coalesce(col("__t2"), lit(0L)).cast("double")
+    val pCU = coalesce(col("__cu"), lit(0L)).cast("double")
+    val bv = (col("__nbig") + col("vocab")).cast("double")
+    val pc = (pCU + lit(1.0)) / bv
+    val p2 = when(pC2 > lit(0L),
+      (greatest(pCC - lit(d), lit(0.0)) + lit(d) * pT2 * pc) /
+        pC2.cast("double")).otherwise(pc)
+    val p3 = when(pC3 > lit(0L),
+      (greatest(pT - lit(d), lit(0.0)) + lit(d) * pT3 * p2) /
+        pC3.cast("double")).otherwise(p2)
+    val logp = triples
+      .join(model.trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(model.triContexts, Seq("w1", "w2"), "left")
+      .join(t3, Seq("w1", "w2"), "left")
+      // the continuation bigram of (w1,w2,w3) is keyed (w2,w3) already
+      .join(cbig, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(cu.select(col("w2").as("w3"), col("__cu")), Seq("w3"), "left")
+      .crossJoin(broadcast(model.base.totals))
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(log(p3), 9).cast("decimal(18,9)").as("logp9"))
+    tf.join(logp, Seq("w1", "w2", "w3"))
+      .groupBy(id)
+      .agg(sum(col("tfq")).as("n_trigrams"),
+        sum(col("tfq").cast("decimal(18,0)") * col("logp9")).as("__slp"))
+      .select(id, col("n_trigrams"),
+        round(col("__slp").cast("double") / col("n_trigrams"), 6).as("logprob"))
+  }
+
   /** Persist a [[RefLm3Model]] — the order-2 tables plus `trigram` and
     * `tctx` (sequential like [[writeRefLm]] — see the
     * ConvertToLocalRelation note there).
@@ -1705,6 +1805,117 @@ object Ranking {
        |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
        |FROM scored CROSS JOIN cuts
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB SQL twin of [[refLm3Train]] → [[refLmKn3Score]] →
+    * [[refLm3PerplexityBuckets]] — the interpolated Kneser-Ney chain
+    * replayed exactly: same continuation-count derivations from the
+    * same base count tables, same discount literal (an exact IEEE
+    * division), same parenthesization of every mixture term, same
+    * 9-decimal per-triple round and exact-decimal doc sums. Every
+    * multi-referenced CTE is `AS MATERIALIZED`.
+    */
+  def refLmKn3BucketsSql(src: String, idCol: String, textCol: String,
+      refPred: String, dNum: Int = 3, dDen: Int = 4): String = {
+    val dd = s"(CAST($dNum AS DOUBLE) / $dDen)"
+    s"""WITH reft AS MATERIALIZED (
+       |  SELECT ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src WHERE ($refPred)),
+       |runi AS MATERIALIZED (
+       |  SELECT term, COUNT(*) AS c1 FROM (SELECT unnest(a) AS term FROM reft)
+       |  GROUP BY 1),
+       |rvoc AS MATERIALIZED (SELECT COUNT(*) AS vocab FROM runi),
+       |rbig AS MATERIALIZED (
+       |  SELECT w1, w2, COUNT(*) AS cb FROM (
+       |    SELECT unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM reft WHERE len(a) >= 2)
+       |  GROUP BY 1, 2),
+       |rtri AS MATERIALIZED (
+       |  SELECT w1, w2, w3, COUNT(*) AS ct FROM (
+       |    SELECT unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM reft WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3),
+       |rtctx AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(SUM(ct) AS BIGINT) AS ctx3 FROM rtri GROUP BY 1, 2),
+       |rt3 AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS t3 FROM rtri GROUP BY 1, 2),
+       |rcc AS MATERIALIZED (
+       |  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cc FROM rtri GROUP BY 1, 2),
+       |rc2 AS MATERIALIZED (
+       |  SELECT w2, CAST(SUM(cc) AS BIGINT) AS c2,
+       |    CAST(COUNT(*) AS BIGINT) AS t2 FROM rcc GROUP BY 1),
+       |rcu AS MATERIALIZED (
+       |  SELECT w2 AS w3, CAST(COUNT(*) AS BIGINT) AS cu FROM rbig GROUP BY 1),
+       |rbt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nbig FROM rbig),
+       |pt AS (
+       |  SELECT $idCol, ${TextAnalysis.tokensSql(textCol)} AS a FROM $src),
+       |ptf AS MATERIALIZED (
+       |  SELECT $idCol, w1, w2, w3, COUNT(*) AS tfq FROM (
+       |    SELECT $idCol, unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM pt WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3, 4),
+       |ptrip AS (SELECT DISTINCT w1, w2, w3 FROM ptf),
+       |plp AS MATERIALIZED (
+       |  SELECT w1, w2, w3,
+       |    CAST(round(ln(
+       |      CASE WHEN c3v > 0 THEN
+       |        (greatest(ctv - $dd, 0.0) + $dd * t3v *
+       |          (CASE WHEN c2v > 0 THEN
+       |             (greatest(ccv - $dd, 0.0) + $dd * t2v * pcv) / c2v
+       |           ELSE pcv END)) / c3v
+       |      ELSE
+       |        (CASE WHEN c2v > 0 THEN
+       |           (greatest(ccv - $dd, 0.0) + $dd * t2v * pcv) / c2v
+       |         ELSE pcv END)
+       |      END), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM (
+       |    SELECT ptrip.w1, ptrip.w2, ptrip.w3,
+       |      CAST(COALESCE(rtri.ct, 0) AS DOUBLE) AS ctv,
+       |      COALESCE(rtctx.ctx3, 0) AS c3v,
+       |      CAST(COALESCE(rt3.t3, 0) AS DOUBLE) AS t3v,
+       |      CAST(COALESCE(rcc.cc, 0) AS DOUBLE) AS ccv,
+       |      COALESCE(rc2.c2, 0) AS c2v,
+       |      CAST(COALESCE(rc2.t2, 0) AS DOUBLE) AS t2v,
+       |      (CAST(COALESCE(rcu.cu, 0) AS DOUBLE) + 1.0) /
+       |        CAST(rbt.nbig + rvoc.vocab AS DOUBLE) AS pcv
+       |    FROM ptrip
+       |    LEFT JOIN rtri ON ptrip.w1 = rtri.w1 AND ptrip.w2 = rtri.w2
+       |      AND ptrip.w3 = rtri.w3
+       |    LEFT JOIN rtctx ON ptrip.w1 = rtctx.w1 AND ptrip.w2 = rtctx.w2
+       |    LEFT JOIN rt3 ON ptrip.w1 = rt3.w1 AND ptrip.w2 = rt3.w2
+       |    LEFT JOIN rcc ON ptrip.w2 = rcc.w2 AND ptrip.w3 = rcc.w3
+       |    LEFT JOIN rc2 ON ptrip.w2 = rc2.w2
+       |    LEFT JOIN rcu ON ptrip.w3 = rcu.w3
+       |    CROSS JOIN rbt CROSS JOIN rvoc)),
+       |scored AS MATERIALIZED (
+       |  SELECT ptf.$idCol, CAST(SUM(ptf.tfq) AS BIGINT) AS n_trigrams,
+       |    round(CAST(SUM(CAST(ptf.tfq AS DECIMAL(18,0)) * plp.logp9) AS DOUBLE)
+       |          / CAST(SUM(ptf.tfq) AS BIGINT), 6) AS logprob
+       |  FROM ptf JOIN plp
+       |    ON ptf.w1 = plp.w1 AND ptf.w2 = plp.w2 AND ptf.w3 = plp.w3
+       |  GROUP BY 1),
+       |hist AS MATERIALIZED (
+       |  SELECT logprob, COUNT(*) AS nv FROM scored GROUP BY 1),
+       |cum AS MATERIALIZED (
+       |  SELECT logprob,
+       |    SUM(nv) OVER (ORDER BY logprob DESC) AS cumn
+       |  FROM hist),
+       |tot2 AS (SELECT SUM(nv) AS n FROM hist),
+       |cuts AS (SELECT
+       |    (SELECT MAX(logprob) FROM cum
+       |      WHERE cumn >= (SELECT (n + 2) // 3 FROM tot2)) AS v_head,
+       |    (SELECT MAX(logprob) FROM cum
+       |      WHERE cumn >= (SELECT (2 * n + 2) // 3 FROM tot2)) AS v_mid)
+       |SELECT CASE WHEN logprob >= v_head THEN 'head'
+       |            WHEN logprob >= v_mid THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
+       |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
+       |FROM scored CROSS JOIN cuts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** DuckDB SQL twin of [[refLm3TrainByKey]] → [[refLm3ScoreByKey]] →
     * [[refLm3PerplexityBucketsByKey]]: the keyed-bucket chain at
