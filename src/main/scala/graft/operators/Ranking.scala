@@ -592,28 +592,77 @@ object Ranking {
     (rows(0).getDouble(0), rows(0).getDouble(1))
   }
 
+  /** Run independent artifact-table writes CONCURRENTLY — the safe
+    * version of the round-15 landmine (see PLANS round-15): naive
+    * concurrent writes of frames sharing expression-tree instances
+    * silently corrupted counts, because Catalyst's
+    * `ConvertToLocalRelation` folds projections over LocalRelations
+    * EAGERLY during optimization with interpreted expression
+    * evaluation, and concurrent optimization of plans sharing a
+    * higher-order function's `LambdaVariable` races on its value
+    * holder (reproduced: impossible bigrams, redistributed unigram
+    * totals; 8/8 clean with the rule excluded). Two independent
+    * defenses here, either sufficient:
+    *
+    *  1. every write re-analyzes the RAW logical plan under its own
+    *     thread (graftbridge `ofRows`), so lambda binding mints
+    *     FRESH `NamedLambdaVariable` instances per plan — nothing
+    *     mutable is shared across threads;
+    *  2. the writes run in a CLONED SparkSession with
+    *     `ConvertToLocalRelation` excluded (the experimentally-proven
+    *     fix), so the eager interpreted fold never runs at all. The
+    *     clone shares the SparkContext and the cache manager (persisted
+    *     merge frames still substitute) but owns its SQLConf, so the
+    *     exclusion never leaks into the caller's session.
+    *
+    * RefLmParallelWriteSpec is the promoted 8/8 concurrency test: it
+    * replays the exact racy shape (HOF tokenize lambdas over a local
+    * relation under every count table) and asserts bit-exact counts
+    * across repeated concurrent writes.
+    */
+  private def writeTablesParallel(
+      tables: Seq[(DataFrame, String, Boolean)]): Unit = {
+    require(tables.nonEmpty, "no tables to write")
+    val spark = tables.head._1.sparkSession
+    val writer = spark.newSession()
+    writer.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    // raw plans captured on the caller thread; each task re-analyzes
+    // its own copy under the writer session
+    val jobs = tables.map { case (df, path, one) =>
+      (df.queryExecution.logical, path, one)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(jobs.size, 6))
+    try {
+      val futs = jobs.map { case (plan, path, one) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val rebound =
+              org.apache.spark.sql.graftbridge.ofRows(writer, plan)
+            (if (one) rebound.coalesce(1) else rebound)
+              .write.mode("overwrite").parquet(path)
+          }
+        })
+      }
+      pool.shutdown()
+      futs.foreach(_.get())
+    } finally { pool.shutdownNow(); () }
+  }
+
   /** Persist a [[RefLmModel]] as four parquet tables under `path` —
     * the stored-artifact deploy pattern (the IVF centroid-table /
     * stored-gate shape applied to the reference LM): the scoring fleet
-    * reads counts, never retrains.
+    * reads counts, never retrains. The four independent writes overlap
+    * through [[writeTablesParallel]] (safe since round 16 — see its
+    * scaladoc for the ConvertToLocalRelation race this used to be).
     */
-  // The four writes are deliberately SEQUENTIAL. Submitting them from
-  // concurrent threads looks like a free barrier collapse (the tables
-  // share no lineage), but the DataFrames share expression-tree
-  // INSTANCES (the tokenize lambdas under every count table), and
-  // Catalyst's ConvertToLocalRelation folds projections over local
-  // relations EAGERLY during optimization with interpreted expression
-  // evaluation — concurrent optimization of plans sharing a
-  // higher-order function's LambdaVariable then races and silently
-  // corrupts counts (reproduced in this repo: impossible bigrams,
-  // redistributed unigram totals; 8/8 clean with the rule excluded).
-  // Correctness over barrier count: the model writes stay serial.
-  def writeRefLm(model: RefLmModel, path: String): Unit = {
-    model.unigrams.write.mode("overwrite").parquet(s"$path/unigram")
-    model.contexts.write.mode("overwrite").parquet(s"$path/ctx")
-    model.bigrams.write.mode("overwrite").parquet(s"$path/bigram")
-    model.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
-  }
+  def writeRefLm(model: RefLmModel, path: String): Unit =
+    writeTablesParallel(Seq(
+      (model.unigrams, s"$path/unigram", false),
+      (model.contexts, s"$path/ctx", false),
+      (model.bigrams, s"$path/bigram", false),
+      (model.totals, s"$path/totals", true)))
 
   /** Read back a [[writeRefLm]] artifact. Fails fast on a totals table
     * that is not exactly one non-null row (the signature of an empty
@@ -1065,14 +1114,16 @@ object Ranking {
   }
 
   /** Persist a [[RefLm3Model]] — the order-2 tables plus `trigram` and
-    * `tctx` (sequential like [[writeRefLm]] — see the
-    * ConvertToLocalRelation note there).
+    * `tctx`, all six overlapped through [[writeTablesParallel]].
     */
-  def writeRefLm3(model: RefLm3Model, path: String): Unit = {
-    writeRefLm(model.base, path)
-    model.trigrams.write.mode("overwrite").parquet(s"$path/trigram")
-    model.triContexts.write.mode("overwrite").parquet(s"$path/tctx")
-  }
+  def writeRefLm3(model: RefLm3Model, path: String): Unit =
+    writeTablesParallel(Seq(
+      (model.base.unigrams, s"$path/unigram", false),
+      (model.base.contexts, s"$path/ctx", false),
+      (model.base.bigrams, s"$path/bigram", false),
+      (model.base.totals, s"$path/totals", true),
+      (model.trigrams, s"$path/trigram", false),
+      (model.triContexts, s"$path/tctx", false)))
 
   /** Read back a [[writeRefLm3]] artifact ([[readRefLm]]'s fail-fast
     * totals check included).
@@ -1359,13 +1410,12 @@ object Ranking {
     * `path` — the stored-artifact deploy pattern for the per-language
     * LM fleet.
     */
-  def writeKeyedRefLm(model: KeyedRefLmModel, path: String): Unit = {
-    // sequential like writeRefLm — see the ConvertToLocalRelation note
-    model.unigrams.write.mode("overwrite").parquet(s"$path/unigram")
-    model.contexts.write.mode("overwrite").parquet(s"$path/ctx")
-    model.bigrams.write.mode("overwrite").parquet(s"$path/bigram")
-    model.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
-  }
+  def writeKeyedRefLm(model: KeyedRefLmModel, path: String): Unit =
+    writeTablesParallel(Seq(
+      (model.unigrams, s"$path/unigram", false),
+      (model.contexts, s"$path/ctx", false),
+      (model.bigrams, s"$path/bigram", false),
+      (model.totals, s"$path/totals", true)))
 
   /** Read back a [[writeKeyedRefLm]] artifact. Fails fast on an empty
     * totals table (no key trained a model).
@@ -1509,14 +1559,17 @@ object Ranking {
   }
 
   /** Persist a [[KeyedRefLm3Model]] — the keyed order-2 tables plus
-    * `trigram` and `tctx` (sequential — the ConvertToLocalRelation
-    * note on [[writeRefLm]]).
+    * `trigram` and `tctx`, all six overlapped through
+    * [[writeTablesParallel]].
     */
-  def writeKeyedRefLm3(model: KeyedRefLm3Model, path: String): Unit = {
-    writeKeyedRefLm(model.base, path)
-    model.trigrams.write.mode("overwrite").parquet(s"$path/trigram")
-    model.triContexts.write.mode("overwrite").parquet(s"$path/tctx")
-  }
+  def writeKeyedRefLm3(model: KeyedRefLm3Model, path: String): Unit =
+    writeTablesParallel(Seq(
+      (model.base.unigrams, s"$path/unigram", false),
+      (model.base.contexts, s"$path/ctx", false),
+      (model.base.bigrams, s"$path/bigram", false),
+      (model.base.totals, s"$path/totals", true),
+      (model.trigrams, s"$path/trigram", false),
+      (model.triContexts, s"$path/tctx", false)))
 
   /** Read back a [[writeKeyedRefLm3]] artifact ([[readKeyedRefLm]]'s
     * empty-totals fail-fast included).
