@@ -375,6 +375,7 @@ object SparkEntry {
     refLm3Artifact(s, dir)
     keyedRefLmArtifacts(s, dir)
     keyedRefLm3Artifacts(s, dir)
+    keyedRefLm3BaseArtifact(s, dir)
   }
 
   /** JVM-level memo of the four modality fingerprint tables over the
@@ -813,6 +814,26 @@ object SparkEntry {
       finally cuts.unpersist()
       core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
       (mp, cp)
+    }
+
+  /** The STORED half-corpus keyed order-3 BASE — [[refLmBaseArtifact]]
+    * for the per-language fleet: the stored artifact yesterday's run
+    * left behind, which q199's measured window merges a delta into
+    * (clone + keyed delta train + six-table staged swap + keyed score).
+    * READ-ONLY; q199 clones per invocation like q190.
+    */
+  private val keyedRefLm3BaseArtifactMemo = new SessionMemo[String, String]
+
+  private def keyedRefLm3BaseArtifact(s: SparkSession, dir: String): String =
+    keyedRefLm3BaseArtifactMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-reflm3-keyed-base")
+      val p = base.resolve("model").toString
+      val docs = T(s, dir, "documents")
+      operators.Ranking.writeKeyedRefLm3(
+        operators.Ranking.refLm3TrainByKey(docs, "doc_id", "text", "lang",
+          col("source").isin("src0", "src1") && col("doc_id") % 2 === 0), p)
+      core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
+      p
     }
 
   /** The trained EXPLICIT-VOCAB quality model: q171 trains over the
@@ -2541,6 +2562,33 @@ object SparkEntry {
       val m = operators.Ranking.readRefLm3(s, p)
       operators.Ranking.refLm3PerplexityBuckets(
         operators.Ranking.refLmKn3Score(docs, "doc_id", "text", m))
+    }),
+
+    // ---- extension: keyed ORDER-3 incremental lifecycle ----
+    // q190's measured increment for the per-language fleet: clone the
+    // stored keyed order-3 base (yesterday's artifact — a prewarmed
+    // INPUT), merge the new trusted delta in ONE pass (six additive
+    // tables, replay-guarded, staged-swapped with the writes
+    // overlapped), then score every doc under its own language's
+    // merged backoff chain. Merge == retrain bit-for-bit, so the
+    // oracle is q195/q196's chain verbatim
+    "q199_keyed_reflm3_increment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = keyedRefLm3BaseArtifact(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(base).getParent + "/stamp")
+      // per-invocation clone: the merge mutates its model (q190's
+      // idempotence discipline)
+      val p = tempArtifactDir("graft-reflm3-keyed-inc").resolve("model")
+      copyDirRecursive(java.nio.file.Paths.get(base), p)
+      require(operators.Ranking.mergeIntoStoredKeyedRefLm3(s, p.toString,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "lang",
+        isRef = col("source").isin("src0", "src1"), batchId = Some(1L)),
+        "q199: fresh clone reported batch already applied")
+      val m = operators.Ranking.readKeyedRefLm3(s, p.toString)
+      operators.Ranking.refLm3PerplexityBucketsByKey(
+        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        "lang")
     }),
 
     // ---- extension: token budget plan (epochs per domain) ----
@@ -5692,6 +5740,13 @@ object SparkEntry {
     "q198_kn3_buckets" ->
       operators.Ranking.refLmKn3BucketsSql(
         "documents", "doc_id", "text", "lang = 'en'"),
+
+    // keyed order-3 increment: base(even) + delta(odd) over the
+    // trusted slice == a from-scratch keyed retrain (bit-equal merge),
+    // so q195/q196's keyed chain is the oracle verbatim
+    "q199_keyed_reflm3_increment" ->
+      operators.Ranking.refLm3BucketsByKeySql(
+        "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
 
     "q185_perplexity_by_lang" ->
       operators.Ranking.refLmBucketsByKeySql(
