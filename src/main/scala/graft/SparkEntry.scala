@@ -366,16 +366,36 @@ object SparkEntry {
     * training they are measured paying.
     */
   private[graft] def prewarmStoredInputs(s: SparkSession, dir: String): Unit = {
-    curateStateShared(s, dir)
-    curationFamilyArtifacts(s, dir)
-    gateDeployArtifacts(s, dir)
-    probeSweepArtifact(s, dir)
-    refLmArtifact(s, dir)
-    refLmBaseArtifact(s, dir)
-    refLm3Artifact(s, dir)
-    keyedRefLmArtifacts(s, dir)
-    keyedRefLm3Artifacts(s, dir)
-    keyedRefLm3BaseArtifact(s, dir)
+    // THREE LANES (round 16): the build list grew to ten artifacts and
+    // a sequential prewarm in a cold JVM ran past every warmup leg's
+    // elapsed gate (measured 118 s — all legs gate-skipped, every
+    // measured query paid its family's cold tax). The builds are
+    // independent — each fills its OWN SessionMemo (ConcurrentHashMap)
+    // and constructs its own expression trees over parquet scans (no
+    // shared-HOF-over-LocalRelation shape, so the writeRefLm race
+    // cannot apply) — and 3-way overlap matches the warmup lanes'
+    // measured-safe oversubscription. Lanes are balanced by observed
+    // cost: the LM fleet (keyed trains dominate), the curate/dedup
+    // family, and the model/sweep trainers.
+    val lanes: Seq[Seq[() => Any]] = Seq(
+      Seq(() => refLmArtifact(s, dir), () => refLmBaseArtifact(s, dir),
+        () => refLm3Artifact(s, dir)),
+      Seq(() => keyedRefLmArtifacts(s, dir),
+        () => keyedRefLm3Artifacts(s, dir),
+        () => keyedRefLm3BaseArtifact(s, dir)),
+      Seq(() => curateStateShared(s, dir),
+        () => curationFamilyArtifacts(s, dir),
+        () => gateDeployArtifacts(s, dir),
+        () => probeSweepArtifact(s, dir)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(lanes.size)
+    try {
+      val futs = lanes.map(lane =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = lane.foreach(_.apply())
+        }))
+      pool.shutdown()
+      futs.foreach(_.get())
+    } finally { pool.shutdownNow(); () }
   }
 
   /** JVM-level memo of the four modality fingerprint tables over the

@@ -7,28 +7,38 @@ SUSTAINED moderate degradation: a whole run at ~2x its true warm level
 probes "flat" and passes as clean (the round-15 artifact of record
 carried untouched queries at 2x their round-14 levels for exactly this
 reason). The fix needs a per-query reference that does NOT come from
-the run being judged — this script derives one as the per-query MIN
-across the CLEAN reference population and writes it as "warm_sf0.1";
-Bench then flags any query above 2x its reference as
+the run being judged — Bench flags any query above 2x its reference as
 sustained_degraded_queries (see Bench.sustainedDegraded).
 
-Reference population — only runs that measure each query warm AND as
-its own memo-payer (heavy-first ordering makes per-family training
-cost attribution stable):
-  - every COMMITTED bench_full.json version in git history whose
-    taxonomy is empty (no failed/skipped/capped) and whose
-    degraded_window_queries list is empty — the certified-clean closes;
-  - the BENCH_SCALING per-query sf0.1 sweep rows (single-query runs).
-Driver BENCH_r*.json stdout artifacts are deliberately EXCLUDED: many
-were measured in degraded windows, and early rounds ordered queries so
-that memo-sharing families attributed training cost differently
-(q167's 0.9s there is a memo-hit, not a warm level).
+Reference = the per-query 25TH PERCENTILE across the clean population:
 
-Run after a certified-clean bench lands a new best level:
+  - every COMMITTED bench_full.json version in git history that is a
+    COMPLETE certified-clean close (>= 150 measured queries, >= 10
+    probes in the series, empty failed/skipped/capped, empty
+    degraded_window_queries, not tainted) — the >=150/>=10 filter
+    drops MID-RUN snapshots (the artifact rewrites after every query;
+    commits catch partials whose taxonomy is trivially empty);
+  - plus the BENCH_SCALING per-query sf0.1 sweep rows (single-query
+    warm runs) as one extra sample each.
+
+Why p25 and not min/median: the per-query MIN is maximally fragile to
+memo-hit attribution (memo-sharing families charge training to
+whichever member measures FIRST, and the heavy-first ordering shifted
+across rounds — a close where another member paid leaves a bogus
+near-zero "warm level"); the MEDIAN is too lax (half the clean closes
+ran on mediocre windows, so 2x median misses real 2x degradation).
+The 25th percentile sits at the healthy-window level while shrugging
+off a few attribution outliers.
+
+PLAN_CHANGED_SINCE: a query whose measured plan materially changed
+invalidates its own history — samples from artifacts committed before
+the change date are dropped for that query (it then has no reference,
+and therefore no flag, until post-change clean closes accumulate,
+exactly like a new query).
+
+Run after a certified-clean bench lands:
     python3 tools/warm_ref.py
 Writes the "warm_sf0.1" map in place; every other key is preserved.
-New queries with no committed clean history get no reference (and
-therefore no flag) until their first clean close is committed.
 """
 import json
 import os
@@ -36,14 +46,25 @@ import subprocess
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# query -> ISO date before which its history is invalid (plan change)
+PLAN_CHANGED_SINCE = {
+    # round 16: trainHashed epochs restructured join-free; the query's
+    # pre-change levels (and the memo-hit era's 0.9s values) are stale
+    "q167_train_gate": "2026-08-16",
+}
+
 
 def committed_clean_artifacts():
-    """Every committed bench_full.json version that is a clean close."""
+    """(commit-date, artifact) for every complete certified-clean close."""
     revs = subprocess.run(
-        ["git", "log", "--format=%H", "--", "bench_full.json"],
-        cwd=REPO, capture_output=True, text=True).stdout.split()
+        ["git", "log", "--format=%H %cs", "--", "bench_full.json"],
+        cwd=REPO, capture_output=True, text=True).stdout.splitlines()
     out = []
-    for r in revs:
+    for line in revs:
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        r, date = parts
         try:
             raw = subprocess.run(
                 ["git", "show", f"{r}:bench_full.json"],
@@ -57,45 +78,59 @@ def committed_clean_artifacts():
             continue
         if d.get("degraded_window_queries") or d.get("tainted"):
             continue
-        out.append(d)
+        if len(d.get("queries") or {}) < 150:
+            continue
+        if len(d.get("vm_health_series") or []) < 10:
+            continue
+        out.append((date, d))
     return out
+
+
+def p25(values):
+    v = sorted(values)
+    i = (len(v) - 1) * 0.25
+    lo = int(i)
+    return v[lo] if lo == i else v[lo] + (v[lo + 1] - v[lo]) * (i - lo)
 
 
 def main() -> None:
     scaling_path = os.path.join(REPO, "BENCH_SCALING.json")
     scaling = json.load(open(scaling_path))
 
-    best: dict = {}
-
-    def offer(name: str, v) -> None:
-        try:
-            v = float(v)
-        except (TypeError, ValueError):
-            return
-        if v <= 0:
-            return
-        if name not in best or v < best[name]:
-            best[name] = v
-
+    samples: dict = {}
     arts = committed_clean_artifacts()
-    for d in arts:
+    for date, d in arts:
         for k, v in (d.get("queries") or {}).items():
-            offer(k, v)
+            if k in PLAN_CHANGED_SINCE and date < PLAN_CHANGED_SINCE[k]:
+                continue
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            if v > 0:
+                samples.setdefault(k, []).append(v)
 
     for k, v in (scaling.get("queries") or {}).items():
         if isinstance(v, dict) and "sf0.1" in v:
-            offer(k, v["sf0.1"])
+            try:
+                x = float(v["sf0.1"])
+            except (TypeError, ValueError):
+                continue
+            if x > 0:
+                samples.setdefault(k, []).append(x)
 
-    scaling["warm_sf0.1"] = {k: round(best[k], 3) for k in sorted(best)}
+    scaling["warm_sf0.1"] = {
+        k: round(p25(vs), 3) for k, vs in sorted(samples.items())}
     scaling["warm_sf0.1_note"] = (
-        "per-query best level across committed certified-clean sf0.1 closes "
-        "+ the per-query scaling sweep; Bench flags sustained_degraded_queries "
-        "above 2x this (tools/warm_ref.py)")
+        "per-query p25 across complete certified-clean sf0.1 closes + the "
+        "scaling sweep; Bench flags sustained_degraded_queries above 2x "
+        "this (tools/warm_ref.py; plan-changed queries drop pre-change "
+        "history)")
     with open(scaling_path, "w") as f:
         json.dump(scaling, f, indent=1)
         f.write("\n")
-    print(f"warm_sf0.1: {len(best)} refs from {len(arts)} clean closes "
-          f"written to {scaling_path}")
+    print(f"warm_sf0.1: {len(samples)} refs from {len(arts)} complete "
+          f"clean closes written to {scaling_path}")
 
 
 if __name__ == "__main__":
