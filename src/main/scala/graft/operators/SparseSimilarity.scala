@@ -184,23 +184,20 @@ object SparseSimilarity {
       .join(dl.select(col(idCol).as("d2"), col("dl").as("__l2")), "d2")
       .filter(least(col("__l1"), col("__l2")).cast("double") >=
         greatest(col("__l1"), col("__l2")) * threshold)
-    // verify-join inputs pruned to CANDIDATE docs first (round 16):
-    // the unigram tf table is corpus-sized while the surviving
-    // candidate set is postings-bounded, so each side semi-joins
-    // against its candidate-id list (small → AQE broadcasts it, and
-    // the prune rides the tf scan) — non-candidate documents never
-    // shuffle into the verify join. Exact: a semi-filter keeps
-    // precisely the rows the equi-join would consume.
-    val tf1 = tf.join(
-      sized.select(col("d1").as(idCol)).distinct(), Seq(idCol), "left_semi")
-    val tf2 = tf.join(
-      sized.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    // Semi-filtering the tf sides to candidate ids first was tried
+    // (round 16) and MEASURED SLOWER at every SF here: on a
+    // template-heavy corpus the candidate set covers most documents,
+    // so the two distinct+semi-join prunes cost more than the rows
+    // they remove (q140 warm 10.8s with vs 7.2s without at sf0.1).
+    // At production selectivity (candidates ≪ corpus) the prune wins —
+    // re-introduce it behind a selectivity estimate if that regime
+    // matters; exactness is unaffected either way.
     // (d1, d2) determines (__l1, __l2), so the lengths ride through
     // the groupBy as extra keys (2 longs per pair) instead of two more
     // post-aggregation joins against dl.
     val overlap = sized
-      .join(tf1.select(col(idCol).as("d1"), col("term"), col("tf").as("tf1")), "d1")
-      .join(tf2.select(col(idCol).as("d2"), col("term"), col("tf").as("tf2")),
+      .join(tf.select(col(idCol).as("d1"), col("term"), col("tf").as("tf1")), "d1")
+      .join(tf.select(col(idCol).as("d2"), col("term"), col("tf").as("tf2")),
         Seq("d2", "term"))
       .groupBy(col("d1"), col("d2"), col("__l1"), col("__l2"))
       .agg(sum(least(col("tf1"), col("tf2"))).as("overlap"))
