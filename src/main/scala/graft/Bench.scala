@@ -212,6 +212,26 @@ object Bench {
         v > math.max(SustainedBand * r, r + MinExcessS)) => n
     }
 
+  /** The stdout line's sdq fragment, CAPPED (ADVICE r16): a badly
+    * degraded run can flag dozens of queries, and an uncapped inline
+    * list would push the final JSON past the harness parse tail exactly
+    * when the flag matters. `nsdq` carries the true count whenever the
+    * list is truncated (certification reads emptiness, which capping
+    * never changes); the full flagged list with norm/ref values lives
+    * in bench_full.json. Pure so BenchClassifySpec can budget-test the
+    * worst-case non-empty rendering.
+    */
+  private[graft] val SdqInlineCap = 12
+
+  private[graft] def sdqInline(shortNames: Seq[String]): String = {
+    val list = shortNames.take(SdqInlineCap)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val count =
+      if (shortNames.size > SdqInlineCap) s""","nsdq":${shortNames.size}"""
+      else ""
+    s""""sdq":$list$count"""
+  }
+
   /** The committed warm-reference map for sustained-degradation
     * flagging — `warm_sf0.1` in BENCH_SCALING.json. Empty when the
     * file or key is missing (new checkouts must not fail the bench)
@@ -861,14 +881,14 @@ object Bench {
     val sdqNames = sustainedDegraded(
       finalResults.map { case (k, v) => k -> normByNameFinal.getOrElse(k, v) },
       warmRefs)
-    val sdqJson = sdqNames.map("\"" + shortName(_) + "\"").mkString("[", ",", "]")
+    val sdqFragment = sdqInline(sdqNames.map(shortName))
     // round-11 diet: vh/vn moved OFF the stdout line (to stderr here,
     // full precision in bench_full.json) — at 171 queries the line was
     // back inside ~50 chars of the 1900-char parse-tail budget
     System.err.println(
       s"[bench] vh=${fmt2(vmHealthS)} vn=${fmt1(normTotal)} elapsed=${fmt2(elapsedS)}s")
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$restField$taxonomy,"sdq":$sdqJson,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$restField$taxonomy,$sdqFragment,"sf":$sfNum}"""
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: final JSON line ${line.length} chars — may overflow the harness parse tail")
     // Quiesce BEFORE printing: spark.stop() and shutdown hooks log to

@@ -624,7 +624,12 @@ object Ranking {
       tables: Seq[(DataFrame, String, Boolean)]): Unit = {
     require(tables.nonEmpty, "no tables to write")
     val spark = tables.head._1.sparkSession
-    val writer = spark.newSession()
+    // a true CLONE (not newSession): the writer must inherit the
+    // caller's RUNTIME SQL confs — e.g. the nanos-timestamp parquet
+    // conf Tables.load sets — or a written table whose lineage reads
+    // events.ts would execute under different conf than the
+    // sequential path did (ADVICE r16)
+    val writer = org.apache.spark.sql.graftbridge.cloneSession(spark)
     writer.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
     // raw plans captured on the caller thread; each task re-analyzes

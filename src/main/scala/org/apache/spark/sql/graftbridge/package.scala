@@ -26,6 +26,18 @@ package object graftbridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Bridge to the `private[sql]` `cloneSession()`: a session whose
+    * SessionState (including every RUNTIME SQL conf set on the caller)
+    * is copied, sharing the SparkContext and cache manager. `newSession()`
+    * is NOT this — it starts from the builder-time conf only, silently
+    * dropping confs like `spark.sql.legacy.parquet.nanosAsLong` that a
+    * caller set at runtime (the graft.Tables loader does), so work
+    * forked onto a new session could read nanos-timestamp parquet
+    * differently than the calling thread would.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Release the executor blocks behind a `Dataset.localCheckpoint()` /
     * `.checkpoint()` result. `Dataset.unpersist` is a no-op for these:
     * checkpointed data lives as RDD blocks (localCheckpoint persists the

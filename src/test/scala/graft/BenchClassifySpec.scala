@@ -180,10 +180,15 @@ class BenchClassifySpec extends AnyFunSuite {
       if (names.size > 170) s""","rest":9999.9,"nrest":${names.size - 170}"""
       else ""
     // sdq rides the line even when empty (certification = present and
-    // empty); a degraded run may list names, but a run that would be
-    // committed is the empty case this budget models
+    // empty). Worst case modeled is the DEGRADED shape (ADVICE r16):
+    // the inline sdq list at its cap with the widest short names plus
+    // the nsdq overflow count — a run flagging the whole suite must
+    // still parse, because that artifact is the one that matters.
+    val sdqWorst = Bench.sdqInline(
+      names.sortBy(n => (-shortName(n).length, n))
+        .take(Bench.SdqInlineCap + 50).map(shortName))
     val line =
-      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs$rest,"sdq":[],"sf":0.1}"""
+      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs$rest,$sdqWorst,"sf":0.1}"""
     assert(line.length < 1900,
       s"final line ${line.length} chars at ${names.size} queries — diet again " +
         "(next lever: lower the 170-entry cap or drop the unit field)")
@@ -191,6 +196,17 @@ class BenchClassifySpec extends AnyFunSuite {
     val qsSlow = shown.map(n => "\"" + shortName(n) + "\":60")
       .mkString("{", ",", "}")
     assert(qsSlow.length <= qs.length)
+  }
+
+  test("sdq inline fragment caps the list and reports the true count") {
+    assert(Bench.sdqInline(Nil) === """"sdq":[]""")
+    assert(Bench.sdqInline(Seq("61", "140")) === """"sdq":["61","140"]""")
+    val many = (1 to 30).map(_.toString)
+    val frag = Bench.sdqInline(many)
+    assert(frag.startsWith(""""sdq":["1","2","""))
+    assert(frag.endsWith(s""""${Bench.SdqInlineCap}"],"nsdq":30"""))
+    // exactly at the cap: no nsdq noise
+    assert(!Bench.sdqInline(many.take(Bench.SdqInlineCap)).contains("nsdq"))
   }
 
   test("sustained-degradation flag: 2x warm reference with an absolute-excess guard") {
@@ -232,7 +248,13 @@ class BenchClassifySpec extends AnyFunSuite {
     val refs = Bench.readWarmRefs("BENCH_SCALING.json", "sf0.1")
     assert(refs.nonEmpty, "BENCH_SCALING.json must carry warm_sf0.1 refs")
     val missing = SparkEntry.queries.keySet -- refs.keySet
-    val newThisRound = missing.filter(_ >= "q197")
+    // NUMERIC id compare — the r16 lexicographic `_ >= "q197"` matched
+    // q20_*..q99_* too (83 of 198 names), silently exempting most of
+    // the inventory from this guard (ADVICE r16). References exist
+    // through q199 (the r16 certified close); anything newer waits for
+    // its first clean close.
+    def qNum(n: String): Int = n.stripPrefix("q").takeWhile(_.isDigit).toInt
+    val newThisRound = missing.filter(qNum(_) >= 200)
     assert(missing === newThisRound,
       s"queries missing a warm reference that are not new: ${missing -- newThisRound}")
   }

@@ -46,25 +46,47 @@ import subprocess
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# query -> ISO date before which its history is invalid (plan change)
-PLAN_CHANGED_SINCE = {
+# query -> commit hash of the plan change: history from artifact
+# commits that are PROPER ANCESTORS of this commit is invalid for the
+# query. Hash ancestry, not calendar dates (ADVICE r16): commit-date
+# granularity cannot order two commits on the change day itself, so a
+# date cutoff either kept pre-change closes (strict <) or dropped
+# valid post-change closes committed later the same day (<=).
+PLAN_CHANGED_AT = {
     # round 16: trainHashed epochs restructured join-free; the query's
     # pre-change levels (and the memo-hit era's 0.9s values) are stale
-    "q167_train_gate": "2026-08-16",
+    "q167_train_gate": "50712e59de4e45fac8daae6b48cf5f3623e40829",
 }
+
+_ancestry_cache: dict = {}
+
+
+def predates(artifact_commit, change_commit):
+    """True when artifact_commit is a PROPER ancestor of change_commit
+    (i.e. the artifact was committed before the plan change landed)."""
+    key = (artifact_commit, change_commit)
+    if key not in _ancestry_cache:
+        if artifact_commit == change_commit:
+            _ancestry_cache[key] = False
+        else:
+            rc = subprocess.run(
+                ["git", "merge-base", "--is-ancestor",
+                 artifact_commit, change_commit],
+                cwd=REPO).returncode
+            _ancestry_cache[key] = rc == 0
+    return _ancestry_cache[key]
 
 
 def committed_clean_artifacts():
-    """(commit-date, artifact) for every complete certified-clean close."""
+    """(commit-hash, artifact) for every complete certified-clean close."""
     revs = subprocess.run(
-        ["git", "log", "--format=%H %cs", "--", "bench_full.json"],
+        ["git", "log", "--format=%H", "--", "bench_full.json"],
         cwd=REPO, capture_output=True, text=True).stdout.splitlines()
     out = []
     for line in revs:
-        parts = line.split()
-        if len(parts) != 2:
+        r = line.strip()
+        if not r:
             continue
-        r, date = parts
         try:
             raw = subprocess.run(
                 ["git", "show", f"{r}:bench_full.json"],
@@ -82,7 +104,7 @@ def committed_clean_artifacts():
             continue
         if len(d.get("vm_health_series") or []) < 10:
             continue
-        out.append((date, d))
+        out.append((r, d))
     return out
 
 
@@ -99,9 +121,9 @@ def main() -> None:
 
     samples: dict = {}
     arts = committed_clean_artifacts()
-    for date, d in arts:
+    for rev, d in arts:
         for k, v in (d.get("queries") or {}).items():
-            if k in PLAN_CHANGED_SINCE and date < PLAN_CHANGED_SINCE[k]:
+            if k in PLAN_CHANGED_AT and predates(rev, PLAN_CHANGED_AT[k]):
                 continue
             try:
                 v = float(v)
