@@ -382,6 +382,7 @@ object SparkEntry {
         () => refLm3Artifact(s, dir)),
       Seq(() => keyedRefLmArtifacts(s, dir),
         () => keyedRefLm3Artifacts(s, dir),
+        () => keyedKn3CutoffArtifact(s, dir),
         () => keyedRefLm3BaseArtifact(s, dir)),
       Seq(() => curateStateShared(s, dir),
         () => curationFamilyArtifacts(s, dir),
@@ -834,6 +835,33 @@ object SparkEntry {
       finally cuts.unpersist()
       core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
       (mp, cp)
+    }
+
+  /** The per-language KNESER-NEY cutoff artifact: the keyed order-3
+    * model's cutoff table re-measured under the KN scorer — gating a
+    * KN score at JM-measured cutoffs would mislabel systematically
+    * (the two smoothings shift the score distribution differently),
+    * so the KN deploy (q201) and the KN streaming gate own their own
+    * measured thresholds. The MODEL is the same six stored keyed
+    * tables ([[keyedRefLm3Artifacts]]); only the cutoff measurement
+    * differs.
+    */
+  private val keyedKn3CutoffArtifactMemo = new SessionMemo[String, String]
+
+  private def keyedKn3CutoffArtifact(s: SparkSession, dir: String): String =
+    keyedKn3CutoffArtifactMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-kn3-keyed-cutoffs")
+      val cp = base.resolve("cutoffs").toString
+      val docs = T(s, dir, "documents")
+      val (mp, _) = keyedRefLm3Artifacts(s, dir)
+      val m = operators.Ranking.readKeyedRefLm3(s, mp)
+      val cuts = operators.Ranking.refLm3CutoffsByKeyCached(
+        operators.Ranking.refLmKn3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        "lang")
+      try operators.Ranking.writeRefLmCutoffsByKey(cuts.df, cp)
+      finally cuts.unpersist()
+      core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
+      cp
     }
 
   /** The STORED half-corpus keyed order-3 BASE — [[refLmBaseArtifact]]
@@ -2609,6 +2637,52 @@ object SparkEntry {
       operators.Ranking.refLm3PerplexityBucketsByKey(
         operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m),
         "lang")
+    }),
+
+    // ---- extension: per-language Kneser-Ney buckets ----
+    // q198's smoothing family at the q195/q196 deployment matrix: every
+    // document scores under ITS language's interpolated-KN chain, all
+    // KN tables derived per key from the SAME six stored keyed count
+    // tables q196 deploys from (freshness-stamped; nothing retrains,
+    // no new artifact format)
+    "q200_kn3_by_lang" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (mp, _) = keyedRefLm3Artifacts(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(mp).getParent + "/stamp")
+      val m = operators.Ranking.readKeyedRefLm3(s, mp)
+      operators.Ranking.refLm3PerplexityBucketsByKey(
+        operators.Ranking.refLmKn3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        "lang")
+    }),
+
+    // ---- extension: KN deploy at STORED per-language cutoffs ----
+    // the production gate shape (q189/q196's stored-threshold
+    // discipline applied to KN): label every document at its
+    // language's STORED KN-measured cutoff row — never at tertiles
+    // recomputed in the serving path — then roll up per (lang,
+    // bucket). Cutoffs measured on the same pool the tertile chain
+    // ranks, so the rollup is bit-identical to q200's (shared oracle):
+    // the deploy must reproduce exactly what the measurement saw
+    "q201_stored_kn3_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (mp, _) = keyedRefLm3Artifacts(s, dir)
+      val cp = keyedKn3CutoffArtifact(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(cp).getParent + "/stamp")
+      val m = operators.Ranking.readKeyedRefLm3(s, mp)
+      val cuts = operators.Ranking.readRefLmCutoffsByKey(s, cp)
+      operators.Ranking.refLmKn3ScoreByKey(docs, "doc_id", "text", "lang", m)
+        .join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("logprob") >= col("v_head"), lit("head"))
+            .when(col("logprob") >= col("v_mid"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("logprob").as("min_logprob"),
+          max("logprob").as("max_logprob"),
+          sum("n_trigrams").as("n_trigrams"))
     }),
 
     // ---- extension: token budget plan (epochs per domain) ----
@@ -5766,6 +5840,16 @@ object SparkEntry {
     // so q195/q196's keyed chain is the oracle verbatim
     "q199_keyed_reflm3_increment" ->
       operators.Ranking.refLm3BucketsByKeySql(
+        "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
+
+    // keyed Kneser-Ney chain replayed per language; q201 shares the
+    // oracle verbatim — labeling at stored cutoffs measured on the
+    // same pool must reproduce the tertile rollup bit-for-bit
+    "q200_kn3_by_lang" ->
+      operators.Ranking.refLmKn3BucketsByKeySql(
+        "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
+    "q201_stored_kn3_gate" ->
+      operators.Ranking.refLmKn3BucketsByKeySql(
         "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
 
     "q185_perplexity_by_lang" ->

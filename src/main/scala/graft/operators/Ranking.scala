@@ -1563,6 +1563,89 @@ object Ranking {
     Dedup.CachedDF(cutoffsFromKeyedHist(hist, keyCol), Seq(hist))
   }
 
+  /** [[refLmKn3Score]] keyed: each pool document scores under ITS
+    * `keyCol` value's interpolated Kneser-Ney chain — the per-language
+    * deployment CCNet actually runs (one KenLM model per language).
+    * Every KN table derives from the stored KEYED count tables with
+    * the key riding each groupBy (still model-sized — the per-key
+    * continuation tables partition the unkeyed ones), so the six-table
+    * keyed stored deploy, freshness stamps and the bit-equal keyed
+    * merge ([[mergeIntoStoredKeyedRefLm3]]) carry over unchanged.
+    *
+    * Key contract as [[refLm3ScoreByKey]]: the per-key totals join is
+    * INNER (documents of unmodeled keys are absent — the streaming
+    * gate surfaces them as `unmodeled`); the per-key distinct-bigram
+    * total joins LEFT with a 0 default, so a modeled key whose
+    * reference had no bigram still bottoms out at finite add-1 mass
+    * rather than dropping. Determinism scheme unchanged: per-distinct
+    * (key, triple) ln rounded to 9, exact decimal doc sums, one final
+    * 6-round. Returns (id, keyCol, n_trigrams, logprob).
+    */
+  def refLmKn3ScoreByKey(pool: DataFrame, idCol: String, textCol: String,
+      keyCol: String, model: KeyedRefLm3Model,
+      dNum: Int = 3, dDen: Int = 4): DataFrame = {
+    require(dNum > 0 && dNum < dDen, s"need 0 < D < 1, got $dNum/$dDen")
+    val id = col(idCol)
+    val d = dNum.toDouble / dDen
+    val tf = pool
+      .select(id, col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
+      .select(id, col("__k"), trigramTriples.as("__tg"))
+      .select(id, col("__k"), col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+      .groupBy(id, col("__k"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tfq"))
+    val triples = tf.select("__k", "w1", "w2", "w3").distinct()
+    // keyed continuation tables — one partial-aggregated groupBy over a
+    // MODEL table each, exactly the unkeyed derivations with __k riding
+    val t3 = model.trigrams.groupBy("__k", "w1", "w2")
+      .agg(count(lit(1)).as("__t3"))
+    val cbig = model.trigrams.groupBy("__k", "w2", "w3")
+      .agg(count(lit(1)).as("__cc"))
+    val c2 = cbig.groupBy("__k", "w2")
+      .agg(sum("__cc").as("__c2"), count(lit(1)).as("__t2"))
+    val cu = model.base.bigrams.groupBy("__k", "w2")
+      .agg(count(lit(1)).as("__cu"))
+    // per-key distinct-bigram-type totals: #keys rows, broadcast
+    val btot = model.base.bigrams.groupBy("__k")
+      .agg(count(lit(1)).as("__nbig"))
+    val pT = coalesce(col("ct"), lit(0L)).cast("double")
+    val pC3 = coalesce(col("ctx3"), lit(0L))
+    val pT3 = coalesce(col("__t3"), lit(0L)).cast("double")
+    val pCC = coalesce(col("__cc"), lit(0L)).cast("double")
+    val pC2 = coalesce(col("__c2"), lit(0L))
+    val pT2 = coalesce(col("__t2"), lit(0L)).cast("double")
+    val pCU = coalesce(col("__cu"), lit(0L)).cast("double")
+    val bv = (coalesce(col("__nbig"), lit(0L)) + col("vocab")).cast("double")
+    val pc = (pCU + lit(1.0)) / bv
+    val p2 = when(pC2 > lit(0L),
+      (greatest(pCC - lit(d), lit(0.0)) + lit(d) * pT2 * pc) /
+        pC2.cast("double")).otherwise(pc)
+    val p3 = when(pC3 > lit(0L),
+      (greatest(pT - lit(d), lit(0.0)) + lit(d) * pT3 * p2) /
+        pC3.cast("double")).otherwise(p2)
+    val logp = triples
+      .join(model.trigrams, Seq("__k", "w1", "w2", "w3"), "left")
+      .join(model.triContexts, Seq("__k", "w1", "w2"), "left")
+      .join(t3, Seq("__k", "w1", "w2"), "left")
+      // the continuation bigram of (w1,w2,w3) is keyed (w2,w3) already
+      .join(cbig, Seq("__k", "w2", "w3"), "left")
+      .join(c2, Seq("__k", "w2"), "left")
+      .join(cu.select(col("__k"), col("w2").as("w3"), col("__cu")),
+        Seq("__k", "w3"), "left")
+      // INNER on the key via totals (modeled-keys contract); the
+      // bigram-type total rides LEFT with a 0 default
+      .join(broadcast(model.base.totals), Seq("__k"))
+      .join(broadcast(btot), Seq("__k"), "left")
+      .select(col("__k"), col("w1"), col("w2"), col("w3"),
+        round(log(p3), 9).cast("decimal(18,9)").as("logp9"))
+    tf.join(logp, Seq("__k", "w1", "w2", "w3"))
+      .groupBy(id, col("__k"))
+      .agg(sum(col("tfq")).as("n_trigrams"),
+        sum(col("tfq").cast("decimal(18,0)") * col("logp9")).as("__slp"))
+      .select(id, col("__k").as(keyCol), col("n_trigrams"),
+        round(col("__slp").cast("double") / col("n_trigrams"), 6).as("logprob"))
+  }
+
   /** Persist a [[KeyedRefLm3Model]] — the keyed order-2 tables plus
     * `trigram` and `tctx`, all six overlapped through
     * [[writeTablesParallel]].
@@ -2076,6 +2159,134 @@ object Ranking {
        |JOIN vhead ON scored.k = vhead.k
        |JOIN vmid ON scored.k = vmid.k
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** DuckDB SQL twin of [[refLm3TrainByKey]] → [[refLmKn3ScoreByKey]] →
+    * [[refLm3PerplexityBucketsByKey]]: the keyed-bucket chain under
+    * interpolated Kneser-Ney — [[refLmKn3BucketsSql]]'s discount
+    * arithmetic with the key riding every count AND continuation
+    * table, per-key tertile cutoffs. The bigram-type total joins LEFT
+    * with a 0 default (the engine's modeled-but-bigramless contract);
+    * the vocab join is INNER (unmodeled keys absent). Shared-chain
+    * CTEs are `AS MATERIALIZED`.
+    */
+  def refLmKn3BucketsByKeySql(src: String, idCol: String, textCol: String,
+      keyCol: String, refPred: String,
+      dNum: Int = 3, dDen: Int = 4): String = {
+    val dd = s"(CAST($dNum AS DOUBLE) / $dDen)"
+    s"""WITH reft AS MATERIALIZED (
+       |  SELECT $keyCol AS k, ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src WHERE ($refPred)),
+       |runi AS MATERIALIZED (
+       |  SELECT k, term, COUNT(*) AS c1
+       |  FROM (SELECT k, unnest(a) AS term FROM reft) GROUP BY 1, 2),
+       |rvoc AS MATERIALIZED (
+       |  SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab FROM runi GROUP BY 1),
+       |rbig AS MATERIALIZED (
+       |  SELECT k, w1, w2, COUNT(*) AS cb FROM (
+       |    SELECT k, unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM reft WHERE len(a) >= 2)
+       |  GROUP BY 1, 2, 3),
+       |rtri AS MATERIALIZED (
+       |  SELECT k, w1, w2, w3, COUNT(*) AS ct FROM (
+       |    SELECT k, unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM reft WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3, 4),
+       |rtctx AS MATERIALIZED (
+       |  SELECT k, w1, w2, CAST(SUM(ct) AS BIGINT) AS ctx3
+       |  FROM rtri GROUP BY 1, 2, 3),
+       |rt3 AS MATERIALIZED (
+       |  SELECT k, w1, w2, CAST(COUNT(*) AS BIGINT) AS t3
+       |  FROM rtri GROUP BY 1, 2, 3),
+       |rcc AS MATERIALIZED (
+       |  SELECT k, w2, w3, CAST(COUNT(*) AS BIGINT) AS cc
+       |  FROM rtri GROUP BY 1, 2, 3),
+       |rc2 AS MATERIALIZED (
+       |  SELECT k, w2, CAST(SUM(cc) AS BIGINT) AS c2,
+       |    CAST(COUNT(*) AS BIGINT) AS t2 FROM rcc GROUP BY 1, 2),
+       |rcu AS MATERIALIZED (
+       |  SELECT k, w2 AS w3, CAST(COUNT(*) AS BIGINT) AS cu
+       |  FROM rbig GROUP BY 1, 2),
+       |rbt AS MATERIALIZED (
+       |  SELECT k, CAST(COUNT(*) AS BIGINT) AS nbig FROM rbig GROUP BY 1),
+       |pt AS (
+       |  SELECT $idCol, $keyCol AS k, ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src),
+       |ptf AS MATERIALIZED (
+       |  SELECT $idCol, k, w1, w2, w3, COUNT(*) AS tfq FROM (
+       |    SELECT $idCol, k, unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM pt WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |ptrip AS (SELECT DISTINCT k, w1, w2, w3 FROM ptf),
+       |plp AS MATERIALIZED (
+       |  SELECT k, w1, w2, w3,
+       |    CAST(round(ln(
+       |      CASE WHEN c3v > 0 THEN
+       |        (greatest(ctv - $dd, 0.0) + $dd * t3v *
+       |          (CASE WHEN c2v > 0 THEN
+       |             (greatest(ccv - $dd, 0.0) + $dd * t2v * pcv) / c2v
+       |           ELSE pcv END)) / c3v
+       |      ELSE
+       |        (CASE WHEN c2v > 0 THEN
+       |           (greatest(ccv - $dd, 0.0) + $dd * t2v * pcv) / c2v
+       |         ELSE pcv END)
+       |      END), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM (
+       |    SELECT ptrip.k, ptrip.w1, ptrip.w2, ptrip.w3,
+       |      CAST(COALESCE(rtri.ct, 0) AS DOUBLE) AS ctv,
+       |      COALESCE(rtctx.ctx3, 0) AS c3v,
+       |      CAST(COALESCE(rt3.t3, 0) AS DOUBLE) AS t3v,
+       |      CAST(COALESCE(rcc.cc, 0) AS DOUBLE) AS ccv,
+       |      COALESCE(rc2.c2, 0) AS c2v,
+       |      CAST(COALESCE(rc2.t2, 0) AS DOUBLE) AS t2v,
+       |      (CAST(COALESCE(rcu.cu, 0) AS DOUBLE) + 1.0) /
+       |        CAST(COALESCE(rbt.nbig, 0) + rvoc.vocab AS DOUBLE) AS pcv
+       |    FROM ptrip
+       |    LEFT JOIN rtri ON ptrip.k = rtri.k AND ptrip.w1 = rtri.w1
+       |      AND ptrip.w2 = rtri.w2 AND ptrip.w3 = rtri.w3
+       |    LEFT JOIN rtctx ON ptrip.k = rtctx.k AND ptrip.w1 = rtctx.w1
+       |      AND ptrip.w2 = rtctx.w2
+       |    LEFT JOIN rt3 ON ptrip.k = rt3.k AND ptrip.w1 = rt3.w1
+       |      AND ptrip.w2 = rt3.w2
+       |    LEFT JOIN rcc ON ptrip.k = rcc.k AND ptrip.w2 = rcc.w2
+       |      AND ptrip.w3 = rcc.w3
+       |    LEFT JOIN rc2 ON ptrip.k = rc2.k AND ptrip.w2 = rc2.w2
+       |    LEFT JOIN rcu ON ptrip.k = rcu.k AND ptrip.w3 = rcu.w3
+       |    LEFT JOIN rbt ON ptrip.k = rbt.k
+       |    JOIN rvoc ON ptrip.k = rvoc.k)),
+       |scored AS MATERIALIZED (
+       |  SELECT ptf.$idCol, ptf.k, CAST(SUM(ptf.tfq) AS BIGINT) AS n_trigrams,
+       |    round(CAST(SUM(CAST(ptf.tfq AS DECIMAL(18,0)) * plp.logp9) AS DOUBLE)
+       |          / CAST(SUM(ptf.tfq) AS BIGINT), 6) AS logprob
+       |  FROM ptf JOIN plp ON ptf.k = plp.k AND ptf.w1 = plp.w1
+       |    AND ptf.w2 = plp.w2 AND ptf.w3 = plp.w3
+       |  GROUP BY 1, 2),
+       |hist AS MATERIALIZED (
+       |  SELECT k, logprob, COUNT(*) AS nv FROM scored GROUP BY 1, 2),
+       |cum AS MATERIALIZED (
+       |  SELECT k, logprob,
+       |    SUM(nv) OVER (PARTITION BY k ORDER BY logprob DESC) AS cumn
+       |  FROM hist),
+       |tot2 AS MATERIALIZED (SELECT k, SUM(nv) AS n FROM hist GROUP BY 1),
+       |vhead AS (SELECT cum.k, MAX(logprob) AS v_head
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (n + 2) // 3 GROUP BY 1),
+       |vmid AS (SELECT cum.k, MAX(logprob) AS v_mid
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (2 * n + 2) // 3 GROUP BY 1)
+       |SELECT scored.k AS $keyCol,
+       |  CASE WHEN logprob >= v_head THEN 'head'
+       |       WHEN logprob >= v_mid THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
+       |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
+       |FROM scored
+       |JOIN vhead ON scored.k = vhead.k
+       |JOIN vmid ON scored.k = vmid.k
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** DuckDB SQL equivalent of [[unigramLogProb]]. */
   def unigramLogProbSql(src: String, idCol: String, textCol: String, k: Int = 20): String =

@@ -293,6 +293,81 @@ object StreamingPerplexity {
       }
       .start()
 
+  /** The keyed KNESER-NEY gate — [[gateBatch3ByKey]] scored with
+    * [[Ranking.refLmKn3ScoreByKey]] instead of the Jelinek-Mercer
+    * chain: every micro-batch doc scores under its language's
+    * interpolated-KN model derived from the SAME six stored keyed
+    * count tables (no new artifact — the KN tables are per-key
+    * groupBys over the stored counts, rebuilt per batch like the JM
+    * joins are), labeled at the key's stored KN-MEASURED cutoffs
+    * ([[Ranking.refLm3CutoffsByKey]] over a KN-scored pool — gating a
+    * KN score at JM cutoffs would mislabel systematically, since the
+    * two smoothings shift the score distribution differently). Routing
+    * split identical to the JM keyed gates: `unmodeled` = no model for
+    * the key, `unscored` = modeled key but < 3 tokens, `unmeasured` =
+    * scored under a modeled key with no cutoffs row. Appends
+    * (id, keyCol, n_trigrams, logprob, bucket, batch_id).
+    */
+  def gateBatchKn3ByKey(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val model = Ranking.readKeyedRefLm3(spark, modelPath)
+    val cuts = Ranking.readRefLmCutoffsByKey(spark, cutoffsPath)
+    // persisted for the batch write — see [[gateBatch]]: two branches
+    // read `scored`, the pin keeps scoring to one execution
+    val scored = Ranking.refLmKn3ScoreByKey(batch, idCol, textCol, keyCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // scored rows have a model by construction — see [[gateBatchByKey]]
+      val labeled = scored.join(broadcast(cuts), Seq(keyCol), "left")
+        .select(col(idCol), col(keyCol), col("n_trigrams"), col("logprob"),
+          when(col("v_head").isNull, lit("unmeasured"))
+            .when(col("logprob") >= col("v_head"), lit("head"))
+            .when(col("logprob") >= col("v_mid"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+      val modeledKeys = model.base.totals.select(col("__k").as(keyCol))
+        .withColumn("__modeled", lit(true))
+      val missing = batch
+        .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+        .join(broadcast(modeledKeys), Seq(keyCol), "left")
+        .select(col(idCol), col(keyCol),
+          lit(null).cast("long").as("n_trigrams"),
+          lit(null).cast("double").as("logprob"),
+          when(col("__modeled"), lit("unscored"))
+            .otherwise(lit("unmodeled")).as("bucket"))
+      labeled.unionByName(missing)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(decisionsDir)
+    } finally scored.unpersist(false)
+  }
+
+  /** [[startByKey]] for the Kneser-Ney gate — every micro-batch flows
+    * through [[gateBatchKn3ByKey]].
+    */
+  def startKn3ByKey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatchKn3ByKey(batch, idCol, textCol, keyCol, modelPath,
+          cutoffsPath, decisionsDir, batchId)
+      }
+      .start()
+
   /** Continuously GROW the stored reference LM from a stream of newly
     * trusted documents: every micro-batch merges its counts into the
     * model at `modelPath` ([[Ranking.mergeIntoStoredRefLm]] — additive

@@ -98,6 +98,34 @@ class RefLmKn3Spec extends AnyFunSuite {
     assert(scored(4L) < scored(6L), scored.toString)
   }
 
+  test("keyed KN partitions exactly: each key's scores equal unkeyed KN on that key's slice") {
+    // two languages whose reference corpora differ; the keyed scorer
+    // must reproduce, per key, EXACTLY what the unkeyed scorer computes
+    // on that key's slice alone (keyed derivation tables partition the
+    // unkeyed ones — including the per-key B and V denominators)
+    val keyed = Seq(
+      (1L, "a b a b a", "L1", true), (2L, "b c", "L1", true),
+      (3L, "b a b a b", "L2", true), (4L, "c a c", "L2", true),
+      (10L, "a b a b", "L1", false), (11L, "a b x", "L1", false),
+      (12L, "a b a b", "L2", false), (13L, "x y z", "L2", false)
+    ).toDF("id", "text", "lang", "is_ref")
+    val km = Ranking.refLm3TrainByKey(keyed, "id", "text", "lang", col("is_ref"))
+    val got = Ranking.refLmKn3ScoreByKey(
+        keyed.filter(!col("is_ref")), "id", "text", "lang", km)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val expect = Seq("L1", "L2").flatMap { lang =>
+      val slice = keyed.filter(col("lang") === lang)
+      val m = Ranking.refLm3Train(slice, "id", "text", col("is_ref"))
+      Ranking.refLmKn3Score(slice.filter(!col("is_ref")), "id", "text", m)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((lang, r._2, r._3)))
+    }.toMap
+    assert(got == expect)
+    // same pool text under different language models scores differently
+    assert(got(10L)._3 != got(12L)._3)
+  }
+
   test("KN from a merged stored model is bit-identical to KN after a retrain") {
     val dir = Files.createTempDirectory("reflmkn3-merge").toString
     val p = s"$dir/model"

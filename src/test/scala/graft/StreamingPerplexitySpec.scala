@@ -299,6 +299,75 @@ class StreamingPerplexitySpec extends AnyFunSuite {
     assert(dec(100L)._2.get != dec(101L)._2.get)
   }
 
+  test("keyed Kneser-Ney gate: KN scores at KN-measured cutoffs; three-way routing split holds") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-ppl-kn3-keyed").toString
+    val (modelPath, cutPath) = (s"$dir/model", s"$dir/cutoffs")
+    // L3 has a trained model but its calibration doc is too short to
+    // score at order 3, so the KN cutoffs artifact carries NO L3 row
+    val refs = Seq(
+      (1L, "a b a b a", "L1"), (2L, "b a b", "L2"), (3L, "c d c d", "L3")
+    ).toDF("id", "text", "lang")
+    val m = Ranking.refLm3TrainByKey(refs, "id", "text", "lang", lit(true))
+    Ranking.writeKeyedRefLm3(m, modelPath)
+    val calib = Seq(
+      (10L, "a b a b", "L1"), (11L, "x y z", "L1"),
+      (12L, "b a b a", "L2"), (13L, "x y z", "L2"),
+      (14L, "c d", "L3")
+    ).toDF("id", "text", "lang")
+    // cutoffs measured under the KN scorer — the gate's thresholds
+    // must come from the same smoothing it scores with
+    Ranking.writeRefLmCutoffsByKey(
+      Ranking.refLm3CutoffsByKey(
+        Ranking.refLmKn3ScoreByKey(calib, "id", "text", "lang", m), "lang"),
+      cutPath)
+
+    val stream = MemoryStream[LangDoc]
+    val decDir = s"$dir/decisions"
+    val q = StreamingPerplexity.startKn3ByKey(stream.toDF(), "doc_id", "text",
+      "lang", modelPath, cutPath, decDir, s"$dir/ck")
+    try {
+      stream.addData(
+        LangDoc(100L, "a b a b a", "L1"),  // reference-like under L1
+        LangDoc(101L, "a b a b a", "L2"),  // same text, L2's KN stats
+        LangDoc(102L, "a b c", "L9"),      // no L9 model -> unmodeled
+        LangDoc(103L, "a b", "L1"),        // modeled key, no trigram -> unscored
+        LangDoc(105L, "c d c", "L3"))      // scores, but no L3 cutoffs row
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(decDir)
+      .select("doc_id", "lang", "logprob", "bucket")
+      .as[(Long, String, Option[Double], String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(dec.keySet == Set(100L, 101L, 102L, 103L, 105L))
+    assert(dec(102L) == (("L9", None, "unmodeled")))
+    assert(dec(103L) == (("L1", None, "unscored")))
+    // scored under a modeled key with no measured KN cutoffs:
+    // `unmeasured` with the real score
+    assert(dec(105L)._1 == "L3" && dec(105L)._3 == "unmeasured"
+      && dec(105L)._2.isDefined)
+    // decisions carry the KN score, not the JM one
+    val knExpect = Ranking.refLmKn3ScoreByKey(
+        Seq((100L, "a b a b a", "L1"), (101L, "a b a b a", "L2"))
+          .toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", Ranking.readKeyedRefLm3(spark, modelPath))
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(dec(100L)._2.get == knExpect(100L))
+    assert(dec(101L)._2.get == knExpect(101L))
+    // labels agree with the stored KN cutoffs
+    val cuts = Ranking.readRefLmCutoffsByKey(spark, cutPath)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq(100L -> "L1", 101L -> "L2").foreach { case (id, lang) =>
+      val (vh, vm) = cuts(lang)
+      val lp = dec(id)._2.get
+      val expect = if (lp >= vh) "head" else if (lp >= vm) "middle" else "tail"
+      assert(dec(id)._3 == expect, s"doc $id")
+    }
+  }
+
   test("order-3 reference ingest is replay-idempotent across all six tables") {
     val dir = Files.createTempDirectory("stream-ppl3-replay").toString
     val p = s"$dir/model"
