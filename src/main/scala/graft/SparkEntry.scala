@@ -379,7 +379,7 @@ object SparkEntry {
     // family, and the model/sweep trainers.
     val lanes: Seq[Seq[() => Any]] = Seq(
       Seq(() => refLmArtifact(s, dir), () => refLmBaseArtifact(s, dir),
-        () => refLm3Artifact(s, dir)),
+        () => refLm3Artifact(s, dir), () => refLm5Artifact(s, dir)),
       Seq(() => keyedRefLmArtifacts(s, dir),
         () => keyedRefLm3Artifacts(s, dir),
         () => keyedKn3CutoffArtifact(s, dir),
@@ -779,6 +779,27 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       operators.Ranking.writeRefLm3(
         operators.Ranking.refLm3Train(
+          docs, "doc_id", "text", col("lang") === "en"), p)
+      core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
+      p
+    }
+
+  /** The STORED order-5 reference-LM artifact — [[refLm3Artifact]] at
+    * CCNet's production depth: eight count tables (the six order-3
+    * ones plus raw 4-/5-gram counts; q202 reads them, trains nothing),
+    * freshness-stamped. Stored counts are UNPRUNED (the additive-merge
+    * contract); q202 applies KenLM-style singleton pruning as the
+    * score-time view.
+    */
+  private val refLm5ArtifactMemo = new SessionMemo[String, String]
+
+  private def refLm5Artifact(s: SparkSession, dir: String): String =
+    refLm5ArtifactMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-reflm5")
+      val p = base.resolve("model").toString
+      val docs = T(s, dir, "documents")
+      operators.Ranking.writeRefLm5(
+        operators.Ranking.refLm5Train(
           docs, "doc_id", "text", col("lang") === "en"), p)
       core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
       p
@@ -2683,6 +2704,25 @@ object SparkEntry {
           min("logprob").as("min_logprob"),
           max("logprob").as("max_logprob"),
           sum("n_trigrams").as("n_trigrams"))
+    }),
+
+    // ---- extension: 5-gram Kneser-Ney with count pruning ----
+    // CCNet's production depth (its KenLM models are 5-gram
+    // interpolated KN): the stored artifact adds only raw 4-/5-gram
+    // counts (contexts and continuation tables derive at score time,
+    // so the additive merge stays bit-equal), and KenLM's singleton
+    // pruning runs as the SCORE-TIME view minCount=2 on both high
+    // orders — the dropped singleton mass routes through the discount
+    // backoff, mirrored in the oracle's pruned CTEs
+    "q202_kn5_buckets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val p = refLm5Artifact(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(p).getParent + "/stamp")
+      val m = operators.Ranking.readRefLm5(s, p)
+      operators.Ranking.refLm5PerplexityBuckets(
+        operators.Ranking.refLmKn5Score(docs, "doc_id", "text", m,
+          minCount5 = 2, minCount4 = 2))
     }),
 
     // ---- extension: token budget plan (epochs per domain) ----
@@ -5841,6 +5881,14 @@ object SparkEntry {
     "q199_keyed_reflm3_increment" ->
       operators.Ranking.refLm3BucketsByKeySql(
         "documents", "doc_id", "text", "lang", "source IN ('src0', 'src1')"),
+
+    // 5-gram KN with singleton pruning: the oracle replays the full
+    // five-level discount chain from the same trusted slice, raw
+    // counts pruned at the same thresholds before any derivation
+    "q202_kn5_buckets" ->
+      operators.Ranking.refLmKn5BucketsSql(
+        "documents", "doc_id", "text", "lang = 'en'",
+        minCount5 = 2, minCount4 = 2),
 
     // keyed Kneser-Ney chain replayed per language; q201 shares the
     // oracle verbatim — labeling at stored cutoffs measured on the

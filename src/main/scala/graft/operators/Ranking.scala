@@ -1171,6 +1171,275 @@ object Ranking {
           staged))
     }
 
+  // --------------------------------------------------------------------
+  // Order-5 reference LM — CCNet's production depth (its KenLM models
+  // are 5-gram interpolated Kneser-Ney). The stored model is the
+  // order-3 artifact plus TWO more additive raw-count tables (4-grams,
+  // 5-grams); every KN table — contexts, continuation counts, type
+  // counts at all five orders — derives at score time with one
+  // groupBy each, so the staged-swap deploy and the
+  // bit-equal-to-retrain merge carry over with no new derivation
+  // stored.
+  //
+  // STORAGE CONTRACT (the trigram→5-gram step change): distinct
+  // 5-grams approach the corpus token count, so unlike the
+  // vocabulary-bounded low orders the stored order-4/5 tables are
+  // CORPUS-scale, not model-scale — plain partitioned parquet keyed by
+  // the n-gram, merged with one partial-aggregated groupBy per table
+  // (the same shuffle a corpus tokenization pays). Stored counts stay
+  // UNPRUNED: additivity is what makes the incremental merge
+  // bit-identical to a retrain, and pruning is not additive (a count
+  // crossing the threshold after a merge must reappear). Pruning is
+  // instead a SCORE-TIME config ([[refLmKn5Score]]'s minCount5/4 —
+  // KenLM's singleton pruning as a view), which bounds every scoring
+  // join side without touching the stored artifact; a deployment that
+  // must bound STORAGE can prune at write, accepting that merges then
+  // need the unpruned source of truth elsewhere.
+  // --------------------------------------------------------------------
+
+  /** An order-5 reference LM: the stored [[RefLm3Model]] plus raw
+    * `fourgrams` (w1..w4, c4) and `fivegrams` (w1..w5, c5) counts.
+    * Context and continuation tables deliberately NOT stored — KN
+    * derives them at score time (one groupBy each), so the artifact
+    * holds only additive counts and the merge stays bit-equal.
+    */
+  final case class RefLm5Model(
+      base3: RefLm3Model, fourgrams: DataFrame, fivegrams: DataFrame)
+
+  /** Adjacent 4-tuples of a token array column `__a`. */
+  private def fourgramQuads: Column = explode(expr(
+    "transform(slice(__a, 1, greatest(size(__a) - 3, 0)), " +
+      "(w, i) -> struct(w AS w1, element_at(__a, i + 2) AS w2, " +
+      "element_at(__a, i + 3) AS w3, element_at(__a, i + 4) AS w4))"))
+
+  /** Adjacent 5-tuples of a token array column `__a`. */
+  private def fivegramQuints: Column = explode(expr(
+    "transform(slice(__a, 1, greatest(size(__a) - 4, 0)), " +
+      "(w, i) -> struct(w AS w1, element_at(__a, i + 2) AS w2, " +
+      "element_at(__a, i + 3) AS w3, element_at(__a, i + 4) AS w4, " +
+      "element_at(__a, i + 5) AS w5))"))
+
+  /** TRAIN the order-5 reference LM: the order-3 counts plus raw
+    * 4-gram and 5-gram tables — two more partial-aggregated groupBys
+    * over the tokenized scan, same shuffle discipline as
+    * [[refLm3Train]].
+    */
+  def refLm5Train(docs: DataFrame, idCol: String, textCol: String,
+      isRef: Column): RefLm5Model = {
+    val base3 = refLm3Train(docs, idCol, textCol, isRef)
+    val toks = docs.filter(isRef)
+      .select(TextAnalysis.tokens(col(textCol)).as("__a"))
+    val four = toks.select(fourgramQuads.as("__fg"))
+      .select(col("__fg.w1").as("w1"), col("__fg.w2").as("w2"),
+        col("__fg.w3").as("w3"), col("__fg.w4").as("w4"))
+      .groupBy("w1", "w2", "w3", "w4").agg(count(lit(1)).as("c4"))
+    val five = toks.select(fivegramQuints.as("__qg"))
+      .select(col("__qg.w1").as("w1"), col("__qg.w2").as("w2"),
+        col("__qg.w3").as("w3"), col("__qg.w4").as("w4"),
+        col("__qg.w5").as("w5"))
+      .groupBy("w1", "w2", "w3", "w4", "w5").agg(count(lit(1)).as("c5"))
+    RefLm5Model(base3, four, five)
+  }
+
+  /** Score every pool document under 5-gram INTERPOLATED KNESER-NEY —
+    * [[refLmKn3Score]] at CCNet's production depth. The chain follows
+    * Chen & Goodman 1998: the TOP order uses raw counts, every lower
+    * order uses continuation counts N1+(·w…) derived from the raw
+    * table ONE order up —
+    *
+    *   P₅ = (max(c(w1..w5)−D,0) + D·T5·P₄) / C5   (raw 5-gram counts)
+    *   P₄ = (max(N1+(·w2..w5)−D,0) + D·T4·P₃) / C4  (from 5-grams)
+    *   P₃ = (max(N1+(·w3w4w5)−D,0) + D·T3·P₂) / C3  (from 4-grams)
+    *   P₂ = (max(N1+(·w4w5)−D,0) + D·T2·Pc) / C2    (from trigrams)
+    *   Pc = (N1+(·w5) + 1) / (B + V)                (from bigrams)
+    *
+    * each level backing off entirely when its context total is 0; the
+    * bottom keeps the family's add-1 OOV convention.
+    *
+    * `minCount5`/`minCount4` (default 1 = no pruning) drop raw 5-/4-
+    * gram rows BELOW the threshold before any derivation — KenLM's
+    * count pruning as a score-time view: context totals, type counts
+    * and continuation counts all re-derive from the pruned table, so
+    * the pruned distribution stays normalized (the dropped mass routes
+    * through the discount backoff, exactly as if those n-grams were
+    * never observed). The stored artifact is untouched — see the
+    * storage contract above.
+    *
+    * Scale shape and determinism exactly as [[refLmKn3Score]]: per-doc
+    * 5-tuple frequencies partial-agg first, derivation tables are one
+    * groupBy over a model table each, model joins happen once per
+    * DISTINCT pool 5-tuple, ln() rounds to 9 decimals, exact decimal
+    * doc sums, one final 6-round. Returns (id, n_5grams, logprob) for
+    * every pool doc with ≥ 5 tokens.
+    */
+  def refLmKn5Score(pool: DataFrame, idCol: String, textCol: String,
+      model: RefLm5Model, dNum: Int = 3, dDen: Int = 4,
+      minCount5: Long = 1, minCount4: Long = 1): DataFrame = {
+    require(dNum > 0 && dNum < dDen, s"need 0 < D < 1, got $dNum/$dDen")
+    require(minCount5 >= 1 && minCount4 >= 1,
+      s"count-pruning thresholds must be >= 1, got $minCount5/$minCount4")
+    val id = col(idCol)
+    val d = dNum.toDouble / dDen
+    val tf = pool
+      .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
+      .select(id, fivegramQuints.as("__qg"))
+      .select(id, col("__qg.w1").as("w1"), col("__qg.w2").as("w2"),
+        col("__qg.w3").as("w3"), col("__qg.w4").as("w4"),
+        col("__qg.w5").as("w5"))
+      .groupBy(id, col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("tfq"))
+    val quints = tf.select("w1", "w2", "w3", "w4", "w5").distinct()
+    // pruned raw views — every derivation below reads these
+    val five = model.fivegrams.filter(col("c5") >= lit(minCount5))
+    val four = model.fourgrams.filter(col("c4") >= lit(minCount4))
+    // top order: context totals + type counts over pruned 5-grams
+    val ce5 = five.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum("c5").as("__c5x"), count(lit(1)).as("__t5"))
+    // order 4: continuation counts from the 5-gram table
+    val cc4 = five.groupBy("w2", "w3", "w4", "w5")
+      .agg(count(lit(1)).as("__cc4"))
+    val c4 = cc4.groupBy("w2", "w3", "w4")
+      .agg(sum("__cc4").as("__c4x"), count(lit(1)).as("__t4"))
+    // order 3: continuation counts from the 4-gram table, keyed as the
+    // (w3,w4,w5) trigram of the scored 5-tuple
+    val cc3 = four.groupBy("w2", "w3", "w4")
+      .agg(count(lit(1)).as("__cc3"))
+      .select(col("w2").as("w3"), col("w3").as("w4"), col("w4").as("w5"),
+        col("__cc3"))
+    val c3 = cc3.groupBy("w3", "w4")
+      .agg(sum("__cc3").as("__c3x"), count(lit(1)).as("__t3"))
+    // order 2: continuation counts from the trigram table, keyed (w4,w5)
+    val cc2 = model.base3.trigrams.groupBy("w2", "w3")
+      .agg(count(lit(1)).as("__cc2"))
+      .select(col("w2").as("w4"), col("w3").as("w5"), col("__cc2"))
+    val c2 = cc2.groupBy("w4")
+      .agg(sum("__cc2").as("__c2x"), count(lit(1)).as("__t2"))
+    // bottom: left-neighbor counts from the bigram table + B + V
+    val cu = model.base3.base.bigrams.groupBy("w2")
+      .agg(count(lit(1)).as("__cu"))
+    val btot = model.base3.base.bigrams.agg(count(lit(1)).as("__nbig"))
+    val pC5 = coalesce(col("c5"), lit(0L)).cast("double")
+    val pX5 = coalesce(col("__c5x"), lit(0L))
+    val pT5 = coalesce(col("__t5"), lit(0L)).cast("double")
+    val pCC4 = coalesce(col("__cc4"), lit(0L)).cast("double")
+    val pX4 = coalesce(col("__c4x"), lit(0L))
+    val pT4 = coalesce(col("__t4"), lit(0L)).cast("double")
+    val pCC3 = coalesce(col("__cc3"), lit(0L)).cast("double")
+    val pX3 = coalesce(col("__c3x"), lit(0L))
+    val pT3 = coalesce(col("__t3"), lit(0L)).cast("double")
+    val pCC2 = coalesce(col("__cc2"), lit(0L)).cast("double")
+    val pX2 = coalesce(col("__c2x"), lit(0L))
+    val pT2 = coalesce(col("__t2"), lit(0L)).cast("double")
+    val pCU = coalesce(col("__cu"), lit(0L)).cast("double")
+    val bv = (col("__nbig") + col("vocab")).cast("double")
+    val pc = (pCU + lit(1.0)) / bv
+    val p2 = when(pX2 > lit(0L),
+      (greatest(pCC2 - lit(d), lit(0.0)) + lit(d) * pT2 * pc) /
+        pX2.cast("double")).otherwise(pc)
+    val p3 = when(pX3 > lit(0L),
+      (greatest(pCC3 - lit(d), lit(0.0)) + lit(d) * pT3 * p2) /
+        pX3.cast("double")).otherwise(p2)
+    val p4 = when(pX4 > lit(0L),
+      (greatest(pCC4 - lit(d), lit(0.0)) + lit(d) * pT4 * p3) /
+        pX4.cast("double")).otherwise(p3)
+    val p5 = when(pX5 > lit(0L),
+      (greatest(pC5 - lit(d), lit(0.0)) + lit(d) * pT5 * p4) /
+        pX5.cast("double")).otherwise(p4)
+    val logp = quints
+      .join(five, Seq("w1", "w2", "w3", "w4", "w5"), "left")
+      .join(ce5, Seq("w1", "w2", "w3", "w4"), "left")
+      .join(cc4, Seq("w2", "w3", "w4", "w5"), "left")
+      .join(c4, Seq("w2", "w3", "w4"), "left")
+      .join(cc3, Seq("w3", "w4", "w5"), "left")
+      .join(c3, Seq("w3", "w4"), "left")
+      .join(cc2, Seq("w4", "w5"), "left")
+      .join(c2, Seq("w4"), "left")
+      .join(cu.select(col("w2").as("w5"), col("__cu")), Seq("w5"), "left")
+      .crossJoin(broadcast(model.base3.base.totals))
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
+        round(log(p5), 9).cast("decimal(18,9)").as("logp9"))
+    tf.join(logp, Seq("w1", "w2", "w3", "w4", "w5"))
+      .groupBy(id)
+      .agg(sum(col("tfq")).as("n_5grams"),
+        sum(col("tfq").cast("decimal(18,0)") * col("logp9")).as("__slp"))
+      .select(id, col("n_5grams"),
+        round(col("__slp").cast("double") / col("n_5grams"), 6).as("logprob"))
+  }
+
+  /** [[refLmPerplexityBuckets]] over an order-5 scored frame — same
+    * value-cutoff tertiles, reporting `n_5grams`.
+    */
+  def refLm5PerplexityBuckets(scored: DataFrame): DataFrame =
+    refLm5PerplexityBucketsCached(scored).df
+
+  /** [[refLm5PerplexityBuckets]] exposing the persisted histogram
+    * handle — the [[Dedup.CachedDF]] contract.
+    */
+  def refLm5PerplexityBucketsCached(scored: DataFrame): Dedup.CachedDF =
+    bucketsFromScoredCached(scored, "n_5grams")
+
+  /** Persist a [[RefLm5Model]] — the six order-3 tables plus
+    * `fourgram` and `fivegram`, all eight overlapped through
+    * [[writeTablesParallel]].
+    */
+  def writeRefLm5(model: RefLm5Model, path: String): Unit =
+    writeTablesParallel(Seq(
+      (model.base3.base.unigrams, s"$path/unigram", false),
+      (model.base3.base.contexts, s"$path/ctx", false),
+      (model.base3.base.bigrams, s"$path/bigram", false),
+      (model.base3.base.totals, s"$path/totals", true),
+      (model.base3.trigrams, s"$path/trigram", false),
+      (model.base3.triContexts, s"$path/tctx", false),
+      (model.fourgrams, s"$path/fourgram", false),
+      (model.fivegrams, s"$path/fivegram", false)))
+
+  /** Read back a [[writeRefLm5]] artifact ([[readRefLm]]'s fail-fast
+    * totals check included).
+    */
+  def readRefLm5(spark: SparkSession, path: String): RefLm5Model =
+    RefLm5Model(
+      readRefLm3(spark, path),
+      spark.read.parquet(s"$path/fourgram"),
+      spark.read.parquet(s"$path/fivegram"))
+
+  /** [[mergeIntoStoredRefLm3]] at order 5: five additive raw-count
+    * tables merge (uni/bi/tri/four/five), context tables and totals
+    * re-derive, same staged swap and replay guard — and because KN's
+    * derivation tables are score-time groupBys over these counts,
+    * merge-then-KN stays bit-identical to retrain-then-KN at order 5
+    * (RefLmKn5Spec asserts it).
+    */
+  def mergeIntoStoredRefLm5(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, textCol: String,
+      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean =
+    stagedCountMerge(spark, path, batchId) { () =>
+      val stored = readRefLm5(spark, path)
+      val d = refLm5Train(delta, idCol, textCol, isRef)
+      val uni = stored.base3.base.unigrams.unionByName(d.base3.base.unigrams)
+        .groupBy("term").agg(sum("c1").as("c1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val big = stored.base3.base.bigrams.unionByName(d.base3.base.bigrams)
+        .groupBy("w1", "w2").agg(sum("cb").as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tri = stored.base3.trigrams.unionByName(d.base3.trigrams)
+        .groupBy("w1", "w2", "w3").agg(sum("ct").as("ct"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val four = stored.fourgrams.unionByName(d.fourgrams)
+        .groupBy("w1", "w2", "w3", "w4").agg(sum("c4").as("c4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val five = stored.fivegrams.unionByName(d.fivegrams)
+        .groupBy("w1", "w2", "w3", "w4", "w5").agg(sum("c5").as("c5"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ctx = big.groupBy("w1").agg(sum("cb").as("ctx"))
+      val tctx = tri.groupBy("w1", "w2").agg(sum("ct").as("ctx3"))
+      val tot = uni.agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+      (Seq(uni, big, tri, four, five), staged =>
+        writeRefLm5(RefLm5Model(
+          RefLm3Model(RefLmModel(uni, ctx, big, tot), tri, tctx), four, five),
+          staged))
+    }
+
   /** The shared DuckDB CTE chain for the reference-LM family: trains
     * the model on `refPred` rows of `src`, scores the whole pool, and
     * leaves `scored(id, n_bigrams, logprob)` plus the model tables in
@@ -2054,6 +2323,173 @@ object Ranking {
        |  COUNT(*) AS n_docs,
        |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
        |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
+       |FROM scored CROSS JOIN cuts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB SQL twin of [[refLm5Train]] → [[refLmKn5Score]] →
+    * [[refLm5PerplexityBuckets]]: the full 5-gram interpolated-KN
+    * chain — raw counts at the top, continuation counts N1+ derived
+    * one order up at every lower level, add-1 bottom — with the
+    * score-time count pruning mirrored as WHERE clauses on the raw
+    * 5-/4-gram CTEs (every derivation below reads the pruned views,
+    * exactly as the engine derives from its pruned frames).
+    */
+  def refLmKn5BucketsSql(src: String, idCol: String, textCol: String,
+      refPred: String, dNum: Int = 3, dDen: Int = 4,
+      minCount5: Long = 1, minCount4: Long = 1): String = {
+    val dd = s"(CAST($dNum AS DOUBLE) / $dDen)"
+    s"""WITH reft AS MATERIALIZED (
+       |  SELECT ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src WHERE ($refPred)),
+       |runi AS MATERIALIZED (
+       |  SELECT term, COUNT(*) AS c1 FROM (SELECT unnest(a) AS term FROM reft)
+       |  GROUP BY 1),
+       |rvoc AS MATERIALIZED (SELECT COUNT(*) AS vocab FROM runi),
+       |rbig AS MATERIALIZED (
+       |  SELECT w1, w2, COUNT(*) AS cb FROM (
+       |    SELECT unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM reft WHERE len(a) >= 2)
+       |  GROUP BY 1, 2),
+       |rbt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nbig FROM rbig),
+       |rtri AS MATERIALIZED (
+       |  SELECT w1, w2, w3, COUNT(*) AS ct FROM (
+       |    SELECT unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM reft WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3),
+       |rfour AS MATERIALIZED (
+       |  SELECT w1, w2, w3, w4 FROM (
+       |    SELECT w1, w2, w3, w4, COUNT(*) AS c4 FROM (
+       |      SELECT unnest(a[1:len(a) - 3]) AS w1,
+       |        unnest(a[2:len(a) - 2]) AS w2, unnest(a[3:len(a) - 1]) AS w3,
+       |        unnest(a[4:len(a)]) AS w4
+       |      FROM reft WHERE len(a) >= 4)
+       |    GROUP BY 1, 2, 3, 4)
+       |  WHERE c4 >= $minCount4),
+       |rfive AS MATERIALIZED (
+       |  SELECT w1, w2, w3, w4, w5, c5 FROM (
+       |    SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5 FROM (
+       |      SELECT unnest(a[1:len(a) - 4]) AS w1,
+       |        unnest(a[2:len(a) - 3]) AS w2, unnest(a[3:len(a) - 2]) AS w3,
+       |        unnest(a[4:len(a) - 1]) AS w4, unnest(a[5:len(a)]) AS w5
+       |      FROM reft WHERE len(a) >= 5)
+       |    GROUP BY 1, 2, 3, 4, 5)
+       |  WHERE c5 >= $minCount5),
+       |rce5 AS MATERIALIZED (
+       |  SELECT w1, w2, w3, w4, CAST(SUM(c5) AS BIGINT) AS c5x,
+       |    CAST(COUNT(*) AS BIGINT) AS t5 FROM rfive GROUP BY 1, 2, 3, 4),
+       |rcc4 AS MATERIALIZED (
+       |  SELECT w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS cc4
+       |  FROM rfive GROUP BY 1, 2, 3, 4),
+       |rc4 AS MATERIALIZED (
+       |  SELECT w2, w3, w4, CAST(SUM(cc4) AS BIGINT) AS c4x,
+       |    CAST(COUNT(*) AS BIGINT) AS t4 FROM rcc4 GROUP BY 1, 2, 3),
+       |rcc3 AS MATERIALIZED (
+       |  SELECT w2 AS w3, w3 AS w4, w4 AS w5, CAST(COUNT(*) AS BIGINT) AS cc3
+       |  FROM rfour GROUP BY 1, 2, 3),
+       |rc3 AS MATERIALIZED (
+       |  SELECT w3, w4, CAST(SUM(cc3) AS BIGINT) AS c3x,
+       |    CAST(COUNT(*) AS BIGINT) AS t3 FROM rcc3 GROUP BY 1, 2),
+       |rcc2 AS MATERIALIZED (
+       |  SELECT w2 AS w4, w3 AS w5, CAST(COUNT(*) AS BIGINT) AS cc2
+       |  FROM rtri GROUP BY 1, 2),
+       |rc2 AS MATERIALIZED (
+       |  SELECT w4, CAST(SUM(cc2) AS BIGINT) AS c2x,
+       |    CAST(COUNT(*) AS BIGINT) AS t2 FROM rcc2 GROUP BY 1),
+       |rcu AS MATERIALIZED (
+       |  SELECT w2 AS w5, CAST(COUNT(*) AS BIGINT) AS cu FROM rbig GROUP BY 1),
+       |pt AS (
+       |  SELECT $idCol, ${TextAnalysis.tokensSql(textCol)} AS a FROM $src),
+       |ptf AS MATERIALIZED (
+       |  SELECT $idCol, w1, w2, w3, w4, w5, COUNT(*) AS tfq FROM (
+       |    SELECT $idCol, unnest(a[1:len(a) - 4]) AS w1,
+       |      unnest(a[2:len(a) - 3]) AS w2, unnest(a[3:len(a) - 2]) AS w3,
+       |      unnest(a[4:len(a) - 1]) AS w4, unnest(a[5:len(a)]) AS w5
+       |    FROM pt WHERE len(a) >= 5)
+       |  GROUP BY 1, 2, 3, 4, 5, 6),
+       |pquint AS (SELECT DISTINCT w1, w2, w3, w4, w5 FROM ptf),
+       |plp AS MATERIALIZED (
+       |  SELECT w1, w2, w3, w4, w5,
+       |    CAST(round(ln(
+       |      CASE WHEN c5xv > 0 THEN
+       |        (greatest(c5v - $dd, 0.0) + $dd * t5v * p4v) / c5xv
+       |      ELSE p4v END), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM (
+       |    SELECT w1, w2, w3, w4, w5, c5v, c5xv, t5v,
+       |      CASE WHEN c4xv > 0 THEN
+       |        (greatest(cc4v - $dd, 0.0) + $dd * t4v * p3v) / c4xv
+       |      ELSE p3v END AS p4v
+       |    FROM (
+       |      SELECT w1, w2, w3, w4, w5, c5v, c5xv, t5v, cc4v, c4xv, t4v,
+       |        CASE WHEN c3xv > 0 THEN
+       |          (greatest(cc3v - $dd, 0.0) + $dd * t3v * p2v) / c3xv
+       |        ELSE p2v END AS p3v
+       |      FROM (
+       |        SELECT w1, w2, w3, w4, w5, c5v, c5xv, t5v, cc4v, c4xv, t4v,
+       |          cc3v, c3xv, t3v,
+       |          CASE WHEN c2xv > 0 THEN
+       |            (greatest(cc2v - $dd, 0.0) + $dd * t2v * pcv) / c2xv
+       |          ELSE pcv END AS p2v
+       |        FROM (
+       |          SELECT pquint.w1, pquint.w2, pquint.w3, pquint.w4, pquint.w5,
+       |            CAST(COALESCE(rfive.c5, 0) AS DOUBLE) AS c5v,
+       |            COALESCE(rce5.c5x, 0) AS c5xv,
+       |            CAST(COALESCE(rce5.t5, 0) AS DOUBLE) AS t5v,
+       |            CAST(COALESCE(rcc4.cc4, 0) AS DOUBLE) AS cc4v,
+       |            COALESCE(rc4.c4x, 0) AS c4xv,
+       |            CAST(COALESCE(rc4.t4, 0) AS DOUBLE) AS t4v,
+       |            CAST(COALESCE(rcc3.cc3, 0) AS DOUBLE) AS cc3v,
+       |            COALESCE(rc3.c3x, 0) AS c3xv,
+       |            CAST(COALESCE(rc3.t3, 0) AS DOUBLE) AS t3v,
+       |            CAST(COALESCE(rcc2.cc2, 0) AS DOUBLE) AS cc2v,
+       |            COALESCE(rc2.c2x, 0) AS c2xv,
+       |            CAST(COALESCE(rc2.t2, 0) AS DOUBLE) AS t2v,
+       |            (CAST(COALESCE(rcu.cu, 0) AS DOUBLE) + 1.0) /
+       |              CAST(rbt.nbig + rvoc.vocab AS DOUBLE) AS pcv
+       |          FROM pquint
+       |          LEFT JOIN rfive ON pquint.w1 = rfive.w1 AND pquint.w2 = rfive.w2
+       |            AND pquint.w3 = rfive.w3 AND pquint.w4 = rfive.w4
+       |            AND pquint.w5 = rfive.w5
+       |          LEFT JOIN rce5 ON pquint.w1 = rce5.w1 AND pquint.w2 = rce5.w2
+       |            AND pquint.w3 = rce5.w3 AND pquint.w4 = rce5.w4
+       |          LEFT JOIN rcc4 ON pquint.w2 = rcc4.w2 AND pquint.w3 = rcc4.w3
+       |            AND pquint.w4 = rcc4.w4 AND pquint.w5 = rcc4.w5
+       |          LEFT JOIN rc4 ON pquint.w2 = rc4.w2 AND pquint.w3 = rc4.w3
+       |            AND pquint.w4 = rc4.w4
+       |          LEFT JOIN rcc3 ON pquint.w3 = rcc3.w3 AND pquint.w4 = rcc3.w4
+       |            AND pquint.w5 = rcc3.w5
+       |          LEFT JOIN rc3 ON pquint.w3 = rc3.w3 AND pquint.w4 = rc3.w4
+       |          LEFT JOIN rcc2 ON pquint.w4 = rcc2.w4 AND pquint.w5 = rcc2.w5
+       |          LEFT JOIN rc2 ON pquint.w4 = rc2.w4
+       |          LEFT JOIN rcu ON pquint.w5 = rcu.w5
+       |          CROSS JOIN rbt CROSS JOIN rvoc))))),
+       |scored AS MATERIALIZED (
+       |  SELECT ptf.$idCol, CAST(SUM(ptf.tfq) AS BIGINT) AS n_5grams,
+       |    round(CAST(SUM(CAST(ptf.tfq AS DECIMAL(18,0)) * plp.logp9) AS DOUBLE)
+       |          / CAST(SUM(ptf.tfq) AS BIGINT), 6) AS logprob
+       |  FROM ptf JOIN plp
+       |    ON ptf.w1 = plp.w1 AND ptf.w2 = plp.w2 AND ptf.w3 = plp.w3
+       |    AND ptf.w4 = plp.w4 AND ptf.w5 = plp.w5
+       |  GROUP BY 1),
+       |hist AS MATERIALIZED (
+       |  SELECT logprob, COUNT(*) AS nv FROM scored GROUP BY 1),
+       |cum AS MATERIALIZED (
+       |  SELECT logprob,
+       |    SUM(nv) OVER (ORDER BY logprob DESC) AS cumn
+       |  FROM hist),
+       |tot2 AS (SELECT SUM(nv) AS n FROM hist),
+       |cuts AS (SELECT
+       |    (SELECT MAX(logprob) FROM cum
+       |      WHERE cumn >= (SELECT (n + 2) // 3 FROM tot2)) AS v_head,
+       |    (SELECT MAX(logprob) FROM cum
+       |      WHERE cumn >= (SELECT (2 * n + 2) // 3 FROM tot2)) AS v_mid)
+       |SELECT CASE WHEN logprob >= v_head THEN 'head'
+       |            WHEN logprob >= v_mid THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
+       |  CAST(SUM(n_5grams) AS BIGINT) AS n_5grams
        |FROM scored CROSS JOIN cuts
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
