@@ -66,17 +66,45 @@ object DocPipeline {
     * stage can only drop what it can see, and silently dropping
     * unembedded docs would turn a lagging embedding pipeline into
     * corpus loss. The quadratic term is bounded by the largest index
-    * cell, exactly as in standalone SemDeDup (q193); enforce it with
-    * [[Similarity.semDeDupCellGuard]] (remediation:
-    * [[Similarity.ivfSplitHotCells]], the q173 path) when the index
-    * may carry hot cells.
+    * cell, exactly as in standalone SemDeDup (q193); set
+    * `maxCellPairs` to ENFORCE that bound inside the pipeline —
+    * [[Similarity.semDeDupCellGuard]] then runs over the rep slice
+    * before any pairwise work and fails fast with the named hot-cell
+    * error (remediation: [[Similarity.ivfSplitHotCells]], the q173
+    * path). Leave it None only for a known-balanced index; a user who
+    * forgets the manual guard otherwise lets a skewed stored index
+    * silently melt the rep slice's within-cell task.
     */
   final case class SemanticStage(
       embeddings: DataFrame,
       vecIdCol: String,
       vecCol: String,
       cents: Seq[(Long, Array[Double])],
-      threshold: Double)
+      threshold: Double,
+      maxCellPairs: Option[Long] = None)
+
+  object SemanticStage {
+    /** The stage over the STORED centroid table — the
+      * [[HashedModelGate.fromStoredArtifacts]] discipline applied to
+      * the embedding side: centroids read from the index artifact
+      * ([[Similarity.ivfReadCentroids]], the table
+      * [[Similarity.ivfCommitSplit]] atomically swaps), so a committed
+      * hot-cell split or index rebuild re-tunes the curation pipeline
+      * at its next config build with no code change — the config holds
+      * a path, not a frozen centroid Seq.
+      */
+    def fromStoredIndex(
+        spark: org.apache.spark.sql.SparkSession,
+        indexDir: String,
+        embeddings: DataFrame,
+        vecIdCol: String,
+        vecCol: String,
+        threshold: Double,
+        maxCellPairs: Option[Long] = None): SemanticStage =
+      SemanticStage(embeddings, vecIdCol, vecCol,
+        Similarity.ivfReadCentroids(spark, indexDir), threshold,
+        maxCellPairs)
+  }
 
   object HashedModelGate {
     /** The gate at the threshold a STORED sweep artifact selects
@@ -329,6 +357,11 @@ object DocPipeline {
     val semReps = semantic.fold(reps) { st =>
       val repVecs = st.embeddings.join(
         reps.select(col(idCol).as(st.vecIdCol)), Seq(st.vecIdCol), "left_semi")
+      // the quadratic bound ENFORCED in-pipeline when configured: the
+      // guard runs over the rep slice (the exact frame the pairwise
+      // join consumes) before any pairwise work
+      st.maxCellPairs.foreach(cap => Similarity.semDeDupCellGuard(
+        repVecs, st.vecIdCol, st.vecCol, st.cents, cap))
       val semDropped = Similarity.semDeDup(
           repVecs, st.vecIdCol, st.vecCol, st.cents, st.threshold)
         .filter(!col("keep"))

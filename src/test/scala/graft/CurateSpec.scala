@@ -248,6 +248,96 @@ class CurateSpec extends AnyFunSuite {
     assert(baseline == 5)
   }
 
+  test("semantic stage cell guard: a planted hot cell fails fast inside the pipeline") {
+    // all four embedded reps land in ONE cell of a skewed index: 6
+    // within-cell pairs > cap 5 must abort the pipeline with the named
+    // hot-cell error BEFORE any pairwise work — a user configuring the
+    // cap cannot silently melt the rep slice on a skewed stored index
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine"),
+      (12L, "red orange yellow green blue indigo violet colors"),
+      (13L, "north south east west compass points direction words"))
+      .toDF("doc_id", "text")
+    val evalDocs = corpus.filter(lit(false))
+    val skewed = Seq(0L -> Array(1.0, 0.0), 1L -> Array(-1.0, 0.0))
+    val embeddings = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(2.0, 0.1)),
+      (12L, Seq(3.0, -0.1)), (13L, Seq(1.0, 0.2))
+    ).toDF("vec_id", "embedding")
+    val cfg = DocPipeline.Config(minTokens = 1, jaccardThreshold = 1.01)
+    val st = DocPipeline.SemanticStage(
+      embeddings, "vec_id", "embedding", skewed, threshold = 0.95,
+      maxCellPairs = Some(5L))
+    val e = intercept[IllegalStateException] {
+      DocPipeline.curate(
+        corpus, evalDocs, "doc_id", "text", cfg, nShards = 1,
+        semantic = Some(st)).collect()
+    }
+    assert(e.getMessage.contains("hot cell") &&
+      e.getMessage.contains("ivfSplitHotCells"), e.getMessage)
+    // at the exact cap (6 pairs <= 6) the same pipeline passes
+    DocPipeline.curate(
+      corpus, evalDocs, "doc_id", "text", cfg, nShards = 1,
+      semantic = Some(st.copy(maxCellPairs = Some(6L)))).collect()
+  }
+
+  test("stored-index stage: a committed centroid swap re-tunes the pipeline with no code change") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col => fcol}
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine"),
+      (12L, "red orange yellow green blue indigo violet colors"),
+      (13L, "north south east west compass points direction words"))
+      .toDF("doc_id", "text")
+    val evalDocs = corpus.filter(lit(false))
+    // unit vectors (assignment is max-cosine): cos(10,11) = cos(12,13)
+    // = 0.96 exactly — both pairs are within the 0.95 threshold when
+    // they share a cell
+    val embeddings = Seq(
+      (10L, Seq(1.0, 0.0)),    // axis x
+      (11L, Seq(0.96, 0.28)),  // 16 degrees off x
+      (12L, Seq(0.0, 1.0)),    // axis y
+      (13L, Seq(0.28, 0.96))   // 16 degrees off y
+    ).toDF("vec_id", "embedding")
+    val cfg = DocPipeline.Config(minTokens = 1, jaccardThreshold = 1.01)
+    val dir = java.nio.file.Files.createTempDirectory("curate-idx").toString
+    // v1 index: one cell per axis — both near-parallel pairs collide
+    // (11 drops against 10, 13 against 12; keep-lowest-id)
+    val v1 = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    Similarity.ivfWriteIndex(spark, dir, v1,
+      embeddings.select(fcol("vec_id").as("nbr"), (fcol("vec_id") % 2).as("cell")))
+    def run() = DocPipeline.curate(
+        corpus, evalDocs, "doc_id", "text", cfg, nShards = 1,
+        semantic = Some(DocPipeline.SemanticStage.fromStoredIndex(
+          spark, dir, embeddings, "vec_id", "embedding", threshold = 0.95)))
+      .collect().map(_.getLong(2)).sum
+    assert(run() == 2, "v1 index: 11 and 13 dedup away")
+    // a committed rebalance swaps the stored centroid table (the
+    // ivfCommitSplit commit point): cell 2 now sits exactly on 11's
+    // direction, so 11 assigns to its own cell (cos 1.0 beats 0.96 at
+    // cell 0) and no longer collides with 10; 13 still shares the y
+    // cell with 12 (cos(13, cell2) = 0.5376 < 0.96) and still drops.
+    // The SAME pipeline config re-reads the stored table and re-tunes
+    val v2 = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0),
+      2L -> Array(0.96, 0.28))
+    Similarity.ivfWriteIndex(spark, dir, v2,
+      embeddings.select(fcol("vec_id").as("nbr"), (fcol("vec_id") % 3).as("cell")))
+    val after = run()
+    assert(after == 3, s"swap did not re-tune the pipeline (got $after)")
+    // equivalence with the explicit-cents construction — the stored
+    // read adds nothing beyond the centroid source
+    val explicit = DocPipeline.curate(
+        corpus, evalDocs, "doc_id", "text", cfg, nShards = 1,
+        semantic = Some(DocPipeline.SemanticStage(
+          embeddings, "vec_id", "embedding",
+          Similarity.ivfReadCentroids(spark, dir), threshold = 0.95)))
+      .collect().map(_.getLong(2)).sum
+    assert(explicit == after)
+  }
+
   test("cleanFromArtifacts equals clean when the consumer tightens the bounds") {
     val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val corpus = Seq(
