@@ -232,6 +232,63 @@ object Bench {
     s""""sdq":$list$count"""
   }
 
+  /** Parse a bench artifact as an AUTO-CARRY source (round 17 — the
+    * r16 truncation fix): per-query timings usable to fill a
+    * budget-truncated run's skipped tail, returned ONLY when the
+    * artifact is a complete certified-clean close at the same SF —
+    * empty failure taxonomy, empty degraded-window and
+    * sustained-degradation flags, not tainted, nothing carried into it
+    * (no chains of carries), ≥ 150 measured queries, ≥ 10 probes. The
+    * criteria mirror tools/warm_ref.py's clean-close definition plus
+    * the r16 sdq flag. Returns (timings, vm_health) or empty.
+    */
+  private[graft] def readCleanCarrySource(
+      path: String, sfDir: String): (Map[String, Double], Option[Double]) = try {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(x) => Some(x)
+      case JDecimal(x) => Some(x.toDouble)
+      case JInt(x) => Some(x.toDouble)
+      case _ => None
+    }
+    def arrEmpty(k: String): Boolean = (j \ k) match {
+      case JArray(xs) => xs.isEmpty
+      case JNothing => true
+      case _ => false
+    }
+    val sfOk = (j \ "sf") match { case JString(s) => s == sfDir; case _ => false }
+    val clean = sfOk &&
+      arrEmpty("failed") && arrEmpty("skipped") && arrEmpty("capped") &&
+      arrEmpty("carried") && arrEmpty("degraded_window_queries") &&
+      arrEmpty("sustained_degraded_queries") &&
+      ((j \ "tainted") == JNothing) &&
+      ((j \ "vm_health_series") match {
+        case JArray(xs) => xs.size >= 10; case _ => false
+      })
+    if (!clean) (Map.empty, None)
+    else (j \ "queries") match {
+      case JObject(fields) if fields.size >= 150 =>
+        (fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap,
+          num(j \ "vm_health"))
+      case _ => (Map.empty, None)
+    }
+  } catch { case _: Throwable => (Map.empty[String, Double], None) }
+
+  /** Split a truncated run's skipped tail into (carried-now,
+    * still-skipped) against a clean carry source — pure for
+    * BenchClassifySpec. A skipped query with a clean prior timing is
+    * carried with explicit provenance; one the source never measured
+    * (a new query) stays genuinely skipped.
+    */
+  private[graft] def autoCarrySplit(
+      skipped: Seq[String],
+      source: Map[String, Double]): (Seq[(String, Double)], Seq[String]) = {
+    val (have, miss) = skipped.partition(source.contains)
+    (have.map(n => n -> source(n)), miss)
+  }
+
   /** The committed warm-reference map for sustained-degradation
     * flagging — `warm_sf0.1` in BENCH_SCALING.json. Empty when the
     * file or key is missing (new checkouts must not fail the bench)
@@ -726,6 +783,21 @@ object Bench {
     val priorTimes: Map[String, Double] =
       readArtifact(outPath).map(_._2).getOrElse(Map.empty)
 
+    // AUTO-CARRY source (round 17): the same committed artifact,
+    // admitted only if it is a complete certified-clean close at this
+    // SF. A wall-budget truncation then self-heals — skipped queries
+    // with a clean prior measurement are carried (with provenance)
+    // instead of left unmeasured, so a mediocre window can no longer
+    // produce a 126-of-198 artifact of record (the r16 failure). New
+    // queries with no clean history stay genuinely skipped. Disable
+    // with SPARK_GRAFT_BENCH_CARRY=0.
+    val (carrySource, carrySourceVh) =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_CARRY", "1") == "0")
+        (Map.empty[String, Double], None)
+      else readCleanCarrySource(outPath, sfDir)
+    if (carrySource.nonEmpty) System.err.println(
+      s"[bench] auto-carry source armed: ${carrySource.size} clean prior timings")
+
     // On a pathological-VM day the wall budget truncates the run — in
     // name order that times q01..q1x and skips whole operator families.
     // Time one representative per family FIRST so even a short run
@@ -743,7 +815,14 @@ object Bench {
       "q114_segment_dedup", "q115_domain_mix", "q117_repeated_spans",
       "q118_editdist_neardup", "q120_threshold_sweep",
       "q122_interval_overlap", "q126_leakage_split",
-      "q136_image_decode", "q137_curate_increment")
+      "q136_image_decode", "q137_curate_increment",
+      // sparse-similarity family: q139 is the representative AND the
+      // family warmer; q140 — the suite's single heaviest query —
+      // rides immediately after it so its measurement is family-warm
+      // instead of absorbing the whole family's cold tax at
+      // tail-start (the third-round q140 ask: 9.4 s in-suite vs
+      // 7.45 s proven warm was position, not plan)
+      "q139_sparse_allpairs", "q140_weighted_jaccard")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => carried.contains(q._1))
     val byName = all.toMap
@@ -815,6 +894,24 @@ object Bench {
       }
     }
     timer.cancel()
+    // auto-carry migration: wall-budget skips with a clean prior
+    // timing become carried entries (same artifact semantics as
+    // resume — listed under "carried", judged as carried by the sdq
+    // flag, vm_health of the source recorded)
+    if (skipped.nonEmpty && carrySource.nonEmpty) {
+      val known = SparkEntry.queries.keySet
+      val (carryNow, stillSkipped) =
+        autoCarrySplit(skipped.toSeq.filter(known.contains), carrySource)
+      if (carryNow.nonEmpty) {
+        skipped.clear()
+        skipped ++= stillSkipped
+        carryNow.sortBy(_._1).foreach { case (k, v) => carried += k -> v }
+        if (carriedVmHealth.isEmpty) carriedVmHealth = carrySourceVh
+        System.err.println(
+          s"[bench] auto-carry: ${carryNow.size} budget-skipped queries " +
+            s"carried from the clean prior close; ${stillSkipped.size} remain skipped")
+      }
+    }
     // closing probe: bounds the last window so end-of-run degradation
     // is attributable too
     if (probesEnabled && vmSeries.lastOption.exists(_._1 < results.size))
@@ -871,7 +968,11 @@ object Bench {
     val taxonomy =
       (if (failed.nonEmpty) s""","failed":$failedJson""" else "") +
       (if (skipped.nonEmpty) s""","skipped":$skippedJson""" else "") +
-      (if (capped.nonEmpty) s""","capped":$cappedJson""" else "")
+      (if (capped.nonEmpty) s""","capped":$cappedJson""" else "") +
+      // carried-count provenance on the stdout line (names + source
+      // vm_health live in bench_full.json): a self-healed truncation
+      // must be distinguishable from a fully-measured run
+      (if (carried.nonEmpty) s""","ncar":${carried.size}""" else "")
     // sustained-degradation flag, ALWAYS present on the stdout line
     // (the certification criterion is "present and empty", so its
     // absence must be distinguishable from a clean run); normalized

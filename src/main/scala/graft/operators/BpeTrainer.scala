@@ -51,7 +51,110 @@ object BpeTrainer {
     */
   val PersistEvery = 16
 
+  /** Vocabulary-size bound for the single-collect trainer: below this
+    * many distinct words, [[trainMerges]] collects the (symbols, freq)
+    * table once and runs the whole greedy merge loop on the driver —
+    * ONE Spark job instead of `nMerges` argmax collects (plus the
+    * replace-chain re-executions between them). This is how production
+    * BPE trainers are built (HF tokenizers, sentencepiece: distributed
+    * word counting, LOCAL merge loop — pair statistics depend only on
+    * word shapes × frequencies, a vocabulary-sized object), and it is
+    * the q167 job-count diet applied to the suite's worst driver-loop
+    * amplification family (r16: q151 7.8×, q153 8.6×, q186 11.5× on a
+    * degraded scheduler — every extra barrier stretched). At ~60 bytes
+    * per padded word, 4M words ≈ 250 MB driver heap: collectable on
+    * any driver that runs this trainer. Above the bound the original
+    * distributed per-round loop runs instead ([[trainMergesDistributed]]
+    * — same greedy chain, so the two paths are output-identical;
+    * BpeSpec asserts it).
+    */
+  val MaxDriverVocab: Long = 4000000L
+
   def trainMerges(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val spark = docs.sparkSession
+    // one corpus pass: token occurrence frequencies in padded-symbol
+    // form — the ONLY corpus-sized work of BPE training
+    val wf = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // " h e l l o _ " — space-padded char symbols + end-of-word marker
+      .select(concat(lit(" "),
+          regexp_replace(col("word"), "(.)", "$1 "), lit("_ ")).as("s"),
+        col("freq"))
+    // the vocab gate rides the same single job: collect up to the
+    // bound + 1 rows; an overflow falls back to the distributed loop
+    // (its first action re-runs the corpus pass — the rare path pays
+    // one extra job, the common path saves nMerges of them)
+    val head = wf.limit((MaxDriverVocab + 1).toInt).collect()
+    if (head.length > MaxDriverVocab)
+      return trainMergesDistributed(docs, textCol, nMerges)
+    trainMergesLocal(spark,
+      head.map(r => (r.getString(0), r.getLong(1))), nMerges)
+  }
+
+  /** The driver-side greedy merge loop over a collected (symbols,
+    * freq) vocabulary — exactly [[trainMergesDistributed]]'s chain:
+    * adjacent-pair counts weighted by word frequency, argmax by
+    * (count desc, pair asc in UTF-8 BINARY order — Spark's string
+    * ordering, which plain Java String comparison would get wrong for
+    * supplementary characters), literal space-padded left-to-right
+    * non-overlapping replace (Java's `String.replace` and Spark's
+    * `replace` share that scan rule). Package-private for the BpeSpec
+    * equivalence case.
+    */
+  private[graft] def trainMergesLocal(
+      spark: SparkSession,
+      vocab: Array[(String, Long)],
+      nMerges: Int): DataFrame = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    var words = vocab
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = new java.util.HashMap[String, Long]()
+      words.foreach { case (s, f) =>
+        val toks = s.trim.split(" ")
+        var i = 0
+        while (i < toks.length - 1) {
+          counts.merge(toks(i) + " " + toks(i + 1), f, (a: Long, b: Long) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestPair: String = null
+        var bestCnt = Long.MinValue
+        counts.forEach { (p, c) =>
+          if (c > bestCnt || (c == bestCnt &&
+              java.util.Arrays.compareUnsigned(
+                p.getBytes(utf8), bestPair.getBytes(utf8)) < 0)) {
+            bestPair = p; bestCnt = c
+          }
+        }
+        val Array(lhs, rhs) = bestPair.split(" ", 2)
+        merges += ((rank.toLong, lhs, rhs, bestCnt))
+        words = words.map { case (s, f) =>
+          (s.replace(s" $bestPair ", s" $lhs$rhs "), f)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    spark.createDataFrame(merges.result())
+      .toDF("merge_rank", "lhs", "rhs", "cnt")
+  }
+
+  /** The original distributed per-round loop — one pair-count argmax
+    * job per merge over the persisted vocabulary table. Kept as the
+    * over-bound fallback of [[trainMerges]] and as the equivalence
+    * oracle for the driver-side loop (BpeSpec runs both).
+    */
+  private[graft] def trainMergesDistributed(
       docs: DataFrame,
       textCol: String,
       nMerges: Int): DataFrame = {

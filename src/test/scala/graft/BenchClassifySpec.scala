@@ -188,7 +188,7 @@ class BenchClassifySpec extends AnyFunSuite {
       names.sortBy(n => (-shortName(n).length, n))
         .take(Bench.SdqInlineCap + 50).map(shortName))
     val line =
-      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs$rest,$sdqWorst,"sf":0.1}"""
+      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs$rest,"ncar":${names.size},$sdqWorst,"sf":0.1}"""
     assert(line.length < 1900,
       s"final line ${line.length} chars at ${names.size} queries — diet again " +
         "(next lever: lower the 170-entry cap or drop the unit field)")
@@ -226,6 +226,54 @@ class BenchClassifySpec extends AnyFunSuite {
     assert(Bench.sustainedDegraded(
       Seq("q3_mid" -> 5.1, "q1_big" -> 13.0, "q2_small" -> 0.2), refs) ===
       Seq("q3_mid", "q1_big"))
+  }
+
+  test("auto-carry source: only a complete certified-clean close at the same sf qualifies") {
+    def art(extra: String, nq: Int = 160, probes: Int = 12): String = {
+      val qs = (1 to nq).map(i => s""""q$i":1.0""").mkString("{", ",", "}")
+      val series = (1 to probes)
+        .map(i => s"""{"after_n":$i,"t":0.3}""").mkString("[", ",", "]")
+      s"""{"metric":"total","value":1,"queries":$qs,"failed":[],"skipped":[],"capped":[],"carried":[],"vm_health":0.25,"vm_health_series":$series,"degraded_window_queries":[],"sustained_degraded_queries":[]$extra,"sf":"/d/sf0.1"}"""
+    }
+    def src(json: String): Map[String, Double] = {
+      val p = java.nio.file.Files.createTempFile("carry", ".json")
+      java.nio.file.Files.writeString(p, json)
+      val out = Bench.readCleanCarrySource(p.toString, "/d/sf0.1")
+      java.nio.file.Files.delete(p)
+      out._1
+    }
+    assert(src(art("")).size == 160)
+    // vm_health of the source rides along for carried_vm_health
+    val p2 = java.nio.file.Files.createTempFile("carry", ".json")
+    java.nio.file.Files.writeString(p2, art(""))
+    assert(Bench.readCleanCarrySource(p2.toString, "/d/sf0.1")._2 === Some(0.25))
+    java.nio.file.Files.delete(p2)
+    // every disqualifier: wrong sf, any taxonomy entry, dwq, sdq,
+    // taint, a carried chain, too few queries or probes
+    assert(src(art("").replace("/d/sf0.1", "/d/sf0.01")).isEmpty)
+    assert(src(art("").replace(""""failed":[]""", """"failed":["q9"]""")).isEmpty)
+    assert(src(art("").replace(""""skipped":[]""", """"skipped":["q9"]""")).isEmpty)
+    assert(src(art("").replace(""""capped":[]""", """"capped":[{"name":"q9","ran_s":9}]""")).isEmpty)
+    assert(src(art("").replace(""""carried":[]""", """"carried":["q9"]""")).isEmpty)
+    assert(src(art("").replace(""""degraded_window_queries":[]""",
+      """"degraded_window_queries":["q9"]""")).isEmpty)
+    assert(src(art("").replace(""""sustained_degraded_queries":[]""",
+      """"sustained_degraded_queries":[{"name":"q9"}]""")).isEmpty)
+    assert(src(art(""","tainted":true""")).isEmpty)
+    assert(src(art("", nq = 100)).isEmpty)
+    assert(src(art("", probes = 5)).isEmpty)
+    assert(Bench.readCleanCarrySource("/nonexistent.json", "/d/sf0.1")._1.isEmpty)
+  }
+
+  test("auto-carry split: clean prior timings carry, unknown queries stay skipped") {
+    val source = Map("q1_a" -> 1.5, "q2_b" -> 0.3)
+    val (carry, still) = Bench.autoCarrySplit(
+      Seq("q2_b", "q9_new", "q1_a"), source)
+    assert(carry === Seq("q2_b" -> 0.3, "q1_a" -> 1.5))
+    assert(still === Seq("q9_new"))
+    assert(Bench.autoCarrySplit(Nil, source) === ((Nil, Nil)))
+    assert(Bench.autoCarrySplit(Seq("q9"), Map.empty[String, Double]) ===
+      ((Nil, Seq("q9"))))
   }
 
   test("warm references load from BENCH_SCALING.json and gate on the sf0.1 scale") {

@@ -34,6 +34,24 @@ class BpeSpec extends AnyFunSuite {
       "the boundary-consumed occurrence survives to round 2 (documented replace semantics)")
   }
 
+  test("driver-side merge loop is output-identical to the distributed per-round loop") {
+    // the round-17 job-count diet: trainMerges collects the vocabulary
+    // once and runs the greedy chain locally; the distributed per-round
+    // argmax loop is the semantics oracle. A corpus with frequency
+    // ties (lexicographic break), alternating runs (replace-scan
+    // semantics) and multi-round merged-symbol reuse must come out
+    // bit-identical through both paths
+    val corpus = Seq(
+      Tuple1("lower lowest newer newest wider widest low new abab aab"),
+      Tuple1("the newer model is wider and the lowest is newest abab"),
+      Tuple1("low low lower lowest new newer newest aab ab ba")).toDF("text")
+    val viaLocal = BpeTrainer.trainMerges(corpus, "text", 10)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val viaDistributed = BpeTrainer.trainMergesDistributed(corpus, "text", 10)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(viaLocal == viaDistributed)
+  }
+
   test("round trip: train -> encode -> detokenize recovers every normalized word") {
     val corpus = Seq(
       Tuple1("lower lowest newer newest wider widest low new"),
