@@ -822,7 +822,24 @@ object Bench {
       // instead of absorbing the whole family's cold tax at
       // tail-start (the third-round q140 ask: 9.4 s in-suite vs
       // 7.45 s proven warm was position, not plan)
-      "q139_sparse_allpairs", "q140_weighted_jaccard")
+      "q139_sparse_allpairs", "q140_weighted_jaccard",
+      // memo-family attribution pins (round 17): the ensemble
+      // verified-pair table, the full-corpus classifier train and the
+      // held-out-fold train are JVM RESULT memos, deliberately never
+      // prewarmed — someone must be measured paying each build. But
+      // ordering by prior-artifact timings shifted WHO between rounds
+      // (r16 close: q152 paid 2.9 s, q155 rode 0.2 s; next run: q155
+      // paid 3.1 s, q152 rode 0.1 s), so every member's warm level is
+      // bimodal and the sustained-degradation references meaningless
+      // for the whole family. Pin payer -> riders: the designated
+      // payer (the query whose NAME is the build: the pair table, the
+      // train) always measures paying, riders always measure
+      // family-warm. Warm-ref history for all eight is invalidated at
+      // this commit (tools/warm_ref.py PLAN_CHANGED_AT).
+      "q152_ensemble_neardup", "q155_ensemble_recall",
+      "q162_train_quality", "q167_train_gate",
+      "q174_eval_report", "q175_gate_select", "q176_select_gate",
+      "q178_calibration")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => carried.contains(q._1))
     val byName = all.toMap
