@@ -52,10 +52,36 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # granularity cannot order two commits on the change day itself, so a
 # date cutoff either kept pre-change closes (strict <) or dropped
 # valid post-change closes committed later the same day (<=).
+PIN_COMMIT = "30a01334d2d2640006cf6cb7cb0e8add7f3f750d"
+
 PLAN_CHANGED_AT = {
     # round 16: trainHashed epochs restructured join-free; the query's
     # pre-change levels (and the memo-hit era's 0.9s values) are stale
-    "q167_train_gate": "50712e59de4e45fac8daae6b48cf5f3623e40829",
+    # (superseded below by the round-17 attribution pin, which is
+    # strictly newer — kept for the methodology record)
+    # "q167_train_gate": "50712e59de4e45fac8daae6b48cf5f3623e40829",
+
+    # round 17: BPE merge training collapsed to a driver-side loop
+    # (one collect instead of nMerges argmax jobs) — intrinsic cost
+    # changed for the whole trio
+    "q151_bpe_merges": "e8a62622841bdad4c62fe8eb4e18ebbbe81a258d",
+    "q153_bpe_encode": "e8a62622841bdad4c62fe8eb4e18ebbbe81a258d",
+    "q186_bpe_fit_by_lang": "e8a62622841bdad4c62fe8eb4e18ebbbe81a258d",
+
+    # round 17: memo-family attribution pinned in the bench priority
+    # block (payer -> riders). Every historical sample for these eight
+    # is bimodal (payer vs rider mode depending on that round's
+    # ordering), so the entire pre-pin history is invalid for BOTH
+    # modes: the pinned payers' refs must come from pay-mode samples
+    # only, the riders' from family-warm samples only.
+    "q152_ensemble_neardup": PIN_COMMIT,
+    "q155_ensemble_recall": PIN_COMMIT,
+    "q162_train_quality": PIN_COMMIT,
+    "q167_train_gate": PIN_COMMIT,
+    "q174_eval_report": PIN_COMMIT,
+    "q175_gate_select": PIN_COMMIT,
+    "q176_select_gate": PIN_COMMIT,
+    "q178_calibration": PIN_COMMIT,
 }
 
 _ancestry_cache: dict = {}
