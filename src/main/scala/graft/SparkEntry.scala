@@ -391,7 +391,8 @@ object SparkEntry {
       Seq(() => keyedRefLmArtifacts(s, dir),
         () => keyedRefLm3Artifacts(s, dir),
         () => keyedKn3CutoffArtifact(s, dir),
-        () => keyedRefLm3BaseArtifact(s, dir)),
+        () => keyedRefLm3BaseArtifact(s, dir),
+        () => keyedRefLm5Artifact(s, dir)),
       Seq(() => curateStateShared(s, dir),
         () => curationFamilyArtifacts(s, dir),
         () => gateDeployArtifacts(s, dir),
@@ -892,6 +893,28 @@ object SparkEntry {
       finally cuts.unpersist()
       core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
       cp
+    }
+
+  /** The STORED per-language ORDER-5 reference-LM artifact —
+    * [[keyedRefLm3Artifacts]] at CCNet's production depth: the eight
+    * keyed count tables (six order-3 plus raw keyed 4-/5-gram counts),
+    * freshness-stamped. Stored counts UNPRUNED (the additive keyed
+    * merge contract); q203 applies KenLM-style singleton pruning as
+    * the score-time view, per key.
+    */
+  private val keyedRefLm5ArtifactMemo = new SessionMemo[String, String]
+
+  private def keyedRefLm5Artifact(s: SparkSession, dir: String): String =
+    keyedRefLm5ArtifactMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-reflm5-keyed")
+      val p = base.resolve("model").toString
+      val docs = T(s, dir, "documents")
+      operators.Ranking.writeKeyedRefLm5(
+        operators.Ranking.refLm5TrainByKey(
+          docs, "doc_id", "text", "lang",
+          col("source").isin("src0", "src1")), p)
+      core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
+      p
     }
 
   /** The STORED half-corpus keyed order-3 BASE — [[refLmBaseArtifact]]
@@ -2732,6 +2755,24 @@ object SparkEntry {
       operators.Ranking.refLm5PerplexityBuckets(
         operators.Ranking.refLmKn5Score(docs, "doc_id", "text", m,
           minCount5 = 2, minCount4 = 2))
+    }),
+
+    // ---- extension: per-language 5-gram Kneser-Ney ----
+    // CCNet's ACTUAL production matrix (one 5-gram interpolated-KN
+    // KenLM model per language): every doc scores under ITS language's
+    // stored eight-table chain with per-key singleton pruning as the
+    // score-time view, bucketed at per-language tertiles. Unmodeled
+    // languages are absent (the keyed INNER-totals contract)
+    "q203_kn5_by_lang" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val p = keyedRefLm5Artifact(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(p).getParent + "/stamp")
+      val m = operators.Ranking.readKeyedRefLm5(s, p)
+      operators.Ranking.refLm5PerplexityBucketsByKey(
+        operators.Ranking.refLmKn5ScoreByKey(docs, "doc_id", "text", "lang", m,
+          minCount5 = 2, minCount4 = 2),
+        "lang")
     }),
 
     // ---- extension: token budget plan (epochs per domain) ----
@@ -5898,6 +5939,13 @@ object SparkEntry {
       operators.Ranking.refLmKn5BucketsSql(
         "documents", "doc_id", "text", "lang = 'en'",
         minCount5 = 2, minCount4 = 2),
+
+    // per-language 5-gram KN chain replayed per key with the same
+    // score-time pruning views
+    "q203_kn5_by_lang" ->
+      operators.Ranking.refLmKn5BucketsByKeySql(
+        "documents", "doc_id", "text", "lang",
+        "source IN ('src0', 'src1')", minCount5 = 2, minCount4 = 2),
 
     // keyed Kneser-Ney chain replayed per language; q201 shares the
     // oracle verbatim — labeling at stored cutoffs measured on the

@@ -2002,6 +2002,230 @@ object Ranking {
           staged))
     }
 
+  // --------------------------------------------------------------------
+  // Keyed order-5 reference LMs — CCNet's ACTUAL production artifact:
+  // one 5-gram interpolated-Kneser-Ney model per language. The keyed
+  // high-order tables inherit the order-5 storage contract verbatim
+  // (distinct 5-grams ≈ corpus tokens, so `fourgram`/`fivegram` are
+  // corpus-scale partitioned parquet — now further partitioned by the
+  // key; stored counts stay UNPRUNED for additivity, KenLM-style
+  // singleton pruning is the score-time view).
+  // --------------------------------------------------------------------
+
+  /** [[RefLm5Model]] keyed: the keyed order-3 model plus
+    *  - `fourgrams`: (__k, w1..w4, c4)
+    *  - `fivegrams`: (__k, w1..w5, c5)
+    */
+  final case class KeyedRefLm5Model(
+      base3: KeyedRefLm3Model, fourgrams: DataFrame, fivegrams: DataFrame)
+
+  /** [[refLm5Train]] keyed by `keyCol`: every language's 5-gram model
+    * in ONE pass — two more partial-aggregated groupBys with the key
+    * riding, no per-language job loop.
+    */
+  def refLm5TrainByKey(docs: DataFrame, idCol: String, textCol: String,
+      keyCol: String, isRef: Column): KeyedRefLm5Model = {
+    val base3 = refLm3TrainByKey(docs, idCol, textCol, keyCol, isRef)
+    val toks = docs.filter(isRef)
+      .select(col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
+    val four = toks.select(col("__k"), fourgramQuads.as("__fg"))
+      .select(col("__k"), col("__fg.w1").as("w1"), col("__fg.w2").as("w2"),
+        col("__fg.w3").as("w3"), col("__fg.w4").as("w4"))
+      .groupBy("__k", "w1", "w2", "w3", "w4").agg(count(lit(1)).as("c4"))
+    val five = toks.select(col("__k"), fivegramQuints.as("__qg"))
+      .select(col("__k"), col("__qg.w1").as("w1"), col("__qg.w2").as("w2"),
+        col("__qg.w3").as("w3"), col("__qg.w4").as("w4"),
+        col("__qg.w5").as("w5"))
+      .groupBy("__k", "w1", "w2", "w3", "w4", "w5")
+      .agg(count(lit(1)).as("c5"))
+    KeyedRefLm5Model(base3, four, five)
+  }
+
+  /** [[refLmKn5Score]] keyed: each pool document scores under ITS
+    * `keyCol` value's 5-gram interpolated-Kneser-Ney chain. Every
+    * derivation table is the unkeyed one with `__k` riding its groupBy
+    * (per-key continuation tables partition the unkeyed ones), so the
+    * eight-table keyed stored deploy, stamps and the bit-equal keyed
+    * merge ([[mergeIntoStoredKeyedRefLm5]]) carry over unchanged.
+    * `minCount5`/`minCount4` prune the raw high-order tables per key
+    * BEFORE any derivation, exactly as [[refLmKn5Score]].
+    *
+    * Key contract as [[refLmKn3ScoreByKey]]: totals join INNER on the
+    * key (unmodeled keys absent), per-key distinct-bigram total LEFT
+    * with a 0 default. Determinism unchanged. Returns
+    * (id, keyCol, n_5grams, logprob).
+    */
+  def refLmKn5ScoreByKey(pool: DataFrame, idCol: String, textCol: String,
+      keyCol: String, model: KeyedRefLm5Model,
+      dNum: Int = 3, dDen: Int = 4,
+      minCount5: Long = 1, minCount4: Long = 1): DataFrame = {
+    require(dNum > 0 && dNum < dDen, s"need 0 < D < 1, got $dNum/$dDen")
+    require(minCount5 >= 1 && minCount4 >= 1,
+      s"count-pruning thresholds must be >= 1, got $minCount5/$minCount4")
+    val id = col(idCol)
+    val d = dNum.toDouble / dDen
+    val tf = pool
+      .select(id, col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
+      .select(id, col("__k"), fivegramQuints.as("__qg"))
+      .select(id, col("__k"), col("__qg.w1").as("w1"), col("__qg.w2").as("w2"),
+        col("__qg.w3").as("w3"), col("__qg.w4").as("w4"),
+        col("__qg.w5").as("w5"))
+      .groupBy(id, col("__k"), col("w1"), col("w2"), col("w3"), col("w4"),
+        col("w5"))
+      .agg(count(lit(1)).as("tfq"))
+    val quints = tf.select("__k", "w1", "w2", "w3", "w4", "w5").distinct()
+    // pruned raw views — every derivation below reads these
+    val five = model.fivegrams.filter(col("c5") >= lit(minCount5))
+    val four = model.fourgrams.filter(col("c4") >= lit(minCount4))
+    val ce5 = five.groupBy("__k", "w1", "w2", "w3", "w4")
+      .agg(sum("c5").as("__c5x"), count(lit(1)).as("__t5"))
+    val cc4 = five.groupBy("__k", "w2", "w3", "w4", "w5")
+      .agg(count(lit(1)).as("__cc4"))
+    val c4 = cc4.groupBy("__k", "w2", "w3", "w4")
+      .agg(sum("__cc4").as("__c4x"), count(lit(1)).as("__t4"))
+    val cc3 = four.groupBy("__k", "w2", "w3", "w4")
+      .agg(count(lit(1)).as("__cc3"))
+      .select(col("__k"), col("w2").as("w3"), col("w3").as("w4"),
+        col("w4").as("w5"), col("__cc3"))
+    val c3 = cc3.groupBy("__k", "w3", "w4")
+      .agg(sum("__cc3").as("__c3x"), count(lit(1)).as("__t3"))
+    val cc2 = model.base3.trigrams.groupBy("__k", "w2", "w3")
+      .agg(count(lit(1)).as("__cc2"))
+      .select(col("__k"), col("w2").as("w4"), col("w3").as("w5"),
+        col("__cc2"))
+    val c2 = cc2.groupBy("__k", "w4")
+      .agg(sum("__cc2").as("__c2x"), count(lit(1)).as("__t2"))
+    val cu = model.base3.base.bigrams.groupBy("__k", "w2")
+      .agg(count(lit(1)).as("__cu"))
+    val btot = model.base3.base.bigrams.groupBy("__k")
+      .agg(count(lit(1)).as("__nbig"))
+    val pC5 = coalesce(col("c5"), lit(0L)).cast("double")
+    val pX5 = coalesce(col("__c5x"), lit(0L))
+    val pT5 = coalesce(col("__t5"), lit(0L)).cast("double")
+    val pCC4 = coalesce(col("__cc4"), lit(0L)).cast("double")
+    val pX4 = coalesce(col("__c4x"), lit(0L))
+    val pT4 = coalesce(col("__t4"), lit(0L)).cast("double")
+    val pCC3 = coalesce(col("__cc3"), lit(0L)).cast("double")
+    val pX3 = coalesce(col("__c3x"), lit(0L))
+    val pT3 = coalesce(col("__t3"), lit(0L)).cast("double")
+    val pCC2 = coalesce(col("__cc2"), lit(0L)).cast("double")
+    val pX2 = coalesce(col("__c2x"), lit(0L))
+    val pT2 = coalesce(col("__t2"), lit(0L)).cast("double")
+    val pCU = coalesce(col("__cu"), lit(0L)).cast("double")
+    val bv = (coalesce(col("__nbig"), lit(0L)) + col("vocab")).cast("double")
+    val pc = (pCU + lit(1.0)) / bv
+    val p2 = when(pX2 > lit(0L),
+      (greatest(pCC2 - lit(d), lit(0.0)) + lit(d) * pT2 * pc) /
+        pX2.cast("double")).otherwise(pc)
+    val p3 = when(pX3 > lit(0L),
+      (greatest(pCC3 - lit(d), lit(0.0)) + lit(d) * pT3 * p2) /
+        pX3.cast("double")).otherwise(p2)
+    val p4 = when(pX4 > lit(0L),
+      (greatest(pCC4 - lit(d), lit(0.0)) + lit(d) * pT4 * p3) /
+        pX4.cast("double")).otherwise(p3)
+    val p5 = when(pX5 > lit(0L),
+      (greatest(pC5 - lit(d), lit(0.0)) + lit(d) * pT5 * p4) /
+        pX5.cast("double")).otherwise(p4)
+    val logp = quints
+      .join(five, Seq("__k", "w1", "w2", "w3", "w4", "w5"), "left")
+      .join(ce5, Seq("__k", "w1", "w2", "w3", "w4"), "left")
+      .join(cc4, Seq("__k", "w2", "w3", "w4", "w5"), "left")
+      .join(c4, Seq("__k", "w2", "w3", "w4"), "left")
+      .join(cc3, Seq("__k", "w3", "w4", "w5"), "left")
+      .join(c3, Seq("__k", "w3", "w4"), "left")
+      .join(cc2, Seq("__k", "w4", "w5"), "left")
+      .join(c2, Seq("__k", "w4"), "left")
+      .join(cu.select(col("__k"), col("w2").as("w5"), col("__cu")),
+        Seq("__k", "w5"), "left")
+      .join(broadcast(model.base3.base.totals), Seq("__k"))
+      .join(broadcast(btot), Seq("__k"), "left")
+      .select(col("__k"), col("w1"), col("w2"), col("w3"), col("w4"),
+        col("w5"), round(log(p5), 9).cast("decimal(18,9)").as("logp9"))
+    tf.join(logp, Seq("__k", "w1", "w2", "w3", "w4", "w5"))
+      .groupBy(id, col("__k"))
+      .agg(sum(col("tfq")).as("n_5grams"),
+        sum(col("tfq").cast("decimal(18,0)") * col("logp9")).as("__slp"))
+      .select(id, col("__k").as(keyCol), col("n_5grams"),
+        round(col("__slp").cast("double") / col("n_5grams"), 6).as("logprob"))
+  }
+
+  /** [[refLmPerplexityBucketsByKey]] over a keyed order-5 scored
+    * frame — per-key tertile cutoffs, reporting `n_5grams`.
+    */
+  def refLm5PerplexityBucketsByKey(scored: DataFrame, keyCol: String): DataFrame =
+    refLm5PerplexityBucketsByKeyCached(scored, keyCol).df
+
+  /** [[refLm5PerplexityBucketsByKey]] exposing the persisted histogram
+    * handle — the [[Dedup.CachedDF]] contract.
+    */
+  def refLm5PerplexityBucketsByKeyCached(
+      scored: DataFrame, keyCol: String): Dedup.CachedDF =
+    bucketsByKeyFromScoredCached(scored, keyCol, "n_5grams")
+
+  /** Persist a [[KeyedRefLm5Model]] — the six keyed order-3 tables
+    * plus `fourgram` and `fivegram`, all eight overlapped through
+    * [[writeTablesParallel]].
+    */
+  def writeKeyedRefLm5(model: KeyedRefLm5Model, path: String): Unit =
+    writeTablesParallel(Seq(
+      (model.base3.base.unigrams, s"$path/unigram", false),
+      (model.base3.base.contexts, s"$path/ctx", false),
+      (model.base3.base.bigrams, s"$path/bigram", false),
+      (model.base3.base.totals, s"$path/totals", true),
+      (model.base3.trigrams, s"$path/trigram", false),
+      (model.base3.triContexts, s"$path/tctx", false),
+      (model.fourgrams, s"$path/fourgram", false),
+      (model.fivegrams, s"$path/fivegram", false)))
+
+  /** Read back a [[writeKeyedRefLm5]] artifact ([[readKeyedRefLm]]'s
+    * empty-totals fail-fast included).
+    */
+  def readKeyedRefLm5(spark: SparkSession, path: String): KeyedRefLm5Model =
+    KeyedRefLm5Model(
+      readKeyedRefLm3(spark, path),
+      spark.read.parquet(s"$path/fourgram"),
+      spark.read.parquet(s"$path/fivegram"))
+
+  /** [[mergeIntoStoredKeyedRefLm3]] at order 5: the keyed 4-/5-gram
+    * tables merge additively alongside the six — eight staged tables,
+    * one swap, same replay guard; bit-equal to [[refLm5TrainByKey]]
+    * on the union, and because KN derivations are score-time groupBys
+    * over these counts, merge-then-KN ≡ retrain-then-KN per key
+    * (RefLmKn5Spec asserts it).
+    */
+  def mergeIntoStoredKeyedRefLm5(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, textCol: String, keyCol: String,
+      isRef: Column = lit(true), batchId: Option[Long] = None): Boolean =
+    stagedCountMerge(spark, path, batchId) { () =>
+      val stored = readKeyedRefLm5(spark, path)
+      val d = refLm5TrainByKey(delta, idCol, textCol, keyCol, isRef)
+      val uni = stored.base3.base.unigrams.unionByName(d.base3.base.unigrams)
+        .groupBy("__k", "term").agg(sum("c1").as("c1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val big = stored.base3.base.bigrams.unionByName(d.base3.base.bigrams)
+        .groupBy("__k", "w1", "w2").agg(sum("cb").as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tri = stored.base3.trigrams.unionByName(d.base3.trigrams)
+        .groupBy("__k", "w1", "w2", "w3").agg(sum("ct").as("ct"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val four = stored.fourgrams.unionByName(d.fourgrams)
+        .groupBy("__k", "w1", "w2", "w3", "w4").agg(sum("c4").as("c4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val five = stored.fivegrams.unionByName(d.fivegrams)
+        .groupBy("__k", "w1", "w2", "w3", "w4", "w5").agg(sum("c5").as("c5"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ctx = big.groupBy("__k", "w1").agg(sum("cb").as("ctx"))
+      val tctx = tri.groupBy("__k", "w1", "w2").agg(sum("ct").as("ctx3"))
+      val tot = uni.groupBy("__k")
+        .agg(sum("c1").as("n_ref_tokens"), count(lit(1)).as("vocab"))
+      (Seq(uni, big, tri, four, five), staged =>
+        writeKeyedRefLm5(
+          KeyedRefLm5Model(
+            KeyedRefLm3Model(KeyedRefLmModel(uni, ctx, big, tot), tri, tctx),
+            four, five),
+          staged))
+    }
+
   /** DuckDB SQL twin of [[refLmTrainByKey]] → [[refLmScoreByKey]] →
     * [[refLmPerplexityBucketsByKey]] over `keyCol` (surfaced under its
     * own name). Shared-chain CTEs are `AS MATERIALIZED`.
@@ -2718,6 +2942,189 @@ object Ranking {
        |  COUNT(*) AS n_docs,
        |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
        |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
+       |FROM scored
+       |JOIN vhead ON scored.k = vhead.k
+       |JOIN vmid ON scored.k = vmid.k
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB SQL twin of [[refLm5TrainByKey]] → [[refLmKn5ScoreByKey]]
+    * → [[refLm5PerplexityBucketsByKey]]: the 5-gram interpolated-KN
+    * chain with the key riding every table ([[refLmKn5BucketsSql]]'s
+    * arithmetic, including the score-time count-pruning views) and
+    * per-key tertile cutoffs. Shared-chain CTEs are `AS MATERIALIZED`.
+    */
+  def refLmKn5BucketsByKeySql(src: String, idCol: String, textCol: String,
+      keyCol: String, refPred: String, dNum: Int = 3, dDen: Int = 4,
+      minCount5: Long = 1, minCount4: Long = 1): String = {
+    val dd = s"(CAST($dNum AS DOUBLE) / $dDen)"
+    s"""WITH reft AS MATERIALIZED (
+       |  SELECT $keyCol AS k, ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src WHERE ($refPred)),
+       |runi AS MATERIALIZED (
+       |  SELECT k, term, COUNT(*) AS c1
+       |  FROM (SELECT k, unnest(a) AS term FROM reft) GROUP BY 1, 2),
+       |rvoc AS MATERIALIZED (
+       |  SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab FROM runi GROUP BY 1),
+       |rbig AS MATERIALIZED (
+       |  SELECT k, w1, w2, COUNT(*) AS cb FROM (
+       |    SELECT k, unnest(a[1:len(a) - 1]) AS w1, unnest(a[2:len(a)]) AS w2
+       |    FROM reft WHERE len(a) >= 2)
+       |  GROUP BY 1, 2, 3),
+       |rbt AS MATERIALIZED (
+       |  SELECT k, CAST(COUNT(*) AS BIGINT) AS nbig FROM rbig GROUP BY 1),
+       |rtri AS MATERIALIZED (
+       |  SELECT k, w1, w2, w3, COUNT(*) AS ct FROM (
+       |    SELECT k, unnest(a[1:len(a) - 2]) AS w1,
+       |      unnest(a[2:len(a) - 1]) AS w2, unnest(a[3:len(a)]) AS w3
+       |    FROM reft WHERE len(a) >= 3)
+       |  GROUP BY 1, 2, 3, 4),
+       |rfour AS MATERIALIZED (
+       |  SELECT k, w1, w2, w3, w4 FROM (
+       |    SELECT k, w1, w2, w3, w4, COUNT(*) AS c4 FROM (
+       |      SELECT k, unnest(a[1:len(a) - 3]) AS w1,
+       |        unnest(a[2:len(a) - 2]) AS w2, unnest(a[3:len(a) - 1]) AS w3,
+       |        unnest(a[4:len(a)]) AS w4
+       |      FROM reft WHERE len(a) >= 4)
+       |    GROUP BY 1, 2, 3, 4, 5)
+       |  WHERE c4 >= $minCount4),
+       |rfive AS MATERIALIZED (
+       |  SELECT k, w1, w2, w3, w4, w5, c5 FROM (
+       |    SELECT k, w1, w2, w3, w4, w5, COUNT(*) AS c5 FROM (
+       |      SELECT k, unnest(a[1:len(a) - 4]) AS w1,
+       |        unnest(a[2:len(a) - 3]) AS w2, unnest(a[3:len(a) - 2]) AS w3,
+       |        unnest(a[4:len(a) - 1]) AS w4, unnest(a[5:len(a)]) AS w5
+       |      FROM reft WHERE len(a) >= 5)
+       |    GROUP BY 1, 2, 3, 4, 5, 6)
+       |  WHERE c5 >= $minCount5),
+       |rce5 AS MATERIALIZED (
+       |  SELECT k, w1, w2, w3, w4, CAST(SUM(c5) AS BIGINT) AS c5x,
+       |    CAST(COUNT(*) AS BIGINT) AS t5 FROM rfive GROUP BY 1, 2, 3, 4, 5),
+       |rcc4 AS MATERIALIZED (
+       |  SELECT k, w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS cc4
+       |  FROM rfive GROUP BY 1, 2, 3, 4, 5),
+       |rc4 AS MATERIALIZED (
+       |  SELECT k, w2, w3, w4, CAST(SUM(cc4) AS BIGINT) AS c4x,
+       |    CAST(COUNT(*) AS BIGINT) AS t4 FROM rcc4 GROUP BY 1, 2, 3, 4),
+       |rcc3 AS MATERIALIZED (
+       |  SELECT k, w2 AS w3, w3 AS w4, w4 AS w5,
+       |    CAST(COUNT(*) AS BIGINT) AS cc3
+       |  FROM rfour GROUP BY 1, 2, 3, 4),
+       |rc3 AS MATERIALIZED (
+       |  SELECT k, w3, w4, CAST(SUM(cc3) AS BIGINT) AS c3x,
+       |    CAST(COUNT(*) AS BIGINT) AS t3 FROM rcc3 GROUP BY 1, 2, 3),
+       |rcc2 AS MATERIALIZED (
+       |  SELECT k, w2 AS w4, w3 AS w5, CAST(COUNT(*) AS BIGINT) AS cc2
+       |  FROM rtri GROUP BY 1, 2, 3),
+       |rc2 AS MATERIALIZED (
+       |  SELECT k, w4, CAST(SUM(cc2) AS BIGINT) AS c2x,
+       |    CAST(COUNT(*) AS BIGINT) AS t2 FROM rcc2 GROUP BY 1, 2),
+       |rcu AS MATERIALIZED (
+       |  SELECT k, w2 AS w5, CAST(COUNT(*) AS BIGINT) AS cu
+       |  FROM rbig GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT $idCol, $keyCol AS k, ${TextAnalysis.tokensSql(textCol)} AS a
+       |  FROM $src),
+       |ptf AS MATERIALIZED (
+       |  SELECT $idCol, k, w1, w2, w3, w4, w5, COUNT(*) AS tfq FROM (
+       |    SELECT $idCol, k, unnest(a[1:len(a) - 4]) AS w1,
+       |      unnest(a[2:len(a) - 3]) AS w2, unnest(a[3:len(a) - 2]) AS w3,
+       |      unnest(a[4:len(a) - 1]) AS w4, unnest(a[5:len(a)]) AS w5
+       |    FROM pt WHERE len(a) >= 5)
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |pquint AS (SELECT DISTINCT k, w1, w2, w3, w4, w5 FROM ptf),
+       |plp AS MATERIALIZED (
+       |  SELECT k, w1, w2, w3, w4, w5,
+       |    CAST(round(ln(
+       |      CASE WHEN c5xv > 0 THEN
+       |        (greatest(c5v - $dd, 0.0) + $dd * t5v * p4v) / c5xv
+       |      ELSE p4v END), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM (
+       |    SELECT k, w1, w2, w3, w4, w5, c5v, c5xv, t5v,
+       |      CASE WHEN c4xv > 0 THEN
+       |        (greatest(cc4v - $dd, 0.0) + $dd * t4v * p3v) / c4xv
+       |      ELSE p3v END AS p4v
+       |    FROM (
+       |      SELECT k, w1, w2, w3, w4, w5, c5v, c5xv, t5v, cc4v, c4xv, t4v,
+       |        CASE WHEN c3xv > 0 THEN
+       |          (greatest(cc3v - $dd, 0.0) + $dd * t3v * p2v) / c3xv
+       |        ELSE p2v END AS p3v
+       |      FROM (
+       |        SELECT k, w1, w2, w3, w4, w5, c5v, c5xv, t5v, cc4v, c4xv, t4v,
+       |          cc3v, c3xv, t3v,
+       |          CASE WHEN c2xv > 0 THEN
+       |            (greatest(cc2v - $dd, 0.0) + $dd * t2v * pcv) / c2xv
+       |          ELSE pcv END AS p2v
+       |        FROM (
+       |          SELECT pquint.k, pquint.w1, pquint.w2, pquint.w3,
+       |            pquint.w4, pquint.w5,
+       |            CAST(COALESCE(rfive.c5, 0) AS DOUBLE) AS c5v,
+       |            COALESCE(rce5.c5x, 0) AS c5xv,
+       |            CAST(COALESCE(rce5.t5, 0) AS DOUBLE) AS t5v,
+       |            CAST(COALESCE(rcc4.cc4, 0) AS DOUBLE) AS cc4v,
+       |            COALESCE(rc4.c4x, 0) AS c4xv,
+       |            CAST(COALESCE(rc4.t4, 0) AS DOUBLE) AS t4v,
+       |            CAST(COALESCE(rcc3.cc3, 0) AS DOUBLE) AS cc3v,
+       |            COALESCE(rc3.c3x, 0) AS c3xv,
+       |            CAST(COALESCE(rc3.t3, 0) AS DOUBLE) AS t3v,
+       |            CAST(COALESCE(rcc2.cc2, 0) AS DOUBLE) AS cc2v,
+       |            COALESCE(rc2.c2x, 0) AS c2xv,
+       |            CAST(COALESCE(rc2.t2, 0) AS DOUBLE) AS t2v,
+       |            (CAST(COALESCE(rcu.cu, 0) AS DOUBLE) + 1.0) /
+       |              CAST(COALESCE(rbt.nbig, 0) + rvoc.vocab AS DOUBLE) AS pcv
+       |          FROM pquint
+       |          LEFT JOIN rfive ON pquint.k = rfive.k
+       |            AND pquint.w1 = rfive.w1 AND pquint.w2 = rfive.w2
+       |            AND pquint.w3 = rfive.w3 AND pquint.w4 = rfive.w4
+       |            AND pquint.w5 = rfive.w5
+       |          LEFT JOIN rce5 ON pquint.k = rce5.k
+       |            AND pquint.w1 = rce5.w1 AND pquint.w2 = rce5.w2
+       |            AND pquint.w3 = rce5.w3 AND pquint.w4 = rce5.w4
+       |          LEFT JOIN rcc4 ON pquint.k = rcc4.k
+       |            AND pquint.w2 = rcc4.w2 AND pquint.w3 = rcc4.w3
+       |            AND pquint.w4 = rcc4.w4 AND pquint.w5 = rcc4.w5
+       |          LEFT JOIN rc4 ON pquint.k = rc4.k
+       |            AND pquint.w2 = rc4.w2 AND pquint.w3 = rc4.w3
+       |            AND pquint.w4 = rc4.w4
+       |          LEFT JOIN rcc3 ON pquint.k = rcc3.k
+       |            AND pquint.w3 = rcc3.w3 AND pquint.w4 = rcc3.w4
+       |            AND pquint.w5 = rcc3.w5
+       |          LEFT JOIN rc3 ON pquint.k = rc3.k
+       |            AND pquint.w3 = rc3.w3 AND pquint.w4 = rc3.w4
+       |          LEFT JOIN rcc2 ON pquint.k = rcc2.k
+       |            AND pquint.w4 = rcc2.w4 AND pquint.w5 = rcc2.w5
+       |          LEFT JOIN rc2 ON pquint.k = rc2.k AND pquint.w4 = rc2.w4
+       |          LEFT JOIN rcu ON pquint.k = rcu.k AND pquint.w5 = rcu.w5
+       |          LEFT JOIN rbt ON pquint.k = rbt.k
+       |          JOIN rvoc ON pquint.k = rvoc.k))))),
+       |scored AS MATERIALIZED (
+       |  SELECT ptf.$idCol, ptf.k, CAST(SUM(ptf.tfq) AS BIGINT) AS n_5grams,
+       |    round(CAST(SUM(CAST(ptf.tfq AS DECIMAL(18,0)) * plp.logp9) AS DOUBLE)
+       |          / CAST(SUM(ptf.tfq) AS BIGINT), 6) AS logprob
+       |  FROM ptf JOIN plp ON ptf.k = plp.k AND ptf.w1 = plp.w1
+       |    AND ptf.w2 = plp.w2 AND ptf.w3 = plp.w3
+       |    AND ptf.w4 = plp.w4 AND ptf.w5 = plp.w5
+       |  GROUP BY 1, 2),
+       |hist AS MATERIALIZED (
+       |  SELECT k, logprob, COUNT(*) AS nv FROM scored GROUP BY 1, 2),
+       |cum AS MATERIALIZED (
+       |  SELECT k, logprob,
+       |    SUM(nv) OVER (PARTITION BY k ORDER BY logprob DESC) AS cumn
+       |  FROM hist),
+       |tot2 AS MATERIALIZED (SELECT k, SUM(nv) AS n FROM hist GROUP BY 1),
+       |vhead AS (SELECT cum.k, MAX(logprob) AS v_head
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (n + 2) // 3 GROUP BY 1),
+       |vmid AS (SELECT cum.k, MAX(logprob) AS v_mid
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (2 * n + 2) // 3 GROUP BY 1)
+       |SELECT scored.k AS $keyCol,
+       |  CASE WHEN logprob >= v_head THEN 'head'
+       |       WHEN logprob >= v_mid THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
+       |  CAST(SUM(n_5grams) AS BIGINT) AS n_5grams
        |FROM scored
        |JOIN vhead ON scored.k = vhead.k
        |JOIN vmid ON scored.k = vmid.k

@@ -126,4 +126,70 @@ class RefLmKn5Spec extends AnyFunSuite {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(replayed == viaMerge)
   }
+
+  test("keyed KN5 partitions exactly: each key's scores equal unkeyed KN5 on that key's slice") {
+    // two languages with distinct reference corpora; keyed scoring —
+    // including the per-key PRUNING views — must reproduce, per key,
+    // exactly the unkeyed scorer on that key's slice alone
+    val keyed = Seq(
+      (1L, "a b c d e a b c d e", "L1", true),
+      (2L, "a b c d f", "L1", true),
+      (3L, "e d c b a e d c b a", "L2", true),
+      (4L, "f d c b a", "L2", true),
+      (10L, "a b c d e", "L1", false),
+      (11L, "a b c d x", "L1", false),
+      (12L, "e d c b a", "L2", false),
+      (13L, "u v w x y", "L2", false)
+    ).toDF("id", "text", "lang", "is_ref")
+    val km = Ranking.refLm5TrainByKey(keyed, "id", "text", "lang", col("is_ref"))
+    for ((mc5, mc4) <- Seq((1L, 1L), (2L, 2L))) {
+      val got = Ranking.refLmKn5ScoreByKey(
+          keyed.filter(!col("is_ref")), "id", "text", "lang", km,
+          minCount5 = mc5, minCount4 = mc4)
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expect = Seq("L1", "L2").flatMap { lang =>
+        val slice = keyed.filter(col("lang") === lang)
+        val m = Ranking.refLm5Train(slice, "id", "text", col("is_ref"))
+        Ranking.refLmKn5Score(slice.filter(!col("is_ref")), "id", "text", m,
+            minCount5 = mc5, minCount4 = mc4)
+          .as[(Long, Long, Double)].collect()
+          .map(r => r._1 -> ((lang, r._2, r._3)))
+      }.toMap
+      assert(got == expect, s"minCount=($mc5,$mc4)")
+    }
+  }
+
+  test("keyed KN5 merge == keyed retrain, bit-for-bit across both languages") {
+    val dir = Files.createTempDirectory("reflmkn5-keyed-merge").toString
+    val p = s"$dir/model"
+    val keyed = Seq(
+      (1L, "a b c d e a b c d e", "L1", true),
+      (2L, "a b c d f", "L1", true),
+      (3L, "e d c b a e d c b a", "L2", true),
+      (10L, "a b c d e", "L1", false),
+      (12L, "e d c b a", "L2", false)
+    ).toDF("id", "text", "lang", "is_ref")
+    // stored fleet trained without doc 2; the L1 delta merges in (L2
+    // untouched — the keyed merge must not disturb other keys)
+    Ranking.writeKeyedRefLm5(
+      Ranking.refLm5TrainByKey(keyed, "id", "text", "lang",
+        col("is_ref") && col("id") =!= 2L), p)
+    assert(Ranking.mergeIntoStoredKeyedRefLm5(spark, p,
+      keyed.filter(col("id") === 2L), "id", "text", "lang",
+      batchId = Some(3L)))
+    val pool = keyed.filter(!col("is_ref"))
+    val viaMerge = Ranking.refLmKn5ScoreByKey(
+        pool, "id", "text", "lang", Ranking.readKeyedRefLm5(spark, p))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val viaRetrain = Ranking.refLmKn5ScoreByKey(
+        pool, "id", "text", "lang",
+        Ranking.refLm5TrainByKey(keyed, "id", "text", "lang", col("is_ref")))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(viaMerge == viaRetrain)
+    // replay guard covers the two new high-order tables too
+    assert(!Ranking.mergeIntoStoredKeyedRefLm5(spark, p,
+      keyed.filter(col("id") === 2L), "id", "text", "lang",
+      batchId = Some(3L)))
+  }
 }
