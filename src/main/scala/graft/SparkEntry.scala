@@ -2775,6 +2775,25 @@ object SparkEntry {
         "lang")
     }),
 
+    // ---- extension: curation with the perplexity-gate stage ----
+    // the full CCNet composition: q134's stored-artifact curation
+    // pipeline with the LM filter at its paper position — surviving
+    // representatives score under their language's STORED KN chain
+    // and the tail bucket (at the stored per-language KN cutoffs,
+    // q201's artifact) drops before decontamination. Unmodeled /
+    // unmeasured / unscorable docs are KEPT (lagging-artifact rule)
+    "q204_curate_perplexity" -> ((s, dir) => {
+      val (mp, _) = keyedRefLm3Artifacts(s, dir)
+      val cp = keyedKn3CutoffArtifact(s, dir)
+      operators.DocPipeline.curateFromArtifacts(
+        curateArtifactsSlice(s, dir),
+        T(s, dir, "documents").filter(col("doc_id") < 10),
+        "doc_id", "text",
+        perplexity = Some(
+          operators.DocPipeline.PerplexityStage.fromStoredArtifacts(
+            s, mp, cp, "lang")))
+    }),
+
     // ---- extension: token budget plan (epochs per domain) ----
     // the planning table every pretraining run writes before touching
     // data: q161's temperature mixture extended with the oversampling
@@ -5946,6 +5965,74 @@ object SparkEntry {
       operators.Ranking.refLmKn5BucketsByKeySql(
         "documents", "doc_id", "text", "lang",
         "source IN ('src0', 'src1')", minCount5 = 2, minCount4 = 2),
+
+    // q134's curation chain with the CCNet LM-filter splice: the
+    // keyed-KN scoring CTEs (over the FULL corpus — the stored cutoff
+    // artifact measures there) + per-key tertile cutoffs + a tail-drop
+    // between reps and decontamination
+    "q204_curate_perplexity" -> {
+      val splitCase = operators.Sampling.splitCaseSql("cluster_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      s"""WITH RECURSIVE ${operators.Ranking.refLmKn3ScoredByKeyCtes(
+           "documents", "doc_id", "text", "lang",
+           "source IN ('src0', 'src1')")},
+         |hist AS MATERIALIZED (
+         |  SELECT k, logprob, COUNT(*) AS nv FROM scored GROUP BY 1, 2),
+         |cum AS MATERIALIZED (
+         |  SELECT k, logprob,
+         |    SUM(nv) OVER (PARTITION BY k ORDER BY logprob DESC) AS cumn
+         |  FROM hist),
+         |tot2 AS MATERIALIZED (SELECT k, SUM(nv) AS n FROM hist GROUP BY 1),
+         |vhead AS (SELECT cum.k, MAX(logprob) AS v_head
+         |  FROM cum JOIN tot2 ON cum.k = tot2.k
+         |  WHERE cumn >= (n + 2) // 3 GROUP BY 1),
+         |vmid AS (SELECT cum.k, MAX(logprob) AS v_mid
+         |  FROM cum JOIN tot2 ON cum.k = tot2.k
+         |  WHERE cumn >= (2 * n + 2) // 3 GROUP BY 1),
+         |k0 AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+         |  FROM documents WHERE doc_id >= 10),
+         |q0 AS (SELECT * FROM k0 WHERE n_tokens BETWEEN 5 AND 100000),
+         |ex AS (SELECT doc_id, text, n_tokens FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nrm ORDER BY doc_id) AS rn
+         |    FROM q0) WHERE rn = 1),
+         |${sigsCte("ex")},
+         |$jaccardCte,
+         |p AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |reach(a, lbl) AS (
+         |  SELECT doc_id, doc_id FROM ex
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a),
+         |cl AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |m AS (SELECT cl.cluster_id, cl.doc_id, e.n_tokens,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                           ORDER BY n_tokens DESC, doc_id) AS rn
+         |      FROM cl JOIN ex e USING (doc_id)),
+         |reps AS (SELECT doc_id, cluster_id, n_tokens FROM m WHERE rn = 1),
+         |ppdrop AS (SELECT s.doc_id FROM scored s
+         |  JOIN vhead ON s.k = vhead.k JOIN vmid ON s.k = vmid.k
+         |  WHERE s.logprob < v_mid),
+         |preps AS (SELECT * FROM reps
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM ppdrop)),
+         |${ngramCtes("documents WHERE doc_id < 10", 3, "e")},
+         |ez AS (SELECT doc_id AS eid, COUNT(*) AS ne FROM esh GROUP BY 1),
+         |shr AS (SELECT sh.doc_id AS cid, esh.doc_id AS eid, COUNT(*) AS ns
+         |        FROM sh JOIN esh ON sh.s = esh.s GROUP BY 1, 2),
+         |cont AS (SELECT DISTINCT cid AS doc_id FROM shr JOIN ez USING (eid)
+         |         WHERE CAST(ns AS DOUBLE) / ne >= 0.5),
+         |surv AS (SELECT * FROM preps
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |asgn AS (SELECT doc_id, n_tokens, $splitCase AS split FROM surv),
+         |shv AS (SELECT doc_id, n_tokens, split,
+         |          md5('shard:' || CAST(doc_id AS VARCHAR)) AS hh FROM asgn)
+         |SELECT split, CAST((${operators.Sampling.hexPrefixSql("hh")}) % 4 AS BIGINT) AS shard,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM shv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // keyed Kneser-Ney chain replayed per language; q201 shares the
     // oracle verbatim — labeling at stored cutoffs measured on the

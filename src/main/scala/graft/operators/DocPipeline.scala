@@ -106,6 +106,50 @@ object DocPipeline {
         maxCellPairs)
   }
 
+  /** The OPTIONAL perplexity-gate stage of [[curate]] — CCNet's LM
+    * filter (Wenzek et al. 2020, arXiv:1911.00359) at its pipeline
+    * position: after deduplication, the surviving representatives
+    * score under THEIR `keyCol` value's stored per-language
+    * Kneser-Ney chain and drop when their bucket at the STORED
+    * per-key cutoffs is configured out (`dropBuckets`, default the
+    * tail — CCNet's discard set). The scoring runs over the
+    * representative slice only (semi-filtered, like the semantic
+    * stage), and both model and cutoffs are stored artifacts — the
+    * gate is a measurement, re-tuned by re-measuring, never by code.
+    *
+    * Documents the stage cannot MEASURE are KEPT: unmodeled keys
+    * (language without a stored model), unmeasured keys (model but no
+    * cutoff row — a half-deployed fleet), and unscorable docs (fewer
+    * tokens than the model order). The lagging-artifact principle of
+    * [[SemanticStage]]: a gap in the model fleet must not become
+    * corpus loss; the streaming gate surfaces the same three classes
+    * as explicit routes instead.
+    */
+  final case class PerplexityStage(
+      model: Ranking.KeyedRefLm3Model,
+      cutoffs: DataFrame,
+      keyCol: String,
+      dropBuckets: Set[String] = Set("tail"))
+
+  object PerplexityStage {
+    /** The stage fully from stored artifacts: the six keyed count
+      * tables ([[Ranking.readKeyedRefLm3]]) and the per-key
+      * KN-measured cutoff table ([[Ranking.readRefLmCutoffsByKey]] —
+      * measured under the KN scorer, the q201 discipline: gating KN
+      * scores at JM-measured cutoffs would mislabel systematically).
+      */
+    def fromStoredArtifacts(
+        spark: org.apache.spark.sql.SparkSession,
+        modelPath: String,
+        cutoffsPath: String,
+        keyCol: String,
+        dropBuckets: Set[String] = Set("tail")): PerplexityStage =
+      PerplexityStage(
+        Ranking.readKeyedRefLm3(spark, modelPath),
+        Ranking.readRefLmCutoffsByKey(spark, cutoffsPath),
+        keyCol, dropBuckets)
+  }
+
   object HashedModelGate {
     /** The gate at the threshold a STORED sweep artifact selects
       * ([[QualityClassifier.readSelectedGateMicro]]) — the config-time
@@ -229,9 +273,10 @@ object DocPipeline {
       nShards: Int = 4,
       contaminationThreshold: Double = 0.5,
       strictShingles: Boolean = false,
-      semantic: Option[SemanticStage] = None): DataFrame =
+      semantic: Option[SemanticStage] = None,
+      perplexity: Option[PerplexityStage] = None): DataFrame =
     curateCached(docs, evalDocs, idCol, textCol, cfg, splits, nShards,
-      contaminationThreshold, strictShingles, semantic).df
+      contaminationThreshold, strictShingles, semantic, perplexity).df
 
   /** [[curate]] plus its persisted intermediates for caller release.
     *
@@ -273,7 +318,8 @@ object DocPipeline {
       nShards: Int = 4,
       contaminationThreshold: Double = 0.5,
       strictShingles: Boolean = false,
-      semantic: Option[SemanticStage] = None): Dedup.CachedDF = {
+      semantic: Option[SemanticStage] = None,
+      perplexity: Option[PerplexityStage] = None): Dedup.CachedDF = {
     import org.apache.spark.storage.StorageLevel
     val nTokens = TextAnalysis.tokenCount(col(textCol))
     // 1-2. quality gate + exact dedup, persisted: the ONE scan of raw
@@ -290,7 +336,7 @@ object DocPipeline {
     val nd = Dedup.nearDupArtifacts(cleaned, idCol, textCol,
       threshold = cfg.jaccardThreshold)
     curateTail(cleaned, nd, evalDocs, idCol, textCol, cfg, splits,
-      nShards, contaminationThreshold, strictShingles, semantic)
+      nShards, contaminationThreshold, strictShingles, semantic, perplexity)
   }
 
   /** Stages 4-8 of curation — everything downstream of the cleaned
@@ -311,7 +357,8 @@ object DocPipeline {
       nShards: Int,
       contaminationThreshold: Double,
       strictShingles: Boolean,
-      semantic: Option[SemanticStage] = None): Dedup.CachedDF = {
+      semantic: Option[SemanticStage] = None,
+      perplexity: Option[PerplexityStage] = None): Dedup.CachedDF = {
     // 4. connected components over the verified pairs
     val cl = Dedup.dupClustersCached(
       cleaned.select(col(idCol)), nd.pairs.select("d1", "d2"), idCol)
@@ -368,7 +415,29 @@ object DocPipeline {
         .select(col(st.vecIdCol).as(idCol))
       reps.join(semDropped, Seq(idCol), "left_anti")
     }
-    val surviving = semReps.join(contaminated, Seq(idCol), "left_anti")
+    // 5c. OPTIONAL perplexity gate (CCNet's LM filter position: after
+    // dedup, before decontamination): surviving representatives score
+    // under their key's stored KN chain over the REP SLICE only and
+    // drop when bucketed into `dropBuckets` at the stored per-key
+    // cutoffs. The anti-join keeps everything the stage cannot
+    // measure: unmodeled keys (INNER totals join drops them from the
+    // scored frame), unmeasured keys (INNER cutoff join), unscorable
+    // docs (< order tokens never reach the scored frame).
+    val ppReps = perplexity.fold(semReps) { st =>
+      val repDocs = cleaned.join(
+        semReps.select(col(idCol)), Seq(idCol), "left_semi")
+      val dropped = Ranking.refLmKn3ScoreByKey(
+          repDocs, idCol, textCol, st.keyCol, st.model)
+        .join(broadcast(st.cutoffs), Seq(st.keyCol))
+        .withColumn("__bucket",
+          when(col("logprob") >= col("v_head"), lit("head"))
+            .when(col("logprob") >= col("v_mid"), lit("middle"))
+            .otherwise(lit("tail")))
+        .filter(col("__bucket").isin(st.dropBuckets.toSeq: _*))
+        .select(col(idCol))
+      semReps.join(dropped, Seq(idCol), "left_anti")
+    }
+    val surviving = ppReps.join(contaminated, Seq(idCol), "left_anti")
     // 7-8. leakage-safe split (hash of CLUSTER id, so near-dups land
     // together) + deterministic shard, then the (split, shard) manifest
     val assigned = Sampling.assignSplit(surviving, "cluster_id", splits)
@@ -521,9 +590,10 @@ object DocPipeline {
       nShards: Int = 4,
       contaminationThreshold: Double = 0.5,
       strictShingles: Boolean = false,
-      semantic: Option[SemanticStage] = None): DataFrame =
+      semantic: Option[SemanticStage] = None,
+      perplexity: Option[PerplexityStage] = None): DataFrame =
     curateFromArtifactsCached(art, evalDocs, idCol, textCol, cfg, splits,
-      nShards, contaminationThreshold, strictShingles, semantic).df
+      nShards, contaminationThreshold, strictShingles, semantic, perplexity).df
 
   /** [[curateFromArtifacts]] plus its persisted intermediates for
     * caller release.
@@ -538,7 +608,8 @@ object DocPipeline {
       nShards: Int = 4,
       contaminationThreshold: Double = 0.5,
       strictShingles: Boolean = false,
-      semantic: Option[SemanticStage] = None): Dedup.CachedDF = {
+      semantic: Option[SemanticStage] = None,
+      perplexity: Option[PerplexityStage] = None): Dedup.CachedDF = {
     import org.apache.spark.storage.StorageLevel
     // 1-2 replayed on the stored annotation: the consumer's FULL gate
     // (token bounds over the stored n_tokens + the model) + exact
@@ -559,7 +630,7 @@ object DocPipeline {
     val nd = Dedup.nearDupArtifactsFromSigs(sh, sigs, idCol,
       threshold = cfg.jaccardThreshold)
     curateTail(cleaned, nd, evalDocs, idCol, textCol, cfg, splits,
-      nShards, contaminationThreshold, strictShingles, semantic)
+      nShards, contaminationThreshold, strictShingles, semantic, perplexity)
   }
 
   /** The per-document ingest STATE a curation run persists so future

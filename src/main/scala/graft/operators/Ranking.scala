@@ -2831,9 +2831,44 @@ object Ranking {
     */
   def refLmKn3BucketsByKeySql(src: String, idCol: String, textCol: String,
       keyCol: String, refPred: String,
+      dNum: Int = 3, dDen: Int = 4): String =
+    s"""WITH ${refLmKn3ScoredByKeyCtes(src, idCol, textCol, keyCol, refPred, dNum, dDen)},
+       |hist AS MATERIALIZED (
+       |  SELECT k, logprob, COUNT(*) AS nv FROM scored GROUP BY 1, 2),
+       |cum AS MATERIALIZED (
+       |  SELECT k, logprob,
+       |    SUM(nv) OVER (PARTITION BY k ORDER BY logprob DESC) AS cumn
+       |  FROM hist),
+       |tot2 AS MATERIALIZED (SELECT k, SUM(nv) AS n FROM hist GROUP BY 1),
+       |vhead AS (SELECT cum.k, MAX(logprob) AS v_head
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (n + 2) // 3 GROUP BY 1),
+       |vmid AS (SELECT cum.k, MAX(logprob) AS v_mid
+       |  FROM cum JOIN tot2 ON cum.k = tot2.k
+       |  WHERE cumn >= (2 * n + 2) // 3 GROUP BY 1)
+       |SELECT scored.k AS $keyCol,
+       |  CASE WHEN logprob >= v_head THEN 'head'
+       |       WHEN logprob >= v_mid THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
+       |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
+       |FROM scored
+       |JOIN vhead ON scored.k = vhead.k
+       |JOIN vmid ON scored.k = vmid.k
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The CTE chain of [[refLmKn3BucketsByKeySql]] from the reference
+    * slice through the per-(doc, key) `scored` frame — reusable by
+    * oracles that compose keyed-KN scoring INTO a larger chain (the
+    * curation perplexity gate splices these plus per-key cutoff CTEs
+    * into the pipeline replay). No leading `WITH`; ends at `scored`.
+    */
+  def refLmKn3ScoredByKeyCtes(src: String, idCol: String, textCol: String,
+      keyCol: String, refPred: String,
       dNum: Int = 3, dDen: Int = 4): String = {
     val dd = s"(CAST($dNum AS DOUBLE) / $dDen)"
-    s"""WITH reft AS MATERIALIZED (
+    s"""reft AS MATERIALIZED (
        |  SELECT $keyCol AS k, ${TextAnalysis.tokensSql(textCol)} AS a
        |  FROM $src WHERE ($refPred)),
        |runi AS MATERIALIZED (
@@ -2921,31 +2956,7 @@ object Ranking {
        |          / CAST(SUM(ptf.tfq) AS BIGINT), 6) AS logprob
        |  FROM ptf JOIN plp ON ptf.k = plp.k AND ptf.w1 = plp.w1
        |    AND ptf.w2 = plp.w2 AND ptf.w3 = plp.w3
-       |  GROUP BY 1, 2),
-       |hist AS MATERIALIZED (
-       |  SELECT k, logprob, COUNT(*) AS nv FROM scored GROUP BY 1, 2),
-       |cum AS MATERIALIZED (
-       |  SELECT k, logprob,
-       |    SUM(nv) OVER (PARTITION BY k ORDER BY logprob DESC) AS cumn
-       |  FROM hist),
-       |tot2 AS MATERIALIZED (SELECT k, SUM(nv) AS n FROM hist GROUP BY 1),
-       |vhead AS (SELECT cum.k, MAX(logprob) AS v_head
-       |  FROM cum JOIN tot2 ON cum.k = tot2.k
-       |  WHERE cumn >= (n + 2) // 3 GROUP BY 1),
-       |vmid AS (SELECT cum.k, MAX(logprob) AS v_mid
-       |  FROM cum JOIN tot2 ON cum.k = tot2.k
-       |  WHERE cumn >= (2 * n + 2) // 3 GROUP BY 1)
-       |SELECT scored.k AS $keyCol,
-       |  CASE WHEN logprob >= v_head THEN 'head'
-       |       WHEN logprob >= v_mid THEN 'middle'
-       |       ELSE 'tail' END AS bucket,
-       |  COUNT(*) AS n_docs,
-       |  MIN(logprob) AS min_logprob, MAX(logprob) AS max_logprob,
-       |  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
-       |FROM scored
-       |JOIN vhead ON scored.k = vhead.k
-       |JOIN vmid ON scored.k = vmid.k
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** DuckDB SQL twin of [[refLm5TrainByKey]] → [[refLmKn5ScoreByKey]]

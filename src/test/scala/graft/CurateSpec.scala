@@ -397,4 +397,49 @@ class CurateSpec extends AnyFunSuite {
     assert(keptDocs() == Seq(1L),
       "overwriting the stored sweep must re-gate the pipeline with no code change")
   }
+
+  test("perplexity stage drops exactly the stored-cutoff tail; unmodeled/unmeasured/unscorable survive") {
+    import graft.operators.Ranking
+    // reference slice defines L1 and L3 models (L2 stays unmodeled)
+    val ref = Seq(
+      (1L, "a b c a b c a b c", "L1"),
+      (2L, "a b c d", "L1"),
+      (3L, "x y z x y z", "L3")).toDF("doc_id", "text", "lang")
+    // curation corpus: distinct docs so every stage up to the gate
+    // passes everything through (reps == corpus)
+    val corpus = Seq(
+      (10L, "a b c a b c", "L1"),
+      (11L, "a b c d a b", "L1"),
+      (12L, "q q q q q", "L1"),      // far off-model -> expect tail
+      (13L, "b a c b a c", "L1"),
+      (14L, "q r", "L1"),            // < 3 tokens: unscorable, KEPT
+      (15L, "hello world again", "L2"),  // unmodeled lang, KEPT
+      (16L, "x y z w", "L3"))        // model but no cutoff row, KEPT
+      .toDF("doc_id", "text", "lang")
+    val m = Ranking.refLm3TrainByKey(
+      ref, "doc_id", "text", "lang", lit(true))
+    val scored = Ranking.refLmKn3ScoreByKey(
+      corpus, "doc_id", "text", "lang", m)
+    // stored cutoffs measured under the KN scorer (the q201
+    // discipline), with L3's row withheld — a half-deployed fleet
+    val cuts = Ranking.refLm3CutoffsByKey(scored, "lang")
+      .filter(col("lang") =!= "L3")
+    val expectedTail = scored.join(cuts, "lang")
+      .filter(col("logprob") < col("v_mid"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expectedTail.contains(12L) && !expectedTail.contains(16L),
+      expectedTail.toString)
+    val cfg = DocPipeline.Config(minTokens = 1, jaccardThreshold = 1.01)
+    val manifest = DocPipeline.curate(
+      corpus, corpus.filter(lit(false)), "doc_id", "text", cfg, nShards = 1,
+      perplexity = Some(DocPipeline.PerplexityStage(m, cuts, "lang")))
+    val nDocs = manifest.collect().map(_.getLong(2)).sum
+    assert(nDocs == 7 - expectedTail.size,
+      s"expected tail $expectedTail dropped, got $nDocs survivors")
+    // without the stage every doc survives — the gate is what bit
+    val baseline = DocPipeline.curate(
+        corpus, corpus.filter(lit(false)), "doc_id", "text", cfg, nShards = 1)
+      .collect().map(_.getLong(2)).sum
+    assert(baseline == 7)
+  }
 }
