@@ -917,6 +917,33 @@ object SparkEntry {
       p
     }
 
+  /** The per-language order-5 KN cutoff artifact — the q201 cutoff
+    * discipline at CCNet's production depth: the keyed order-5 model's
+    * per-key tertile cutoffs measured on the full corpus under the
+    * KN5 scorer AT THE SERVING PRUNING CONFIG (min counts 2/2 — a
+    * cutoff measured unpruned would mislabel a pruned-serving gate).
+    * The MODEL is [[keyedRefLm5Artifact]]'s eight stored tables; only
+    * the cutoff measurement is new.
+    */
+  private val keyedKn5CutoffArtifactMemo = new SessionMemo[String, String]
+
+  private def keyedKn5CutoffArtifact(s: SparkSession, dir: String): String =
+    keyedKn5CutoffArtifactMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-kn5-keyed-cutoffs")
+      val cp = base.resolve("cutoffs").toString
+      val docs = T(s, dir, "documents")
+      val mp = keyedRefLm5Artifact(s, dir)
+      val m = operators.Ranking.readKeyedRefLm5(s, mp)
+      val cuts = operators.Ranking.refLm5CutoffsByKeyCached(
+        operators.Ranking.refLmKn5ScoreByKey(docs, "doc_id", "text", "lang", m,
+          minCount5 = 2, minCount4 = 2),
+        "lang")
+      try operators.Ranking.writeRefLmCutoffsByKey(cuts.df, cp)
+      finally cuts.unpersist()
+      core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
+      cp
+    }
+
   /** The STORED half-corpus keyed order-3 BASE — [[refLmBaseArtifact]]
     * for the per-language fleet: the stored artifact yesterday's run
     * left behind, which q199's measured window merges a delta into
@@ -2773,6 +2800,34 @@ object SparkEntry {
         operators.Ranking.refLmKn5ScoreByKey(docs, "doc_id", "text", "lang", m,
           minCount5 = 2, minCount4 = 2),
         "lang")
+    }),
+
+    // ---- extension: KN5 deploy at STORED per-language cutoffs ----
+    // q201 at CCNet's production depth: label every document at its
+    // language's STORED KN5-measured cutoff row (measured at the
+    // SERVING pruning config, min counts 2/2), roll up per (lang,
+    // bucket). Shares q203's oracle — cutoffs measured on the same
+    // pool reproduce the tertile rollup bit-for-bit
+    "q205_stored_kn5_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val mp = keyedRefLm5Artifact(s, dir)
+      val cp = keyedKn5CutoffArtifact(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(cp).getParent + "/stamp")
+      val m = operators.Ranking.readKeyedRefLm5(s, mp)
+      val cuts = operators.Ranking.readRefLmCutoffsByKey(s, cp)
+      operators.Ranking.refLmKn5ScoreByKey(docs, "doc_id", "text", "lang", m,
+          minCount5 = 2, minCount4 = 2)
+        .join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("logprob") >= col("v_head"), lit("head"))
+            .when(col("logprob") >= col("v_mid"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("logprob").as("min_logprob"),
+          max("logprob").as("max_logprob"),
+          sum("n_5grams").as("n_5grams"))
     }),
 
     // ---- extension: curation with the perplexity-gate stage ----
@@ -5962,6 +6017,14 @@ object SparkEntry {
     // per-language 5-gram KN chain replayed per key with the same
     // score-time pruning views
     "q203_kn5_by_lang" ->
+      operators.Ranking.refLmKn5BucketsByKeySql(
+        "documents", "doc_id", "text", "lang",
+        "source IN ('src0', 'src1')", minCount5 = 2, minCount4 = 2),
+
+    // q205 labels at STORED KN5 cutoffs measured on the same pool at
+    // the same pruning config, so the rollup is bit-identical to
+    // q203's tertile buckets (the q201 shared-oracle argument)
+    "q205_stored_kn5_gate" ->
       operators.Ranking.refLmKn5BucketsByKeySql(
         "documents", "doc_id", "text", "lang",
         "source IN ('src0', 'src1')", minCount5 = 2, minCount4 = 2),

@@ -2162,6 +2162,24 @@ object Ranking {
       scored: DataFrame, keyCol: String): Dedup.CachedDF =
     bucketsByKeyFromScoredCached(scored, keyCol, "n_5grams")
 
+  /** Per-key cutoff rows (keyCol, v_head, v_mid) of a
+    * [[refLmKn5ScoreByKey]] frame — what the keyed order-5 gate labels
+    * at ([[writeRefLmCutoffsByKey]] persists them beside the keyed
+    * order-5 model). Cutoffs MUST be measured under the same scorer
+    * AND pruning config the gate serves with.
+    */
+  def refLm5CutoffsByKey(scored: DataFrame, keyCol: String): DataFrame =
+    refLm5CutoffsByKeyCached(scored, keyCol).df
+
+  /** [[refLm5CutoffsByKey]] exposing the persisted histogram handle —
+    * the [[Dedup.CachedDF]] contract.
+    */
+  def refLm5CutoffsByKeyCached(
+      scored: DataFrame, keyCol: String): Dedup.CachedDF = {
+    val hist = keyedScoreHist(scored, keyCol, "n_5grams")
+    Dedup.CachedDF(cutoffsFromKeyedHist(hist, keyCol), Seq(hist))
+  }
+
   /** Persist a [[KeyedRefLm5Model]] — the six keyed order-3 tables
     * plus `fourgram` and `fivegram`, all eight overlapped through
     * [[writeTablesParallel]].

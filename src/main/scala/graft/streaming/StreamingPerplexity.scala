@@ -348,6 +348,78 @@ object StreamingPerplexity {
     } finally scored.unpersist(false)
   }
 
+  /** [[gateBatchKn3ByKey]] at CCNet's production depth: micro-batches
+    * gate at stored per-key cutoffs measured under the keyed 5-GRAM
+    * interpolated-KN scorer, with the same three-way routing split
+    * (`unmodeled` / `unscored` — here fewer than 5 tokens — /
+    * `unmeasured`). `minCount5`/`minCount4` are the serving-time
+    * pruning view and MUST match the config the stored cutoffs were
+    * measured under — scores shift with pruning, so a mismatched gate
+    * mislabels systematically (the q201 JM-vs-KN argument one level
+    * in).
+    */
+  def gateBatchKn5ByKey(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      batchId: Long,
+      minCount5: Long = 1,
+      minCount4: Long = 1): Unit = {
+    val spark = batch.sparkSession
+    val model = Ranking.readKeyedRefLm5(spark, modelPath)
+    val cuts = Ranking.readRefLmCutoffsByKey(spark, cutoffsPath)
+    val scored = Ranking.refLmKn5ScoreByKey(batch, idCol, textCol, keyCol,
+        model, minCount5 = minCount5, minCount4 = minCount4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labeled = scored.join(broadcast(cuts), Seq(keyCol), "left")
+        .select(col(idCol), col(keyCol), col("n_5grams"), col("logprob"),
+          when(col("v_head").isNull, lit("unmeasured"))
+            .when(col("logprob") >= col("v_head"), lit("head"))
+            .when(col("logprob") >= col("v_mid"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+      val modeledKeys = model.base3.base.totals.select(col("__k").as(keyCol))
+        .withColumn("__modeled", lit(true))
+      val missing = batch
+        .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+        .join(broadcast(modeledKeys), Seq(keyCol), "left")
+        .select(col(idCol), col(keyCol),
+          lit(null).cast("long").as("n_5grams"),
+          lit(null).cast("double").as("logprob"),
+          when(col("__modeled"), lit("unscored"))
+            .otherwise(lit("unmodeled")).as("bucket"))
+      labeled.unionByName(missing)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(decisionsDir)
+    } finally scored.unpersist(false)
+  }
+
+  /** [[startByKey]] for the order-5 Kneser-Ney gate — every
+    * micro-batch flows through [[gateBatchKn5ByKey]].
+    */
+  def startKn5ByKey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: String,
+      modelPath: String,
+      cutoffsPath: String,
+      decisionsDir: String,
+      checkpointDir: String,
+      minCount5: Long = 1,
+      minCount4: Long = 1): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatchKn5ByKey(batch, idCol, textCol, keyCol, modelPath,
+          cutoffsPath, decisionsDir, batchId, minCount5, minCount4)
+      }
+      .start()
+
   /** [[startByKey]] for the Kneser-Ney gate — every micro-batch flows
     * through [[gateBatchKn3ByKey]].
     */

@@ -397,4 +397,74 @@ class StreamingPerplexitySpec extends AnyFunSuite {
       Seq((11L, "c d c")).toDF("doc_id", "text"), "doc_id", "text", p,
       batchId = 1L))
   }
+
+  test("keyed order-5 KN gate: pruned-config scores at matching cutoffs; routing split holds") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-ppl-kn5-keyed").toString
+    val (modelPath, cutPath) = (s"$dir/model", s"$dir/cutoffs")
+    // L3's calibration doc is too short to score at order 5, so the
+    // cutoff artifact carries no L3 row (unmeasured route)
+    val refs = Seq(
+      (1L, "a b c d e a b c d e", "L1"),
+      (2L, "e d c b a e d c b a", "L2"),
+      (3L, "p q r s t p q r s t", "L3")
+    ).toDF("id", "text", "lang")
+    val m = Ranking.refLm5TrainByKey(refs, "id", "text", "lang", lit(true))
+    Ranking.writeKeyedRefLm5(m, modelPath)
+    val calib = Seq(
+      (10L, "a b c d e a", "L1"), (11L, "v w x y z", "L1"),
+      (12L, "e d c b a e", "L2"), (13L, "v w x y z", "L2"),
+      (14L, "p q r", "L3")
+    ).toDF("id", "text", "lang")
+    // cutoffs measured at the SERVING pruning config (2/2)
+    Ranking.writeRefLmCutoffsByKey(
+      Ranking.refLm5CutoffsByKey(
+        Ranking.refLmKn5ScoreByKey(calib, "id", "text", "lang", m,
+          minCount5 = 2, minCount4 = 2), "lang"),
+      cutPath)
+
+    val stream = MemoryStream[LangDoc]
+    val decDir = s"$dir/decisions"
+    val q = StreamingPerplexity.startKn5ByKey(stream.toDF(), "doc_id", "text",
+      "lang", modelPath, cutPath, decDir, s"$dir/ck",
+      minCount5 = 2, minCount4 = 2)
+    try {
+      stream.addData(
+        LangDoc(100L, "a b c d e a b", "L1"),  // reference-like under L1
+        LangDoc(101L, "a b c d e a b", "L2"),  // same text, L2's stats
+        LangDoc(102L, "a b c d e f", "L9"),    // no L9 model -> unmodeled
+        LangDoc(103L, "a b c d", "L1"),        // < 5 tokens -> unscored
+        LangDoc(105L, "p q r s t p", "L3"))    // scores, no L3 cutoffs
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(decDir)
+      .select("doc_id", "lang", "logprob", "bucket")
+      .as[(Long, String, Option[Double], String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(dec.keySet == Set(100L, 101L, 102L, 103L, 105L))
+    assert(dec(102L) == (("L9", None, "unmodeled")))
+    assert(dec(103L) == (("L1", None, "unscored")))
+    assert(dec(105L)._1 == "L3" && dec(105L)._3 == "unmeasured"
+      && dec(105L)._2.isDefined)
+    // decisions carry the PRUNED-config KN5 score
+    val knExpect = Ranking.refLmKn5ScoreByKey(
+        Seq((100L, "a b c d e a b", "L1"), (101L, "a b c d e a b", "L2"))
+          .toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", Ranking.readKeyedRefLm5(spark, modelPath),
+        minCount5 = 2, minCount4 = 2)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(dec(100L)._2.get == knExpect(100L))
+    assert(dec(101L)._2.get == knExpect(101L))
+    val cuts5 = Ranking.readRefLmCutoffsByKey(spark, cutPath)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq(100L -> "L1", 101L -> "L2").foreach { case (id, lang) =>
+      val (vh, vm) = cuts5(lang)
+      val lp = dec(id)._2.get
+      val expect = if (lp >= vh) "head" else if (lp >= vm) "middle" else "tail"
+      assert(dec(id)._3 == expect, s"doc $id")
+    }
+  }
 }
