@@ -392,7 +392,8 @@ object SparkEntry {
         () => keyedRefLm3Artifacts(s, dir),
         () => keyedKn3CutoffArtifact(s, dir),
         () => keyedRefLm3BaseArtifact(s, dir),
-        () => keyedRefLm5Artifact(s, dir)),
+        () => keyedRefLm5Artifact(s, dir),
+        () => keyedKn5CutoffArtifact(s, dir)),
       Seq(() => curateStateShared(s, dir),
         () => curationFamilyArtifacts(s, dir),
         () => gateDeployArtifacts(s, dir),
