@@ -398,7 +398,8 @@ object SparkEntry {
         () => curationFamilyArtifacts(s, dir),
         () => gateDeployArtifacts(s, dir),
         () => probeSweepArtifact(s, dir),
-        () => pqIndex(s, dir)))
+        () => pqIndex(s, dir),
+        () => unigramArtifact(s, dir)))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(lanes.size)
     try {
       val futs = lanes.map(lane =>
@@ -943,6 +944,26 @@ object SparkEntry {
       finally cuts.unpersist()
       core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
       cp
+    }
+
+  /** The STORED unigram-LM tokenizer vocabulary
+    * ([[operators.UnigramLm]]) — the piece table q207 Viterbi-encodes
+    * under, freshness-stamped like every corpus-derived stored
+    * artifact. q206 is measured paying its own training; the encode
+    * query reads a tokenizer someone already shipped, which is the
+    * production shape (train once, encode every corpus snapshot).
+    */
+  private val unigramArtifactMemo = new SessionMemo[String, String]
+
+  private def unigramArtifact(s: SparkSession, dir: String): String =
+    unigramArtifactMemo.get(s, dir) {
+      val base = tempArtifactDir("graft-unigram")
+      val p = base.resolve("model").toString
+      val docs = T(s, dir, "documents")
+      operators.UnigramLm.writeUnigramArtifact(
+        operators.UnigramLm.trainUnigram(docs, "text", nMulti = 200), p)
+      core.SnapshotStamp.write(docs, "doc_id", base.resolve("stamp").toString)
+      p
     }
 
   /** The STORED half-corpus keyed order-3 BASE — [[refLmBaseArtifact]]
@@ -2831,6 +2852,34 @@ object SparkEntry {
           sum("n_5grams").as("n_5grams"))
     }),
 
+    // ---- extension: unigram-LM tokenizer training ----
+    // the OTHER production tokenizer family next to BPE (Kudo 2018,
+    // the SentencePiece model): seed-substring vocabulary + one
+    // Viterbi hard-EM recount, all on the distinct-BLOCK table, the
+    // DP as one codegen expression per block. Output = the piece
+    // vocabulary with counts and log-probs a tokenizer ships
+    "q206_unigram_train" -> ((s, dir) => {
+      operators.UnigramLm.trainUnigram(
+          T(s, dir, "documents"), "text", nMulti = 200)
+        .select(col("piece"), col("cnt"),
+          col("logp9").cast("double").as("logp9"))
+        .orderBy("piece")
+    }),
+
+    // ---- extension: unigram-LM Viterbi encoding (stored deploy) ----
+    // the tokenizer-APPLICATION half: every document segments under
+    // the STORED piece vocabulary (freshness-stamped artifact —
+    // train once, encode every snapshot); per-doc piece counts and
+    // mean piece log-prob, unknown code points at the pinned UNK score
+    "q207_unigram_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val mp = unigramArtifact(s, dir)
+      core.SnapshotStamp.assertFresh(docs, "doc_id",
+        new java.io.File(mp).getParent + "/stamp")
+      operators.UnigramLm.encodeDocTokens(docs, "doc_id", "text",
+        operators.UnigramLm.readUnigramArtifact(s, mp))
+    }),
+
     // ---- extension: curation with the perplexity-gate stage ----
     // the full CCNet composition: q134's stored-artifact curation
     // pipeline with the LM filter at its paper position — surviving
@@ -4482,6 +4531,95 @@ object SparkEntry {
        |$iters""".stripMargin
   }
 
+  /** Unrolled Viterbi dp chain over `blocksCte` (block, bl) under the
+    * nanonat vocabulary `vocabCte` (piece, nano) — the DuckDB twin of
+    * [[graft.functions.UnigramViterbiExpr.segment]], one CTE pair per
+    * position up to [[operators.UnigramLm.BlockChars]]. Candidates at
+    * position j are vocab pieces of length 1..MaxPieceLen ending at j
+    * plus the UNK single code point (only when absent from the
+    * vocabulary, so it can never tie a real piece); the per-position
+    * argmax orders (score DESC, length DESC, piece ASC — the third
+    * key unreachable, carried as a belt). Emits `${p}path` =
+    * (block, path).
+    */
+  private def unigramDpSql(p: String, blocksCte: String, vocabCte: String): String = {
+    val B = operators.UnigramLm.BlockChars
+    val P = operators.UnigramLm.MaxPieceLen
+    val unkNano = operators.UnigramLm.UnkLogp9Nano
+    val steps = (1 to B).map { j =>
+      val vb = (1 to math.min(P, j)).map { l =>
+        s"""  SELECT d.block, d.bl, d.score + v.nano AS score, $l AS l, v.piece AS piece, d.path
+           |  FROM $p${j - l} d JOIN $vocabCte v ON v.piece = substr(d.block, ${j - l + 1}, $l)
+           |  WHERE d.bl >= $j""".stripMargin
+      }
+      val unk =
+        s"""  SELECT d.block, d.bl, d.score + CAST($unkNano AS BIGINT) AS score,
+           |    1 AS l, substr(d.block, $j, 1) AS piece, d.path
+           |  FROM $p${j - 1} d
+           |  WHERE d.bl >= $j AND NOT EXISTS (
+           |    SELECT 1 FROM $vocabCte v WHERE v.piece = substr(d.block, $j, 1))""".stripMargin
+      s"""${p}c$j AS MATERIALIZED (
+         |${(vb :+ unk).mkString("\n  UNION ALL\n")}),
+         |$p$j AS MATERIALIZED (SELECT block, bl, score,
+         |    CASE WHEN path = '' THEN piece ELSE path || ' ' || piece END AS path
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY block ORDER BY score DESC, l DESC, piece ASC) AS rn
+         |    FROM ${p}c$j) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to B)
+      .map(j => s"SELECT block, path FROM $p$j WHERE bl = $j")
+      .mkString("\n  UNION ALL ")
+    s"""${p}0 AS MATERIALIZED (SELECT block, bl, CAST(0 AS BIGINT) AS score, '' AS path FROM $blocksCte),
+       |$steps,
+       |${p}path AS MATERIALIZED (
+       |  $fin)""".stripMargin
+  }
+
+  /** The unigram-LM training chain
+    * ([[operators.UnigramLm.trainUnigram]]'s twin): word and block
+    * frequencies, seed substring counts, the all-singles + top-K
+    * multi-piece vocabulary, nanonat scores, one Viterbi hard-EM
+    * recount (the `ugd*` dp chain), final scored table `ugfin` =
+    * (piece, cnt, logp9 decimal(18,9)).
+    */
+  private def unigramChainSql(table: String, nMulti: Int): String = {
+    val B = operators.UnigramLm.BlockChars
+    val P = operators.UnigramLm.MaxPieceLen
+    s"""ugw AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(${operators.TextAnalysis.tokensSql("text")}) AS word FROM $table) GROUP BY 1),
+       |ugb AS MATERIALIZED (SELECT block, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+       |    SELECT substr(word, bi * $B + 1, $B) AS block, freq
+       |    FROM (SELECT word, freq,
+       |            unnest(range(0, (length(word) - 1) // $B + 1)) AS bi FROM ugw))
+       |  GROUP BY 1),
+       |ugsc AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(block, i, l) AS piece, freq
+       |    FROM (SELECT block, freq, i,
+       |            unnest(range(1, least($P, length(block) - i + 1) + 1)) AS l
+       |          FROM (SELECT block, freq, unnest(range(1, length(block) + 1)) AS i
+       |                FROM ugb)))
+       |  GROUP BY 1),
+       |ugv0 AS MATERIALIZED (SELECT piece, cnt FROM ugsc WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM ugsc WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece ASC LIMIT $nMulti)),
+       |ugn0 AS MATERIALIZED (SELECT piece,
+       |    CAST(CAST(CAST(round(ln(CAST(cnt AS DOUBLE) / t.total), 9) AS DECIMAL(18,9))
+       |      AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS nano
+       |  FROM ugv0 CROSS JOIN (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM ugv0) t),
+       |ugblk AS MATERIALIZED (SELECT block, length(block) AS bl FROM ugb),
+       |${unigramDpSql("ugd", "ugblk", "ugn0")},
+       |ugrc AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(path, ' ')) AS piece, freq
+       |    FROM ugdpath JOIN ugb USING (block))
+       |  GROUP BY 1),
+       |ugrv AS (SELECT r.piece, r.cnt FROM ugrc r JOIN ugv0 v USING (piece)),
+       |ugfin AS MATERIALIZED (SELECT piece, cnt,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / t.total), 9) AS DECIMAL(18,9)) AS logp9
+       |  FROM ugrv CROSS JOIN (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM ugrv) t)""".stripMargin
+  }
+
   private def minhashSigExprsSql(k: Int): String = {
     val p = Dedup.MinhashPrime
     (0 until k).map { i =>
@@ -6029,6 +6167,41 @@ object SparkEntry {
       operators.Ranking.refLmKn5BucketsByKeySql(
         "documents", "doc_id", "text", "lang",
         "source IN ('src0', 'src1')", minCount5 = 2, minCount4 = 2),
+
+    // the unigram-LM trainer chain; the stored-artifact encode (q207)
+    // shares it — the artifact is a verified-fresh measurement of the
+    // same corpus, the stored-model oracle discipline (q183's note)
+    "q206_unigram_train" ->
+      s"""WITH ${unigramChainSql("documents", 200)}
+         |SELECT piece, cnt, CAST(logp9 AS DOUBLE) AS logp9
+         |FROM ugfin ORDER BY piece""".stripMargin,
+
+    "q207_unigram_encode" ->
+      s"""WITH ${unigramChainSql("documents", 200)},
+         |ugnf AS MATERIALIZED (SELECT piece,
+         |    CAST(CAST(logp9 AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS nano FROM ugfin),
+         |${unigramDpSql("uge", "ugblk", "ugnf")},
+         |ugbm AS MATERIALIZED (SELECT block, CAST(COUNT(*) AS BIGINT) AS np,
+         |    SUM(COALESCE(s.logp9, CAST(-20.000000000 AS DECIMAL(18,9)))) AS slp
+         |  FROM (SELECT block, unnest(string_split(path, ' ')) AS piece
+         |        FROM ugepath)
+         |  LEFT JOIN ugfin s USING (piece) GROUP BY block),
+         |ugwb AS (SELECT word, substr(word, bi * ${operators.UnigramLm.BlockChars} + 1,
+         |      ${operators.UnigramLm.BlockChars}) AS block
+         |  FROM (SELECT word,
+         |          unnest(range(0, (length(word) - 1) // ${operators.UnigramLm.BlockChars} + 1)) AS bi
+         |        FROM ugw)),
+         |ugwm AS MATERIALIZED (SELECT word, CAST(SUM(np) AS BIGINT) AS wnp, SUM(slp) AS wslp
+         |  FROM ugwb JOIN ugbm USING (block) GROUP BY word),
+         |ugocc AS (SELECT doc_id,
+         |    unnest(${operators.TextAnalysis.tokensSql("text")}) AS word FROM documents),
+         |ugdm AS (SELECT doc_id, CAST(SUM(wnp) AS BIGINT) AS n_pieces,
+         |    SUM(wslp) AS dslp
+         |  FROM ugocc JOIN ugwm USING (word) GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(m.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  CASE WHEN m.n_pieces IS NULL THEN NULL
+         |       ELSE round(CAST(m.dslp AS DOUBLE) / m.n_pieces, 6) END AS logprob
+         |FROM documents d LEFT JOIN ugdm m USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // q134's curation chain with the CCNet LM-filter splice: the
     // keyed-KN scoring CTEs (over the FULL corpus — the stored cutoff
