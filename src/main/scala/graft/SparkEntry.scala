@@ -837,7 +837,8 @@ object SparkEntry {
       // artifact is written — the builder runs once per JVM but the
       // CachedDF discipline keeps the block from pinning regardless
       val cuts = operators.Ranking.refLmCutoffsByKeyCached(
-        operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m),
+        operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true),
         "lang")
       try operators.Ranking.writeRefLmCutoffsByKey(cuts.df, cp)
       finally cuts.unpersist()
@@ -862,7 +863,8 @@ object SparkEntry {
         docs, "doc_id", "text", "lang", col("source").isin("src0", "src1"))
       operators.Ranking.writeKeyedRefLm3(m, mp)
       val cuts = operators.Ranking.refLm3CutoffsByKeyCached(
-        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true),
         "lang")
       try operators.Ranking.writeRefLmCutoffsByKey(cuts.df, cp)
       finally cuts.unpersist()
@@ -889,7 +891,8 @@ object SparkEntry {
       val (mp, _) = keyedRefLm3Artifacts(s, dir)
       val m = operators.Ranking.readKeyedRefLm3(s, mp)
       val cuts = operators.Ranking.refLm3CutoffsByKeyCached(
-        operators.Ranking.refLmKn3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        operators.Ranking.refLmKn3ScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true),
         "lang")
       try operators.Ranking.writeRefLmCutoffsByKey(cuts.df, cp)
       finally cuts.unpersist()
@@ -938,7 +941,7 @@ object SparkEntry {
       val m = operators.Ranking.readKeyedRefLm5(s, mp)
       val cuts = operators.Ranking.refLm5CutoffsByKeyCached(
         operators.Ranking.refLmKn5ScoreByKey(docs, "doc_id", "text", "lang", m,
-          minCount5 = 2, minCount4 = 2),
+          minCount5 = 2, minCount4 = 2, checkpointTf = true),
         "lang")
       try operators.Ranking.writeRefLmCutoffsByKey(cuts.df, cp)
       finally cuts.unpersist()
@@ -2503,7 +2506,8 @@ object SparkEntry {
       val m = operators.Ranking.refLmTrain(
         docs, "doc_id", "text", col("lang") === "en")
       operators.Ranking.refLmPerplexityBuckets(
-        operators.Ranking.refLmScore(docs, "doc_id", "text", m))
+        operators.Ranking.refLmScore(docs, "doc_id", "text", m,
+          checkpointTf = true))
     }),
 
     // ---- extension: perplexity filter from the STORED reference LM ----
@@ -2519,7 +2523,8 @@ object SparkEntry {
       core.SnapshotStamp.assertFresh(docs, "doc_id", s"$p/stamp")
       val m = operators.Ranking.readRefLm(s, p)
       operators.Ranking.refLmPerplexityBuckets(
-        operators.Ranking.refLmScore(docs, "doc_id", "text", m))
+        operators.Ranking.refLmScore(docs, "doc_id", "text", m,
+          checkpointTf = true))
     }),
 
     // ---- extension: per-language perplexity buckets (one-pass multi-LM) ----
@@ -2537,7 +2542,8 @@ object SparkEntry {
         docs, "doc_id", "text", "lang",
         col("source").isin("src0", "src1"))
       operators.Ranking.refLmPerplexityBucketsByKey(
-        operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m),
+        operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true),
         "lang")
     }),
 
@@ -2580,7 +2586,8 @@ object SparkEntry {
         new java.io.File(mp).getParent + "/stamp")
       val m = operators.Ranking.readKeyedRefLm(s, mp)
       operators.Ranking.refLmPerplexityBucketsByKey(
-        operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m),
+        operators.Ranking.refLmScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true),
         "lang")
     }),
 
@@ -2612,7 +2619,8 @@ object SparkEntry {
         isRef = col("lang") === "en")
         .getOrElse(sys.error("q190: fresh clone reported batch already applied"))
       operators.Ranking.refLmPerplexityBuckets(
-        operators.Ranking.refLmScore(docs, "doc_id", "text", merged.model))
+        operators.Ranking.refLmScore(docs, "doc_id", "text", merged.model,
+          checkpointTf = true))
     }),
 
     // ---- extension: order-3 reference LM (trigram backoff chain) ----
@@ -2628,7 +2636,8 @@ object SparkEntry {
       val m = operators.Ranking.refLm3Train(
         docs, "doc_id", "text", col("lang") === "en")
       operators.Ranking.refLm3PerplexityBuckets(
-        operators.Ranking.refLm3Score(docs, "doc_id", "text", m))
+        operators.Ranking.refLm3Score(docs, "doc_id", "text", m,
+          checkpointTf = true))
     }),
 
     // ---- extension: deploy from the STORED order-3 LM ----
@@ -2643,7 +2652,8 @@ object SparkEntry {
         new java.io.File(p).getParent + "/stamp")
       val m = operators.Ranking.readRefLm3(s, p)
       operators.Ranking.refLm3PerplexityBuckets(
-        operators.Ranking.refLm3Score(docs, "doc_id", "text", m))
+        operators.Ranking.refLm3Score(docs, "doc_id", "text", m,
+          checkpointTf = true))
     }),
 
     // ---- extension: per-language ORDER-3 perplexity buckets ----
@@ -2658,7 +2668,8 @@ object SparkEntry {
         docs, "doc_id", "text", "lang",
         col("source").isin("src0", "src1"))
       operators.Ranking.refLm3PerplexityBucketsByKey(
-        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true),
         "lang")
     }),
 
@@ -2674,7 +2685,8 @@ object SparkEntry {
         new java.io.File(mp).getParent + "/stamp")
       val m = operators.Ranking.readKeyedRefLm3(s, mp)
       operators.Ranking.refLm3PerplexityBucketsByKey(
-        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true),
         "lang")
     }),
 
@@ -2711,7 +2723,8 @@ object SparkEntry {
         new java.io.File(p).getParent + "/stamp")
       val m = operators.Ranking.readRefLm3(s, p)
       operators.Ranking.refLm3PerplexityBuckets(
-        operators.Ranking.refLmKn3Score(docs, "doc_id", "text", m))
+        operators.Ranking.refLmKn3Score(docs, "doc_id", "text", m,
+          checkpointTf = true))
     }),
 
     // ---- extension: keyed ORDER-3 incremental lifecycle ----
@@ -2737,7 +2750,8 @@ object SparkEntry {
         "q199: fresh clone reported batch already applied")
       val m = operators.Ranking.readKeyedRefLm3(s, p.toString)
       operators.Ranking.refLm3PerplexityBucketsByKey(
-        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        operators.Ranking.refLm3ScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true),
         "lang")
     }),
 
@@ -2754,7 +2768,8 @@ object SparkEntry {
         new java.io.File(mp).getParent + "/stamp")
       val m = operators.Ranking.readKeyedRefLm3(s, mp)
       operators.Ranking.refLm3PerplexityBucketsByKey(
-        operators.Ranking.refLmKn3ScoreByKey(docs, "doc_id", "text", "lang", m),
+        operators.Ranking.refLmKn3ScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true),
         "lang")
     }),
 
@@ -2774,7 +2789,8 @@ object SparkEntry {
         new java.io.File(cp).getParent + "/stamp")
       val m = operators.Ranking.readKeyedRefLm3(s, mp)
       val cuts = operators.Ranking.readRefLmCutoffsByKey(s, cp)
-      operators.Ranking.refLmKn3ScoreByKey(docs, "doc_id", "text", "lang", m)
+      operators.Ranking.refLmKn3ScoreByKey(docs, "doc_id", "text", "lang", m,
+          checkpointTf = true)
         .join(broadcast(cuts), Seq("lang"))
         .withColumn("bucket",
           when(col("logprob") >= col("v_head"), lit("head"))
@@ -2803,7 +2819,7 @@ object SparkEntry {
       val m = operators.Ranking.readRefLm5(s, p)
       operators.Ranking.refLm5PerplexityBuckets(
         operators.Ranking.refLmKn5Score(docs, "doc_id", "text", m,
-          minCount5 = 2, minCount4 = 2))
+          minCount5 = 2, minCount4 = 2, checkpointTf = true))
     }),
 
     // ---- extension: per-language 5-gram Kneser-Ney ----
@@ -2820,7 +2836,7 @@ object SparkEntry {
       val m = operators.Ranking.readKeyedRefLm5(s, p)
       operators.Ranking.refLm5PerplexityBucketsByKey(
         operators.Ranking.refLmKn5ScoreByKey(docs, "doc_id", "text", "lang", m,
-          minCount5 = 2, minCount4 = 2),
+          minCount5 = 2, minCount4 = 2, checkpointTf = true),
         "lang")
     }),
 
@@ -2839,7 +2855,7 @@ object SparkEntry {
       val m = operators.Ranking.readKeyedRefLm5(s, mp)
       val cuts = operators.Ranking.readRefLmCutoffsByKey(s, cp)
       operators.Ranking.refLmKn5ScoreByKey(docs, "doc_id", "text", "lang", m,
-          minCount5 = 2, minCount4 = 2)
+          minCount5 = 2, minCount4 = 2, checkpointTf = true)
         .join(broadcast(cuts), Seq("lang"))
         .withColumn("bucket",
           when(col("logprob") >= col("v_head"), lit("head"))

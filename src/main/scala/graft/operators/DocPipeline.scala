@@ -427,7 +427,8 @@ object DocPipeline {
       val repDocs = cleaned.join(
         semReps.select(col(idCol)), Seq(idCol), "left_semi")
       val dropped = Ranking.refLmKn3ScoreByKey(
-          repDocs, idCol, textCol, st.keyCol, st.model)
+          repDocs, idCol, textCol, st.keyCol, st.model,
+          checkpointTf = true)
         .join(broadcast(st.cutoffs), Seq(st.keyCol))
         .withColumn("__bucket",
           when(col("logprob") >= col("v_head"), lit("head"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
 
 import graft.plans.TopKPerKey
 
@@ -423,16 +424,27 @@ object Ranking {
     */
   def refLmScore(
       pool: DataFrame, idCol: String, textCol: String, model: RefLmModel,
-      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+      lamNum: Int = 7, lamDen: Int = 10,
+      checkpointTf: Boolean = false): DataFrame = {
     require(lamNum > 0 && lamNum < lamDen, s"need 0 < λ < 1, got $lamNum/$lamDen")
     val id = col(idCol)
     val lam1 = lamNum.toDouble / lamDen
     val lam2 = (lamDen - lamNum).toDouble / lamDen
-    val bf = pool
+    val bfRaw = pool
       .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, bigramPairs.as("__bg"))
       .select(id, col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .groupBy(id, col("w1"), col("w2")).agg(count(lit(1)).as("bf"))
+    // checkpointTf (r17 optimization round): the per-doc pair table
+    // feeds TWO consumers (the distinct-pairs model join and the final
+    // per-doc aggregate), and exchange reuse does not span their
+    // separate jobs — without a materialization the pool is tokenized
+    // twice per score. Batch query paths opt in (tokenize once, and
+    // every downstream AQE re-optimization plans over a LogicalRDD);
+    // the default stays lazy for the per-micro-batch streaming gates,
+    // where an eager checkpoint per batch would pin blocks for the
+    // stream's lifetime.
+    val bf = if (checkpointTf) bfRaw.localCheckpoint() else bfRaw
     val pairs = bf.select("w1", "w2").distinct()
     val pB = coalesce(col("cb"), lit(0L)).cast("double")
     val pC = coalesce(col("ctx"), lit(0L))
@@ -502,7 +514,8 @@ object Ranking {
         max("logprob").as("max_logprob"),
         sum("snb").as(cntCol))
       .orderBy("bucket")
-    Dedup.CachedDF(df, Seq(hist))
+    Dedup.CachedDF(df, Nil,
+      Seq(() => graftbridge.unpersistCheckpointed(hist)))
   }
 
   /** The HISTOGRAM of a [[refLmScore]] frame — (logprob, nv = docs at
@@ -519,7 +532,17 @@ object Ranking {
       scored: DataFrame, cntCol: String = "n_bigrams"): DataFrame =
     scored.groupBy("logprob")
       .agg(count(lit(1)).as("nv"), sum(cntCol).as("snb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist (r17 optimization round, guide
+      // §3.3): the histogram feeds ~8 downstream jobs (bin prefix,
+      // within-bin refinement, totals, the report's crossJoin) and a
+      // persisted frame still carries the FULL scoring-pipeline plan
+      // into every one of those jobs' AQE re-optimizations — measured
+      // ~1.3 s of serial driver gaps per LM query at sf0.1. The
+      // checkpoint truncates the downstream plans to a LogicalRDD over
+      // the same artifact-sized rows (bounded by the 6-decimal score
+      // value space, not the corpus); execution count is unchanged
+      // (the persist design already materialized scoring exactly once).
+      .localCheckpoint()
 
   /** (v_head, v_mid) from a [[scoreHist]] frame — cumulative counts by
     * COARSE-BIN-THEN-REFINE, never one unpartitioned window over the
@@ -569,7 +592,8 @@ object Ranking {
     */
   def refLmCutoffsCached(scored: DataFrame): Dedup.CachedDF = {
     val hist = scoreHist(scored)
-    Dedup.CachedDF(cutoffsFromHist(hist), Seq(hist))
+    Dedup.CachedDF(cutoffsFromHist(hist), Nil,
+      Seq(() => graftbridge.unpersistCheckpointed(hist)))
   }
 
   /** Persist the [[refLmCutoffs]] row beside the stored LM — the
@@ -938,7 +962,8 @@ object Ranking {
     */
   def refLm3Score(pool: DataFrame, idCol: String, textCol: String,
       model: RefLm3Model, lam3Num: Int = 5, lam3Den: Int = 10,
-      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+      lamNum: Int = 7, lamDen: Int = 10,
+      checkpointTf: Boolean = false): DataFrame = {
     require(lam3Num > 0 && lam3Num < lam3Den,
       s"need 0 < λ3 < 1, got $lam3Num/$lam3Den")
     require(lamNum > 0 && lamNum < lamDen, s"need 0 < λ < 1, got $lamNum/$lamDen")
@@ -947,12 +972,15 @@ object Ranking {
     val l3b = (lam3Den - lam3Num).toDouble / lam3Den
     val lam1 = lamNum.toDouble / lamDen
     val lam2 = (lamDen - lamNum).toDouble / lamDen
-    val tf = pool
+    val tfRaw = pool
       .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, trigramTriples.as("__tg"))
       .select(id, col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
         col("__tg.w3").as("w3"))
       .groupBy(id, col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tfq"))
+    // tokenize-once materialization for batch paths — [[refLmScore]]'s
+    // checkpointTf rationale
+    val tf = if (checkpointTf) tfRaw.localCheckpoint() else tfRaw
     val triples = tf.select("w1", "w2", "w3").distinct()
     val pT = coalesce(col("ct"), lit(0L)).cast("double")
     val pTC = coalesce(col("ctx3"), lit(0L))
@@ -1015,7 +1043,8 @@ object Ranking {
     */
   def refLm3CutoffsCached(scored: DataFrame): Dedup.CachedDF = {
     val hist = scoreHist(scored, "n_trigrams")
-    Dedup.CachedDF(cutoffsFromHist(hist), Seq(hist))
+    Dedup.CachedDF(cutoffsFromHist(hist), Nil,
+      Seq(() => graftbridge.unpersistCheckpointed(hist)))
   }
 
   /** Score every pool document under the order-3 reference LM with
@@ -1063,16 +1092,20 @@ object Ranking {
     * (id, n_trigrams, logprob) for every pool doc with ≥ 3 tokens.
     */
   def refLmKn3Score(pool: DataFrame, idCol: String, textCol: String,
-      model: RefLm3Model, dNum: Int = 3, dDen: Int = 4): DataFrame = {
+      model: RefLm3Model, dNum: Int = 3, dDen: Int = 4,
+      checkpointTf: Boolean = false): DataFrame = {
     require(dNum > 0 && dNum < dDen, s"need 0 < D < 1, got $dNum/$dDen")
     val id = col(idCol)
     val d = dNum.toDouble / dDen
-    val tf = pool
+    val tfRaw = pool
       .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, trigramTriples.as("__tg"))
       .select(id, col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
         col("__tg.w3").as("w3"))
       .groupBy(id, col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tfq"))
+    // tokenize-once materialization for batch paths — [[refLmScore]]'s
+    // checkpointTf rationale
+    val tf = if (checkpointTf) tfRaw.localCheckpoint() else tfRaw
     val triples = tf.select("w1", "w2", "w3").distinct()
     // continuation tables, each one partial-aggregated groupBy over a
     // MODEL table (trigram/bigram rows are distinct per key, so
@@ -1274,13 +1307,14 @@ object Ranking {
     */
   def refLmKn5Score(pool: DataFrame, idCol: String, textCol: String,
       model: RefLm5Model, dNum: Int = 3, dDen: Int = 4,
-      minCount5: Long = 1, minCount4: Long = 1): DataFrame = {
+      minCount5: Long = 1, minCount4: Long = 1,
+      checkpointTf: Boolean = false): DataFrame = {
     require(dNum > 0 && dNum < dDen, s"need 0 < D < 1, got $dNum/$dDen")
     require(minCount5 >= 1 && minCount4 >= 1,
       s"count-pruning thresholds must be >= 1, got $minCount5/$minCount4")
     val id = col(idCol)
     val d = dNum.toDouble / dDen
-    val tf = pool
+    val tfRaw = pool
       .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, fivegramQuints.as("__qg"))
       .select(id, col("__qg.w1").as("w1"), col("__qg.w2").as("w2"),
@@ -1288,6 +1322,9 @@ object Ranking {
         col("__qg.w5").as("w5"))
       .groupBy(id, col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
       .agg(count(lit(1)).as("tfq"))
+    // tokenize-once materialization for batch paths — [[refLmScore]]'s
+    // checkpointTf rationale
+    val tf = if (checkpointTf) tfRaw.localCheckpoint() else tfRaw
     val quints = tf.select("w1", "w2", "w3", "w4", "w5").distinct()
     // pruned raw views — every derivation below reads these
     val five = model.fivegrams.filter(col("c5") >= lit(minCount5))
@@ -1539,16 +1576,20 @@ object Ranking {
     */
   def refLmScoreByKey(pool: DataFrame, idCol: String, textCol: String,
       keyCol: String, model: KeyedRefLmModel,
-      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+      lamNum: Int = 7, lamDen: Int = 10,
+      checkpointTf: Boolean = false): DataFrame = {
     require(lamNum > 0 && lamNum < lamDen, s"need 0 < λ < 1, got $lamNum/$lamDen")
     val id = col(idCol)
     val lam1 = lamNum.toDouble / lamDen
     val lam2 = (lamDen - lamNum).toDouble / lamDen
-    val bf = pool
+    val bfRaw = pool
       .select(id, col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, col("__k"), bigramPairs.as("__bg"))
       .select(id, col("__k"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .groupBy(id, col("__k"), col("w1"), col("w2")).agg(count(lit(1)).as("bf"))
+    // tokenize-once materialization for batch paths — [[refLmScore]]'s
+    // checkpointTf rationale
+    val bf = if (checkpointTf) bfRaw.localCheckpoint() else bfRaw
     val pairs = bf.select("__k", "w1", "w2").distinct()
     val pB = coalesce(col("cb"), lit(0L)).cast("double")
     val pC = coalesce(col("ctx"), lit(0L))
@@ -1611,7 +1652,8 @@ object Ranking {
         max("logprob").as("max_logprob"),
         sum("snb").as(cntCol))
       .orderBy(k, col("bucket"))
-    Dedup.CachedDF(df, Seq(hist))
+    Dedup.CachedDF(df, Nil,
+      Seq(() => graftbridge.unpersistCheckpointed(hist)))
   }
 
   /** The keyed twin of [[scoreHist]]: one persisted histogram per
@@ -1621,7 +1663,10 @@ object Ranking {
       cntCol: String = "n_bigrams"): DataFrame =
     scored.groupBy(col(keyCol), col("logprob"))
       .agg(count(lit(1)).as("nv"), sum(cntCol).as("snb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist — same plan-truncation rationale
+      // as [[scoreHist]] (the keyed hist is per-(key, score) rows,
+      // still value-space bounded)
+      .localCheckpoint()
 
   /** Per-key (v_head, v_mid) from a [[keyedScoreHist]] frame — the
     * [[cutoffsFromHist]] coarse-bin-then-refine shape with every
@@ -1663,7 +1708,8 @@ object Ranking {
     */
   def refLmCutoffsByKeyCached(scored: DataFrame, keyCol: String): Dedup.CachedDF = {
     val hist = keyedScoreHist(scored, keyCol)
-    Dedup.CachedDF(cutoffsFromKeyedHist(hist, keyCol), Seq(hist))
+    Dedup.CachedDF(cutoffsFromKeyedHist(hist, keyCol), Nil,
+      Seq(() => graftbridge.unpersistCheckpointed(hist)))
   }
 
   /** Persist per-key cutoffs ([[refLmCutoffsByKey]]'s shape). */
@@ -1748,7 +1794,8 @@ object Ranking {
   def refLm3ScoreByKey(pool: DataFrame, idCol: String, textCol: String,
       keyCol: String, model: KeyedRefLm3Model,
       lam3Num: Int = 5, lam3Den: Int = 10,
-      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+      lamNum: Int = 7, lamDen: Int = 10,
+      checkpointTf: Boolean = false): DataFrame = {
     require(lam3Num > 0 && lam3Num < lam3Den,
       s"need 0 < λ3 < 1, got $lam3Num/$lam3Den")
     require(lamNum > 0 && lamNum < lamDen, s"need 0 < λ < 1, got $lamNum/$lamDen")
@@ -1757,13 +1804,16 @@ object Ranking {
     val l3b = (lam3Den - lam3Num).toDouble / lam3Den
     val lam1 = lamNum.toDouble / lamDen
     val lam2 = (lamDen - lamNum).toDouble / lamDen
-    val tf = pool
+    val tfRaw = pool
       .select(id, col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, col("__k"), trigramTriples.as("__tg"))
       .select(id, col("__k"), col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
         col("__tg.w3").as("w3"))
       .groupBy(id, col("__k"), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("tfq"))
+    // tokenize-once materialization for batch paths — [[refLmScore]]'s
+    // checkpointTf rationale
+    val tf = if (checkpointTf) tfRaw.localCheckpoint() else tfRaw
     val triples = tf.select("__k", "w1", "w2", "w3").distinct()
     val pT = coalesce(col("ct"), lit(0L)).cast("double")
     val pTC = coalesce(col("ctx3"), lit(0L))
@@ -1829,7 +1879,8 @@ object Ranking {
   def refLm3CutoffsByKeyCached(
       scored: DataFrame, keyCol: String): Dedup.CachedDF = {
     val hist = keyedScoreHist(scored, keyCol, "n_trigrams")
-    Dedup.CachedDF(cutoffsFromKeyedHist(hist, keyCol), Seq(hist))
+    Dedup.CachedDF(cutoffsFromKeyedHist(hist, keyCol), Nil,
+      Seq(() => graftbridge.unpersistCheckpointed(hist)))
   }
 
   /** [[refLmKn3Score]] keyed: each pool document scores under ITS
@@ -1852,17 +1903,21 @@ object Ranking {
     */
   def refLmKn3ScoreByKey(pool: DataFrame, idCol: String, textCol: String,
       keyCol: String, model: KeyedRefLm3Model,
-      dNum: Int = 3, dDen: Int = 4): DataFrame = {
+      dNum: Int = 3, dDen: Int = 4,
+      checkpointTf: Boolean = false): DataFrame = {
     require(dNum > 0 && dNum < dDen, s"need 0 < D < 1, got $dNum/$dDen")
     val id = col(idCol)
     val d = dNum.toDouble / dDen
-    val tf = pool
+    val tfRaw = pool
       .select(id, col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, col("__k"), trigramTriples.as("__tg"))
       .select(id, col("__k"), col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
         col("__tg.w3").as("w3"))
       .groupBy(id, col("__k"), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("tfq"))
+    // tokenize-once materialization for batch paths — [[refLmScore]]'s
+    // checkpointTf rationale
+    val tf = if (checkpointTf) tfRaw.localCheckpoint() else tfRaw
     val triples = tf.select("__k", "w1", "w2", "w3").distinct()
     // keyed continuation tables — one partial-aggregated groupBy over a
     // MODEL table each, exactly the unkeyed derivations with __k riding
@@ -2058,13 +2113,14 @@ object Ranking {
   def refLmKn5ScoreByKey(pool: DataFrame, idCol: String, textCol: String,
       keyCol: String, model: KeyedRefLm5Model,
       dNum: Int = 3, dDen: Int = 4,
-      minCount5: Long = 1, minCount4: Long = 1): DataFrame = {
+      minCount5: Long = 1, minCount4: Long = 1,
+      checkpointTf: Boolean = false): DataFrame = {
     require(dNum > 0 && dNum < dDen, s"need 0 < D < 1, got $dNum/$dDen")
     require(minCount5 >= 1 && minCount4 >= 1,
       s"count-pruning thresholds must be >= 1, got $minCount5/$minCount4")
     val id = col(idCol)
     val d = dNum.toDouble / dDen
-    val tf = pool
+    val tfRaw = pool
       .select(id, col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, col("__k"), fivegramQuints.as("__qg"))
       .select(id, col("__k"), col("__qg.w1").as("w1"), col("__qg.w2").as("w2"),
@@ -2073,6 +2129,9 @@ object Ranking {
       .groupBy(id, col("__k"), col("w1"), col("w2"), col("w3"), col("w4"),
         col("w5"))
       .agg(count(lit(1)).as("tfq"))
+    // tokenize-once materialization for batch paths — [[refLmScore]]'s
+    // checkpointTf rationale
+    val tf = if (checkpointTf) tfRaw.localCheckpoint() else tfRaw
     val quints = tf.select("__k", "w1", "w2", "w3", "w4", "w5").distinct()
     // pruned raw views — every derivation below reads these
     val five = model.fivegrams.filter(col("c5") >= lit(minCount5))
@@ -2177,7 +2236,8 @@ object Ranking {
   def refLm5CutoffsByKeyCached(
       scored: DataFrame, keyCol: String): Dedup.CachedDF = {
     val hist = keyedScoreHist(scored, keyCol, "n_5grams")
-    Dedup.CachedDF(cutoffsFromKeyedHist(hist, keyCol), Seq(hist))
+    Dedup.CachedDF(cutoffsFromKeyedHist(hist, keyCol), Nil,
+      Seq(() => graftbridge.unpersistCheckpointed(hist)))
   }
 
   /** Persist a [[KeyedRefLm5Model]] — the six keyed order-3 tables
