@@ -1298,12 +1298,23 @@ object Ranking {
     * never observed). The stored artifact is untouched — see the
     * storage contract above.
     *
-    * Scale shape and determinism exactly as [[refLmKn3Score]]: per-doc
-    * 5-tuple frequencies partial-agg first, derivation tables are one
-    * groupBy over a model table each, model joins happen once per
-    * DISTINCT pool 5-tuple, ln() rounds to 9 decimals, exact decimal
-    * doc sums, one final 6-round. Returns (id, n_5grams, logprob) for
-    * every pool doc with ≥ 5 tokens.
+    * Scale shape: per-doc 5-tuple frequencies partial-agg first,
+    * derivation tables are one groupBy over a model table each, and the
+    * model-join chain runs DIRECTLY over the per-doc 5-tuple rows
+    * (r18 optimization round): at order 5 the distinct-tuple dedup the
+    * lower-order scorers rely on buys nothing — measured at sf0.1,
+    * 250,704 per-doc rows vs 250,282 distinct 5-tuples (1.002x; the
+    * order-2 factor is 275x, order-3 is 9.6x — those keep the
+    * distinct+join-back design) — so the distinct exchange, the
+    * join-back (which broadcast-hashed the whole per-doc frame on five
+    * string keys), and the two-consumer tokenize checkpoint were pure
+    * overhead. `checkpointTf` is accepted for API stability but moot:
+    * the per-doc frame now has exactly one consumer, so the pool is
+    * tokenized once by construction. Determinism unchanged: ln() of
+    * the same fixed IEEE expression rounds to 9 decimals per row (equal
+    * 5-tuples produce bit-equal logp9 wherever they are evaluated),
+    * exact decimal doc sums, one final 6-round. Returns
+    * (id, n_5grams, logprob) for every pool doc with ≥ 5 tokens.
     */
   def refLmKn5Score(pool: DataFrame, idCol: String, textCol: String,
       model: RefLm5Model, dNum: Int = 3, dDen: Int = 4,
@@ -1314,7 +1325,10 @@ object Ranking {
       s"count-pruning thresholds must be >= 1, got $minCount5/$minCount4")
     val id = col(idCol)
     val d = dNum.toDouble / dDen
-    val tfRaw = pool
+    // the per-doc 5-tuple frame: the groupBy's exchange is also what
+    // spreads the downstream join chain across tasks (the raw explode
+    // runs inside the scan's split count)
+    val tf = pool
       .select(id, TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, fivegramQuints.as("__qg"))
       .select(id, col("__qg.w1").as("w1"), col("__qg.w2").as("w2"),
@@ -1322,10 +1336,7 @@ object Ranking {
         col("__qg.w5").as("w5"))
       .groupBy(id, col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
       .agg(count(lit(1)).as("tfq"))
-    // tokenize-once materialization for batch paths — [[refLmScore]]'s
-    // checkpointTf rationale
-    val tf = if (checkpointTf) tfRaw.localCheckpoint() else tfRaw
-    val quints = tf.select("w1", "w2", "w3", "w4", "w5").distinct()
+    val _ = checkpointTf // kept for API stability; see scaladoc
     // pruned raw views — every derivation below reads these
     val five = model.fivegrams.filter(col("c5") >= lit(minCount5))
     val four = model.fourgrams.filter(col("c4") >= lit(minCount4))
@@ -1382,7 +1393,7 @@ object Ranking {
     val p5 = when(pX5 > lit(0L),
       (greatest(pC5 - lit(d), lit(0.0)) + lit(d) * pT5 * p4) /
         pX5.cast("double")).otherwise(p4)
-    val logp = quints
+    tf
       .join(five, Seq("w1", "w2", "w3", "w4", "w5"), "left")
       .join(ce5, Seq("w1", "w2", "w3", "w4"), "left")
       .join(cc4, Seq("w2", "w3", "w4", "w5"), "left")
@@ -1394,9 +1405,8 @@ object Ranking {
       .join(cu.select(col("w2").as("w5"), col("__cu")), Seq("w5"), "left")
       .crossJoin(broadcast(model.base3.base.totals))
       .crossJoin(broadcast(btot))
-      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
+      .select(id, col("tfq"),
         round(log(p5), 9).cast("decimal(18,9)").as("logp9"))
-    tf.join(logp, Seq("w1", "w2", "w3", "w4", "w5"))
       .groupBy(id)
       .agg(sum(col("tfq")).as("n_5grams"),
         sum(col("tfq").cast("decimal(18,0)") * col("logp9")).as("__slp"))
@@ -2103,7 +2113,12 @@ object Ranking {
     * eight-table keyed stored deploy, stamps and the bit-equal keyed
     * merge ([[mergeIntoStoredKeyedRefLm5]]) carry over unchanged.
     * `minCount5`/`minCount4` prune the raw high-order tables per key
-    * BEFORE any derivation, exactly as [[refLmKn5Score]].
+    * BEFORE any derivation, exactly as [[refLmKn5Score]] — and like it
+    * (r18 optimization round) the model-join chain runs DIRECTLY over
+    * the per-doc 5-tuple rows: the order-5 distinct dedup is ~1.002x
+    * (see [[refLmKn5Score]]'s measured factors), so the distinct
+    * exchange, join-back and tokenize checkpoint were pure overhead;
+    * `checkpointTf` is accepted but moot (single consumer).
     *
     * Key contract as [[refLmKn3ScoreByKey]]: totals join INNER on the
     * key (unmodeled keys absent), per-key distinct-bigram total LEFT
@@ -2120,7 +2135,7 @@ object Ranking {
       s"count-pruning thresholds must be >= 1, got $minCount5/$minCount4")
     val id = col(idCol)
     val d = dNum.toDouble / dDen
-    val tfRaw = pool
+    val tf = pool
       .select(id, col(keyCol).as("__k"), TextAnalysis.tokens(col(textCol)).as("__a"))
       .select(id, col("__k"), fivegramQuints.as("__qg"))
       .select(id, col("__k"), col("__qg.w1").as("w1"), col("__qg.w2").as("w2"),
@@ -2129,10 +2144,7 @@ object Ranking {
       .groupBy(id, col("__k"), col("w1"), col("w2"), col("w3"), col("w4"),
         col("w5"))
       .agg(count(lit(1)).as("tfq"))
-    // tokenize-once materialization for batch paths — [[refLmScore]]'s
-    // checkpointTf rationale
-    val tf = if (checkpointTf) tfRaw.localCheckpoint() else tfRaw
-    val quints = tf.select("__k", "w1", "w2", "w3", "w4", "w5").distinct()
+    val _ = checkpointTf // kept for API stability; see scaladoc
     // pruned raw views — every derivation below reads these
     val five = model.fivegrams.filter(col("c5") >= lit(minCount5))
     val four = model.fourgrams.filter(col("c4") >= lit(minCount4))
@@ -2185,7 +2197,7 @@ object Ranking {
     val p5 = when(pX5 > lit(0L),
       (greatest(pC5 - lit(d), lit(0.0)) + lit(d) * pT5 * p4) /
         pX5.cast("double")).otherwise(p4)
-    val logp = quints
+    tf
       .join(five, Seq("__k", "w1", "w2", "w3", "w4", "w5"), "left")
       .join(ce5, Seq("__k", "w1", "w2", "w3", "w4"), "left")
       .join(cc4, Seq("__k", "w2", "w3", "w4", "w5"), "left")
@@ -2198,9 +2210,8 @@ object Ranking {
         Seq("__k", "w5"), "left")
       .join(broadcast(model.base3.base.totals), Seq("__k"))
       .join(broadcast(btot), Seq("__k"), "left")
-      .select(col("__k"), col("w1"), col("w2"), col("w3"), col("w4"),
-        col("w5"), round(log(p5), 9).cast("decimal(18,9)").as("logp9"))
-    tf.join(logp, Seq("__k", "w1", "w2", "w3", "w4", "w5"))
+      .select(id, col("__k"), col("tfq"),
+        round(log(p5), 9).cast("decimal(18,9)").as("logp9"))
       .groupBy(id, col("__k"))
       .agg(sum(col("tfq")).as("n_5grams"),
         sum(col("tfq").cast("decimal(18,0)") * col("logp9")).as("__slp"))
